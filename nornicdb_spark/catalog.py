@@ -1,0 +1,201 @@
+"""Table catalog + property-graph projection.
+
+The reference models data as a labeled property graph: ``Node{ID, Labels,
+Properties}`` / ``Edge{ID, StartNode, EndNode, Type, Properties}``
+(reference pkg/storage/types.go:185-211, 298-310). Our engine keeps the
+relational star schema as the source of truth and *projects* a graph view
+from it (FIXTURES.md §A), because at 100 TB the adjacency representation
+you want IS a pair of columnar tables:
+
+- ``nodes(id, label, key)``  — id = "<Label>:<key>"; property access goes
+  back to the typed base table via ``key`` (no stringly-typed map blobs in
+  the hot path — schema-on-read beats map<string,string> for pushdown).
+- ``edges(src, dst, type, …props)`` — adjacency = equi-join on src/dst.
+  Edge property columns are typed (l_quantity etc. from lineitem).
+
+Scale notes: edges are hash-partitioned by ``src`` at build time so
+repeated out-expansions co-locate; reverse expansion repartitions by
+``dst`` once per plan (Catalyst reuses the exchange). Node tables per
+label stay separate → label scans are table scans, not filters.
+"""
+
+from __future__ import annotations
+
+from functools import cached_property
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# (label, base table, key column) — graph projection per FIXTURES.md §A.
+NODE_SPECS = (
+    ("Customer", "customer", "c_custkey"),
+    ("Order", "orders", "o_orderkey"),
+    ("Part", "part", "p_partkey"),
+    ("Supplier", "supplier", "s_suppkey"),
+    ("Nation", "nation", "n_nationkey"),
+    ("Region", "region", "r_regionkey"),
+)
+
+
+def node_id(label: str, key_col) -> F.Column:
+    """Graph node id: '<Label>:<key>' (FIXTURES.md §A)."""
+    return F.concat(F.lit(label + ":"), F.col(key_col).cast("string"))
+
+
+class Catalog:
+    """Loads the driver's parquet tables and exposes DataFrames + views."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir.rstrip("/")
+        self._tables: dict[str, DataFrame] = {}
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._tables:
+            if name not in TABLES:
+                raise KeyError(f"unknown table {name!r}; have {TABLES}")
+            self._tables[name] = self.spark.read.parquet(
+                f"{self.sf_dir}/{name}.parquet"
+            )
+        return self._tables[name]
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in TABLES:
+            return self.table(name)
+        raise AttributeError(name)
+
+    def register_views(self) -> None:
+        """Register every table as a temp view for spark.sql queries."""
+        for name in TABLES:
+            self.table(name).createOrReplaceTempView(name)
+
+    @cached_property
+    def graph(self) -> "PropertyGraph":
+        return PropertyGraph.from_star_schema(self)
+
+
+class PropertyGraph:
+    """Graph view: ``nodes(id, label, key)`` + ``edges(src, dst, type, …)``.
+
+    Equivalent of the reference storage Engine's adjacency surface
+    (GetOutgoingEdges/GetIncomingEdges/GetEdgesBetween/GetNodesByLabel —
+    reference pkg/storage/types.go:355-414) re-expressed as two
+    DataFrames. All traversal operators live in
+    :mod:`nornicdb_spark.operators`.
+    """
+
+    def __init__(self, nodes: DataFrame, edges: DataFrame, catalog: Catalog | None = None):
+        self.nodes = nodes
+        self.edges = edges
+        self.catalog = catalog
+
+    @classmethod
+    def from_star_schema(cls, cat: Catalog) -> "PropertyGraph":
+        parts = []
+        for label, table, key in NODE_SPECS:
+            parts.append(
+                cat.table(table).select(
+                    node_id(label, key).alias("id"),
+                    F.lit(label).alias("label"),
+                    F.col(key).cast("long").alias("key"),
+                )
+            )
+        nodes = parts[0]
+        for p in parts[1:]:
+            nodes = nodes.unionByName(p)
+
+        orders, lineitem = cat.table("orders"), cat.table("lineitem")
+        customer, supplier, nation = (
+            cat.table("customer"),
+            cat.table("supplier"),
+            cat.table("nation"),
+        )
+
+        def edge(df, src_label, src_key, dst_label, dst_key, etype, props=(), disc=None):
+            # edge_id: deterministic hash (stable across runs — required by
+            # the path enumerator's relationship-uniqueness tracking).
+            # ``disc`` discriminates parallel edges (e.g. CONTAINS is one
+            # edge per lineitem row, keyed by l_linenumber).
+            cols = [
+                node_id(src_label, src_key).alias("src"),
+                node_id(dst_label, dst_key).alias("dst"),
+                F.lit(etype).alias("type"),
+                F.xxhash64(
+                    node_id(src_label, src_key),
+                    node_id(dst_label, dst_key),
+                    F.lit(etype),
+                    (F.col(disc) if disc else F.lit(0)).cast("long"),
+                ).alias("edge_id"),
+            ]
+            cols += [F.col(c).alias(c) for c in props]
+            return df.select(*cols)
+
+        placed = edge(orders, "Customer", "o_custkey", "Order", "o_orderkey", "PLACED")
+        contains = edge(
+            lineitem,
+            "Order",
+            "l_orderkey",
+            "Part",
+            "l_partkey",
+            "CONTAINS",
+            props=("l_quantity", "l_extendedprice", "l_discount"),
+            disc="l_linenumber",
+        )
+        supplies = edge(
+            lineitem.select("l_suppkey", "l_partkey").distinct(),
+            "Supplier",
+            "l_suppkey",
+            "Part",
+            "l_partkey",
+            "SUPPLIES",
+        )
+        cust_from = edge(customer, "Customer", "c_custkey", "Nation", "c_nationkey", "FROM")
+        supp_from = edge(supplier, "Supplier", "s_suppkey", "Nation", "s_nationkey", "FROM")
+        nat_in = edge(nation, "Nation", "n_nationkey", "Region", "n_regionkey", "IN")
+
+        prop_cols = ("l_quantity", "l_extendedprice", "l_discount")
+        frames = [placed, contains, supplies, cust_from, supp_from, nat_in]
+        padded = []
+        for f in frames:
+            missing = [c for c in prop_cols if c not in f.columns]
+            for c in missing:
+                f = f.withColumn(c, F.lit(None).cast("double"))
+            padded.append(f.select("src", "dst", "type", "edge_id", *prop_cols))
+        edges = padded[0]
+        for f in padded[1:]:
+            edges = edges.unionByName(f)
+
+        return cls(nodes=nodes, edges=edges, catalog=cat)
+
+    # ---- reference Engine surface (types.go:369-376), DataFrame-style ----
+
+    def nodes_by_label(self, label: str) -> DataFrame:
+        """NodeByLabelScan — MATCH (n:Label)."""
+        return self.nodes.filter(F.col("label") == label)
+
+    def edges_by_type(self, *types: str) -> DataFrame:
+        """RelationshipTypeScan, incl. multi-type [:A|B] disjunction."""
+        if len(types) == 1:
+            return self.edges.filter(F.col("type") == types[0])
+        return self.edges.filter(F.col("type").isin(list(types)))
+
+    def out_edges(self, node_ids: DataFrame) -> DataFrame:
+        """GetOutgoingEdges for a set of ids (column named ``id``)."""
+        return self.edges.join(node_ids.select(F.col("id").alias("src")), "src")
+
+    def in_edges(self, node_ids: DataFrame) -> DataFrame:
+        """GetIncomingEdges for a set of ids (column named ``id``)."""
+        return self.edges.join(node_ids.select(F.col("id").alias("dst")), "dst")

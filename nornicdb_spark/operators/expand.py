@@ -1,0 +1,132 @@
+"""Pattern-expansion operators: Cypher MATCH joins, Spark-first.
+
+The reference walks adjacency imperatively per start node
+(pkg/cypher/traversal.go:143-479 one-hop; 575-757 chained;
+match_multi.go cartesian/multi-match; clauses.go:873-936 OPTIONAL
+MATCH). Here every expand is an equi-join the optimizer can reorder,
+broadcast, and push filters through:
+
+    (a)-[r:T]->(b)   ≡   a ⋈(a.id = e.src) edges[type=T] ⋈(e.dst = b.id) b
+
+Frame convention: a pattern result is a DataFrame whose columns are
+prefixed per variable (``a_id``, ``r_type``, ``b_id``, …). Chaining
+expands = chaining joins on the shared variable's ``_id`` column — the
+direct analogue of Cypher's shared-variable conjunctive semantics.
+
+Scale: edge tables shuffle on src (out) / dst (in); a dimension-sized
+node side is broadcast automatically (AQE) or explicitly via
+``broadcast=True``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+OUT = "out"
+IN = "in"
+BOTH = "both"
+
+
+def _prefixed(df: DataFrame, prefix: str) -> DataFrame:
+    return df.select([F.col(c).alias(f"{prefix}_{c}") for c in df.columns])
+
+
+def match_nodes(graph, var: str, label: str | None = None) -> DataFrame:
+    """MATCH (var) / MATCH (var:Label) — node scan as a pattern frame."""
+    df = graph.nodes_by_label(label) if label else graph.nodes
+    return _prefixed(df, var)
+
+
+def expand(
+    graph,
+    frame: DataFrame,
+    src_var: str,
+    rel_var: str,
+    dst_var: str,
+    rel_types: tuple[str, ...] = (),
+    direction: str = OUT,
+    dst_label: str | None = None,
+) -> DataFrame:
+    """One-hop expand ``(src_var)-[rel_var:T1|T2]->(dst_var)``.
+
+    ``frame`` must already bind ``src_var`` (have ``{src_var}_id``). If it
+    also binds ``dst_var``, this is an edge-existence join between two
+    bound endpoints (GetEdgesBetween). Direction ``both`` unions the two
+    oriented joins (undirected ``-[r]-`` semantics: each distinct edge
+    contributes once per orientation that matches, same as the
+    reference's undirected scan, traversal.go:61-142).
+    """
+    edges = graph.edges_by_type(*rel_types) if rel_types else graph.edges
+
+    def oriented(e: DataFrame, flip: bool) -> DataFrame:
+        if flip:
+            e = e.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "type",
+                *[c for c in e.columns if c not in ("src", "dst", "type")],
+            )
+        re = _prefixed(e, rel_var)
+        out = frame.join(
+            re, frame[f"{src_var}_id"] == re[f"{rel_var}_src"], "inner"
+        )
+        if f"{dst_var}_id" in frame.columns:
+            return out.filter(F.col(f"{dst_var}_id") == F.col(f"{rel_var}_dst"))
+        dst_nodes = (
+            graph.nodes_by_label(dst_label) if dst_label else graph.nodes
+        )
+        dn = _prefixed(dst_nodes, dst_var)
+        return out.join(dn, out[f"{rel_var}_dst"] == dn[f"{dst_var}_id"], "inner")
+
+    if direction == OUT:
+        return oriented(edges, flip=False)
+    if direction == IN:
+        return oriented(edges, flip=True)
+    return oriented(edges, flip=False).unionByName(oriented(edges, flip=True))
+
+
+def optional_expand(
+    graph,
+    frame: DataFrame,
+    src_var: str,
+    rel_var: str,
+    dst_var: str,
+    rel_types: tuple[str, ...] = (),
+    direction: str = OUT,
+    dst_label: str | None = None,
+) -> DataFrame:
+    """OPTIONAL MATCH ``(src)-[r]->(dst)`` — left outer join; unmatched
+    rows keep the lhs with nulls for rel/dst columns (reference
+    clauses.go:873-936 null-filling)."""
+    matched = expand(
+        graph, frame, src_var, rel_var, dst_var, rel_types, direction, dst_label
+    )
+    new_cols = [c for c in matched.columns if c not in frame.columns]
+    lhs_keys = [c for c in frame.columns]
+    return frame.join(
+        matched.select(*lhs_keys, *new_cols),
+        on=lhs_keys,
+        how="left_outer",
+    )
+
+
+def exists_pattern(
+    graph,
+    frame: DataFrame,
+    src_var: str,
+    rel_types: tuple[str, ...] = (),
+    direction: str = OUT,
+    negate: bool = False,
+) -> DataFrame:
+    """WHERE EXISTS { (src)-[:T]->() } / NOT EXISTS — semi/anti join
+    (reference executor_mutations.go:1256-1313)."""
+    edges = graph.edges_by_type(*rel_types) if rel_types else graph.edges
+    key = "src" if direction == OUT else "dst"
+    probe = edges.select(F.col(key).alias(f"{src_var}_id")).distinct()
+    how = "left_anti" if negate else "left_semi"
+    return frame.join(probe, on=f"{src_var}_id", how=how)
+
+
+def cartesian(frame_a: DataFrame, frame_b: DataFrame) -> DataFrame:
+    """MATCH (a), (b) — disconnected patterns cross join
+    (reference match_multi.go:952-1133)."""
+    return frame_a.crossJoin(frame_b)

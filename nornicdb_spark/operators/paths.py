@@ -1,0 +1,205 @@
+"""Variable-length paths + shortest-path BFS, as iterative DataFrame joins.
+
+The reference enumerates paths imperatively per start node with a
+cycle-free-per-path guard (pkg/cypher/traversal.go:1127-1237 ``findPaths``;
+shortest_path.go:18-365 BFS). At cluster scale the same semantics is a
+*frontier loop*: each iteration is one equi-join frontier ⋈ edges — all
+starts advance simultaneously, Pregel-style.
+
+Scale notes:
+- every iteration ``localCheckpoint``s the frontier: truncates lineage so
+  plan size stays O(1) in depth, and materializes the (usually shrinking)
+  frontier for reuse.
+- Cypher forbids repeating a *relationship* within one path
+  (not a node) — tracked via an accumulated ``edge_id`` array. Edge ids
+  are deterministic hashes assigned at graph build.
+- shortest-path BFS keeps a ``visited`` set (min-depth per node) and
+  stops as soon as any target is reached — the frontier never re-expands
+  settled nodes, so work is O(edges within radius).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nornicdb_spark.operators.expand import OUT, IN
+
+
+def _oriented_edges(graph, rel_types: tuple[str, ...], direction: str) -> DataFrame:
+    e = graph.edges_by_type(*rel_types) if rel_types else graph.edges
+    e = e.select("src", "dst", "type", "edge_id")
+    if direction == OUT:
+        return e
+    flipped = e.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "type", "edge_id"
+    )
+    if direction == IN:
+        return flipped
+    return e.unionByName(flipped)
+
+
+def var_length_paths(
+    graph,
+    start: DataFrame,
+    min_hops: int = 1,
+    max_hops: int = 2,
+    rel_types: tuple[str, ...] = (),
+    direction: str = OUT,
+) -> DataFrame:
+    """Enumerate paths ``(start)-[*min..max]->(end)``.
+
+    ``start``: DataFrame with an ``id`` column. Returns one row per path:
+    ``(start_id, end_id, depth, node_path array<string>,
+    edge_path array<long>)`` — the array columns back Cypher's
+    ``nodes(p)`` / ``relationships(p)`` / ``length(p)`` accessors
+    (reference traversal.go:1264-1275 PathResult).
+    """
+    if min_hops < 0 or max_hops < min_hops:
+        raise ValueError("need 0 <= min_hops <= max_hops")
+    edges = _oriented_edges(graph, rel_types, direction)
+
+    frontier = start.select(
+        F.col("id").alias("start_id"),
+        F.col("id").alias("end_id"),
+        F.array(F.col("id")).alias("node_path"),
+        F.array().cast("array<long>").alias("edge_path"),
+    )
+    out: list[DataFrame] = []
+    if min_hops == 0:
+        out.append(frontier.withColumn("depth", F.lit(0)))
+
+    for depth in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier.end_id == edges.src)
+            # relationship-uniqueness per path (Cypher semantics)
+            .filter(~F.array_contains(F.col("edge_path"), F.col("edge_id")))
+            .select(
+                "start_id",
+                F.col("dst").alias("end_id"),
+                F.array_append(F.col("node_path"), F.col("dst")).alias("node_path"),
+                F.array_append(F.col("edge_path"), F.col("edge_id")).alias(
+                    "edge_path"
+                ),
+            )
+        )
+        frontier = nxt.localCheckpoint(eager=True)
+        if depth >= min_hops:
+            out.append(frontier.withColumn("depth", F.lit(depth)))
+        if frontier.isEmpty():
+            break
+
+    if not out:
+        return frontier.withColumn("depth", F.lit(0)).limit(0)
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res
+
+
+def shortest_paths(
+    graph,
+    start: DataFrame,
+    target: DataFrame,
+    max_hops: int = 15,
+    rel_types: tuple[str, ...] = (),
+    direction: str = OUT,
+) -> DataFrame:
+    """shortestPath((a)-[*..max]->(b)) distances for all (start, target)
+    pairs — returns ``(start_id, end_id, distance)`` with the *minimum*
+    hop count (reference shortest_path.go:18-365; BFS with early exit).
+
+    Frontier BFS from all starts at once; ``visited`` keeps the first
+    (= minimal) depth each node was reached from each start.
+    """
+    edges = _oriented_edges(graph, rel_types, direction).select("src", "dst")
+    targets = target.select(F.col("id").alias("end_id")).distinct()
+
+    visited = start.select(
+        F.col("id").alias("start_id"), F.col("id").alias("end_id")
+    ).withColumn("distance", F.lit(0))
+    frontier = visited
+    results = [visited.join(targets, "end_id", "left_semi")]
+
+    for depth in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier.end_id == edges.src)
+            .select("start_id", F.col("dst").alias("end_id"))
+            .distinct()
+            .join(visited.select("start_id", "end_id"), ["start_id", "end_id"], "left_anti")
+            .withColumn("distance", F.lit(depth))
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        results.append(nxt.join(targets, "end_id", "left_semi"))
+        frontier = nxt
+
+    res = results[0]
+    for df in results[1:]:
+        res = res.unionByName(df)
+    return res.select("start_id", "end_id", "distance")
+
+
+def all_shortest_paths(
+    graph,
+    start: DataFrame,
+    target: DataFrame,
+    max_hops: int = 15,
+    rel_types: tuple[str, ...] = (),
+    direction: str = OUT,
+) -> DataFrame:
+    """allShortestPaths — every min-length path, with path arrays
+    (reference traversal.go:1435-1553). Returns
+    ``(start_id, end_id, distance, node_path)`` — one row per distinct
+    min-length node sequence.
+
+    BFS that carries node paths but prunes to first-reached depth per
+    (start, end): all parents at min depth survive, deeper re-visits drop.
+    """
+    edges = _oriented_edges(graph, rel_types, direction).select("src", "dst")
+    targets = target.select(F.col("id").alias("end_id")).distinct()
+
+    frontier = start.select(
+        F.col("id").alias("start_id"),
+        F.col("id").alias("end_id"),
+        F.array(F.col("id")).alias("node_path"),
+    )
+    settled = frontier.select("start_id", "end_id").withColumn("distance", F.lit(0))
+    hits = [
+        frontier.join(targets, "end_id", "left_semi").withColumn("distance", F.lit(0))
+    ]
+
+    for depth in range(1, max_hops + 1):
+        expanded = (
+            frontier.join(edges, frontier.end_id == edges.src)
+            .select(
+                "start_id",
+                F.col("dst").alias("end_id"),
+                F.array_append(F.col("node_path"), F.col("dst")).alias("node_path"),
+            )
+            .join(settled.select("start_id", "end_id"), ["start_id", "end_id"], "left_anti")
+            .distinct()
+        )
+        expanded = expanded.localCheckpoint(eager=True)
+        if expanded.isEmpty():
+            break
+        settled = (
+            settled.unionByName(
+                expanded.select("start_id", "end_id")
+                .distinct()
+                .withColumn("distance", F.lit(depth))
+            )
+        ).localCheckpoint(eager=True)
+        hits.append(
+            expanded.join(targets, "end_id", "left_semi").withColumn(
+                "distance", F.lit(depth)
+            )
+        )
+        frontier = expanded
+
+    res = hits[0]
+    for df in hits[1:]:
+        res = res.unionByName(df)
+    return res.select("start_id", "end_id", "distance", "node_path")

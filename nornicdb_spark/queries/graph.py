@@ -1,0 +1,258 @@
+"""Graph pattern + algorithm queries — SURVEY §2.3 (pattern joins) and
+§2.9 (algorithms), run on the star-schema graph projection (FIXTURES.md §A)
+so every structural operator is oracle-checkable against SQL joins over the
+base tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nornicdb_spark.catalog import Catalog
+from nornicdb_spark.operators import algorithms
+from nornicdb_spark.operators.expand import (
+    expand,
+    match_nodes,
+    optional_expand,
+    exists_pattern,
+)
+from nornicdb_spark.operators.paths import var_length_paths
+from nornicdb_spark.queries import register
+
+
+def _graph(spark, sf_dir):
+    return Catalog(spark, sf_dir).graph
+
+
+@register(
+    "graph_orders_per_customer",
+    oracle="""
+    SELECT c_custkey AS c_key, CAST(count(*) AS BIGINT) AS n_orders
+    FROM customer JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+)
+def graph_orders_per_customer(spark, sf_dir):
+    # 1-hop expand (c:Customer)-[:PLACED]->(o:Order) + implicit-grouping
+    # count (reference traversal.go:143-479 + match_aggregation.go).
+    g = _graph(spark, sf_dir)
+    frame = match_nodes(g, "c", "Customer")
+    ex = expand(g, frame, "c", "r", "o", rel_types=("PLACED",), dst_label="Order")
+    return ex.groupBy(F.col("c_key")).agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@register(
+    "graph_customer_parts_2hop",
+    oracle="""
+    SELECT o_custkey AS c_key,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_custkey
+    """,
+)
+def graph_customer_parts_2hop(spark, sf_dir):
+    # chained pattern (c)-[:PLACED]->(o)-[:CONTAINS]->(p)
+    # (reference traversal.go:575-757 parseChainedTraversalPattern).
+    g = _graph(spark, sf_dir)
+    frame = match_nodes(g, "c", "Customer")
+    hop1 = expand(g, frame, "c", "r1", "o", rel_types=("PLACED",), dst_label="Order")
+    hop2 = expand(g, hop1, "o", "r2", "p", rel_types=("CONTAINS",), dst_label="Part")
+    return hop2.groupBy(F.col("c_key")).agg(
+        F.countDistinct(F.col("p_key")).alias("n_parts")
+    )
+
+
+@register(
+    "graph_suppliers_per_region",
+    oracle="""
+    SELECT r_regionkey AS r_key, CAST(count(*) AS BIGINT) AS n_suppliers
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_regionkey
+    """,
+)
+def graph_suppliers_per_region(spark, sf_dir):
+    # (s:Supplier)-[:FROM]->(n:Nation)-[:IN]->(r:Region) chain.
+    g = _graph(spark, sf_dir)
+    frame = match_nodes(g, "s", "Supplier")
+    hop1 = expand(g, frame, "s", "e1", "n", rel_types=("FROM",), dst_label="Nation")
+    hop2 = expand(g, hop1, "n", "e2", "r", rel_types=("IN",), dst_label="Region")
+    return hop2.groupBy(F.col("r_key")).agg(F.count(F.lit(1)).alias("n_suppliers"))
+
+
+@register(
+    "graph_order_degrees",
+    oracle="""
+    SELECT o_orderkey AS key,
+           CAST(1 AS BIGINT) AS in_degree,
+           CAST(count(l_orderkey) AS BIGINT) AS out_degree
+    FROM orders LEFT JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderkey
+    """,
+)
+def graph_order_degrees(spark, sf_dir):
+    # degree/inDegree/outDegree (SURVEY §2.6 entity functions) for Order
+    # nodes: in = the PLACED edge from its customer, out = CONTAINS edges.
+    g = _graph(spark, sf_dir)
+    return (
+        algorithms.degrees(g)
+        .filter(F.col("label") == "Order")
+        .select("key", "in_degree", "out_degree")
+    )
+
+
+@register(
+    "graph_var_length_reach",
+    oracle="""
+    SELECT 'Order'  AS label, CAST(count(*) AS BIGINT) AS n_paths FROM orders
+    UNION ALL
+    SELECT 'Nation' AS label, CAST(count(*) AS BIGINT) FROM customer
+    UNION ALL
+    SELECT 'Part'   AS label, CAST(count(*) AS BIGINT) FROM lineitem
+    UNION ALL
+    SELECT 'Region' AS label, CAST(count(*) AS BIGINT) FROM customer
+    """,
+)
+def graph_var_length_reach(spark, sf_dir):
+    # variable-length (c:Customer)-[*1..2]->(x): one row per path
+    # (reference traversal.go:1127-1237 findPaths). Path counts per end
+    # label equal base-table cardinalities: depth-1 → Order (one per
+    # order), Nation (one per customer); depth-2 → Part (one per
+    # lineitem), Region (one per customer).
+    g = _graph(spark, sf_dir)
+    starts = g.nodes_by_label("Customer").select("id")
+    paths = var_length_paths(g, starts, min_hops=1, max_hops=2)
+    end_label = F.split(F.col("end_id"), ":").getItem(0)
+    return paths.groupBy(end_label.alias("label")).agg(
+        F.count(F.lit(1)).alias("n_paths")
+    )
+
+
+@register(
+    "graph_optional_match_nation_suppliers",
+    oracle="""
+    SELECT n_nationkey AS n_key,
+           CAST(count(s_suppkey) AS BIGINT) AS n_suppliers
+    FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey
+    GROUP BY n_nationkey
+    """,
+)
+def graph_optional_match_nation_suppliers(spark, sf_dir):
+    # OPTIONAL MATCH (n:Nation)<-[:FROM]-(s:Supplier) — nations with no
+    # suppliers keep a row with null supplier → count 0
+    # (reference clauses.go:873-936).
+    g = _graph(spark, sf_dir)
+    frame = match_nodes(g, "n", "Nation")
+    ex = optional_expand(
+        g, frame, "n", "e", "s", rel_types=("FROM",), direction="in",
+        dst_label="Supplier",
+    )
+    return ex.groupBy(F.col("n_key")).agg(
+        F.count(F.col("s_key")).alias("n_suppliers")
+    )
+
+
+@register(
+    "graph_exists_parts_with_suppliers",
+    oracle="""
+    SELECT CAST(p_partkey AS BIGINT) AS p_key FROM part
+    WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+    """,
+)
+def graph_exists_parts_with_suppliers(spark, sf_dir):
+    # WHERE EXISTS { (p)<-[:SUPPLIES]-() } — semi join over incoming edges
+    # (reference executor_mutations.go:1256-1313). SUPPLIES edges derive
+    # from distinct lineitem (partkey, suppkey), so a part has a supplier
+    # iff it appears in lineitem.
+    g = _graph(spark, sf_dir)
+    frame = match_nodes(g, "p", "Part")
+    hit = exists_pattern(g, frame, "p", rel_types=("SUPPLIES",), direction="in")
+    return hit.select(F.col("p_key").alias("p_key"))
+
+
+@register(
+    "graph_undirected_nation_neighbors",
+    oracle="""
+    SELECT n_nationkey AS n_key, CAST(count(*) AS BIGINT) AS n_neighbors
+    FROM (
+      SELECT n_nationkey, 'Customer:' || c_custkey AS nbr
+        FROM nation JOIN customer ON c_nationkey = n_nationkey
+      UNION ALL
+      SELECT n_nationkey, 'Supplier:' || s_suppkey
+        FROM nation JOIN supplier ON s_nationkey = n_nationkey
+      UNION ALL
+      SELECT n_nationkey, 'Region:' || r_regionkey
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+    ) GROUP BY n_nationkey
+    """,
+)
+def graph_undirected_nation_neighbors(spark, sf_dir):
+    # undirected expand (n:Nation)-[e]-(x): both orientations contribute
+    # (reference traversal.go:61-142 direction variants).
+    g = _graph(spark, sf_dir)
+    frame = match_nodes(g, "n", "Nation")
+    ex = expand(g, frame, "n", "e", "x", direction="both")
+    return ex.groupBy(F.col("n_key")).agg(F.count(F.lit(1)).alias("n_neighbors"))
+
+
+@register(
+    "graph_link_prediction_suppliers",
+    oracle="""
+    WITH supplies AS (
+      SELECT DISTINCT 'Supplier:' || l_suppkey AS s, l_partkey AS p FROM lineitem
+    ),
+    deg AS (SELECT s, count(*) AS d FROM supplies GROUP BY s),
+    part_deg AS (SELECT p, count(*) AS pd FROM supplies GROUP BY p),
+    pairs AS (
+      -- pair orientation matches the engine: lexicographic on node id
+      SELECT a.s AS a, b.s AS b,
+             CAST(count(*) AS BIGINT) AS common,
+             sum(1.0 / ln(pd)) AS adamic_adar
+      FROM supplies a JOIN supplies b ON a.p = b.p AND a.s < b.s
+      JOIN part_deg ON part_deg.p = a.p
+      GROUP BY a.s, b.s HAVING count(*) >= 3
+    )
+    SELECT a, b, common,
+           common / (da.d + db.d - common) AS jaccard,
+           adamic_adar,
+           CAST(da.d * db.d AS BIGINT) AS preferential_attachment
+    FROM pairs JOIN deg da ON da.s = pairs.a JOIN deg db ON db.s = pairs.b
+    """,
+)
+def graph_link_prediction_suppliers(spark, sf_dir):
+    # gds.linkPrediction.{commonNeighbors,jaccard,adamicAdar,
+    # preferentialAttachment} over SUPPLIES out-neighborhoods
+    # (reference linkprediction.go:162-340).
+    g = _graph(spark, sf_dir)
+    scores = algorithms.common_neighbors(g, rel_types=("SUPPLIES",), min_common=3)
+    return scores.select(
+        "a", "b", "common", "jaccard", "adamic_adar", "preferential_attachment"
+    )
+
+
+@register("graph_pagerank")  # iterative — no single SQL oracle; rows-only check
+def graph_pagerank(spark, sf_dir):
+    # apoc.algo.pageRank (reference apoc_algorithms.go:252-307), power
+    # iteration with dangling-mass redistribution, damping 0.85.
+    g = _graph(spark, sf_dir)
+    pr = algorithms.pagerank(g, iterations=5)
+    return pr.orderBy(F.desc("pagerank"), F.asc("id")).limit(50)
+
+
+@register("graph_connected_components")  # iterative fixpoint; rows-only check
+def graph_connected_components(spark, sf_dir):
+    # apoc.algo.wcc (reference apoc_community.go:332-429): component sizes
+    # by label of the component representative.
+    g = _graph(spark, sf_dir)
+    cc = algorithms.connected_components(g)
+    return (
+        cc.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_components"),
+            F.max("size").alias("largest"),
+            F.sum("size").alias("n_nodes"),
+        )
+    )
