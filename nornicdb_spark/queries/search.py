@@ -1,1 +1,185 @@
-"""Placeholder — populated in the search batch."""
+"""Search queries — SURVEY §2.10: BM25 fulltext, vector top-k, kNN join,
+hybrid RRF, and ANN variants (KMeans-pruned, LSH).
+
+Exact ops carry full DuckDB oracles. ANN ops are approximate by design —
+they get rows-only driver checks plus recall assertions in
+tests/test_search.py (reference pattern: hnsw_recall_test.go measures
+recall against the exact index).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nornicdb_spark.catalog import Catalog
+from nornicdb_spark.search import bm25 as bm25_mod
+from nornicdb_spark.search import hybrid, vector
+from nornicdb_spark.queries import register
+
+BM25_QUERY = "spark join query performance"
+FUSE_QUERY = "window merge batch"
+
+
+def _query_vec(spark, sf_dir, vec_id: int = 0):
+    emb = Catalog(spark, sf_dir).embeddings
+    return emb.filter(F.col("vec_id") == vec_id).select("embedding").collect()[0][0]
+
+
+@register("bm25_topk", oracle=bm25_mod.bm25_oracle_sql(BM25_QUERY, k=10))
+def bm25_topk(spark, sf_dir):
+    # db.index.fulltext.queryNodes (reference call_fulltext.go; scoring
+    # fulltext_index.go:123-199).
+    docs = Catalog(spark, sf_dir).documents
+    idx = bm25_mod.BM25Index.build(docs)
+    return idx.search(BM25_QUERY, k=10)
+
+
+@register("bm25_prefix_topk", oracle=None)  # prefix expansion: rows-only
+def bm25_prefix_topk(spark, sf_dir):
+    # prefix-match expansion at 0.8·idf (fulltext_index.go:157-171).
+    docs = Catalog(spark, sf_dir).documents
+    idx = bm25_mod.BM25Index.build(docs)
+    return idx.search("spar quer", k=10, prefix=True)
+
+
+_COSINE_ORACLE = """
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+)
+SELECT vec_id,
+       list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+         / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(qv, qv))) AS score
+FROM embeddings, q
+ORDER BY score DESC, vec_id LIMIT 10
+"""
+
+
+@register("vector_cosine_topk", oracle=_COSINE_ORACLE)
+def vector_cosine_topk(spark, sf_dir):
+    # db.index.vector.queryNodes, cosine (reference call_vector.go:35-280);
+    # exact linear scan = the reference's exact VectorIndex
+    # (vector_index.go:312-363).
+    emb = Catalog(spark, sf_dir).embeddings
+    return vector.cosine_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+_EUCLID_ORACLE = """
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+)
+SELECT vec_id,
+       sqrt(list_sum(list_transform(
+           list_zip(CAST(embedding AS DOUBLE[]), qv),
+           p -> (p[1] - p[2]) * (p[1] - p[2])))) AS dist
+FROM embeddings, q
+ORDER BY dist ASC, vec_id LIMIT 10
+"""
+
+
+@register("vector_euclidean_topk", oracle=_EUCLID_ORACLE)
+def vector_euclidean_topk(spark, sf_dir):
+    # euclidean similarity option (reference call_vector.go:153-232).
+    emb = Catalog(spark, sf_dir).embeddings
+    return vector.euclidean_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+_KNN_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id IN (0, 1, 2)
+),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(q.qv, q.qv))) AS score
+  FROM embeddings e, q WHERE e.vec_id <> q.q_id
+)
+SELECT q_id, vec_id, score, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY score DESC, vec_id) AS rank
+  FROM scored) WHERE rank <= 5
+"""
+
+
+@register("vector_knn_join", oracle=_KNN_ORACLE)
+def vector_knn_join(spark, sf_dir):
+    # batch similarity fan-out (reference GPU batch path, pkg/gpu/gpu.go —
+    # replaced by cluster parallelism: broadcast queries, stream the table).
+    emb = Catalog(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return vector.knn_join(emb, queries, k=5)
+
+
+_RRF_ORACLE = f"""
+WITH bm AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS bm_rank
+  FROM ({bm25_mod.bm25_oracle_sql(FUSE_QUERY, k=20)})
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+vs AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (ORDER BY score DESC, vec_id) AS vec_rank
+  FROM (
+    SELECT vec_id,
+           list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+             / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(qv, qv))) AS score
+    FROM embeddings, q
+    ORDER BY score DESC, vec_id LIMIT 20
+  )
+)
+SELECT coalesce(bm.doc_id, vs.doc_id) AS doc_id,
+       coalesce(1.0 / (60 + bm_rank), 0) + coalesce(1.0 / (60 + vec_rank), 0)
+         AS rrf_score,
+       bm_rank, vec_rank
+FROM bm FULL OUTER JOIN vs ON bm.doc_id = vs.doc_id
+ORDER BY rrf_score DESC, doc_id
+"""
+
+
+@register("hybrid_rrf", oracle=_RRF_ORACLE)
+def hybrid_rrf(spark, sf_dir):
+    # Hybrid RRF fusion, k=60, rank 1-indexed (reference search.go:38-58,
+    # 165-200): BM25 over documents fused with cosine over embeddings
+    # (vec_id ≡ doc_id in the fixtures).
+    cat = Catalog(spark, sf_dir)
+    idx = bm25_mod.BM25Index.build(cat.documents)
+    bm = hybrid.rank_by(idx.search(FUSE_QUERY, k=20), "score", "doc_id")
+    vs = hybrid.rank_by(
+        vector.cosine_topk(cat.embeddings, _query_vec(spark, sf_dir), k=20)
+        .withColumnRenamed("vec_id", "doc_id"),
+        "score",
+        "doc_id",
+    )
+    fused = hybrid.rrf_fuse({"bm": bm, "vec": vs}, id_col="doc_id")
+    return fused.select(
+        "doc_id",
+        "rrf_score",
+        F.col("bm_rank").cast("long").alias("bm_rank"),
+        F.col("vec_rank").cast("long").alias("vec_rank"),
+    )
+
+
+@register("ann_kmeans_pruned")  # approximate — rows-only; recall in tests
+def ann_kmeans_pruned(spark, sf_dir):
+    # k-means candidate pruning (reference kmeans_candidate_gen.go).
+    emb = Catalog(spark, sf_dir).embeddings
+    idx = vector.KMeansPrunedIndex.build(emb, n_clusters=8)
+    return idx.search(_query_vec(spark, sf_dir), k=10, n_probe=3)
+
+
+@register("ann_lsh")  # approximate — rows-only; recall in tests
+def ann_lsh(spark, sf_dir):
+    # LSH-bucketed ANN (scale path for the reference's HNSW role,
+    # hnsw_index.go — candidate generation must be a joinable key at 100 TB).
+    emb = Catalog(spark, sf_dir).embeddings
+    dim = len(_query_vec(spark, sf_dir))
+    idx = vector.RandomHyperplaneLSH.build(dim, n_bits=24, n_bands=8)
+    return idx.search(emb, _query_vec(spark, sf_dir), k=10)

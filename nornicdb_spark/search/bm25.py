@@ -1,0 +1,173 @@
+"""BM25 fulltext search as a posting-list DataFrame pipeline.
+
+Semantics match the reference index (pkg/search/fulltext_index.go):
+- tokenize: lowercase → split on non-alphanumeric → drop tokens shorter
+  than 2 chars → drop the fixed stopword list (fulltext_index.go:249-286)
+- k1 = 1.2, b = 0.75 (fulltext_index.go:14-15)
+- IDF = ln(1 + (N - df + 0.5)/(df + 0.5)), floored at 0
+  (fulltext_index.go:205-215, the Lucene non-negative variant)
+- score(doc) = Σ_terms idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+  (fulltext_index.go:138-152); optional prefix matching contributes
+  matched indexed terms at 0.8·idf (fulltext_index.go:157-171).
+
+The reference keeps an in-memory inverted index per engine; at 100 TB the
+index IS a DataFrame: ``postings(term, doc_id, tf)`` partitioned by term —
+a query is a broadcast join of query terms against it, then one agg per
+doc. All JVM-side expressions, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+K1 = 1.2
+B = 0.75
+
+# Mirror of the reference's minimal stopword list (fulltext_index.go:275-286).
+STOPWORDS = (
+    "a an and are as at be by for from has have he in is it its of on or "
+    "that the to was were with this but they we you your my their been do "
+    "does did"
+).split()
+
+TOKEN_SPLIT = r"[^\p{L}\p{N}]+"
+
+
+def tokens_col(text_col) -> F.Column:
+    """Tokenize a string column per reference semantics → array<string>."""
+    raw = F.split(F.lower(text_col), TOKEN_SPLIT)
+    return F.filter(
+        raw, lambda t: (F.length(t) >= 2) & ~t.isin(*STOPWORDS)
+    )
+
+
+def tokenize_query(query: str) -> list[str]:
+    """Driver-side tokenization of a query string (same rules)."""
+    import re
+
+    out = []
+    for tok in re.split(r"[^0-9a-z]+", query.lower()):
+        if len(tok) >= 2 and tok not in STOPWORDS:
+            out.append(tok)
+    return out
+
+
+class BM25Index:
+    """Posting-list index over a document DataFrame.
+
+    ``postings``: (term, doc_id, tf); ``doc_lens``: (doc_id, dl);
+    ``n_docs``/``avgdl``: corpus stats. Build once, query many — callers
+    should ``.cache()`` postings for repeated queries.
+    """
+
+    def __init__(self, postings: DataFrame, doc_lens: DataFrame, n_docs: int, avgdl: float):
+        self.postings = postings
+        self.doc_lens = doc_lens
+        self.n_docs = n_docs
+        self.avgdl = avgdl
+
+    @classmethod
+    def build(cls, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> "BM25Index":
+        toks = docs.select(
+            F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("tokens")
+        )
+        doc_lens = toks.select("doc_id", F.size("tokens").alias("dl"))
+        postings = (
+            toks.select("doc_id", F.explode("tokens").alias("term"))
+            .groupBy("term", "doc_id")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        stats = doc_lens.agg(
+            F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+        ).collect()[0]
+        return cls(postings, doc_lens, int(stats["n"]), float(stats["avgdl"]))
+
+    def search(self, query: str, k: int = 10, prefix: bool = False) -> DataFrame:
+        """Top-k BM25 — returns (doc_id, score), ties broken by doc_id.
+
+        ``prefix=True`` adds the reference's prefix-match expansion:
+        indexed terms strictly extending a query term score at 0.8·idf
+        (fulltext_index.go:157-171).
+        """
+        terms = tokenize_query(query)
+        if not terms:
+            return self.postings.sparkSession.createDataFrame(
+                [], "doc_id long, score double"
+            )
+        spark = self.postings.sparkSession
+        qdf = spark.createDataFrame([(t,) for t in terms], "qterm string")
+
+        df_per_term = self.postings.groupBy("term").agg(
+            F.count(F.lit(1)).alias("df")
+        )
+        idf = F.greatest(
+            F.log(
+                1
+                + (F.lit(self.n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+            F.lit(0.0),
+        )
+
+        if prefix:
+            cond = (F.col("term") == F.col("qterm")) | (
+                F.col("term").startswith(F.col("qterm"))
+                & (F.col("term") != F.col("qterm"))
+            )
+            weight = F.when(F.col("term") == F.col("qterm"), F.lit(1.0)).otherwise(
+                F.lit(0.8)
+            )
+        else:
+            cond = F.col("term") == F.col("qterm")
+            weight = F.lit(1.0)
+
+        matched = (
+            self.postings.join(df_per_term, "term")
+            .join(F.broadcast(qdf), cond)
+            .join(self.doc_lens, "doc_id")
+        )
+        tf = F.col("tf").cast("double")
+        denom = tf + K1 * (1 - B + B * F.col("dl") / F.lit(self.avgdl))
+        contrib = weight * idf * (tf * (K1 + 1) / denom)
+        return (
+            matched.groupBy("doc_id")
+            .agg(F.sum(contrib).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+
+def bm25_oracle_sql(query: str, k: int = 10) -> str:
+    """DuckDB SQL replicating BM25Index.search(query, k) on ``documents``
+    — the correctness oracle (same tokenizer, same constants)."""
+    terms = tokenize_query(query)
+    stoplist = ",".join(f"'{w}'" for w in STOPWORDS)
+    termlist = ",".join(f"('{t}')" for t in terms)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, t.tok AS term
+      FROM documents,
+           unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(tok)
+      WHERE length(t.tok) >= 2 AND t.tok NOT IN ({stoplist})
+    ),
+    doc_lens AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+             (SELECT avg(dl) FROM doc_lens) AS avgdl
+    ),
+    postings AS (
+      SELECT term, doc_id, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY term, doc_id
+    ),
+    dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM postings GROUP BY term),
+    q(qterm) AS (VALUES {termlist})
+    SELECT doc_id,
+           sum(greatest(ln(1 + (stats.n - df + 0.5)/(df + 0.5)), 0)
+               * tf * ({K1} + 1)
+               / (tf + {K1} * (1 - {B} + {B} * dl / stats.avgdl))) AS score
+    FROM postings
+    JOIN dfreq USING (term)
+    JOIN q ON postings.term = q.qterm
+    JOIN doc_lens USING (doc_id), stats
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT {k}
+    """

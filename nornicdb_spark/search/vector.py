@@ -1,0 +1,259 @@
+"""Vector similarity search — SURVEY §2.10.
+
+Exact paths (cosine / euclidean / kNN-join) are pure JVM higher-order
+array expressions: `zip_with` + `aggregate` dot products inside
+whole-stage codegen — the Spark analogue of the reference's SIMD kernels
+(pkg/simd/simd.go:38-80). No Python crossing in the hot path.
+
+Approximate paths for scale (the reference's HNSW/GPU role,
+pkg/search/hnsw_index.go, pkg/gpu):
+- KMeans candidate pruning (reference kmeans_candidate_gen.go):
+  MLlib KMeans → search only the n_probe nearest clusters — IVF-style.
+- Random-hyperplane LSH bucketing: sign-bit signatures → candidates share
+  a band bucket; exact re-rank of candidates.
+Both trade recall for a candidate-set scan ~N/n_clusters — the right
+shape for a 1000-executor fan-out (broadcast centroids, partition-local
+re-rank, global top-k merge).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _lit_vec(vec) -> F.Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def dot(a: F.Column, b: F.Column) -> F.Column:
+    """Σ aᵢ·bᵢ as a codegen'd expression (double precision)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(a: F.Column) -> F.Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine_sim(a: F.Column, b: F.Column) -> F.Column:
+    """vector.similarity.cosine (reference call_vector.go:153-232)."""
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def euclidean_dist(a: F.Column, b: F.Column) -> F.Column:
+    """vector.similarity.euclidean distance."""
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force top-k by cosine — the oracle for ANN recall
+    (reference pkg/search/vector_index.go exact VectorIndex).
+    Returns (vec_id, score) ordered desc, ties by id."""
+    emb = F.col(vec_col).cast("array<double>")
+    return (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            cosine_sim(emb, _lit_vec(query_vec)).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def euclidean_topk(
+    embeddings: DataFrame,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by euclidean distance (ascending)."""
+    emb = F.col(vec_col).cast("array<double>")
+    return (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            euclidean_dist(emb, _lit_vec(query_vec)).alias("dist"),
+        )
+        .orderBy(F.asc("dist"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def knn_join(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """For each query vector, its k nearest neighbors by cosine
+    (excluding self-matches on equal ids). Broadcast the query side —
+    the executors stream the big embedding table once.
+    Returns (q_id, vec_id, score, rank)."""
+    from pyspark.sql import Window as W
+
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    q = queries.select(
+        F.col(q_id_col).alias("q_id"), F.col(q_vec_col).cast("array<double>").alias("_q")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            cosine_sim(F.col("_v"), F.col("_q")).alias("score"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "score", "rank")
+    )
+
+
+class KMeansPrunedIndex:
+    """IVF-style ANN: cluster embeddings offline, probe nearest clusters at
+    query time (reference pkg/search/kmeans_candidate_gen.go + pkg/gpu/
+    kmeans.go — same structure: clusters prune candidates, exact re-rank).
+    """
+
+    def __init__(self, assigned: DataFrame, centers: list, id_col: str, vec_col: str):
+        self.assigned = assigned  # embeddings + 'cluster' column
+        self.centers = centers  # list[np.ndarray]
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    @classmethod
+    def build(
+        cls,
+        embeddings: DataFrame,
+        n_clusters: int = 16,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        seed: int = 42,
+    ) -> "KMeansPrunedIndex":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feat = embeddings.withColumn(
+            "_features", array_to_vector(F.col(vec_col).cast("array<double>"))
+        )
+        model = KMeans(k=n_clusters, seed=seed, featuresCol="_features").fit(feat)
+        assigned = model.transform(feat).withColumnRenamed("prediction", "cluster").drop(
+            "_features"
+        )
+        return cls(assigned, [c for c in model.clusterCenters()], id_col, vec_col)
+
+    def search(self, query_vec, k: int = 10, n_probe: int = 4) -> DataFrame:
+        """Search the n_probe clusters whose centroids are closest to the
+        query (cosine), exact re-rank inside. Returns (vec_id, score)."""
+        import numpy as np
+
+        qv = np.asarray(query_vec, dtype="float64")
+
+        def cos(c):
+            denom = float(np.linalg.norm(c) * np.linalg.norm(qv))
+            return float(np.dot(c, qv) / denom) if denom else -1.0
+
+        probe = sorted(
+            range(len(self.centers)), key=lambda i: -cos(np.asarray(self.centers[i]))
+        )[:n_probe]
+        cand = self.assigned.filter(F.col("cluster").isin(probe))
+        return cosine_topk(cand, query_vec, k, self.id_col, self.vec_col)
+
+
+class RandomHyperplaneLSH:
+    """Sign-bit LSH for cosine: h(v) = sign bits against ``n_bits`` fixed
+    random hyperplanes; candidates = rows sharing any band of ``n_bands``
+    (reference HNSW's role — sublinear candidate generation — done the
+    shuffle-friendly way: bucket ids are joinable keys).
+    """
+
+    def __init__(self, planes, n_bands: int, id_col: str, vec_col: str):
+        self.planes = planes  # (n_bits, dim) numpy
+        self.n_bands = n_bands
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    @classmethod
+    def build(cls, dim: int, n_bits: int = 24, n_bands: int = 8, seed: int = 42,
+              id_col: str = "vec_id", vec_col: str = "embedding"):
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        planes = rng.normal(size=(n_bits, dim))
+        return cls(planes, n_bands, id_col, vec_col)
+
+    def signature_col(self) -> F.Column:
+        """Bit signature as array<int> of band bucket hashes (JVM exprs:
+        one dot product per plane, bits packed per band)."""
+        bits = []
+        for row in self.planes:
+            bits.append(
+                F.when(dot(F.col(self.vec_col).cast("array<double>"), _lit_vec(row)) >= 0, 1).otherwise(0)
+            )
+        per_band = len(bits) // self.n_bands
+        bands = []
+        for b in range(self.n_bands):
+            acc = F.lit(0)
+            for j in range(per_band):
+                acc = acc * 2 + bits[b * per_band + j]
+            bands.append(acc)
+        return F.array(*bands)
+
+    def bucketize(self, embeddings: DataFrame) -> DataFrame:
+        """(id, band, bucket) — join key table for candidate generation."""
+        sig = embeddings.select(
+            F.col(self.id_col).alias("vec_id"), self.signature_col().alias("sig")
+        )
+        return sig.select(
+            "vec_id", F.posexplode("sig").alias("band", "bucket")
+        )
+
+    def search(self, embeddings: DataFrame, query_vec, k: int = 10) -> DataFrame:
+        """Candidates sharing ≥1 band bucket with the query, exact cosine
+        re-rank. Returns (vec_id, score)."""
+        import numpy as np
+
+        qv = np.asarray(query_vec, dtype="float64")
+        bits = (self.planes @ qv >= 0).astype(int)
+        per_band = len(bits) // self.n_bands
+        q_buckets = []
+        for b in range(self.n_bands):
+            acc = 0
+            for j in range(per_band):
+                acc = acc * 2 + int(bits[b * per_band + j])
+            q_buckets.append((b, acc))
+
+        spark = embeddings.sparkSession
+        qb = spark.createDataFrame(q_buckets, "band int, bucket int")
+        cand_ids = (
+            self.bucketize(embeddings)
+            .join(F.broadcast(qb), ["band", "bucket"], "left_semi")
+            .select("vec_id")
+            .distinct()
+        )
+        cand = embeddings.join(
+            cand_ids, embeddings[self.id_col] == cand_ids.vec_id, "left_semi"
+        )
+        return cosine_topk(cand, query_vec, k, self.id_col, self.vec_col)
