@@ -1,0 +1,329 @@
+"""Deduplication family for large-scale training-data pipelines.
+
+Beyond the reference's surface (its nearest analogue is the similarity
+edge inference, pkg/inference/inference.go) — these are the operators a
+100 TB text corpus needs:
+
+- exact        : content-hash groupBy (one shuffle on a 128-bit key)
+- minhash LSH  : shingle → minhash signature → banded bucket join →
+                 candidate pairs → exact Jaccard verify
+- simhash      : 60-bit sign fingerprint; near-dups share most bits
+- ngram Jaccard: candidate pairs via shared shingle, exact set overlap
+- embedding    : cosine-threshold pairs over the embedding column
+
+Every hash is *explicit integer arithmetic over md5 prefixes* — not
+engine-native hash() — so the DuckDB oracle reproduces results bit-for-bit:
+    H(s)   = int64(first 15 hex chars of md5(s))           (60 bits)
+    h_i(s) = (a_i * (H % P) + b_i) % P,  P = 2^31 - 1      (no overflow)
+
+Scale notes: the LSH band join shuffles on (band, signature) — the whole
+point vs naive O(n²) pairing. Shingle explosion is the dominant cost;
+distinct-per-doc before the signature agg keeps it one map-side combine.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MERSENNE_P = 2147483647  # 2^31 - 1
+N_PERMS = 32
+N_BANDS = 8
+SIMHASH_BITS = 60
+
+
+def minhash_params(n_perms: int = N_PERMS, seed: int = 7) -> list[tuple[int, int, int]]:
+    """Deterministic (i, a, b) permutation parameters shared with the SQL
+    oracle."""
+    rng = random.Random(seed)
+    return [
+        (i, rng.randrange(1, MERSENNE_P), rng.randrange(0, MERSENNE_P))
+        for i in range(n_perms)
+    ]
+
+
+def h60(col: F.Column) -> F.Column:
+    """60-bit integer hash of a string: first 15 hex chars of md5."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def words_col(text_col) -> F.Column:
+    return F.filter(
+        F.split(F.lower(text_col), r"\s+"), lambda w: F.length(w) > 0
+    )
+
+
+def shingles(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per doc → (doc_id, shingle, h) where
+    h = H(shingle) % P."""
+    w = words_col(F.col(text_col))
+    # guard: sequence(1, k) with k < 1 would generate a DESCENDING range
+    # in Spark — short docs must yield zero shingles instead
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.array_join(F.slice(w, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
+        .distinct()
+        .withColumn("h", h60(F.col("shingle")) % MERSENNE_P)
+    )
+
+
+def exact_duplicates(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup by content hash: (content_hash, n_copies, keep_id) for
+    hashes with >1 copy; keep_id = min doc id (the canonical survivor)."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("content_hash")
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, n_perms: int = N_PERMS, seed: int = 7
+) -> DataFrame:
+    """(doc_id, i, sig): minhash value per permutation. ``sh`` from
+    :func:`shingles`."""
+    spark = sh.sparkSession
+    perms = F.broadcast(
+        spark.createDataFrame(minhash_params(n_perms, seed), "i int, a long, b long")
+    )
+    return (
+        sh.crossJoin(perms)
+        .select(
+            "doc_id",
+            "i",
+            ((F.col("a") * F.col("h") + F.col("b")) % MERSENNE_P).alias("hv"),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.min("hv").alias("sig"))
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, n_perms: int = N_PERMS, n_bands: int = N_BANDS
+) -> DataFrame:
+    """Banded LSH: docs whose signature agrees on all rows of ≥1 band.
+    Returns distinct (a, b) with a < b."""
+    rows_per_band = n_perms // n_bands
+    banded = sigs.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
+    keys = banded.groupBy("doc_id", "band").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "sig"))),
+                lambda s: s["sig"].cast("string"),
+            ),
+            "-",
+        ).alias("band_key")
+    )
+    left = keys.select(F.col("doc_id").alias("a"), "band", "band_key")
+    right = keys.select(F.col("doc_id").alias("b"), "band", "band_key")
+    return (
+        left.join(right, ["band", "band_key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, sh: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs; keeps pairs ≥
+    threshold. Returns (a, b, jaccard)."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a_sh = sh.select(F.col("doc_id").alias("a"), F.col("h").alias("h"))
+    b_sh = sh.select(F.col("doc_id").alias("b"), F.col("h").alias("h"))
+    inter = (
+        pairs.join(a_sh, "a")
+        .join(b_sh, ["b", "h"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb")), "b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH pipeline: shingle → sign → band → verify."""
+    sh = shingles(docs, id_col, text_col, n)
+    sigs = minhash_signatures(sh)
+    pairs = lsh_candidate_pairs(sigs)
+    return jaccard_verify(pairs, sh, threshold)
+
+
+def simhash_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """SimHash: per-token 60-bit hash; fingerprint bit j = 1 iff
+    Σ_tokens tf·(2·bit_j(H)−1) > 0. Returns (doc_id, fingerprint) with the
+    fingerprint as a '0'/'1' string (MSB first) — representation chosen so
+    the oracle compares exactly."""
+    toks = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(words_col(F.col(text_col))).alias("tok"),
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("h", h60(F.col("tok")))
+    )
+    bit_j = F.expr("shiftright(h, j) & 1")  # shift amount is a column
+    per_bit = (
+        toks.crossJoin(
+            F.broadcast(
+                toks.sparkSession.range(n_bits).select(F.col("id").cast("int").alias("j"))
+            )
+        )
+        .select(
+            "doc_id",
+            "j",
+            (F.col("tf") * (bit_j * 2 - 1)).alias("contrib"),
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.sum("contrib").alias("s"))
+    )
+    return per_bit.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "s"))),
+                lambda x: F.when(x["s"] > 0, "1").otherwise("0"),
+            ),
+            "",
+        ).alias("fingerprint")
+    )
+
+
+def simhash_near_duplicates(
+    fingerprints: DataFrame, max_hamming: int = 6, band_chars: int = 15
+) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates share one of four 15-char
+    fingerprint quarters (pigeonhole: hamming ≤ 3 guarantees a shared
+    quarter; wider radii are still usually caught), then exact hamming
+    filter. Returns (a, b, hamming)."""
+    quarters = fingerprints.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring("fingerprint", 1 + i * band_chars, band_chars)
+                    for i in range(4)
+                ]
+            )
+        ).alias("q", "qv"),
+    )
+    cand = (
+        quarters.alias("x")
+        .join(quarters.alias("y"), ["q", "qv"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    fa = fingerprints.select(F.col("doc_id").alias("a"), F.col("fingerprint").alias("fa"))
+    fb = fingerprints.select(F.col("doc_id").alias("b"), F.col("fingerprint").alias("fb"))
+    hamming = F.size(
+        F.filter(
+            F.zip_with(F.split(F.col("fa"), ""), F.split(F.col("fb"), ""), lambda x, y: x != y),
+            lambda v: v,
+        )
+    )
+    return (
+        cand.join(fa, "a")
+        .join(fb, "b")
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle
+    (no LSH approximation — the quadratic-safe exact variant: the
+    shared-shingle join prunes non-overlapping pairs)."""
+    sh = shingles(docs, id_col, text_col, n)
+    all_pairs = (
+        sh.select(F.col("doc_id").alias("a"), "h")
+        .join(sh.select(F.col("doc_id").alias("b"), "h"), "h")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    return (
+        all_pairs.join(
+            sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na")), "a"
+        )
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb")), "b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (a < b, cosine ≥ threshold).
+
+    Brute-force O(n²) formulation — correct but quadratic; at scale swap
+    the pair source for LSH band buckets (RandomHyperplaneLSH.bucketize)
+    and keep the same verify expression."""
+    from nornicdb_spark.search.vector import cosine_sim
+
+    e = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    a = e.select(F.col("id").alias("a"), F.col("v").alias("va"))
+    b = e.select(F.col("id").alias("b"), F.col("v").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cosine", cosine_sim(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )

@@ -1,0 +1,121 @@
+"""Text analysis operators for training-data pipelines: token counting,
+quality scoring, language ID, document fingerprinting.
+
+All pure JVM column expressions (no UDFs) — these run over every document
+of a 100 TB corpus, so each is a single projection inside whole-stage
+codegen; nothing here shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword profiles for the n-gram/stopword-overlap
+# language heuristic (deliberately small — it's a cheap first-pass filter)
+LANG_PROFILES = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "for", "on"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "den", "ein", "zu"],
+}
+
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def _words(text_col) -> F.Column:
+    return F.filter(F.split(F.lower(text_col), r"\s+"), lambda w: F.length(w) > 0)
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_chars, n_ws_tokens, n_bpe_ish, avg_token_len).
+
+    n_ws_tokens: whitespace tokens; n_bpe_ish: matches of a BPE-ish regex
+    (letter runs / single digits / single punctuation) — a deterministic
+    stand-in for a real tokenizer's token count."""
+    w = _words(F.col(text_col))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(text_col).cast("long").alias("n_chars"),
+        F.size(w).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0))
+        .cast("long")
+        .alias("n_bpe_ish"),
+        F.aggregate(w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)).cast(
+            "double"
+        ).alias("total_token_chars"),
+    ).withColumn(
+        "avg_token_len",
+        F.when(
+            F.col("n_ws_tokens") > 0, F.col("total_token_chars") / F.col("n_ws_tokens")
+        ).otherwise(F.lit(0.0)),
+    ).drop("total_token_chars")
+
+
+def quality_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Heuristic quality metrics: (doc_id, alpha_ratio, digit_ratio,
+    punct_ratio, stopword_ratio, quality) — quality is a fixed convex
+    combination, the classic cheap pre-filter before expensive dedup."""
+    t = F.col(text_col)
+    n = F.length(t).cast("double")
+    alpha = n - F.length(F.regexp_replace(t, r"[A-Za-z]", "")).cast("double")
+    digit = n - F.length(F.regexp_replace(t, r"[0-9]", "")).cast("double")
+    punct = n - F.length(F.regexp_replace(t, r"[^A-Za-z0-9\s]", "")).cast("double")
+    w = _words(t)
+    stop = F.size(F.filter(w, lambda x: x.isin(*LANG_PROFILES["en"]))).cast("double")
+    ntok = F.size(w).cast("double")
+    out = docs.select(
+        F.col(id_col).alias("doc_id"),
+        (alpha / n).alias("alpha_ratio"),
+        (digit / n).alias("digit_ratio"),
+        (punct / n).alias("punct_ratio"),
+        F.when(ntok > 0, stop / ntok).otherwise(0.0).alias("stopword_ratio"),
+    )
+    quality = (
+        0.5 * F.col("alpha_ratio")
+        + 0.3 * (1 - F.col("punct_ratio"))
+        + 0.2 * F.least(F.col("stopword_ratio") * 5, F.lit(1.0))
+    )
+    return out.withColumn("quality", quality)
+
+
+def language_id(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Stopword-overlap language heuristic: score(lang) = fraction of
+    tokens in the language's profile; winner = max score, ties broken by
+    language code. Returns (doc_id, lang_pred, lang_score)."""
+    w = _words(F.col(text_col))
+    ntok = F.size(w).cast("double")
+    scores = [
+        (
+            lang,
+            F.when(
+                ntok > 0,
+                F.size(F.filter(w, lambda x: x.isin(*prof))).cast("double") / ntok,
+            ).otherwise(0.0),
+        )
+        for lang, prof in sorted(LANG_PROFILES.items())
+    ]
+    # argmax via greatest + chained when (ties → first in sorted lang order)
+    best = F.greatest(*[s for _, s in scores])
+    pred = F.lit(None).cast("string")
+    for lang, s in reversed(scores):
+        pred = F.when(s == best, F.lit(lang)).otherwise(pred)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        pred.alias("lang_pred"),
+        best.alias("lang_score"),
+    )
+
+
+def fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Content fingerprint: md5 over whitespace-normalized lowercase text
+    — stable under reflow/case changes. Returns (doc_id, fingerprint)."""
+    normalized = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.md5(normalized).alias("fingerprint")
+    )

@@ -1,1 +1,352 @@
-"""Placeholder — populated in the llm_pipeline batch."""
+"""LLM training-data pipeline queries: dedup family, text analysis,
+multimodal plumbing — first-class components alongside SURVEY §2
+(BASELINE.json north star), each oracle-checked where exact.
+
+The oracles replicate the engine's explicit integer hashing
+(md5-prefix → 60-bit int → Mersenne-prime modular arithmetic) so MinHash
+and SimHash — usually "approximate" operators — are here *deterministic*
+and hash-compared against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nornicdb_spark.catalog import Catalog
+from nornicdb_spark.operators import dedup, multimodal, textops
+from nornicdb_spark.queries import register
+
+P = dedup.MERSENNE_P
+
+# SQL fragments shared by the dedup oracles --------------------------------
+
+_WORDS = r"""
+ws AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> length(x) > 0) AS w
+  FROM documents
+)
+"""
+
+_SHINGLES = (
+    _WORDS
+    + f""",
+sh AS (
+  SELECT DISTINCT doc_id, shingle,
+         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % {P} AS h
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                                 i -> array_to_string(w[i:i+2], ' '))) AS shingle
+    FROM ws WHERE len(w) >= 3
+  )
+)
+"""
+)
+
+
+def _perm_values() -> str:
+    return ", ".join(f"({i}, {a}, {b})" for i, a, b in dedup.minhash_params())
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50
+    )
+    SELECT md5(text) AS content_hash,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           min(doc_id) AS keep_id
+    FROM corpus GROUP BY md5(text) HAVING count(*) > 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    # exact hash-groupBy dedup; corpus seeded with 50 known duplicates
+    # (the raw fixture has none) so the operator's output is non-trivial.
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        )
+    )
+    return dedup.exact_duplicates(corpus)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SHINGLES},
+    perms(i, a, b) AS (VALUES {_perm_values()}),
+    sigs AS (
+      SELECT doc_id, i, min((a * h + b) % {P}) AS sig
+      FROM sh CROSS JOIN perms GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, i // 4 AS band,
+             string_agg(CAST(sig AS VARCHAR), '-' ORDER BY i) AS band_key
+      FROM sigs GROUP BY doc_id, i // 4
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.a, c.b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.a
+      JOIN sh sb ON sb.doc_id = c.b AND sb.h = sa.h
+      GROUP BY c.a, c.b
+    )
+    SELECT a, b, CAST(n_inter AS DOUBLE) / (sx.n + sy.n - n_inter) AS jaccard
+    FROM inter JOIN sizes sx ON sx.doc_id = a JOIN sizes sy ON sy.doc_id = b
+    WHERE CAST(n_inter AS DOUBLE) / (sx.n + sy.n - n_inter) >= 0.5
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    # MinHash(32 perms) + LSH(8 bands × 4 rows) + exact Jaccard verify —
+    # the standard near-dup pipeline, shingle→sign→band→bucket-join.
+    docs = Catalog(spark, sf_dir).documents
+    return dedup.minhash_near_duplicates(docs, threshold=0.5)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {_WORDS},
+    toks AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(w) AS tok FROM ws)
+      GROUP BY doc_id, tok
+    ),
+    th AS (
+      SELECT doc_id, tf,
+             CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+      FROM toks
+    ),
+    bits AS (
+      SELECT doc_id, j, sum(tf * (((h >> j) & 1) * 2 - 1)) AS s
+      FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS j)
+      GROUP BY doc_id, j
+    )
+    SELECT doc_id,
+           string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j)
+             AS fingerprint
+    FROM bits GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    # 60-bit SimHash fingerprints (deterministic md5-based token hashes).
+    docs = Catalog(spark, sf_dir).documents
+    return dedup.simhash_fingerprints(docs)
+
+
+@register("dedup_simhash_pairs")  # pair mining over fingerprints; rows-only
+def dedup_simhash_pairs(spark, sf_dir):
+    docs = Catalog(spark, sf_dir).documents
+    fp = dedup.simhash_fingerprints(docs)
+    return dedup.simhash_near_duplicates(fp, max_hamming=10)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES},
+    pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+    SELECT a, b, CAST(n_inter AS DOUBLE) / (sx.n + sy.n - n_inter) AS jaccard
+    FROM pairs JOIN sizes sx ON sx.doc_id = a JOIN sizes sy ON sy.doc_id = b
+    WHERE CAST(n_inter AS DOUBLE) / (sx.n + sy.n - n_inter) >= 0.4
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    # exact n-gram Jaccard with shared-shingle candidate pruning.
+    docs = Catalog(spark, sf_dir).documents
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.4)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                            CAST(b.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(a.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[]))))
+             AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                           CAST(b.embedding AS DOUBLE[]))
+            / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(a.embedding AS DOUBLE[])))
+               * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[]))))
+            >= 0.45
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    # embedding-cosine near-dup pairs (threshold tuned to the fixture's
+    # similarity distribution — max pairwise cosine ≈ 0.51).
+    emb = Catalog(spark, sf_dir).embeddings
+    return dedup.embedding_near_duplicates(emb, threshold=0.45)
+
+
+# --- text analysis -------------------------------------------------------
+
+
+@register(
+    "text_token_stats",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> length(x) > 0) AS w,
+             CAST(len(regexp_extract_all(text,
+                  '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_ish
+      FROM documents
+    )
+    SELECT doc_id, n_chars,
+           CAST(len(w) AS BIGINT) AS n_ws_tokens,
+           n_bpe_ish,
+           CASE WHEN len(w) > 0
+                THEN CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+                     / len(w)
+                ELSE 0.0 END AS avg_token_len
+    FROM base
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    docs = Catalog(spark, sf_dir).documents
+    return textops.token_stats(docs)
+
+
+@register(
+    "text_quality_scores",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS n,
+             CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+                  AS DOUBLE) AS alpha,
+             CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                  AS DOUBLE) AS digit,
+             CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))
+                  AS DOUBLE) AS punct,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> length(x) > 0) AS w
+      FROM documents
+    ),
+    ratios AS (
+      SELECT doc_id,
+             alpha / n AS alpha_ratio,
+             digit / n AS digit_ratio,
+             punct / n AS punct_ratio,
+             CASE WHEN len(w) > 0
+                  THEN CAST(len(list_filter(w, x -> x IN
+                       ('the','and','of','to','is','in','that','it','for','on')))
+                       AS DOUBLE) / len(w)
+                  ELSE 0.0 END AS stopword_ratio
+      FROM base
+    )
+    SELECT doc_id, alpha_ratio, digit_ratio, punct_ratio, stopword_ratio,
+           0.5 * alpha_ratio + 0.3 * (1 - punct_ratio)
+             + 0.2 * least(stopword_ratio * 5, 1.0) AS quality
+    FROM ratios
+    """,
+)
+def text_quality_scores(spark, sf_dir):
+    docs = Catalog(spark, sf_dir).documents
+    return textops.quality_scores(docs)
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = ",".join(f"'{w}'" for w in textops.LANG_PROFILES[lang])
+    return (
+        f"CASE WHEN len(w) > 0 THEN CAST(len(list_filter(w, x -> x IN ({words})))"
+        f" AS DOUBLE) / len(w) ELSE 0.0 END"
+    )
+
+
+@register(
+    "text_language_id",
+    oracle=rf"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> length(x) > 0) AS w
+      FROM documents
+    ),
+    scores AS (
+      SELECT doc_id,
+             {_lang_score_sql('de')} AS s_de,
+             {_lang_score_sql('en')} AS s_en,
+             {_lang_score_sql('es')} AS s_es
+      FROM base
+    )
+    SELECT doc_id,
+           CASE WHEN s_de = greatest(s_de, s_en, s_es) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es) THEN 'en'
+                ELSE 'es' END AS lang_pred,
+           greatest(s_de, s_en, s_es) AS lang_score
+    FROM scores
+    """,
+)
+def text_language_id(spark, sf_dir):
+    docs = Catalog(spark, sf_dir).documents
+    return textops.language_id(docs)
+
+
+@register(
+    "text_fingerprints",
+    oracle=r"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprints(spark, sf_dir):
+    docs = Catalog(spark, sf_dir).documents
+    return textops.fingerprints(docs)
+
+
+# --- multimodal plumbing (decode stubbed; Spark-side shape is real) ------
+
+
+@register("multimodal_features")  # stub decoder — rows-only check
+def multimodal_features(spark, sf_dir):
+    docs = Catalog(spark, sf_dir).documents
+    media = multimodal.synthesize_media(docs)
+    feats = multimodal.extract_features(media, use_real_decoders=False)
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        F.round(F.element_at("features", 1), 3).alias("f0"),
+        F.round(F.element_at("features", 2), 3).alias("f1"),
+    )
+
+
+@register(
+    "multimodal_frame_plan",
+    oracle="""
+    SELECT doc_id, unnest(range(0, length(text) * 10 + 1, 1000)) AS frame_ms
+    FROM documents WHERE doc_id % 3 = 2
+    """,
+)
+def multimodal_frame_plan(spark, sf_dir):
+    # frame-sampling plan is pure relational plumbing → oracle-checkable.
+    docs = Catalog(spark, sf_dir).documents
+    media = multimodal.synthesize_media(docs)
+    return multimodal.frame_sample_plan(media, every_ms=1000)

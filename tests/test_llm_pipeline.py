@@ -1,0 +1,97 @@
+"""Behavior tests for the LLM-pipeline operators (dedup, text, multimodal)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nornicdb_spark.operators import dedup, multimodal, textops
+
+
+def test_exact_dedup_finds_seeded_copies(spark, catalog):
+    docs = catalog.documents.select("doc_id", "text")
+    seeded = docs.unionByName(
+        docs.filter(F.col("doc_id") < 5).select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        )
+    )
+    dups = dedup.exact_duplicates(seeded).collect()
+    assert len(dups) == 5
+    assert all(r.n_copies == 2 and r.keep_id < 5 for r in dups)
+
+
+def test_minhash_catches_prefix_near_dup(spark, catalog):
+    # a doc vs its 80%-prefix must be caught by the LSH bands at high
+    # similarity (prefix shingles ⊂ full shingles)
+    base = catalog.documents.filter(F.col("doc_id") == 0).select("doc_id", "text")
+    pref = base.select(
+        F.lit(1).alias("doc_id"),
+        F.col("text").substr(
+            F.lit(1), F.floor(F.length("text") * 0.8).cast("int")
+        ).alias("text"),
+    )
+    pairs = dedup.minhash_near_duplicates(
+        base.unionByName(pref), threshold=0.3
+    ).collect()
+    assert len(pairs) == 1 and pairs[0].jaccard > 0.5
+
+
+def test_simhash_similar_docs_close(spark, catalog):
+    base = catalog.documents.filter(F.col("doc_id") == 0).select("doc_id", "text")
+    pref = base.select(
+        F.lit(1).alias("doc_id"),
+        F.col("text").substr(
+            F.lit(1), F.floor(F.length("text") * 0.9).cast("int")
+        ).alias("text"),
+    )
+    fp = dedup.simhash_fingerprints(base.unionByName(pref))
+    pairs = dedup.simhash_near_duplicates(fp, max_hamming=20).collect()
+    assert len(pairs) == 1 and pairs[0].hamming <= 20
+
+
+def test_embedding_near_dup_symmetric_bound(catalog):
+    pairs = dedup.embedding_near_duplicates(
+        catalog.embeddings.limit(100), threshold=-1.0
+    )
+    r = pairs.agg(F.count(F.lit(1)), F.max("cosine")).collect()[0]
+    assert r[0] == 100 * 99 / 2  # all pairs once, a < b
+    assert r[1] <= 1.0 + 1e-9
+
+
+def test_token_stats_nonnegative(catalog):
+    stats = textops.token_stats(catalog.documents).collect()
+    assert all(r.n_ws_tokens > 0 and r.n_bpe_ish >= r.n_ws_tokens for r in stats)
+
+
+def test_language_id_deterministic_tiebreak(spark):
+    df = spark.createDataFrame([(1, "xyzzy plugh")], "doc_id long, text string")
+    r = textops.language_id(df).collect()[0]
+    assert r.lang_pred == "de" and r.lang_score == 0.0  # all-zero tie → first lang
+
+
+def test_multimodal_features_shape(catalog):
+    media = multimodal.synthesize_media(catalog.documents.limit(30))
+    feats = multimodal.extract_features(media, use_real_decoders=False).collect()
+    assert len(feats) == 30
+    assert all(len(r.features) == multimodal.FEATURE_DIM for r in feats)
+    assert all(r.n_bytes > 0 for r in feats)
+
+
+def test_multimodal_real_decoder_gate(catalog):
+    media = multimodal.synthesize_media(catalog.documents.limit(1))
+    try:
+        multimodal.extract_features(media, use_real_decoders=True)
+        assert multimodal._HAVE_REAL_DECODERS
+    except NotImplementedError:
+        assert not multimodal._HAVE_REAL_DECODERS
+
+
+def test_frame_plan_counts(catalog):
+    media = multimodal.synthesize_media(catalog.documents)
+    plan = multimodal.frame_sample_plan(media, every_ms=500)
+    joined = plan.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames")).join(
+        media.select("doc_id", F.col("meta.duration_ms").alias("dur")), "doc_id"
+    )
+    bad = joined.filter(
+        F.col("n_frames") != (F.floor(F.col("dur") / 500) + 1)
+    ).count()
+    assert bad == 0
