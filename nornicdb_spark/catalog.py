@@ -67,9 +67,21 @@ class Catalog:
         if name not in self._tables:
             if name not in TABLES:
                 raise KeyError(f"unknown table {name!r}; have {TABLES}")
-            self._tables[name] = self.spark.read.parquet(
-                f"{self.sf_dir}/{name}.parquet"
-            )
+            path = f"{self.sf_dir}/{name}.parquet"
+            if name == "events":
+                # events.ts is parquet TIMESTAMP(NANOS) which Spark's
+                # reader rejects; read nanos as long and truncate to
+                # microseconds with integer division (exact — double
+                # division would lose precision at 1e18 magnitudes, and
+                # truncation matches DuckDB's ns→µs behavior).
+                self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+                df = self.spark.read.parquet(path)
+                df = df.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                )
+                self._tables[name] = df
+            else:
+                self._tables[name] = self.spark.read.parquet(path)
         return self._tables[name]
 
     def __getattr__(self, name: str) -> DataFrame:

@@ -455,7 +455,7 @@ def string_functions(spark, sf_dir):
            log10(p_retailprice)                 AS lg,
            exp(p_retailprice / 1000.0)          AS ex,
            power(p_size, 2.0)                   AS sz2,
-           sign(p_retailprice - 1200.0)         AS sgn,
+           CAST(sign(p_retailprice - 1200.0) AS DOUBLE) AS sgn,
            floor(p_retailprice * 100) / 100     AS trunc2
     FROM part
     """,
@@ -532,7 +532,8 @@ def list_functions(spark, sf_dir):
     "higher_order_list_ops",
     oracle="""
     SELECT p_partkey,
-           list_sum(list_transform(string_split(p_name, ' '), w -> length(w)))
+           CAST(list_sum(list_transform(string_split(p_name, ' '),
+                                        w -> length(w))) AS BIGINT)
              AS total_chars,
            len(list_filter(string_split(p_name, ' '), w -> length(w) > 4))
              AS n_long_words

@@ -1,1 +1,175 @@
-"""Placeholder — populated in the temporal batch."""
+"""Temporal / streaming queries — SURVEY §2.11: decay scoring,
+sessionization, co-access inference, event-window aggregation, JSON
+property access, Kalman smoothing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nornicdb_spark.catalog import Catalog
+from nornicdb_spark.streaming import decay, kalman, sessions
+from nornicdb_spark.queries import register
+
+
+@register(
+    "decay_scores",
+    oracle="""
+    WITH agg AS (
+      SELECT user_id, max(ts) AS last_accessed,
+             CAST(count(*) AS BIGINT) AS access_count
+      FROM events GROUP BY user_id
+    ),
+    now_t AS (SELECT max(ts) AS now FROM events),
+    base AS (
+      SELECT user_id,
+             CASE WHEN user_id % 3 = 0 THEN 'EPISODIC'
+                  WHEN user_id % 3 = 1 THEN 'SEMANTIC'
+                  ELSE 'PROCEDURAL' END AS tier,
+             access_count,
+             CAST(epoch_us(now) - epoch_us(last_accessed) AS DOUBLE) / 3600000000
+               AS hours_since
+      FROM agg, now_t
+    )
+    SELECT user_id, tier, access_count, hours_since,
+           least(greatest(
+             0.4 * exp(-(CASE tier WHEN 'EPISODIC' THEN ln(2)/(7*24)
+                                   WHEN 'PROCEDURAL' THEN ln(2)/(693*24)
+                                   ELSE ln(2)/(69*24) END) * hours_since)
+             + 0.3 * least(ln(1 + CAST(access_count AS DOUBLE)) / ln(101), 1.0)
+             + 0.3 * (CASE tier WHEN 'EPISODIC' THEN 0.3
+                                WHEN 'PROCEDURAL' THEN 0.9 ELSE 0.6 END),
+             0.0), 1.0) AS score,
+           least(greatest(
+             0.4 * exp(-(CASE tier WHEN 'EPISODIC' THEN ln(2)/(7*24)
+                                   WHEN 'PROCEDURAL' THEN ln(2)/(693*24)
+                                   ELSE ln(2)/(69*24) END) * hours_since)
+             + 0.3 * least(ln(1 + CAST(access_count AS DOUBLE)) / ln(101), 1.0)
+             + 0.3 * (CASE tier WHEN 'EPISODIC' THEN 0.3
+                                WHEN 'PROCEDURAL' THEN 0.9 ELSE 0.6 END),
+             0.0), 1.0) < 0.05 AS archived
+    FROM base
+    """,
+)
+def decay_scores(spark, sf_dir):
+    # 3-tier decay recompute (reference pkg/decay/decay.go:503-545).
+    ev = Catalog(spark, sf_dir).events
+    return decay.decay_scores_from_events(ev)
+
+
+@register(
+    "sessionization",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tagged AS (
+      SELECT user_id, ts, event_id,
+             sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM ordered
+    ),
+    per_session AS (
+      SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS DOUBLE) / 1e6
+               AS duration_s
+      FROM tagged GROUP BY user_id, session_id
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+           max(n_events) AS max_session_events,
+           avg(duration_s) AS avg_session_seconds
+    FROM per_session GROUP BY user_id
+    """,
+)
+def sessionization(spark, sf_dir):
+    # gap-based session detection (reference pkg/temporal/session.go role)
+    # as lag-gap-cumsum windows, 30-minute gap.
+    ev = Catalog(spark, sf_dir).events
+    return sessions.session_stats(ev, gap_seconds=1800)
+
+
+@register(
+    "co_access_pairs",
+    oracle="""
+    WITH active AS (
+      SELECT DISTINCT user_id AS k, epoch_us(ts) // 3600000000 AS w
+      FROM events
+    ),
+    counts AS (SELECT k, CAST(count(*) AS BIGINT) AS n_windows
+               FROM active GROUP BY k),
+    pairs AS (
+      SELECT x.k AS a, y.k AS b, CAST(count(*) AS BIGINT) AS shared_windows
+      FROM active x JOIN active y ON x.w = y.w AND x.k < y.k
+      GROUP BY x.k, y.k HAVING count(*) >= 3
+    )
+    SELECT a, b, shared_windows,
+           CAST(shared_windows AS DOUBLE) / least(ca.n_windows, cb.n_windows)
+             AS confidence
+    FROM pairs JOIN counts ca ON ca.k = a JOIN counts cb ON cb.k = b
+    """,
+)
+def co_access_pairs(spark, sf_dir):
+    # co-access relationship inference with confidence
+    # (reference pkg/inference/inference.go:1-65).
+    ev = Catalog(spark, sf_dir).events
+    return sessions.co_access_pairs(ev, window_seconds=3600, min_shared=3)
+
+
+@register(
+    "event_window_agg",
+    oracle="""
+    SELECT epoch_us(ts) // 900000000 AS window_id, event_type,
+           CAST(count(*) AS BIGINT) AS n, sum(value) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def event_window_agg(spark, sf_dir):
+    # 15-minute tumbling aggregation — batch twin of
+    # streaming.structured.windowed_event_counts (epoch-bucket keyed so
+    # the oracle avoids engine timestamp-bucket conventions).
+    ev = Catalog(spark, sf_dir).events
+    win = (F.unix_micros(F.col("ts")) / 900_000_000).cast("long")
+    return ev.groupBy(
+        win.alias("window_id"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+
+
+@register(
+    "json_props_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k
+    FROM events GROUP BY event_type
+    """,
+)
+def json_props_extract(spark, sf_dir):
+    # dynamic JSON property access (reference property maps are
+    # schema-free, storage/types.go:185-211; apoc.convert.fromJsonMap).
+    ev = Catalog(spark, sf_dir).events
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+    )
+
+
+@register("kalman_smooth")  # sequential recursion — rows-only; unit-tested
+def kalman_smooth(spark, sf_dir):
+    # kalman.process chain per user over the event value series
+    # (reference kalman_functions.go:360-408).
+    ev = Catalog(spark, sf_dir).events
+    return kalman.kalman_smooth(ev.filter(F.col("user_id") < 8))
+
+
+@register("kalman_velocity")  # sequential recursion — rows-only; unit-tested
+def kalman_velocity(spark, sf_dir):
+    # kalman.velocity.process 2-state filter (kalman_functions.go:599-655).
+    ev = Catalog(spark, sf_dir).events
+    return kalman.kalman_velocity(ev.filter(F.col("user_id") < 8))

@@ -1,0 +1,116 @@
+"""Kalman smoothing as grouped, ordered Pandas UDFs.
+
+Reference: kalman.process scalar filter (pkg/cypher/kalman_functions.go:
+360-408 — velocity-projected 1-D filter; defaults X=0, LastX=0, P=30,
+Q=0.0001, R=88, E=1 at 206-218) and kalman.velocity.process 2-state
+constant-velocity filter (kalman_functions.go:599-655; defaults
+P=[100,0,0,10], QPos=0.1, QVel=0.01, R=1, dt=1 at 221-232).
+
+The reference threads JSON state through per-call invocations; the Spark
+formulation is the SURVEY §7 "hard parts" prescription: order-dependent →
+``applyInPandas`` over groups sorted by timestamp. Each group's series is
+filtered sequentially inside one Arrow batch; groups are independent →
+full cluster parallelism across keys.
+
+Closures are self-contained (no module-global references) so executor
+workers never import this package.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def kalman_smooth(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    q: float = 0.0001,
+    r: float = 88.0,
+    p0: float = 30.0,
+) -> DataFrame:
+    """Scalar Kalman filter per key over time-ordered values.
+
+    Returns (key, ts, value, filtered) — ``filtered`` reproduces the
+    reference's kalman.process chain exactly (same defaults, same
+    velocity-projection quirk)."""
+    schema = f"{key_col} long, {ts_col} timestamp, {value_col} double, filtered double"
+    kc, tc, vc = key_col, ts_col, value_col
+    q_, r_, p0_ = float(q), float(r), float(p0)
+
+    def per_key(pdf):
+        pdf = pdf.sort_values([tc, "event_id"] if "event_id" in pdf else tc)
+        x = last_x = 0.0
+        p = p0_
+        out = []
+        for z in pdf[vc].astype("float64"):
+            velocity = x - last_x          # project ahead using velocity
+            x += velocity
+            last_x = x
+            p = p + q_ * 1.0               # E = 1 (no setpoint target)
+            k = p / (p + r_)
+            x += k * (z - x)
+            p = (1.0 - k) * p
+            out.append(x)
+        res = pdf[[kc, tc, vc]].copy()
+        res["filtered"] = out
+        return res
+
+    return df.select(kc, tc, vc, *(["event_id"] if "event_id" in df.columns else [])) \
+        .groupBy(kc).applyInPandas(per_key, schema=schema)
+
+
+def kalman_velocity(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    q_pos: float = 0.1,
+    q_vel: float = 0.01,
+    r: float = 1.0,
+    dt: float = 1.0,
+) -> DataFrame:
+    """2-state constant-velocity Kalman filter per key: returns
+    (key, ts, value, pos, vel) — position estimate + rate-of-change
+    (the reference's momentum-tracking use case)."""
+    schema = (
+        f"{key_col} long, {ts_col} timestamp, {value_col} double, "
+        "pos double, vel double"
+    )
+    kc, tc, vc = key_col, ts_col, value_col
+    qp, qv, r_, dt_ = float(q_pos), float(q_vel), float(r), float(dt)
+
+    def per_key(pdf):
+        pdf = pdf.sort_values([tc, "event_id"] if "event_id" in pdf else tc)
+        pos = vel = 0.0
+        p00, p01, p10, p11 = 100.0, 0.0, 0.0, 10.0
+        pos_out, vel_out = [], []
+        for z in pdf[vc].astype("float64"):
+            # predict
+            pred_pos = pos + vel * dt_
+            pred_vel = vel
+            n00 = p00 + dt_ * p10 + dt_ * p01 + dt_ * dt_ * p11 + qp
+            n01 = p01 + dt_ * p11
+            n10 = p10 + dt_ * p11
+            n11 = p11 + qv
+            # update
+            innov = z - pred_pos
+            s = n00 + r_
+            k0, k1 = n00 / s, n10 / s
+            pos = pred_pos + k0 * innov
+            vel = pred_vel + k1 * innov
+            p00 = (1 - k0) * n00
+            p01 = (1 - k0) * n01
+            p10 = n10 - k1 * n00
+            p11 = n11 - k1 * n01
+            pos_out.append(pos)
+            vel_out.append(vel)
+        res = pdf[[kc, tc, vc]].copy()
+        res["pos"] = pos_out
+        res["vel"] = vel_out
+        return res
+
+    return df.select(kc, tc, vc, *(["event_id"] if "event_id" in df.columns else [])) \
+        .groupBy(kc).applyInPandas(per_key, schema=schema)

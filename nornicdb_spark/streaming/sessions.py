@@ -1,0 +1,106 @@
+"""Sessionization + co-access inference over an event log.
+
+Reference analogues: temporal access tracker / session-boundary detection
+(pkg/temporal/session.go) and co-access relationship inference
+(pkg/inference/inference.go:1-65 — similarity / co-access / temporal
+proximity edges with confidence). The reference tracks sessions in-process
+per node; here both are single window/join pipelines.
+
+Batch sessionization is the classic lag-gap-cumsum: a new session starts
+where the gap to the previous event exceeds ``gap``; session id = running
+count of session starts. One shuffle on the key, everything else stays in
+the partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def sessionize(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Assign session ids: (…events…, session_id) where session_id is
+    1-based per key in time order."""
+    w = W.partitionBy(key_col).orderBy(F.col(ts_col), F.col("event_id"))
+    gap_us = F.unix_micros(F.col(ts_col)) - F.unix_micros(
+        F.lag(F.col(ts_col)).over(w)
+    )
+    is_new = F.when(
+        gap_us.isNull() | (gap_us > gap_seconds * 1_000_000), 1
+    ).otherwise(0)
+    return events.withColumn(
+        "session_id",
+        F.sum(is_new).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Per-key session summary: (user_id, n_sessions, max_session_events,
+    avg_session_seconds)."""
+    s = sessionize(events, key_col, ts_col, gap_seconds)
+    per_session = s.groupBy(key_col, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            (F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col))).cast(
+                "double"
+            )
+            / 1e6
+        ).alias("duration_s"),
+    )
+    return per_session.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+        F.avg("duration_s").alias("avg_session_seconds"),
+    )
+
+
+def co_access_pairs(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    window_seconds: int = 3600,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Co-access inference: keys active in the same tumbling window,
+    scored by confidence = shared_windows / min(windows_a, windows_b)
+    (reference inference.go co-access edges with confidence).
+    Returns (a, b, shared_windows, confidence) for a < b."""
+    win = (F.unix_micros(F.col(ts_col)) / (window_seconds * 1_000_000)).cast(
+        "long"
+    )
+    active = events.select(
+        F.col(key_col).alias("k"), win.alias("w")
+    ).distinct()
+    counts = active.groupBy("k").agg(F.count(F.lit(1)).alias("n_windows"))
+    pairs = (
+        active.select(F.col("k").alias("a"), "w")
+        .join(active.select(F.col("k").alias("b"), "w"), "w")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("shared_windows"))
+        .filter(F.col("shared_windows") >= min_shared)
+    )
+    return (
+        pairs.join(
+            counts.select(F.col("k").alias("a"), F.col("n_windows").alias("na")), "a"
+        )
+        .join(
+            counts.select(F.col("k").alias("b"), F.col("n_windows").alias("nb")), "b"
+        )
+        .withColumn(
+            "confidence",
+            F.col("shared_windows") / F.least(F.col("na"), F.col("nb")),
+        )
+        .select("a", "b", "shared_windows", "confidence")
+    )

@@ -45,8 +45,23 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def compare(spark_df, duck_con, sql: str) -> None:
-    got = canonicalize(spark_df.toPandas())
-    want = canonicalize(duck_con.execute(sql).df())
+    raw_got = spark_df.toPandas()
+    raw_want = duck_con.execute(sql).df()
+    # dtype *kind* must agree (int vs float vs str) — mirrors the driver's
+    # schema check; e.g. duckdb sum(BIGINT) silently widens to HUGEINT
+    # (float64 in pandas) and must be CAST in the oracle instead.
+    def kind(s: pd.Series) -> str:
+        k = s.dtype.kind
+        return {"i": "int", "u": "int", "f": "float", "c": "float",
+                "b": "bool", "M": "timestamp"}.get(k, "other")
+
+    for c in set(raw_got.columns) & set(raw_want.columns):
+        assert kind(raw_got[c]) == kind(raw_want[c]), (
+            f"dtype kind mismatch on {c!r}: spark={raw_got[c].dtype} "
+            f"oracle={raw_want[c].dtype}"
+        )
+    got = canonicalize(raw_got)
+    want = canonicalize(raw_want)
     assert list(got.columns) == list(want.columns), (
         f"column mismatch: spark={list(got.columns)} oracle={list(want.columns)}"
     )
