@@ -250,3 +250,494 @@ def k_hop_neighborhood(
         reach.filter(F.col("distance") > 0)
         .select("start_id", "end_id", F.col("distance").alias("first_depth"))
     )
+
+
+def weighted_shortest_paths(
+    graph,
+    start: DataFrame,
+    weight_col: str | None = None,
+    rel_types: tuple[str, ...] = (),
+    direction: str = "out",
+    max_iterations: int = 20,
+    with_paths: bool = False,
+) -> DataFrame:
+    """apoc.algo.dijkstra — weighted shortest-path distances from every
+    start node (reference apoc_algorithms.go:67-113: priority-queue
+    Dijkstra, weight = edge property else 1.0, directed out-edges).
+
+    Distributed formulation is iterative relaxation (delta-stepping
+    degenerate case): each round relaxes the *improved* frontier only, so
+    settled mass stops shuffling — rounds ≈ longest shortest-path hop
+    count. Returns ``(start_id, end_id, cost[, node_path])``; cost of the
+    start itself is 0.0. Ties on cost break by lexicographic node_path
+    (deterministic).
+    """
+    from nornicdb_spark.operators.paths import _oriented_edges
+
+    e = _oriented_edges(graph, rel_types, direction)
+    full = graph.edges_by_type(*rel_types) if rel_types else graph.edges
+    if weight_col:
+        # re-attach the weight property to the (possibly flipped) edge rows
+        e = e.join(full.select("edge_id", weight_col), "edge_id")
+        e = e.select(
+            "src", "dst", F.coalesce(F.col(weight_col).cast("double"), F.lit(1.0)).alias("w")
+        )
+    else:
+        e = e.select("src", "dst", F.lit(1.0).alias("w"))
+
+    best = start.select(
+        F.col("id").alias("start_id"),
+        F.col("id").alias("end_id"),
+        F.lit(0.0).alias("cost"),
+        F.array(F.col("id")).alias("node_path"),
+    ).localCheckpoint(eager=True)
+    frontier = best
+
+    for _ in range(max_iterations):
+        cand = (
+            frontier.join(e, frontier.end_id == e.src)
+            .select(
+                "start_id",
+                F.col("dst").alias("end_id"),
+                (F.col("cost") + F.col("w")).alias("cost"),
+                F.array_append(F.col("node_path"), F.col("dst")).alias("node_path"),
+            )
+            .groupBy("start_id", "end_id")
+            .agg(F.min(F.struct("cost", "node_path")).alias("m"))
+            .select("start_id", "end_id", "m.cost", "m.node_path")
+        )
+        improved = (
+            cand.join(
+                best.select("start_id", "end_id", F.col("cost").alias("old_cost")),
+                ["start_id", "end_id"],
+                "left_outer",
+            )
+            .filter(F.col("old_cost").isNull() | (F.col("cost") < F.col("old_cost")))
+            .select("start_id", "end_id", "cost", "node_path")
+        ).localCheckpoint(eager=True)
+        if improved.isEmpty():
+            break
+        best = (
+            best.unionByName(improved)
+            .groupBy("start_id", "end_id")
+            .agg(F.min(F.struct("cost", "node_path")).alias("m"))
+            .select("start_id", "end_id", "m.cost", "m.node_path")
+        ).localCheckpoint(eager=True)
+        frontier = improved
+
+    cols = ["start_id", "end_id", "cost"] + (["node_path"] if with_paths else [])
+    return best.select(*cols)
+
+
+def astar_shortest_path(
+    graph,
+    start: DataFrame,
+    target: DataFrame,
+    heuristic: DataFrame,
+    weight_col: str | None = None,
+    rel_types: tuple[str, ...] = (),
+    max_iterations: int = 20,
+) -> DataFrame:
+    """apoc.algo.aStar (reference apoc_algorithms.go:114-205: Dijkstra +
+    admissible lat/lon heuristic). In a batch engine the heuristic cannot
+    reorder a priority queue; instead it *prunes*: a frontier entry whose
+    f = cost + h(end) already exceeds the best-known target cost can never
+    improve the answer and is dropped. With h ≡ 0 this degrades exactly to
+    :func:`weighted_shortest_paths` restricted to targets.
+
+    ``heuristic``: DataFrame (id, h) — admissible lower bound on
+    remaining cost to any target. Returns (start_id, end_id, cost).
+    """
+    from nornicdb_spark.operators.paths import _oriented_edges
+
+    e = _oriented_edges(graph, rel_types, "out")
+    full = graph.edges_by_type(*rel_types) if rel_types else graph.edges
+    if weight_col:
+        e = e.join(full.select("edge_id", weight_col), "edge_id")
+        e = e.select(
+            "src", "dst", F.coalesce(F.col(weight_col).cast("double"), F.lit(1.0)).alias("w")
+        )
+    else:
+        e = e.select("src", "dst", F.lit(1.0).alias("w"))
+    h = heuristic.select(F.col("id").alias("end_id"), F.col("h").alias("h"))
+    targets = target.select(F.col("id").alias("end_id")).distinct()
+
+    best = start.select(
+        F.col("id").alias("start_id"), F.col("id").alias("end_id"), F.lit(0.0).alias("cost")
+    ).localCheckpoint(eager=True)
+    frontier = best
+
+    for _ in range(max_iterations):
+        # current best-known cost to any target, per start (driver-small)
+        ub = (
+            best.join(targets, "end_id", "left_semi")
+            .groupBy("start_id")
+            .agg(F.min("cost").alias("ub"))
+        )
+        cand = (
+            frontier.join(e, frontier.end_id == e.src)
+            .select("start_id", F.col("dst").alias("end_id"), (F.col("cost") + F.col("w")).alias("cost"))
+            .groupBy("start_id", "end_id")
+            .agg(F.min("cost").alias("cost"))
+            .join(h, "end_id", "left_outer")
+            .join(ub, "start_id", "left_outer")
+            .filter(
+                F.col("ub").isNull()
+                | (F.col("cost") + F.coalesce(F.col("h"), F.lit(0.0)) < F.col("ub"))
+            )
+            .select("start_id", "end_id", "cost")
+        )
+        improved = (
+            cand.join(
+                best.select("start_id", "end_id", F.col("cost").alias("old_cost")),
+                ["start_id", "end_id"],
+                "left_outer",
+            )
+            .filter(F.col("old_cost").isNull() | (F.col("cost") < F.col("old_cost")))
+            .select("start_id", "end_id", "cost")
+        ).localCheckpoint(eager=True)
+        if improved.isEmpty():
+            break
+        best = (
+            best.unionByName(improved)
+            .groupBy("start_id", "end_id")
+            .agg(F.min("cost").alias("cost"))
+        ).localCheckpoint(eager=True)
+        frontier = improved
+
+    return best.join(targets, "end_id", "left_semi").select("start_id", "end_id", "cost")
+
+
+def _induced_subgraph(graph, label: str | None):
+    """Label-induced subgraph, matching the reference's dist-map trick
+    (apoc_community.go / apoc_algorithms.go init dist only for label
+    nodes, so BFS never leaves the label set)."""
+    nodes = (graph.nodes_by_label(label) if label else graph.nodes).select("id")
+    e = graph.edges.select("src", "dst")
+    e = e.join(nodes.select(F.col("id").alias("src")), "src").join(
+        nodes.select(F.col("id").alias("dst")), "dst"
+    )
+    return nodes, e
+
+
+def closeness_centrality(
+    nodes: DataFrame, edges: DataFrame, max_depth: int = 20
+) -> DataFrame:
+    """apoc.algo.closeness (reference apoc_algorithms.go:403-446):
+    undirected hop-BFS per source over the induced subgraph;
+    score = reachable² / (Σdist · (n−1)), 0 if nothing reachable.
+
+    ``edges`` is treated as undirected (symmetrized here). All-pairs BFS
+    runs every source simultaneously — one frontier DataFrame keyed by
+    (source, node) — so rounds = graph diameter regardless of |V|.
+    Intended for projected/label subgraphs; all-pairs state is
+    O(|V|·reach) rows, partitioned by source.
+    """
+    und = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    n = nodes.count()
+
+    visited = nodes.select(
+        F.col("id").alias("s"), F.col("id").alias("v")
+    ).withColumn("d", F.lit(0))
+    visited = visited.localCheckpoint(eager=True)
+    frontier = visited
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(und, frontier.v == und.src)
+            .select("s", F.col("dst").alias("v"))
+            .distinct()
+            .join(visited.select("s", "v"), ["s", "v"], "left_anti")
+            .withColumn("d", F.lit(depth))
+        ).localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+
+    per_src = visited.filter(F.col("d") > 0).groupBy("s").agg(
+        F.count(F.lit(1)).alias("reachable"), F.sum("d").alias("total_dist")
+    )
+    return (
+        nodes.select(F.col("id"))
+        .join(per_src.select(F.col("s").alias("id"), "reachable", "total_dist"), "id", "left_outer")
+        .select(
+            "id",
+            F.when(
+                F.col("reachable").isNotNull() & (F.col("total_dist") > 0),
+                (F.col("reachable") * F.col("reachable")).cast("double")
+                / (F.col("total_dist") * F.lit(float(n - 1))),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("score"),
+        )
+    )
+
+
+def betweenness_centrality(
+    nodes: DataFrame, edges: DataFrame, max_depth: int = 20, normalize: bool = True
+) -> DataFrame:
+    """apoc.algo.betweenness (reference apoc_algorithms.go:323-387):
+    Brandes' algorithm over the directed edge set, normalized by
+    2/((n−1)(n−2)) when n > 2. Pass a symmetrized ``edges`` for the
+    undirected variant.
+
+    Distributed Brandes: level-synchronous BFS from ALL sources at once
+    accumulating path counts σ (parallel edges each contribute, matching
+    the reference's per-edge pred list), then a backward sweep by
+    descending BFS level accumulating dependencies
+    δ(v) += σ(v)/σ(w)·(1+δ(w)). Rounds = 2·diameter; state is
+    (source, node) pairs partitioned by source.
+    """
+    e = edges.select("src", "dst")
+    n = nodes.count()
+
+    # ---- forward: per-(source, node) depth + path count σ -------------
+    frontier = nodes.select(
+        F.col("id").alias("s"), F.col("id").alias("v")
+    ).withColumn("sigma", F.lit(1.0))
+    frontier = frontier.localCheckpoint(eager=True)
+    visited = frontier.select("s", "v")
+    levels: list[DataFrame] = [frontier]
+
+    for _ in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier.v == e.src)
+            .select("s", F.col("dst").alias("v"), "sigma")
+            .join(visited, ["s", "v"], "left_anti")
+            .groupBy("s", "v")
+            .agg(F.sum("sigma").alias("sigma"))
+        ).localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt.select("s", "v")).localCheckpoint(eager=True)
+        levels.append(nxt)
+        frontier = nxt
+
+    # ---- backward: dependency accumulation, deepest level first -------
+    deltas: list[DataFrame] = [None] * len(levels)
+    deltas[-1] = levels[-1].withColumn("delta", F.lit(0.0))
+    for i in range(len(levels) - 2, -1, -1):
+        upper = deltas[i + 1].select(
+            "s", F.col("v").alias("w"), F.col("sigma").alias("sigma_w"), "delta"
+        )
+        contrib = (
+            levels[i]
+            .join(e, levels[i].v == e.src)
+            .join(
+                upper,
+                (F.col("dst") == upper.w) & (levels[i].s == upper.s),
+            )
+            .select(
+                levels[i].s.alias("s"),
+                levels[i].v.alias("v"),
+                (
+                    (F.col("sigma") / F.col("sigma_w")) * (F.lit(1.0) + F.col("delta"))
+                ).alias("c"),
+            )
+            .groupBy("s", "v")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        deltas[i] = (
+            levels[i]
+            .join(contrib, ["s", "v"], "left_outer")
+            .withColumn("delta", F.coalesce(F.col("contrib"), F.lit(0.0)))
+            .select("s", "v", "sigma", "delta")
+        ).localCheckpoint(eager=True)
+
+    acc = deltas[0].filter(F.col("s") != F.col("v")).select("v", "delta")
+    for d in deltas[1:]:
+        acc = acc.unionByName(d.filter(F.col("s") != F.col("v")).select("v", "delta"))
+    scores = acc.groupBy(F.col("v").alias("id")).agg(F.sum("delta").alias("score"))
+    norm = 2.0 / ((n - 1) * (n - 2)) if (normalize and n > 2) else 1.0
+    return (
+        nodes.select("id")
+        .join(scores, "id", "left_outer")
+        .select("id", (F.coalesce(F.col("score"), F.lit(0.0)) * F.lit(norm)).alias("score"))
+    )
+
+
+def louvain_communities(
+    nodes: DataFrame,
+    edges: DataFrame,
+    weight_col: str | None = None,
+    max_iterations: int = 10,
+) -> DataFrame:
+    """apoc.algo.louvain, first-level pass (reference
+    apoc_community.go:66-219: undirected, weight property else 1.0,
+    modularity-gain local moves). Synchronous distributed variant: every
+    round each node moves to the neighboring community with the best
+    modularity gain ΔQ = k_i,in/m − γ·k_i·Σtot/(2m²) (ties → min
+    community id), until no node moves. One shuffle per round; converges
+    like parallel Louvain (Prat-Pérez et al.).
+
+    Synchronous moves on symmetric graphs ping-pong (a joins b's community
+    while b joins a's), so each round only one hash-parity class of nodes
+    may move — the standard parallel-Louvain coloring trick; 2×
+    max_iterations rounds give every node max_iterations chances.
+    """
+    w = (
+        F.coalesce(F.col(weight_col).cast("double"), F.lit(1.0))
+        if weight_col
+        else F.lit(1.0)
+    )
+    und = edges.select("src", "dst", w.alias("w")).filter(F.col("src") != F.col("dst"))
+    und = und.unionByName(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    two_m = und.agg(F.sum("w")).collect()[0][0] or 0.0
+    if two_m == 0:
+        return nodes.select("id", F.col("id").alias("community"))
+
+    k = und.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("k"))
+    comm = nodes.select("id", F.col("id").alias("community")).localCheckpoint(eager=True)
+
+    stalled = 0
+    for rnd in range(2 * max_iterations):
+        # total weighted degree per community
+        sigma_tot = (
+            comm.join(k, "id", "left_outer")
+            .groupBy("community")
+            .agg(F.sum(F.coalesce(F.col("k"), F.lit(0.0))).alias("sigma_tot"))
+        )
+        nbr_comm = (
+            und.join(comm.select(F.col("id").alias("dst"), F.col("community").alias("c")), "dst")
+            .groupBy(F.col("src").alias("id"), F.col("c"))
+            .agg(F.sum("w").alias("k_in"))
+        )
+        cand = (
+            nbr_comm.join(k, "id")
+            .join(sigma_tot.select(F.col("community").alias("c"), "sigma_tot"), "c")
+            .join(comm, "id")
+            # leaving own community: its sigma_tot includes self degree
+            .withColumn(
+                "adj_tot",
+                F.when(F.col("c") == F.col("community"), F.col("sigma_tot") - F.col("k"))
+                .otherwise(F.col("sigma_tot")),
+            )
+            .withColumn(
+                "gain",
+                F.col("k_in") / F.lit(two_m)
+                - F.col("k") * F.col("adj_tot") / (F.lit(two_m) * F.lit(two_m) / 2.0),
+            )
+        )
+        best = (
+            cand.groupBy("id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("gain"),
+                        (-F.xxhash64("c")).alias("_t"),  # stable-ish pre-tiebreak
+                        F.col("c"),
+                    )
+                ).alias("m")
+            )
+            .select("id", F.col("m.gain").alias("gain"), F.col("m.c").alias("best_c"))
+        )
+        updated = (
+            comm.join(best, "id", "left_outer")
+            .withColumn(
+                "next",
+                F.when(
+                    (F.pmod(F.xxhash64("id"), F.lit(2)) == F.lit(rnd % 2))
+                    & F.col("gain").isNotNull()
+                    & (F.col("gain") > 1e-12),
+                    F.col("best_c"),
+                ).otherwise(F.col("community")),
+            )
+        )
+        n_moved = updated.filter(F.col("next") != F.col("community")).count()
+        comm = updated.select("id", F.col("next").alias("community")).localCheckpoint(
+            eager=True
+        )
+        # converged only when BOTH parity classes pass without a move
+        stalled = stalled + 1 if n_moved == 0 else 0
+        if stalled >= 2:
+            break
+
+    # canonical community id = min member id (stable across runs)
+    canon = comm.groupBy("community").agg(F.min("id").alias("canon"))
+    return comm.join(canon, "community").select("id", F.col("canon").alias("community"))
+
+
+def fastrp_embeddings(
+    graph,
+    dim: int = 32,
+    iteration_weights: tuple[float, ...] = (0.0, 1.0, 1.0),
+    seed: int = 42,
+    rel_types: tuple[str, ...] = (),
+) -> DataFrame:
+    """gds.fastRP.stream (reference pkg/cypher/fastrp.go:28-802): FastRP
+    structural embeddings — very-sparse random projection init
+    (Achlioptas s=3: ±√3 w.p. 1/6 each, else 0), then L rounds of
+    mean-neighbor aggregation with per-iteration L2 normalization, final
+    embedding = Σ w_ℓ · h^(ℓ).
+
+    Determinism without RNG: the projection matrix entry for (node, dim)
+    is a pure function of xxhash64(id, dim, seed) — identical across runs
+    and partitionings. Layout is long-form (id, d, val): neighbor mean =
+    join + groupBy(dst, d) — pure shuffle ops that scale to 100 TB, no
+    per-row Python.
+    """
+    und = (graph.edges_by_type(*rel_types) if rel_types else graph.edges).select(
+        "src", "dst"
+    )
+    und = und.unionByName(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+    dims = F.explode(F.sequence(F.lit(0), F.lit(dim - 1))).alias("d")
+    h = F.pmod(F.xxhash64(F.col("id"), F.col("d"), F.lit(seed)), F.lit(6))
+    sqrt3 = 3.0 ** 0.5
+    cur = (
+        graph.nodes.select("id")
+        .select("id", dims)
+        .select(
+            "id",
+            "d",
+            F.when(h == 0, F.lit(sqrt3))
+            .when(h == 1, F.lit(-sqrt3))
+            .otherwise(F.lit(0.0))
+            .alias("val"),
+        )
+    )
+    cur = _l2_normalize(cur).localCheckpoint(eager=True)
+
+    acc = cur.select("id", "d", (F.col("val") * F.lit(iteration_weights[0])).alias("val"))
+    for wl in iteration_weights[1:]:
+        nxt = (
+            cur.join(und, cur.id == und.src)
+            .groupBy(F.col("dst").alias("id"), F.col("d"))
+            .agg(F.avg("val").alias("val"))
+        )
+        # isolated nodes keep a zero vector (reference skips them too)
+        cur = _l2_normalize(nxt).localCheckpoint(eager=True)
+        acc = acc.unionByName(
+            cur.select("id", "d", (F.col("val") * F.lit(wl)).alias("val"))
+        )
+
+    emb = acc.groupBy("id", "d").agg(F.sum("val").alias("val"))
+    return (
+        emb.groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "val"))).alias("p"))
+        .select("id", F.col("p.val").alias("embedding"))
+    )
+
+
+def _l2_normalize(long_vec: DataFrame) -> DataFrame:
+    """L2-normalize a long-form (id, d, val) vector table; zero vectors
+    pass through unchanged."""
+    norms = long_vec.groupBy(F.col("id").alias("_nid")).agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("norm")
+    )
+    return (
+        long_vec.join(norms, long_vec.id == F.col("_nid"))
+        .select(
+            "id",
+            "d",
+            F.when(F.col("norm") > 0, F.col("val") / F.col("norm"))
+            .otherwise(F.lit(0.0))
+            .alias("val"),
+        )
+    )

@@ -240,6 +240,169 @@ def graph_pagerank(spark, sf_dir):
     return pr.orderBy(F.desc("pagerank"), F.asc("id")).limit(50)
 
 
+@register(
+    "graph_dijkstra_customer_parts",
+    oracle="""
+    SELECT 'Customer:' || o_custkey AS start_id,
+           'Part:' || l_partkey AS end_id,
+           min(1.0 + l_quantity) AS cost
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_custkey, l_partkey
+    """,
+)
+def graph_dijkstra_customer_parts(spark, sf_dir):
+    # apoc.algo.dijkstra (reference apoc_algorithms.go:67-113): weighted
+    # shortest paths Customer→Part where CONTAINS carries weight
+    # l_quantity and PLACED defaults to 1.0. On the layered star graph the
+    # min cost to a part is min over orders of (1 + l_quantity) — exactly
+    # SQL-expressible, so the full relaxation loop is oracle-checked.
+    g = _graph(spark, sf_dir)
+    starts = g.nodes_by_label("Customer").select("id")
+    sp = algorithms.weighted_shortest_paths(g, starts, weight_col="l_quantity")
+    return sp.filter(F.col("end_id").startswith("Part:"))
+
+
+@register(
+    "graph_astar_customer_region",
+    oracle="""
+    SELECT 'Customer:' || c_custkey AS start_id,
+           'Region:' || n_regionkey AS end_id,
+           2.0 AS cost
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
+)
+def graph_astar_customer_region(spark, sf_dir):
+    # apoc.algo.aStar (reference apoc_algorithms.go:114-205): A* from
+    # every customer to the Region layer with an admissible layer
+    # heuristic (Region 0, Nation 1, else 2) that prunes the non-region
+    # frontier once a target cost is known.
+    g = _graph(spark, sf_dir)
+    starts = g.nodes_by_label("Customer").select("id")
+    targets = g.nodes_by_label("Region").select("id")
+    h = g.nodes.select(
+        "id",
+        F.when(F.col("label") == "Region", 0.0)
+        .when(F.col("label") == "Nation", 1.0)
+        .otherwise(2.0)
+        .alias("h"),
+    )
+    return algorithms.astar_shortest_path(g, starts, targets, h)
+
+
+@register(
+    "graph_closeness_nation_region",
+    oracle="""
+    WITH cnt AS (SELECT n_regionkey, count(*) AS k FROM nation GROUP BY n_regionkey),
+    tot AS (SELECT (SELECT count(*) FROM nation) + (SELECT count(*) FROM region) AS n)
+    SELECT 'Region:' || r_regionkey AS id,
+           CASE WHEN k > 0 THEN CAST(k AS DOUBLE) / (n - 1) ELSE 0.0 END AS score
+    FROM region LEFT JOIN cnt ON n_regionkey = r_regionkey, tot
+    UNION ALL
+    SELECT 'Nation:' || n_nationkey,
+           CAST(k * k AS DOUBLE) / ((2 * k - 1) * (n - 1))
+    FROM nation JOIN cnt USING (n_regionkey), tot
+    """,
+)
+def graph_closeness_nation_region(spark, sf_dir):
+    # apoc.algo.closeness (reference apoc_algorithms.go:403-446) on the
+    # Nation–Region membership graph. Each region star is a separate
+    # component, so the BFS score has a closed form the oracle states:
+    # region = k/(n-1); nation = k²/((2k-1)(n-1)) for k member nations.
+    g = _graph(spark, sf_dir)
+    nodes = g.nodes.filter(F.col("label").isin("Nation", "Region")).select("id")
+    edges = g.edges_by_type("IN").select("src", "dst")
+    return algorithms.closeness_centrality(nodes, edges)
+
+
+@register(
+    "graph_betweenness_nation_region",
+    oracle="""
+    WITH cnt AS (SELECT n_regionkey, count(*) AS k FROM nation GROUP BY n_regionkey),
+    tot AS (SELECT (SELECT count(*) FROM nation) + (SELECT count(*) FROM region) AS n)
+    SELECT 'Region:' || r_regionkey AS id,
+           coalesce(k * (k - 1), 0) * 2.0 / ((n - 1.0) * (n - 2.0)) AS score
+    FROM region LEFT JOIN cnt ON n_regionkey = r_regionkey, tot
+    UNION ALL
+    SELECT 'Nation:' || n_nationkey, 0.0 FROM nation
+    """,
+)
+def graph_betweenness_nation_region(spark, sf_dir):
+    # apoc.algo.betweenness (reference apoc_algorithms.go:323-387),
+    # undirected via symmetrized edges. On per-region stars the only
+    # intermediates are the region hubs: k(k-1) ordered leaf pairs each,
+    # normalized by 2/((n-1)(n-2)) — a closed form the oracle checks.
+    g = _graph(spark, sf_dir)
+    nodes = g.nodes.filter(F.col("label").isin("Nation", "Region")).select("id")
+    e = g.edges_by_type("IN").select("src", "dst")
+    und = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return algorithms.betweenness_centrality(nodes, und)
+
+
+@register("graph_louvain_supplier_communities")  # modularity loop; rows-only
+def graph_louvain_supplier_communities(spark, sf_dir):
+    # apoc.algo.louvain (reference apoc_community.go:66-219) over the
+    # Supplier–Nation–Region membership graph; returns community-size
+    # distribution (stable aggregate of an iterative local-move loop).
+    g = _graph(spark, sf_dir)
+    keep = ("Supplier", "Nation", "Region")
+    nodes = g.nodes.filter(F.col("label").isin(*keep)).select("id")
+    edges = (
+        g.edges.filter(F.col("type").isin("FROM", "IN"))
+        .join(nodes.select(F.col("id").alias("src")), "src")
+        .select("src", "dst")
+    )
+    comm = algorithms.louvain_communities(nodes, edges)
+    return (
+        comm.groupBy("community")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_communities"),
+            F.max("size").alias("largest"),
+            F.sum("size").alias("n_nodes"),
+        )
+    )
+
+
+@register("graph_fastrp_embeddings")  # random-projection embeddings; rows-only
+def graph_fastrp_embeddings(spark, sf_dir):
+    # gds.fastRP.stream (reference pkg/cypher/fastrp.go:28-802) on the
+    # full graph; deterministic hash-seeded projections, so the top-50
+    # by id is stable across runs.
+    g = _graph(spark, sf_dir)
+    emb = algorithms.fastrp_embeddings(g, dim=16)
+    return (
+        emb.select(
+            "id",
+            F.size("embedding").alias("dim"),
+            F.round(F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x)), 6).alias("norm"),
+        )
+        .orderBy("id")
+        .limit(50)
+    )
+
+
+@register(
+    "graph_khop_supplier",
+    oracle="""
+    SELECT 'Supplier:' || l_suppkey AS start_id,
+           'Part:' || l_partkey AS end_id, 1 AS first_depth
+    FROM (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem)
+    UNION ALL
+    SELECT 'Supplier:' || s_suppkey, 'Nation:' || s_nationkey, 1 FROM supplier
+    UNION ALL
+    SELECT 'Supplier:' || s_suppkey, 'Region:' || n_regionkey, 2
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    """,
+)
+def graph_khop_supplier(spark, sf_dir):
+    # apoc.neighbors.tohop (reference apoc_algorithms.go:448-551): all
+    # nodes within 2 out-hops of each supplier with first-seen depth.
+    g = _graph(spark, sf_dir)
+    starts = g.nodes_by_label("Supplier").select("id")
+    return algorithms.k_hop_neighborhood(g, starts, k=2)
+
+
 @register("graph_connected_components")  # iterative fixpoint; rows-only check
 def graph_connected_components(spark, sf_dir):
     # apoc.algo.wcc (reference apoc_community.go:332-429): component sizes

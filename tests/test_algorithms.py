@@ -1,0 +1,134 @@
+"""Unit tests for SURVEY §2.9 algorithms on tiny hand-checked graphs.
+
+Oracle-parity at table scale lives in test_oracle_parity.py; these pin the
+exact semantics (costs, scores, communities) on graphs small enough to
+verify by hand — the reference's per-feature behavior-test style
+(pkg/cypher/apoc_algorithms tests).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from nornicdb_spark.catalog import PropertyGraph
+from nornicdb_spark.operators import algorithms
+
+
+def tiny_graph(spark, edges):
+    """Build a PropertyGraph from (src, dst, weight) triples."""
+    ids = sorted({e[0] for e in edges} | {e[1] for e in edges})
+    nodes = spark.createDataFrame(
+        [(i, "N", n) for n, i in enumerate(ids)], "id string, label string, key long"
+    )
+    edf = spark.createDataFrame(
+        [(s, d, "R", i, float(w)) for i, (s, d, w) in enumerate(edges)],
+        "src string, dst string, type string, edge_id long, w double",
+    )
+    return PropertyGraph(nodes=nodes, edges=edf)
+
+
+def start_df(spark, *ids):
+    return spark.createDataFrame([(i,) for i in ids], "id string")
+
+
+def test_weighted_shortest_paths_diamond(spark):
+    # A→B(1), B→C(1), A→C(5), C→D(1): relaxation must prefer A→B→C (2)
+    # over the direct A→C (5).
+    g = tiny_graph(spark, [("A", "B", 1), ("B", "C", 1), ("A", "C", 5), ("C", "D", 1)])
+    got = {
+        r.end_id: r.cost
+        for r in algorithms.weighted_shortest_paths(
+            g, start_df(spark, "A"), weight_col="w"
+        ).collect()
+    }
+    assert got == {"A": 0.0, "B": 1.0, "C": 2.0, "D": 3.0}
+
+
+def test_weighted_shortest_paths_unweighted_and_paths(spark):
+    g = tiny_graph(spark, [("A", "B", 9), ("B", "C", 9)])
+    rows = algorithms.weighted_shortest_paths(
+        g, start_df(spark, "A"), with_paths=True
+    ).collect()
+    by_end = {r.end_id: r for r in rows}
+    # no weight_col → every edge costs 1 regardless of properties
+    assert by_end["C"].cost == 2.0
+    assert by_end["C"].node_path == ["A", "B", "C"]
+
+
+def test_astar_matches_dijkstra_and_prunes(spark):
+    g = tiny_graph(spark, [("A", "B", 1), ("B", "C", 1), ("A", "C", 5), ("C", "D", 1)])
+    h = spark.createDataFrame(
+        [("A", 3.0), ("B", 2.0), ("C", 1.0), ("D", 0.0)], "id string, h double"
+    )
+    got = algorithms.astar_shortest_path(
+        g, start_df(spark, "A"), start_df(spark, "D"), h, weight_col="w"
+    ).collect()
+    assert [(r.start_id, r.end_id, r.cost) for r in got] == [("A", "D", 3.0)]
+
+
+def test_closeness_path_graph(spark):
+    # a—b—c (symmetrized internally): center 4/(2·2)=1, leaves 4/(3·2)=2/3.
+    g = tiny_graph(spark, [("a", "b", 1), ("b", "c", 1)])
+    got = {
+        r.id: r.score
+        for r in algorithms.closeness_centrality(
+            g.nodes.select("id"), g.edges.select("src", "dst")
+        ).collect()
+    }
+    assert got["b"] == pytest.approx(1.0)
+    assert got["a"] == pytest.approx(2 / 3)
+    assert got["c"] == pytest.approx(2 / 3)
+
+
+def test_betweenness_path_graph(spark):
+    # Brandes over symmetrized a—b—c: only b is an intermediate; ordered
+    # pairs (a,c),(c,a) → raw 2, ×2/((n−1)(n−2))=1 → 2.0.
+    e = tiny_graph(spark, [("a", "b", 1), ("b", "c", 1)]).edges.select("src", "dst")
+    und = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",)], "id string")
+    got = {r.id: r.score for r in algorithms.betweenness_centrality(nodes, und).collect()}
+    assert got == {"a": 0.0, "b": 2.0, "c": 0.0}
+
+
+def test_betweenness_star_closed_form(spark):
+    # star hub h with 4 leaves: hub = k(k−1)·2/((n−1)(n−2)) = 12·2/(4·3)=2.
+    e = tiny_graph(
+        spark, [("h", "l1", 1), ("h", "l2", 1), ("h", "l3", 1), ("h", "l4", 1)]
+    ).edges.select("src", "dst")
+    und = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    nodes = spark.createDataFrame([(x,) for x in "h l1 l2 l3 l4".split()], "id string")
+    got = {r.id: r.score for r in algorithms.betweenness_centrality(nodes, und).collect()}
+    assert got["h"] == pytest.approx(4 * 3 * 2.0 / (4 * 3))
+    assert all(got[f"l{i}"] == 0.0 for i in range(1, 5))
+
+
+def test_louvain_two_triangles(spark):
+    # two triangles joined by one bridge edge → one community per triangle.
+    tri1 = [("a", "b", 1), ("b", "c", 1), ("a", "c", 1)]
+    tri2 = [("d", "e", 1), ("e", "f", 1), ("d", "f", 1)]
+    g = tiny_graph(spark, tri1 + tri2 + [("c", "d", 1)])
+    got = {
+        r.id: r.community
+        for r in algorithms.louvain_communities(
+            g.nodes.select("id"), g.edges.select("src", "dst")
+        ).collect()
+    }
+    assert got["a"] == got["b"] == got["c"]
+    assert got["d"] == got["e"] == got["f"]
+    assert got["a"] != got["d"]
+
+
+def test_fastrp_structural_equivalence(spark):
+    # leaves of a star share a neighborhood → identical FastRP embeddings;
+    # hub differs. Deterministic across runs (hash-seeded projection).
+    g = tiny_graph(spark, [("h", "l1", 1), ("h", "l2", 1), ("h", "l3", 1)])
+    rows = algorithms.fastrp_embeddings(g, dim=8).collect()
+    emb = {r.id: r.embedding for r in rows}
+    assert set(emb) == {"h", "l1", "l2", "l3"}
+    assert all(len(v) == 8 for v in emb.values())
+    assert emb["l1"] == emb["l2"] == emb["l3"]
+    norm_h = math.sqrt(sum(x * x for x in emb["h"]))
+    assert norm_h > 0
