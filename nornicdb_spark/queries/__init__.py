@@ -36,5 +36,6 @@ from nornicdb_spark.queries import graph  # noqa: E402,F401
 from nornicdb_spark.queries import search  # noqa: E402,F401
 from nornicdb_spark.queries import llm_pipeline  # noqa: E402,F401
 from nornicdb_spark.queries import temporal  # noqa: E402,F401
+from nornicdb_spark.queries import mutations  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "register"]
