@@ -1,0 +1,58 @@
+"""Spatial functions — point / distance / bbox predicates (SURVEY §2.6
+spatial row; reference executor_show.go:141-148 advertises point,
+point.distance, point.withinBBox, point.withinDistance;
+functions_eval_math.go implements haversine).
+
+Points are plain ``struct<x, y, srid>`` columns — no geometry library;
+WGS84 distance is the haversine formula as a native Column expression
+(JVM codegen, vectorizable, pushdown-friendly). x = longitude,
+y = latitude, matching Neo4j's point({longitude, latitude}).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_M = 6_371_000.0  # mean Earth radius, meters
+
+
+def point(longitude: Column, latitude: Column, srid: int = 4326) -> Column:
+    """point({longitude, latitude}) → struct(x, y, srid)."""
+    return F.struct(
+        longitude.cast("double").alias("x"),
+        latitude.cast("double").alias("y"),
+        F.lit(srid).alias("srid"),
+    )
+
+
+def haversine_distance_m(
+    lat1: Column, lon1: Column, lat2: Column, lon2: Column
+) -> Column:
+    """Great-circle distance in meters (point.distance on WGS84 points;
+    reference haversin function, functions_eval_math.go). Formula:
+    2R·asin(√(sin²(Δφ/2) + cosφ₁·cosφ₂·sin²(Δλ/2)))."""
+    dlat = F.radians(lat2 - lat1) / 2
+    dlon = F.radians(lon2 - lon1) / 2
+    a = (
+        F.sin(dlat) * F.sin(dlat)
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.sin(dlon) * F.sin(dlon)
+    )
+    return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(a))
+
+
+def point_distance(p1: Column, p2: Column) -> Column:
+    """point.distance over two point structs (WGS84 haversine)."""
+    return haversine_distance_m(p1["y"], p1["x"], p2["y"], p2["x"])
+
+
+def within_bbox(p: Column, min_x, min_y, max_x, max_y) -> Column:
+    """point.withinBBox — inclusive rectangle test on x/y."""
+    return (
+        (p["x"] >= min_x) & (p["x"] <= max_x) & (p["y"] >= min_y) & (p["y"] <= max_y)
+    )
+
+
+def within_distance(p1: Column, p2: Column, meters) -> Column:
+    """point.withinDistance — haversine threshold predicate."""
+    return point_distance(p1, p2) <= meters
