@@ -1,0 +1,166 @@
+"""Cypher AST — the small logical tree the reference never built
+(executor.go routes raw strings; our §3 translation parses once and
+compiles declaratively).
+
+Expressions and clauses are plain dataclasses; the compiler pattern-
+matches on type. Everything is position-free and immutable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# ---- expressions --------------------------------------------------------
+
+@dataclass(frozen=True)
+class Lit:
+    value: object  # int | float | str | bool | None
+
+
+@dataclass(frozen=True)
+class Var:
+    name: str
+
+
+@dataclass(frozen=True)
+class Param:
+    name: str
+
+
+@dataclass(frozen=True)
+class Prop:
+    subject: object  # expression (usually Var)
+    name: str
+
+
+@dataclass(frozen=True)
+class ListLit:
+    items: tuple
+
+
+@dataclass(frozen=True)
+class MapLit:
+    items: tuple  # tuple[(str, expr), ...]
+
+
+@dataclass(frozen=True)
+class Func:
+    name: str  # lower-cased, dots kept (e.g. "apoc.coll.sum")
+    args: tuple
+    distinct: bool = False
+
+
+@dataclass(frozen=True)
+class CountStar:
+    pass
+
+
+@dataclass(frozen=True)
+class BinOp:
+    op: str  # + - * / % = <> < > <= >= AND OR XOR IN STARTS ENDS CONTAINS =~
+    left: object
+    right: object
+
+
+@dataclass(frozen=True)
+class UnOp:
+    op: str  # NOT | NEG
+    operand: object
+
+
+@dataclass(frozen=True)
+class IsNull:
+    operand: object
+    negated: bool
+
+
+@dataclass(frozen=True)
+class Case:
+    subject: object | None  # simple CASE has a subject; searched has None
+    whens: tuple  # tuple[(cond_or_value, result), ...]
+    default: object | None
+
+
+@dataclass(frozen=True)
+class Index:
+    subject: object
+    index: object  # expression; list[i] (0-based in Cypher)
+
+
+# ---- patterns -----------------------------------------------------------
+
+@dataclass(frozen=True)
+class NodePat:
+    var: str | None
+    label: str | None
+    props: tuple = ()  # tuple[(str, expr), ...] inline {k: v} filters
+
+
+@dataclass(frozen=True)
+class RelPat:
+    var: str | None
+    types: tuple = ()  # [:A|B] disjunction
+    direction: str = "out"  # out | in | both
+    min_hops: int = 1
+    max_hops: int = 1  # min/max > 1 → variable-length *n..m
+    props: tuple = ()
+
+
+@dataclass(frozen=True)
+class Path:
+    """Alternating node/rel sequence: n0, r0, n1, r1, n2 ..."""
+
+    elements: tuple
+
+
+# ---- clauses ------------------------------------------------------------
+
+@dataclass(frozen=True)
+class SortItem:
+    expr: object
+    ascending: bool = True
+
+
+@dataclass(frozen=True)
+class ReturnItem:
+    expr: object
+    alias: str | None
+
+
+@dataclass(frozen=True)
+class MatchClause:
+    paths: tuple
+    where: object | None = None
+    optional: bool = False
+
+
+@dataclass(frozen=True)
+class UnwindClause:
+    expr: object
+    var: str = ""
+
+
+@dataclass(frozen=True)
+class WithClause:
+    items: tuple
+    distinct: bool = False
+    where: object | None = None
+    order: tuple = ()
+    skip: object | None = None
+    limit: object | None = None
+
+
+@dataclass(frozen=True)
+class ReturnClause:
+    items: tuple
+    distinct: bool = False
+    order: tuple = ()
+    skip: object | None = None
+    limit: object | None = None
+
+
+@dataclass(frozen=True)
+class Query:
+    clauses: tuple  # reading clauses + final ReturnClause
+    unions: tuple = ()  # tuple[(all: bool, Query), ...]

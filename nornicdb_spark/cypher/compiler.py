@@ -1,0 +1,693 @@
+"""Cypher AST → DataFrame compiler.
+
+Declarative translation (SURVEY §3 "Spark translation"): every clause
+becomes DataFrame operations on the star-schema graph projection, so
+Catalyst owns join ordering, broadcast choice, predicate pushdown, and
+column pruning. Node scans come straight from the typed base tables
+(properties are real columns — a scan that projects two properties reads
+two parquet columns), with the graph id synthesized per FIXTURES.md §A.
+
+Frame convention matches :mod:`nornicdb_spark.operators.expand`: pattern
+variables own column namespaces — ``{var}_id`` plus ``{var}_{property}``
+for node vars, ``{var}_type`` / edge props for rel vars; WITH/UNWIND
+value bindings are plain columns named by their alias.
+
+The reference routes query strings through regex fast paths with no plan
+(pkg/cypher/executor.go:994-1447); behavior parity is pinned by tests
+ported from its corpus (e2e_query_test.go, documentation_examples_
+test.go), not by copying its routing.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from nornicdb_spark.catalog import NODE_SPECS, Catalog, node_id
+from nornicdb_spark.cypher import ast as A
+from nornicdb_spark.cypher.parser import parse
+
+LABEL_TABLES = {label: (table, key) for label, table, key in NODE_SPECS}
+
+AGG_FUNCS = {
+    "count", "sum", "avg", "min", "max", "collect", "stdev", "stdevp",
+    "percentilecont", "percentiledisc",
+}
+
+
+def _contains_agg(e) -> bool:
+    if isinstance(e, A.CountStar):
+        return True
+    if isinstance(e, A.Func):
+        if e.name in AGG_FUNCS:
+            return True
+        return any(_contains_agg(a) for a in e.args)
+    if isinstance(e, A.BinOp):
+        return _contains_agg(e.left) or _contains_agg(e.right)
+    if isinstance(e, (A.UnOp,)):
+        return _contains_agg(e.operand)
+    if isinstance(e, A.IsNull):
+        return _contains_agg(e.operand)
+    if isinstance(e, A.Prop):
+        return _contains_agg(e.subject)
+    if isinstance(e, A.Index):
+        return _contains_agg(e.subject) or _contains_agg(e.index)
+    if isinstance(e, A.Case):
+        parts = [e.subject, e.default] + [x for w in e.whens for x in w]
+        return any(_contains_agg(p) for p in parts if p is not None)
+    if isinstance(e, A.ListLit):
+        return any(_contains_agg(i) for i in e.items)
+    return False
+
+
+def expr_name(e) -> str:
+    """Cypher-style output column name for an un-aliased item."""
+    if isinstance(e, A.Var):
+        return e.name
+    if isinstance(e, A.Prop):
+        return f"{expr_name(e.subject)}.{e.name}"
+    if isinstance(e, A.CountStar):
+        return "count(*)"
+    if isinstance(e, A.Func):
+        inner = ", ".join(expr_name(a) for a in e.args)
+        d = "DISTINCT " if e.distinct else ""
+        return f"{e.name}({d}{inner})"
+    if isinstance(e, A.Lit):
+        return repr(e.value)
+    return "expr"
+
+
+class Binding:
+    """What a pattern variable means in the current frame."""
+
+    def __init__(self, kind: str, label: str | None = None, column: str | None = None):
+        self.kind = kind  # node | rel | value
+        self.label = label
+        self.column = column  # for value bindings
+
+
+class Compiler:
+    def __init__(self, catalog: Catalog, params: dict | None = None):
+        self.cat = catalog
+        self.graph = catalog.graph
+        self.params = params or {}
+        self.frame: DataFrame | None = None
+        self.bindings: dict[str, Binding] = {}
+        self._anon = itertools.count()
+
+    # ---- top level ------------------------------------------------------
+
+    def compile(self, q: A.Query) -> DataFrame:
+        df = self._compile_single(q)
+        for is_all, rhs in q.unions:
+            rdf = Compiler(self.cat, self.params)._compile_single(rhs)
+            df = df.unionByName(rdf)
+            if not is_all:
+                df = df.distinct()
+        return df
+
+    def _compile_single(self, q: A.Query) -> DataFrame:
+        out: DataFrame | None = None
+        for clause in q.clauses:
+            if isinstance(clause, A.MatchClause):
+                self._compile_match(clause)
+            elif isinstance(clause, A.UnwindClause):
+                self._compile_unwind(clause)
+            elif isinstance(clause, A.WithClause):
+                self._compile_projection(clause)
+            elif isinstance(clause, A.ReturnClause):
+                out = self._compile_projection(clause)
+            else:
+                raise NotImplementedError(f"cypher: clause {type(clause).__name__}")
+        assert out is not None, "query must end with RETURN"
+        return out
+
+    # ---- frames ---------------------------------------------------------
+
+    def _node_frame(self, var: str, label: str | None) -> DataFrame:
+        """Scan for (var:Label) — typed base table + synthesized graph id;
+        label-less vars scan the id-only union (no properties)."""
+        if label is None:
+            df = self.graph.nodes
+            return df.select(*[F.col(c).alias(f"{var}_{c}") for c in df.columns])
+        if label not in LABEL_TABLES:
+            raise ValueError(f"cypher: unknown label {label!r}")
+        table, key = LABEL_TABLES[label]
+        df = self.cat.table(table)
+        return df.select(
+            node_id(label, key).alias(f"{var}_id"),
+            *[F.col(c).alias(f"{var}_{c}") for c in df.columns],
+        )
+
+    def _fresh(self, prefix: str = "_anon") -> str:
+        return f"{prefix}{next(self._anon)}"
+
+    # ---- MATCH ----------------------------------------------------------
+
+    def _compile_match(self, m: A.MatchClause) -> None:
+        if m.optional and self.frame is not None:
+            lhs = self.frame
+            lhs_cols = list(lhs.columns)
+            saved = dict(self.bindings)
+            for path in m.paths:
+                self._compile_path(path)
+            if m.where is not None:
+                self.frame = self.frame.filter(self._expr(m.where))
+            new_cols = [c for c in self.frame.columns if c not in lhs_cols]
+            self.frame = lhs.join(
+                self.frame.select(*lhs_cols, *new_cols), on=lhs_cols, how="left_outer"
+            )
+            # bindings from the optional side stay visible (null-filled)
+            saved.update(self.bindings)
+            self.bindings = saved
+            return
+        for path in m.paths:
+            self._compile_path(path)
+        if m.where is not None:
+            self.frame = self.frame.filter(self._expr(m.where))
+
+    def _compile_path(self, path: A.Path) -> None:
+        elems = path.elements
+        node = elems[0]
+        var = self._bind_node(node)
+        i = 1
+        while i < len(elems):
+            rel: A.RelPat = elems[i]
+            dst: A.NodePat = elems[i + 1]
+            var = self._expand(var, rel, dst)
+            i += 2
+
+    def _bind_node(self, node: A.NodePat) -> str:
+        var = node.var or self._fresh()
+        if var in self.bindings:
+            if self.bindings[var].kind != "node":
+                raise ValueError(f"cypher: {var} is not a node variable")
+            self._apply_node_props(var, node)
+            return var
+        scan = self._node_frame(var, node.label)
+        self.bindings[var] = Binding("node", label=node.label)
+        if self.frame is None:
+            self.frame = scan
+        else:
+            self.frame = self.frame.crossJoin(scan)
+        self._apply_node_props(var, node)
+        return var
+
+    def _apply_node_props(self, var: str, node: A.NodePat) -> None:
+        for key, expr in node.props:
+            self.frame = self.frame.filter(
+                F.col(f"{var}_{key}") == self._expr(expr)
+            )
+
+    def _oriented_edges(self, rel: A.RelPat) -> DataFrame:
+        e = self.graph.edges_by_type(*rel.types) if rel.types else self.graph.edges
+        if rel.direction == "out":
+            return e
+        flipped = e.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"),
+            *[c for c in e.columns if c not in ("src", "dst")],
+        )
+        if rel.direction == "in":
+            return flipped
+        return e.unionByName(flipped, allowMissingColumns=False)
+
+    def _expand(self, src_var: str, rel: A.RelPat, dst: A.NodePat) -> str:
+        dst_var = dst.var or self._fresh()
+        rel_var = rel.var or self._fresh("_r")
+
+        if rel.min_hops != 1 or rel.max_hops != 1:
+            return self._expand_var_length(src_var, rel, dst, dst_var)
+
+        edges = self._oriented_edges(rel)
+        re = edges.select(
+            *[F.col(c).alias(f"{rel_var}_{c}") for c in edges.columns]
+        )
+        self.frame = self.frame.join(
+            re, self.frame[f"{src_var}_id"] == re[f"{rel_var}_src"], "inner"
+        )
+        self.bindings[rel_var] = Binding("rel")
+        for key, expr in rel.props:
+            self.frame = self.frame.filter(
+                F.col(f"{rel_var}_{key}") == self._expr(expr)
+            )
+
+        if dst_var in self.bindings:
+            self.frame = self.frame.filter(
+                F.col(f"{dst_var}_id") == F.col(f"{rel_var}_dst")
+            )
+            self._apply_node_props(dst_var, dst)
+        else:
+            dn = self._node_frame(dst_var, dst.label)
+            self.frame = self.frame.join(
+                dn, F.col(f"{rel_var}_dst") == dn[f"{dst_var}_id"], "inner"
+            )
+            self.bindings[dst_var] = Binding("node", label=dst.label)
+            self._apply_node_props(dst_var, dst)
+        return dst_var
+
+    def _expand_var_length(
+        self, src_var: str, rel: A.RelPat, dst: A.NodePat, dst_var: str
+    ) -> str:
+        from nornicdb_spark.operators.paths import var_length_paths
+
+        starts = self.frame.select(
+            F.col(f"{src_var}_id").alias("id")
+        ).distinct()
+        paths = var_length_paths(
+            self.graph, starts, min_hops=rel.min_hops, max_hops=rel.max_hops,
+            rel_types=rel.types, direction=rel.direction,
+        ).select(
+            F.col("start_id").alias(f"{src_var}_id"),
+            F.col("end_id").alias(f"{dst_var}_id"),
+            F.col("depth").alias(f"{rel.var or self._fresh('_r')}_length"),
+        )
+        self.frame = self.frame.join(paths, on=f"{src_var}_id", how="inner")
+        if dst_var in self.bindings:
+            raise NotImplementedError("cypher: var-length to a bound variable")
+        if dst.label is not None:
+            dn = self._node_frame(dst_var, dst.label)
+            self.frame = self.frame.join(dn, on=f"{dst_var}_id", how="inner")
+        self.bindings[dst_var] = Binding("node", label=dst.label)
+        self._apply_node_props(dst_var, dst)
+        return dst_var
+
+    # ---- UNWIND ---------------------------------------------------------
+
+    def _compile_unwind(self, u: A.UnwindClause) -> None:
+        col = self._expr(u.expr)
+        if self.frame is None:
+            self.frame = self.cat.spark.range(1).select(
+                F.explode(col).alias(u.var)
+            )
+        else:
+            self.frame = self.frame.select("*", F.explode(col).alias(u.var))
+        self.bindings[u.var] = Binding("value", column=u.var)
+
+    # ---- WITH / RETURN --------------------------------------------------
+
+    def _projection_columns(self, items) -> tuple[list, dict, list]:
+        """Resolve items → (select columns, new bindings, group keys).
+        Bare node vars expand to all their columns (identity grouping);
+        everything else becomes one named column."""
+        cols: list[Column] = []
+        new_bindings: dict[str, Binding] = {}
+        key_cols: list[str] = []
+        for item in items:
+            e, alias = item.expr, item.alias
+            if isinstance(e, A.Var) and e.name in self.bindings and (
+                self.bindings[e.name].kind in ("node", "rel") and alias is None
+            ):
+                var = e.name
+                prefix = f"{var}_"
+                var_cols = [c for c in self.frame.columns if c.startswith(prefix)]
+                cols.extend(F.col(c) for c in var_cols)
+                key_cols.extend(var_cols)
+                new_bindings[var] = self.bindings[var]
+                continue
+            name = alias or expr_name(e)
+            cols.append(self._expr(e).alias(name))
+            key_cols.append(name)
+            new_bindings[name] = Binding("value", column=name)
+        return cols, new_bindings, key_cols
+
+    def _compile_projection(self, clause) -> DataFrame:
+        items = clause.items
+        has_agg = any(_contains_agg(it.expr) for it in items)
+
+        if has_agg:
+            group_items = [it for it in items if not _contains_agg(it.expr)]
+            agg_items = [it for it in items if _contains_agg(it.expr)]
+            if self.frame is None:
+                self.frame = self.cat.spark.range(1)
+            gcols, gbind, gkeys = self._projection_columns(group_items)
+            aggs = []
+            abind: dict[str, Binding] = {}
+            for it in agg_items:
+                name = it.alias or expr_name(it.expr)
+                aggs.append(self._expr(it.expr, agg=True).alias(name))
+                abind[name] = Binding("value", column=name)
+            if gcols:
+                # compute group keys as columns first so expression keys
+                # (e.g. substring(...)) group correctly
+                tmp = self.frame
+                key_names = []
+                for c, k in zip(gcols, gkeys):
+                    if k not in tmp.columns:
+                        tmp = tmp.withColumn(k, c)
+                    key_names.append(k)
+                df = tmp.groupBy(*key_names).agg(*aggs)
+                df = df.select(*key_names, *list(abind))
+            else:
+                df = self.frame.agg(*aggs)
+            self.frame = df
+            self.bindings = {**gbind, **abind}
+        else:
+            if self.frame is None:
+                self.frame = self.cat.spark.range(1)
+            cols, nbind, _ = self._projection_columns(items)
+            self.frame = self.frame.select(*cols)
+            self.bindings = nbind
+
+        if clause.distinct:
+            self.frame = self.frame.distinct()
+        if getattr(clause, "where", None) is not None:
+            self.frame = self.frame.filter(self._expr(clause.where))
+        if clause.order:
+            sort_cols = []
+            extra = []
+            for n, s in enumerate(clause.order):
+                if isinstance(s.expr, A.Var) and s.expr.name in self.frame.columns:
+                    c = F.col(f"`{s.expr.name}`")
+                else:
+                    name = f"_sort{n}"
+                    self.frame = self.frame.withColumn(name, self._expr(s.expr))
+                    extra.append(name)
+                    c = F.col(name)
+                sort_cols.append(c.asc() if s.ascending else c.desc())
+            self.frame = self.frame.orderBy(*sort_cols)
+            for name in extra:
+                self.frame = self.frame.drop(name)
+        if clause.skip is not None:
+            self.frame = self.frame.offset(int(self._lit_value(clause.skip)))
+        if clause.limit is not None:
+            self.frame = self.frame.limit(int(self._lit_value(clause.limit)))
+        return self.frame
+
+    def _lit_value(self, e):
+        if isinstance(e, A.Lit):
+            return e.value
+        if isinstance(e, A.Param):
+            return self.params[e.name]
+        raise ValueError("cypher: SKIP/LIMIT must be literal or parameter")
+
+    # ---- expressions ----------------------------------------------------
+
+    def _dtype(self, col: Column) -> str:
+        probe = self.frame if self.frame is not None else self.cat.spark.range(1)
+        return probe.select(col.alias("_t")).schema[0].dataType.typeName()
+
+    def _expr(self, e, agg: bool = False) -> Column:
+        if isinstance(e, A.Lit):
+            return F.lit(e.value)
+        if isinstance(e, A.Param):
+            v = self.params[e.name]
+            if isinstance(v, (list, tuple)):
+                return F.array(*[F.lit(x) for x in v])
+            return F.lit(v)
+        if isinstance(e, A.Var):
+            b = self.bindings.get(e.name)
+            if b is None:
+                raise ValueError(f"cypher: unbound variable {e.name!r}")
+            if b.kind == "value":
+                return F.col(f"`{b.column}`")
+            return F.col(f"{e.name}_id")
+        if isinstance(e, A.Prop):
+            if isinstance(e.subject, A.Var):
+                var = e.subject.name
+                b = self.bindings.get(var)
+                if b is not None and b.kind in ("node", "rel"):
+                    col = f"{var}_{e.name}"
+                    if col not in self.frame.columns:
+                        raise ValueError(
+                            f"cypher: unknown property {var}.{e.name}"
+                        )
+                    return F.col(col)
+            return self._expr(e.subject).getField(e.name)
+        if isinstance(e, A.ListLit):
+            return F.array(*[self._expr(i) for i in e.items])
+        if isinstance(e, A.MapLit):
+            pairs = []
+            for k, v in e.items:
+                pairs.append(F.lit(k))
+                pairs.append(self._expr(v))
+            return F.create_map(*pairs)
+        if isinstance(e, A.Index):
+            return F.element_at(
+                self._expr(e.subject), self._expr(e.index).cast("int") + 1
+            )
+        if isinstance(e, A.IsNull):
+            c = self._expr(e.operand)
+            return c.isNotNull() if e.negated else c.isNull()
+        if isinstance(e, A.UnOp):
+            c = self._expr(e.operand, agg=agg)
+            return (~c) if e.op == "NOT" else (-c)
+        if isinstance(e, A.Case):
+            return self._case(e)
+        if isinstance(e, A.CountStar):
+            return F.count(F.lit(1))
+        if isinstance(e, A.Func):
+            return self._func(e, agg=agg)
+        if isinstance(e, A.BinOp):
+            return self._binop(e, agg=agg)
+        raise NotImplementedError(f"cypher: expression {type(e).__name__}")
+
+    def _case(self, e: A.Case) -> Column:
+        col = None
+        for cond, res in e.whens:
+            if e.subject is not None:
+                test = self._expr(e.subject) == self._expr(cond)
+            else:
+                test = self._expr(cond)
+            col = F.when(test, self._expr(res)) if col is None else col.when(
+                test, self._expr(res)
+            )
+        if e.default is not None:
+            col = col.otherwise(self._expr(e.default))
+        return col
+
+    def _binop(self, e: A.BinOp, agg: bool = False) -> Column:
+        op = e.op
+        if op in ("AND", "OR", "XOR"):
+            l, r = self._expr(e.left, agg), self._expr(e.right, agg)
+            if op == "AND":
+                return l & r
+            if op == "OR":
+                return l | r
+            return l != r  # 3VL XOR
+        l = self._expr(e.left, agg)
+        r = self._expr(e.right, agg)
+        if op == "+":
+            lt, rt = self._dtype(l), self._dtype(r)
+            if "string" in (lt, rt):
+                return F.concat(l.cast("string"), r.cast("string"))
+            if lt == "array" or rt == "array":
+                return F.concat(l, r)
+            return l + r
+        if op == "-":
+            return l - r
+        if op == "*":
+            return l * r
+        if op == "/":
+            # Cypher: integer / integer truncates; any float side → float
+            int_types = ("long", "integer", "short", "byte")
+            if self._dtype(l) in int_types and self._dtype(r) in int_types:
+                return (l / r).cast("long")
+            return l / r
+        if op == "%":
+            return l % r
+        if op == "=":
+            return l == r
+        if op == "<>":
+            return l != r
+        if op == "<":
+            return l < r
+        if op == ">":
+            return l > r
+        if op == "<=":
+            return l <= r
+        if op == ">=":
+            return l >= r
+        if op == "IN":
+            if isinstance(e.right, A.ListLit):
+                return l.isin([i.value for i in e.right.items if isinstance(i, A.Lit)])
+            if isinstance(e.right, A.Param) and isinstance(
+                self.params.get(e.right.name), (list, tuple)
+            ):
+                return l.isin(list(self.params[e.right.name]))
+            return F.array_contains(r, l)
+        if op == "STARTS":
+            return l.startswith(r)
+        if op == "ENDS":
+            return l.endswith(r)
+        if op == "CONTAINS":
+            return l.contains(r)
+        if op == "=~":
+            # Cypher =~ is a FULL-string match; rlike searches, so anchor.
+            return F.regexp_like(
+                l, F.concat(F.lit("^(?:"), r.cast("string"), F.lit(")$"))
+            )
+        raise NotImplementedError(f"cypher: operator {op}")
+
+    # ---- functions ------------------------------------------------------
+
+    def _func(self, e: A.Func, agg: bool = False) -> Column:
+        name = e.name
+        args = e.args
+
+        if name in AGG_FUNCS:
+            a = self._expr(args[0]) if args else None
+            if name == "count":
+                return F.countDistinct(a) if e.distinct else F.count(a)
+            if name == "sum":
+                return F.sum(a)
+            if name == "avg":
+                return F.avg(a)
+            if name == "min":
+                return F.min(a)
+            if name == "max":
+                return F.max(a)
+            if name == "collect":
+                inner = F.collect_set(a) if e.distinct else F.collect_list(a)
+                return F.array_sort(inner)
+            if name == "stdev":
+                return F.stddev_samp(a)
+            if name == "stdevp":
+                return F.stddev_pop(a)
+            if name == "percentilecont":
+                return F.percentile(a, self._expr(args[1]))
+            if name == "percentiledisc":
+                return F.percentile_approx(a, self._expr(args[1]), F.lit(2147483647))
+
+        if name in ("id", "elementid"):
+            v = args[0]
+            if isinstance(v, A.Var):
+                return F.col(f"{v.name}_id")
+        if name == "labels":
+            v = args[0]
+            b = self.bindings.get(v.name) if isinstance(v, A.Var) else None
+            if b is not None and b.label:
+                return F.array(F.lit(b.label))
+            return F.array(F.col(f"{v.name}_label"))
+        if name == "type":
+            v = args[0]
+            if isinstance(v, A.Var):
+                return F.col(f"{v.name}_type")
+
+        cols = [self._expr(a, agg=agg) for a in args]
+
+        if name == "size":
+            t = self._dtype(cols[0])
+            return F.length(cols[0]).cast("long") if t == "string" else F.size(cols[0]).cast("long")
+        if name in ("tolower", "lower"):
+            return F.lower(cols[0])
+        if name in ("toupper", "upper"):
+            return F.upper(cols[0])
+        if name == "trim":
+            return F.trim(cols[0])
+        if name == "ltrim":
+            return F.ltrim(cols[0])
+        if name == "rtrim":
+            return F.rtrim(cols[0])
+        if name == "replace":
+            return F.replace(cols[0], cols[1], cols[2])
+        if name == "split":
+            return F.split(cols[0], cols[1])
+        if name == "substring":
+            start = cols[1].cast("int") + 1  # Cypher is 0-based
+            if len(cols) > 2:
+                return F.substr(cols[0], start, cols[2].cast("int"))
+            return F.substr(cols[0], start)
+        if name == "left":
+            return F.substr(cols[0], F.lit(1), cols[1].cast("int"))
+        if name == "right":
+            return F.substr(
+                cols[0], F.length(cols[0]) - cols[1].cast("int") + 1, cols[1].cast("int")
+            )
+        if name == "lpad":
+            return F.lpad(cols[0], int(self._lit_value(args[1])), self._lit_value(args[2]))
+        if name == "rpad":
+            return F.rpad(cols[0], int(self._lit_value(args[1])), self._lit_value(args[2]))
+        if name == "tostring":
+            return cols[0].cast("string")
+        if name in ("tointeger", "tointegerornull"):
+            return F.try_cast(cols[0].cast("string"), "long") if name.endswith("ornull") else cols[0].cast("long")
+        if name in ("tofloat", "tofloatornull"):
+            return cols[0].cast("double")
+        if name == "toboolean":
+            return cols[0].cast("boolean")
+        if name == "coalesce":
+            return F.coalesce(*cols)
+        if name == "nullif":
+            return F.nullif(cols[0], cols[1])
+        if name == "abs":
+            return F.abs(cols[0])
+        if name == "ceil":
+            return F.ceil(cols[0]).cast("double")
+        if name == "floor":
+            return F.floor(cols[0]).cast("double")
+        if name == "round":
+            if len(cols) > 1:
+                return F.round(cols[0], int(self._lit_value(args[1])))
+            return F.round(cols[0], 0)
+        if name == "sign":
+            return F.signum(cols[0]).cast("long")
+        if name == "sqrt":
+            return F.sqrt(cols[0])
+        if name in ("sin", "cos", "tan", "asin", "acos", "atan", "exp", "log10"):
+            return getattr(F, name)(cols[0])
+        if name == "atan2":
+            return F.atan2(cols[0], cols[1])
+        if name == "log":
+            return F.log(cols[0])
+        if name == "pi":
+            return F.lit(3.141592653589793)
+        if name == "e":
+            return F.lit(2.718281828459045)
+        if name in ("power", "pow"):
+            return F.pow(cols[0], cols[1])
+        if name == "degrees":
+            return F.degrees(cols[0])
+        if name == "radians":
+            return F.radians(cols[0])
+        if name == "rand":
+            return F.rand()
+        if name == "randomuuid":
+            return F.expr("uuid()")
+        if name == "head":
+            return F.element_at(cols[0], 1)
+        if name == "last":
+            return F.element_at(cols[0], -1)
+        if name == "tail":
+            return F.slice(cols[0], 2, F.greatest(F.size(cols[0]) - 1, F.lit(0)))
+        if name == "reverse":
+            return F.reverse(cols[0])
+        if name == "range":
+            step = cols[2] if len(cols) > 2 else F.lit(1)
+            return F.sequence(cols[0], cols[1], step)
+        if name == "isempty":
+            t = self._dtype(cols[0])
+            return (F.length(cols[0]) == 0) if t == "string" else (F.size(cols[0]) == 0)
+        if name == "timestamp":
+            return (F.unix_timestamp() * 1000).cast("long")
+        if name == "date":
+            return F.to_date(cols[0]) if cols else F.current_date()
+        if name == "datetime":
+            return F.to_timestamp(cols[0]) if cols else F.current_timestamp()
+
+        # APOC passthroughs to our function library
+        from nornicdb_spark.functions import apoc as apoc_fns
+
+        apoc_map = {
+            "apoc.coll.sum": apoc_fns.coll_sum,
+            "apoc.coll.avg": apoc_fns.coll_avg,
+            "apoc.coll.min": apoc_fns.coll_min,
+            "apoc.coll.max": apoc_fns.coll_max,
+            "apoc.coll.toset": apoc_fns.coll_to_set,
+            "apoc.coll.flatten": apoc_fns.coll_flatten,
+            "apoc.coll.sort": apoc_fns.coll_sort,
+            "apoc.text.join": lambda a, b: F.array_join(a, self._lit_value(args[1])),
+            "apoc.convert.tojson": apoc_fns.convert_to_json,
+        }
+        if name in apoc_map:
+            return apoc_map[name](*cols)
+
+        raise NotImplementedError(f"cypher: function {name}()")
+
+
+def compile_cypher(
+    catalog: Catalog, query: str, params: dict | None = None
+) -> DataFrame:
+    """Parse + compile a Cypher query against the catalog's graph."""
+    return Compiler(catalog, params).compile(parse(query))

@@ -1,0 +1,44 @@
+"""Engine facade — the embedded-API equivalent of the reference's
+``nornicdb.Open(dir) → DB.Cypher(ctx, query, params)``
+(pkg/nornicdb/db.go:434, 1620), Spark-first: queries return DataFrames,
+never collected driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from nornicdb_spark.catalog import Catalog
+from nornicdb_spark.cypher.compiler import compile_cypher
+from nornicdb_spark.cypher.parser import parse
+
+
+class Engine:
+    """One graph database over a directory of parquet tables.
+
+    >>> eng = Engine(spark, "/root/testdata/sf0.001")
+    >>> eng.cypher("MATCH (c:Customer) RETURN count(*) AS n").show()
+    """
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.catalog = Catalog(spark, sf_dir)
+
+    def cypher(self, query: str, params: dict | None = None) -> DataFrame:
+        """Execute a Cypher query; returns the result DataFrame
+        (lazy — Catalyst plans it with the rest of the job)."""
+        return compile_cypher(self.catalog, query, params)
+
+    def explain(self, query: str, params: dict | None = None) -> str:
+        """EXPLAIN (reference explain.go:37-63): parsed clause summary +
+        Spark's formatted physical plan for the compiled DataFrame."""
+        ast = parse(query)
+        lines = ["=== Cypher AST ==="]
+        for clause in ast.clauses:
+            lines.append(f"  {type(clause).__name__}")
+        df = compile_cypher(self.catalog, query, params)
+        lines.append("=== Physical plan ===")
+        lines.append(df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+            df._jdf.queryExecution(), "formatted"
+        ))
+        return "\n".join(lines)

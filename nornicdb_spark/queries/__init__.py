@@ -39,5 +39,6 @@ from nornicdb_spark.queries import temporal  # noqa: E402,F401
 from nornicdb_spark.queries import mutations  # noqa: E402,F401
 from nornicdb_spark.queries import functions_ext  # noqa: E402,F401
 from nornicdb_spark.queries import sources_io  # noqa: E402,F401
+from nornicdb_spark.queries import cypher_queries  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "register"]

@@ -1,0 +1,105 @@
+"""Registry queries executed through the Cypher FRONTEND (parse → AST →
+DataFrame), not hand-built DataFrame code — so the driver's oracle gate
+exercises the full §3 pipeline end-to-end.
+"""
+
+from __future__ import annotations
+
+from nornicdb_spark.engine import Engine
+from nornicdb_spark.queries import register
+
+
+def _run(spark, sf_dir, q, params=None):
+    return Engine(spark, sf_dir).cypher(q, params)
+
+
+@register(
+    "cypher_top_balances",
+    oracle="""
+    SELECT c_name AS name, c_acctbal AS bal FROM customer
+    ORDER BY c_acctbal DESC, c_name ASC LIMIT 10
+    """,
+)
+def cypher_top_balances(spark, sf_dir):
+    # SURVEY §7 phase-0 flagship shape: LabelScan→Filter→Project→Sort→Limit
+    # through the parser.
+    return _run(
+        spark, sf_dir,
+        """MATCH (c:Customer) WHERE c.c_acctbal > $min
+           RETURN c.c_name AS name, c.c_acctbal AS bal
+           ORDER BY bal DESC, name ASC LIMIT 10""",
+        params={"min": -1e18},
+    )
+
+
+@register(
+    "cypher_orders_pipeline",
+    oracle="""
+    SELECT c_custkey AS k, CAST(count(*) AS BIGINT) AS n
+    FROM customer JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey HAVING count(*) >= 20
+    """,
+)
+def cypher_orders_pipeline(spark, sf_dir):
+    # pattern join + implicit grouping + WITH...WHERE (HAVING) through the
+    # frontend.
+    return _run(
+        spark, sf_dir,
+        """MATCH (c:Customer)-[:PLACED]->(o:Order)
+           WITH c.c_custkey AS k, count(*) AS n WHERE n >= 20
+           RETURN k, n""",
+    )
+
+
+@register(
+    "cypher_optional_match",
+    oracle="""
+    SELECT n_name AS name, CAST(count(s_suppkey) AS BIGINT) AS n
+    FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def cypher_optional_match(spark, sf_dir):
+    return _run(
+        spark, sf_dir,
+        """MATCH (n:Nation) OPTIONAL MATCH (n)<-[:FROM]-(s:Supplier)
+           RETURN n.n_name AS name, count(s.s_suppkey) AS n""",
+    )
+
+
+@register(
+    "cypher_union_case",
+    oracle="""
+    SELECT r_name AS name, 'region' AS kind FROM region
+    UNION
+    SELECT n_name AS name,
+           CASE WHEN n_regionkey < 2 THEN 'west' ELSE 'east' END AS kind
+    FROM nation
+    """,
+)
+def cypher_union_case(spark, sf_dir):
+    return _run(
+        spark, sf_dir,
+        """MATCH (r:Region) RETURN r.r_name AS name, 'region' AS kind
+           UNION
+           MATCH (n:Nation)
+           RETURN n.n_name AS name,
+                  CASE WHEN n.n_regionkey < 2 THEN 'west' ELSE 'east' END AS kind""",
+    )
+
+
+@register(
+    "cypher_unwind_functions",
+    oracle="""
+    SELECT w AS word, CAST(count(*) AS BIGINT) AS n,
+           CAST(length(w) AS BIGINT) AS len
+    FROM (SELECT unnest(string_split(p_name, ' ')) AS w FROM part)
+    GROUP BY w
+    """,
+)
+def cypher_unwind_functions(spark, sf_dir):
+    return _run(
+        spark, sf_dir,
+        """MATCH (p:Part) UNWIND split(p.p_name, ' ') AS w
+           RETURN w AS word, count(*) AS n, size(w) AS len""",
+    )

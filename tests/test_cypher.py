@@ -1,0 +1,361 @@
+"""Cypher frontend behavior tests — ported from the reference's corpus
+style (pkg/cypher/e2e_query_test.go:50-262,
+documentation_examples_test.go:16-706): one query per test, checked
+against DuckDB SQL on the same tables, or exact expected rows.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from nornicdb_spark.engine import Engine
+from tests.oracle_harness import compare
+
+
+@pytest.fixture(scope="module")
+def eng(spark, sf_dir):
+    return Engine(spark, sf_dir)
+
+
+def check(eng, duck, cypher_q, sql, params=None):
+    compare(eng.cypher(cypher_q, params), duck, sql)
+
+
+# ---- MATCH / WHERE / RETURN ---------------------------------------------
+
+def test_match_label_scan_count(eng, duck):
+    check(
+        eng, duck,
+        "MATCH (c:Customer) RETURN count(*) AS n",
+        "SELECT CAST(count(*) AS BIGINT) AS n FROM customer",
+    )
+
+
+def test_where_comparison_and_projection(eng, duck):
+    check(
+        eng, duck,
+        """MATCH (c:Customer) WHERE c.c_acctbal > 9000.0
+           RETURN c.c_name AS name, c.c_acctbal AS bal""",
+        "SELECT c_name AS name, c_acctbal AS bal FROM customer WHERE c_acctbal > 9000.0",
+    )
+
+
+def test_where_boolean_combinators(eng, duck):
+    check(
+        eng, duck,
+        """MATCH (c:Customer)
+           WHERE (c.c_acctbal < 0.0 OR c.c_acctbal > 9990.0)
+             AND NOT c.c_mktsegment = 'BUILDING'
+           RETURN c.c_custkey AS k""",
+        """SELECT c_custkey AS k FROM customer
+           WHERE (c_acctbal < 0.0 OR c_acctbal > 9990.0)
+             AND NOT c_mktsegment = 'BUILDING'""",
+    )
+
+
+def test_inline_property_filter(eng, duck):
+    check(
+        eng, duck,
+        "MATCH (n:Nation {n_nationkey: 7}) RETURN n.n_name AS name",
+        "SELECT n_name AS name FROM nation WHERE n_nationkey = 7",
+    )
+
+
+def test_string_predicates_and_regex(eng, duck):
+    check(
+        eng, duck,
+        """MATCH (p:Part)
+           WHERE p.p_name STARTS WITH 'a' AND p.p_name CONTAINS 'o'
+              OR p.p_name =~ '.*blue.*'
+           RETURN count(*) AS n""",
+        """SELECT CAST(count(*) AS BIGINT) AS n FROM part
+           WHERE p_name LIKE 'a%' AND p_name LIKE '%o%'
+              OR regexp_matches(p_name, '.*blue.*')""",
+    )
+
+
+def test_in_list_and_is_null(eng, duck):
+    check(
+        eng, duck,
+        """MATCH (n:Nation) WHERE n.n_regionkey IN [0, 2]
+           RETURN n.n_name AS name""",
+        "SELECT n_name AS name FROM nation WHERE n_regionkey IN (0, 2)",
+    )
+
+
+def test_parameters(eng, duck):
+    check(
+        eng, duck,
+        "MATCH (c:Customer) WHERE c.c_acctbal > $min RETURN count(*) AS n",
+        "SELECT CAST(count(*) AS BIGINT) AS n FROM customer WHERE c_acctbal > 5000.0",
+        params={"min": 5000.0},
+    )
+
+
+# ---- patterns -----------------------------------------------------------
+
+def test_one_hop_expand(eng, duck):
+    check(
+        eng, duck,
+        """MATCH (c:Customer)-[:PLACED]->(o:Order)
+           RETURN c.c_custkey AS k, count(*) AS n""",
+        """SELECT c_custkey AS k, CAST(count(*) AS BIGINT) AS n
+           FROM customer JOIN orders ON o_custkey = c_custkey GROUP BY c_custkey""",
+    )
+
+
+def test_chained_pattern_with_edge_property(eng, duck):
+    check(
+        eng, duck,
+        """MATCH (c:Customer)-[:PLACED]->(o:Order)-[r:CONTAINS]->(p:Part)
+           WHERE r.l_quantity > 45.0
+           RETURN c.c_custkey AS k, count(*) AS n""",
+        """SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+           WHERE l_quantity > 45.0 GROUP BY o_custkey""",
+    )
+
+
+def test_incoming_direction(eng, duck):
+    check(
+        eng, duck,
+        """MATCH (n:Nation)<-[:FROM]-(s:Supplier)
+           RETURN n.n_name AS name, count(*) AS n""",
+        """SELECT n_name AS name, CAST(count(*) AS BIGINT) AS n
+           FROM nation JOIN supplier ON s_nationkey = n_nationkey GROUP BY n_name""",
+    )
+
+
+def test_undirected_pattern(eng, duck):
+    check(
+        eng, duck,
+        "MATCH (n:Nation)-[:IN]-(x) RETURN n.n_name AS name, count(*) AS n",
+        "SELECT n_name AS name, CAST(1 AS BIGINT) AS n FROM nation",
+    )
+
+
+def test_multi_rel_types(eng, duck):
+    check(
+        eng, duck,
+        """MATCH (n:Nation)<-[:FROM|IN]-(x)
+           RETURN n.n_nationkey AS k, count(*) AS n""",
+        """SELECT n_nationkey AS k, CAST(
+             (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey)
+             + (SELECT count(*) FROM supplier WHERE s_nationkey = n_nationkey)
+           AS BIGINT) AS n
+           FROM nation""",
+    )
+
+
+def test_cartesian_product(eng, duck):
+    check(
+        eng, duck,
+        "MATCH (r:Region), (n:Nation) RETURN count(*) AS n",
+        "SELECT CAST((SELECT count(*) FROM region) * (SELECT count(*) FROM nation) AS BIGINT) AS n",
+    )
+
+
+def test_optional_match_nulls(eng, duck):
+    # nations with no suppliers keep a row with null supplier → count(s) = 0
+    check(
+        eng, duck,
+        """MATCH (n:Nation) OPTIONAL MATCH (n)<-[:FROM]-(s:Supplier)
+           RETURN n.n_nationkey AS k, count(s.s_suppkey) AS n""",
+        """SELECT n_nationkey AS k, CAST(count(s_suppkey) AS BIGINT) AS n
+           FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey
+           GROUP BY n_nationkey""",
+    )
+
+
+def test_var_length_path(eng, duck):
+    # (c)-[*1..2]->(x): depth1 = orders + nation, depth2 = parts + region
+    check(
+        eng, duck,
+        """MATCH (c:Customer)-[*1..2]->(x) RETURN count(*) AS n""",
+        """SELECT CAST(
+             (SELECT count(*) FROM orders) + (SELECT count(*) FROM customer)
+             + (SELECT count(*) FROM lineitem) + (SELECT count(*) FROM customer)
+           AS BIGINT) AS n""",
+    )
+
+
+# ---- aggregation / WITH / ORDER ----------------------------------------
+
+def test_implicit_grouping_aggregates(eng, duck):
+    check(
+        eng, duck,
+        """MATCH (o:Order)
+           RETURN o.o_orderstatus AS status, count(*) AS n,
+                  sum(o.o_totalprice) AS total, avg(o.o_totalprice) AS mean,
+                  min(o.o_totalprice) AS lo, max(o.o_totalprice) AS hi""",
+        """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
+                  sum(o_totalprice) AS total, avg(o_totalprice) AS mean,
+                  min(o_totalprice) AS lo, max(o_totalprice) AS hi
+           FROM orders GROUP BY o_orderstatus""",
+    )
+
+
+def test_count_distinct_and_collect(eng, duck):
+    check(
+        eng, duck,
+        """MATCH (c:Customer)
+           RETURN c.c_nationkey AS k, count(DISTINCT c.c_mktsegment) AS segs""",
+        """SELECT c_nationkey AS k, CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS segs
+           FROM customer GROUP BY c_nationkey""",
+    )
+
+
+def test_with_pipeline_having(eng, duck):
+    check(
+        eng, duck,
+        """MATCH (c:Customer)-[:PLACED]->(o:Order)
+           WITH c.c_custkey AS k, count(*) AS n WHERE n >= 20
+           RETURN k, n""",
+        """SELECT c_custkey AS k, CAST(count(*) AS BIGINT) AS n
+           FROM customer JOIN orders ON o_custkey = c_custkey
+           GROUP BY c_custkey HAVING count(*) >= 20""",
+    )
+
+
+def test_with_node_passthrough_then_property(eng, duck):
+    # WITH carries the node binding; later clauses still see c.c_name
+    check(
+        eng, duck,
+        """MATCH (c:Customer)-[:PLACED]->(o:Order)
+           WITH c, count(o) AS n WHERE n >= 25
+           RETURN c.c_name AS name, n""",
+        """SELECT c_name AS name, CAST(count(*) AS BIGINT) AS n
+           FROM customer JOIN orders ON o_custkey = c_custkey
+           GROUP BY c_custkey, c_name HAVING count(*) >= 25""",
+    )
+
+
+def test_order_skip_limit(eng, duck):
+    check(
+        eng, duck,
+        """MATCH (c:Customer)
+           RETURN c.c_custkey AS k, c.c_acctbal AS bal
+           ORDER BY bal DESC, k ASC SKIP 5 LIMIT 10""",
+        """SELECT c_custkey AS k, c_acctbal AS bal FROM customer
+           ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 10 OFFSET 5""",
+    )
+
+
+def test_return_distinct(eng, duck):
+    check(
+        eng, duck,
+        "MATCH (c:Customer) RETURN DISTINCT c.c_mktsegment AS seg",
+        "SELECT DISTINCT c_mktsegment AS seg FROM customer",
+    )
+
+
+# ---- UNWIND / UNION / CASE / expressions --------------------------------
+
+def test_unwind_literal_list(eng, duck):
+    check(
+        eng, duck,
+        "UNWIND [1, 2, 3] AS x RETURN x, x * 10 AS y",
+        "SELECT x, x * 10 AS y FROM (VALUES (1), (2), (3)) t(x)",
+    )
+
+
+def test_unwind_split_column(eng, duck):
+    check(
+        eng, duck,
+        """MATCH (r:Region) UNWIND split(r.r_name, ' ') AS w
+           RETURN w, count(*) AS n""",
+        """SELECT w, CAST(count(*) AS BIGINT) AS n
+           FROM (SELECT unnest(string_split(r_name, ' ')) AS w FROM region)
+           GROUP BY w""",
+    )
+
+
+def test_union_and_union_all(eng, duck):
+    check(
+        eng, duck,
+        """MATCH (r:Region) RETURN r.r_name AS name
+           UNION MATCH (n:Nation) RETURN n.n_name AS name""",
+        "SELECT r_name AS name FROM region UNION SELECT n_name FROM nation",
+    )
+    check(
+        eng, duck,
+        """MATCH (r:Region) RETURN r.r_regionkey AS k
+           UNION ALL MATCH (r:Region) RETURN r.r_regionkey AS k""",
+        """SELECT r_regionkey AS k FROM region
+           UNION ALL SELECT r_regionkey FROM region""",
+    )
+
+
+def test_case_expression(eng, duck):
+    check(
+        eng, duck,
+        """MATCH (c:Customer)
+           RETURN CASE WHEN c.c_acctbal < 0.0 THEN 'neg'
+                       WHEN c.c_acctbal < 5000.0 THEN 'mid'
+                       ELSE 'high' END AS band, count(*) AS n""",
+        """SELECT CASE WHEN c_acctbal < 0.0 THEN 'neg'
+                       WHEN c_acctbal < 5000.0 THEN 'mid'
+                       ELSE 'high' END AS band, CAST(count(*) AS BIGINT) AS n
+           FROM customer GROUP BY 1""",
+    )
+
+
+def test_scalar_function_soup(eng, duck):
+    check(
+        eng, duck,
+        """MATCH (n:Nation)
+           RETURN toLower(n.n_name) AS lo, size(n.n_name) AS len,
+                  substring(n.n_name, 0, 3) AS pre,
+                  abs(n.n_nationkey - 10) AS dist""",
+        """SELECT lower(n_name) AS lo, CAST(length(n_name) AS BIGINT) AS len,
+                  substring(n_name, 1, 3) AS pre,
+                  CAST(abs(n_nationkey - 10) AS BIGINT) AS dist
+           FROM nation""",
+    )
+
+
+def test_arithmetic_and_string_concat(eng, duck):
+    check(
+        eng, duck,
+        """MATCH (n:Nation)
+           RETURN n.n_name + '_' + toString(n.n_regionkey) AS tag,
+                  n.n_nationkey % 5 AS m, n.n_nationkey / 2 AS half""",
+        """SELECT n_name || '_' || CAST(n_regionkey AS VARCHAR) AS tag,
+                  n_nationkey % 5 AS m, n_nationkey // 2 AS half
+           FROM nation""",
+    )
+
+
+def test_list_literal_indexing_and_functions(eng, duck):
+    check(
+        eng, duck,
+        """UNWIND [[1,2,3],[4,5,6]] AS xs
+           RETURN head(xs) AS h, last(xs) AS l, xs[1] AS second,
+                  size(xs) AS n, reverse(xs)[0] AS rev0""",
+        """SELECT xs[1] AS h, xs[3] AS l, xs[2] AS second,
+                  CAST(len(xs) AS BIGINT) AS n, list_reverse(xs)[1] AS rev0
+           FROM (VALUES ([1,2,3]), ([4,5,6])) t(xs)""",
+    )
+
+
+def test_id_function_and_labels(eng, duck):
+    check(
+        eng, duck,
+        "MATCH (r:Region) RETURN id(r) AS rid ORDER BY rid",
+        """SELECT 'Region:' || CAST(r_regionkey AS VARCHAR) AS rid
+           FROM region ORDER BY rid""",
+    )
+
+
+def test_xor_three_valued(eng):
+    rows = eng.cypher(
+        "UNWIND [1, 2, 3, 4] AS x RETURN x, (x > 1) XOR (x < 4) AS v"
+    ).collect()
+    assert {r.x: r.v for r in rows} == {1: True, 2: False, 3: False, 4: True}
+
+
+def test_explain_produces_plan(eng):
+    txt = Engine.explain(
+        eng, "MATCH (c:Customer) WHERE c.c_acctbal > 0.0 RETURN c.c_name AS n"
+    )
+    assert "Cypher AST" in txt and "MatchClause" in txt
