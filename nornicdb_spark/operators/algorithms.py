@@ -49,9 +49,11 @@ def pagerank(
     Returns (id, pagerank). Scale: ranks/edges are hash-partitioned on id;
     each iteration is one shuffle (join + agg); lineage cut per iteration.
     """
+    # static across iterations — scan once, pre-hashed on the join key so
+    # each round shuffles only the (much smaller) rank vector
     edges = (graph.edges_by_type(*rel_types) if rel_types else graph.edges).select(
         "src", "dst"
-    )
+    ).repartition("src").localCheckpoint(eager=True)
     nodes = graph.nodes.select("id")
     n = nodes.count()
     if n == 0:
@@ -64,7 +66,7 @@ def pagerank(
     ranks = nodes.join(out_deg, "id", "left_outer").withColumn(
         "rank", F.lit(1.0 / n)
     )
-    ranks = ranks.localCheckpoint(eager=True)
+    ranks = ranks.repartition("id").localCheckpoint(eager=True)
 
     for _ in range(iterations):
         contribs = (
@@ -109,7 +111,7 @@ def connected_components(graph, max_iterations: int = 30) -> DataFrame:
             graph.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
-    )
+    ).repartition("src").localCheckpoint(eager=True)  # static across iterations
     labels = graph.nodes.select("id", F.col("id").alias("component"))
     labels = labels.localCheckpoint(eager=True)
 
@@ -148,7 +150,7 @@ def label_propagation(graph, max_iterations: int = 10) -> DataFrame:
     Returns (id, community)."""
     und = graph.edges.select("src", "dst").unionByName(
         graph.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).repartition("src").localCheckpoint(eager=True)  # static across iterations
     labels = graph.nodes.select("id", F.col("id").alias("community"))
     labels = labels.localCheckpoint(eager=True)
 
@@ -197,7 +199,7 @@ def common_neighbors(
     """
     e = (graph.edges_by_type(*rel_types) if rel_types else graph.edges).select(
         F.col("src").alias("node"), F.col("dst").alias("nbr")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)  # read 4× below (deg, nbr_deg, both join sides)
     deg = e.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
     nbr_deg = e.groupBy("nbr").agg(F.count(F.lit(1)).alias("nbr_in_deg"))
 
@@ -284,6 +286,7 @@ def weighted_shortest_paths(
         )
     else:
         e = e.select("src", "dst", F.lit(1.0).alias("w"))
+    e = e.localCheckpoint(eager=True)  # static across relaxation rounds
 
     best = start.select(
         F.col("id").alias("start_id"),
@@ -359,6 +362,7 @@ def astar_shortest_path(
         )
     else:
         e = e.select("src", "dst", F.lit(1.0).alias("w"))
+    e = e.localCheckpoint(eager=True)  # static across relaxation rounds
     h = heuristic.select(F.col("id").alias("end_id"), F.col("h").alias("h"))
     targets = target.select(F.col("id").alias("end_id")).distinct()
 
@@ -435,7 +439,7 @@ def closeness_centrality(
     """
     und = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)  # static across BFS rounds
     n = nodes.count()
 
     visited = nodes.select(
@@ -490,7 +494,7 @@ def betweenness_centrality(
     δ(v) += σ(v)/σ(w)·(1+δ(w)). Rounds = 2·diameter; state is
     (source, node) pairs partitioned by source.
     """
-    e = edges.select("src", "dst")
+    e = edges.select("src", "dst").localCheckpoint(eager=True)  # both sweeps
     n = nodes.count()
 
     # ---- forward: per-(source, node) depth + path count σ -------------
@@ -586,11 +590,12 @@ def louvain_communities(
     und = und.unionByName(
         und.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
     )
+    und = und.localCheckpoint(eager=True)  # static across rounds
     two_m = und.agg(F.sum("w")).collect()[0][0] or 0.0
     if two_m == 0:
         return nodes.select("id", F.col("id").alias("community"))
 
-    k = und.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("k"))
+    k = und.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("k")).localCheckpoint(eager=True)
     comm = nodes.select("id", F.col("id").alias("community")).localCheckpoint(eager=True)
 
     stalled = 0
@@ -685,7 +690,7 @@ def fastrp_embeddings(
     )
     und = und.unionByName(
         und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).localCheckpoint(eager=True)  # static across layers
 
     dims = F.explode(F.sequence(F.lit(0), F.lit(dim - 1))).alias("d")
     h = F.pmod(F.xxhash64(F.col("id"), F.col("d"), F.lit(seed)), F.lit(6))

@@ -57,7 +57,10 @@ def var_length_paths(
     """
     if min_hops < 0 or max_hops < min_hops:
         raise ValueError("need 0 <= min_hops <= max_hops")
-    edges = _oriented_edges(graph, rel_types, direction)
+    # the static edge set is reused every iteration — materialize once
+    # (GraphX caches edges for exactly this reason; without it each
+    # round re-derives the union-of-parquet-scans edge projection)
+    edges = _oriented_edges(graph, rel_types, direction).localCheckpoint(eager=True)
 
     frontier = start.select(
         F.col("id").alias("start_id"),
@@ -112,7 +115,7 @@ def shortest_paths(
     Frontier BFS from all starts at once; ``visited`` keeps the first
     (= minimal) depth each node was reached from each start.
     """
-    edges = _oriented_edges(graph, rel_types, direction).select("src", "dst")
+    edges = _oriented_edges(graph, rel_types, direction).select("src", "dst").localCheckpoint(eager=True)
     targets = target.select(F.col("id").alias("end_id")).distinct()
 
     visited = start.select(
@@ -158,7 +161,7 @@ def all_shortest_paths(
     BFS that carries node paths but prunes to first-reached depth per
     (start, end): all parents at min depth survive, deeper re-visits drop.
     """
-    edges = _oriented_edges(graph, rel_types, direction).select("src", "dst")
+    edges = _oriented_edges(graph, rel_types, direction).select("src", "dst").localCheckpoint(eager=True)
     targets = target.select(F.col("id").alias("end_id")).distinct()
 
     frontier = start.select(
