@@ -403,6 +403,54 @@ def graph_khop_supplier(spark, sf_dir):
     return algorithms.k_hop_neighborhood(g, starts, k=2)
 
 
+@register(
+    "graph_shortest_path_supplier_region",
+    oracle="""
+    SELECT 'Supplier:' || s_suppkey AS start_id,
+           'Region:' || n_regionkey AS end_id,
+           2 AS distance
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    """,
+)
+def graph_shortest_path_supplier_region(spark, sf_dir):
+    # shortestPath((s:Supplier)-[*..4]->(r:Region)) (reference
+    # shortest_path.go:18-365): BFS with early exit; every supplier
+    # reaches exactly its nation's region at hop 2.
+    from nornicdb_spark.operators.paths import shortest_paths
+
+    g = _graph(spark, sf_dir)
+    starts = g.nodes_by_label("Supplier").select("id")
+    targets = g.nodes_by_label("Region").select("id")
+    return shortest_paths(g, starts, targets, max_hops=4)
+
+
+@register(
+    "graph_all_shortest_paths_customer_parts",
+    oracle="""
+    SELECT 'Customer:' || o_custkey AS start_id,
+           'Part:' || l_partkey AS end_id,
+           2 AS distance,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_paths
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_custkey, l_partkey
+    """,
+)
+def graph_all_shortest_paths_customer_parts(spark, sf_dir):
+    # allShortestPaths((c:Customer)-[*..2]->(p:Part)) (reference
+    # traversal.go:1435-1553): every min-length node sequence survives —
+    # one distinct path per intermediate order, so the per-pair path
+    # count equals the distinct orders linking customer to part.
+    from nornicdb_spark.operators.paths import all_shortest_paths
+
+    g = _graph(spark, sf_dir)
+    starts = g.nodes_by_label("Customer").select("id")
+    targets = g.nodes_by_label("Part").select("id")
+    paths = all_shortest_paths(g, starts, targets, max_hops=2)
+    return paths.groupBy("start_id", "end_id", "distance").agg(
+        F.count(F.lit(1)).alias("n_paths")
+    )
+
+
 @register("graph_connected_components")  # iterative fixpoint; rows-only check
 def graph_connected_components(spark, sf_dir):
     # apoc.algo.wcc (reference apoc_community.go:332-429): component sizes
