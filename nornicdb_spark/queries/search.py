@@ -183,3 +183,17 @@ def ann_lsh(spark, sf_dir):
     dim = len(_query_vec(spark, sf_dir))
     idx = vector.RandomHyperplaneLSH.build(dim, n_bits=24, n_bands=8)
     return idx.search(emb, _query_vec(spark, sf_dir), k=10)
+
+
+@register("ann_hnsw")  # approximate — rows-only; recall gated in tests
+def ann_hnsw(spark, sf_dir):
+    # batch-built HNSW, broadcast query fan-out (reference
+    # search/hnsw_index.go; presets hnsw_config.go:37-68).
+    from nornicdb_spark.search.hnsw import HnswIndex
+
+    emb = Catalog(spark, sf_dir).embeddings
+    idx = HnswIndex.build(emb, preset="balanced")
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding").orderBy(
+        "query_id"
+    ).limit(25)
+    return idx.search_distributed(queries, k=10)

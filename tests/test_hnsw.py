@@ -1,0 +1,47 @@
+"""HNSW recall + determinism tests (reference search/hnsw_recall_test.go
+style: approximate results must overlap the exact brute-force oracle)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nornicdb_spark.search.hnsw import HnswIndex
+from nornicdb_spark.search.vector import cosine_topk
+
+
+def test_hnsw_recall_vs_bruteforce(spark, catalog):
+    emb = catalog.embeddings
+    query = [float((i * 7) % 13) / 13.0 for i in range(64)]
+
+    idx = HnswIndex.build(emb, preset="balanced")
+    approx = [vid for vid, _ in idx.search(query, k=10)]
+
+    exact = [
+        r.vec_id
+        for r in cosine_topk(emb, query, k=10, id_col="vec_id").collect()
+    ]
+    overlap = len(set(approx) & set(exact))
+    assert overlap >= 9, f"recall@10 too low: {overlap}/10"
+
+
+def test_hnsw_deterministic_build(spark, catalog):
+    emb = catalog.embeddings
+    q = [1.0] * 64
+    a = HnswIndex.build(emb).search(q, k=5)
+    b = HnswIndex.build(emb).search(q, k=5)
+    assert a == b
+
+
+def test_hnsw_distributed_queries(spark, catalog):
+    emb = catalog.embeddings
+    idx = HnswIndex.build(emb, preset="fast")
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    ).limit(20)
+    res = idx.search_distributed(queries, k=3)
+    rows = res.collect()
+    assert len(rows) == 60
+    # self should be its own nearest neighbor (exact vector present)
+    top1 = {r.query_id: r.vec_id for r in rows if r.rank == 1}
+    hits = sum(1 for qid, vid in top1.items() if qid == vid)
+    assert hits >= 18
