@@ -88,6 +88,26 @@ class Index:
     index: object  # expression; list[i] (0-based in Cypher)
 
 
+@dataclass(frozen=True)
+class ListComp:
+    """[var IN list WHERE pred | expr] — filter and/or transform."""
+
+    var: str
+    source: object
+    where: object | None
+    map: object | None
+
+
+@dataclass(frozen=True)
+class ExistsPattern:
+    """EXISTS { (a)-[:T]->(b) [WHERE ...] } — pattern-existence predicate
+    (reference executor_mutations.go:1256-1313). Only valid in WHERE;
+    compiled to a semi/anti join, not a per-row expression."""
+
+    paths: tuple
+    where: object | None
+
+
 # ---- patterns -----------------------------------------------------------
 
 @dataclass(frozen=True)

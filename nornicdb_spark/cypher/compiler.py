@@ -95,6 +95,8 @@ class Compiler:
         self.params = params or {}
         self.frame: DataFrame | None = None
         self.bindings: dict[str, Binding] = {}
+        self._lambda_vars: dict[str, Column] = {}
+        self._lambda_types: dict[str, str] = {}
         self._anon = itertools.count()
 
     # ---- top level ------------------------------------------------------
@@ -166,7 +168,49 @@ class Compiler:
         for path in m.paths:
             self._compile_path(path)
         if m.where is not None:
-            self.frame = self.frame.filter(self._expr(m.where))
+            self._apply_where(m.where)
+
+    def _apply_where(self, where) -> None:
+        """Split top-level AND conjuncts; EXISTS{}/NOT EXISTS{} become
+        semi/anti joins (reference executor_mutations.go:1256-1313), the
+        rest a plain filter."""
+        plain = []
+        for conj in self._conjuncts(where):
+            if isinstance(conj, A.ExistsPattern):
+                self._apply_exists(conj, negate=False)
+            elif isinstance(conj, A.UnOp) and conj.op == "NOT" and isinstance(
+                conj.operand, A.ExistsPattern
+            ):
+                self._apply_exists(conj.operand, negate=True)
+            else:
+                plain.append(conj)
+        for conj in plain:
+            self.frame = self.frame.filter(self._expr(conj))
+
+    @staticmethod
+    def _conjuncts(e) -> list:
+        if isinstance(e, A.BinOp) and e.op == "AND":
+            return Compiler._conjuncts(e.left) + Compiler._conjuncts(e.right)
+        return [e]
+
+    def _apply_exists(self, ex: "A.ExistsPattern", negate: bool) -> None:
+        """Row-id semi/anti join: tag each current row, extend the frame
+        with the subquery pattern, keep/drop rows with ≥1 extension. The
+        tag is checkpointed so monotonically_increasing_id never recomputes
+        differently across the two plan branches."""
+        tagged = self.frame.withColumn(
+            "_row_id", F.monotonically_increasing_id()
+        ).localCheckpoint(eager=True)
+        saved_bindings = dict(self.bindings)
+        self.frame = tagged
+        for path in ex.paths:
+            self._compile_path(path)
+        if ex.where is not None:
+            self._apply_where(ex.where)
+        hits = self.frame.select("_row_id").distinct()
+        how = "left_anti" if negate else "left_semi"
+        self.frame = tagged.join(hits, "_row_id", how).drop("_row_id")
+        self.bindings = saved_bindings
 
     def _compile_path(self, path: A.Path) -> None:
         elems = path.elements
@@ -388,6 +432,33 @@ class Compiler:
         probe = self.frame if self.frame is not None else self.cat.spark.range(1)
         return probe.select(col.alias("_t")).schema[0].dataType.typeName()
 
+    _STRING_FUNCS = {
+        "tolower", "lower", "toupper", "upper", "trim", "ltrim", "rtrim",
+        "replace", "substring", "left", "right", "lpad", "rpad", "tostring",
+    }
+    _ARRAY_FUNCS = {"split", "collect", "tail", "range", "labels"}
+
+    def _dtype_ast(self, e) -> str:
+        """Static type of an AST expression where derivable (lambda vars,
+        literals, known function shapes); falls back to a frame probe."""
+        if isinstance(e, A.Lit):
+            return {
+                bool: "boolean", int: "long", float: "double", str: "string",
+            }.get(type(e.value), "unknown")
+        if isinstance(e, (A.ListLit, A.ListComp)):
+            return "array"
+        if isinstance(e, A.Var) and e.name in self._lambda_types:
+            return self._lambda_types[e.name]
+        if isinstance(e, A.Func):
+            if e.name in self._STRING_FUNCS:
+                return "string"
+            if e.name in self._ARRAY_FUNCS:
+                return "array"
+        try:
+            return self._dtype(self._expr(e))
+        except Exception:
+            return "unknown"
+
     def _expr(self, e, agg: bool = False) -> Column:
         if isinstance(e, A.Lit):
             return F.lit(e.value)
@@ -397,6 +468,8 @@ class Compiler:
                 return F.array(*[F.lit(x) for x in v])
             return F.lit(v)
         if isinstance(e, A.Var):
+            if e.name in self._lambda_vars:
+                return self._lambda_vars[e.name]
             b = self.bindings.get(e.name)
             if b is None:
                 raise ValueError(f"cypher: unbound variable {e.name!r}")
@@ -423,6 +496,33 @@ class Compiler:
                 pairs.append(F.lit(k))
                 pairs.append(self._expr(v))
             return F.create_map(*pairs)
+        if isinstance(e, A.ListComp):
+            src_col = self._expr(e.source)
+            probe = self.frame if self.frame is not None else self.cat.spark.range(1)
+            src_type = probe.select(src_col.alias("_t")).schema[0].dataType
+            elem_type = (
+                src_type.elementType.typeName()
+                if src_type.typeName() == "array"
+                else "unknown"
+            )
+
+            def scoped(expr_ast):
+                def fn(x):
+                    self._lambda_vars[e.var] = x
+                    self._lambda_types[e.var] = elem_type
+                    try:
+                        return self._expr(expr_ast)
+                    finally:
+                        del self._lambda_vars[e.var]
+                        del self._lambda_types[e.var]
+                return fn
+
+            out = src_col
+            if e.where is not None:
+                out = F.filter(out, scoped(e.where))
+            if e.map is not None:
+                out = F.transform(out, scoped(e.map))
+            return out
         if isinstance(e, A.Index):
             return F.element_at(
                 self._expr(e.subject), self._expr(e.index).cast("int") + 1
@@ -469,7 +569,7 @@ class Compiler:
         l = self._expr(e.left, agg)
         r = self._expr(e.right, agg)
         if op == "+":
-            lt, rt = self._dtype(l), self._dtype(r)
+            lt, rt = self._dtype_ast(e.left), self._dtype_ast(e.right)
             if "string" in (lt, rt):
                 return F.concat(l.cast("string"), r.cast("string"))
             if lt == "array" or rt == "array":
@@ -482,7 +582,7 @@ class Compiler:
         if op == "/":
             # Cypher: integer / integer truncates; any float side → float
             int_types = ("long", "integer", "short", "byte")
-            if self._dtype(l) in int_types and self._dtype(r) in int_types:
+            if self._dtype_ast(e.left) in int_types and self._dtype_ast(e.right) in int_types:
                 return (l / r).cast("long")
             return l / r
         if op == "%":
@@ -568,7 +668,7 @@ class Compiler:
         cols = [self._expr(a, agg=agg) for a in args]
 
         if name == "size":
-            t = self._dtype(cols[0])
+            t = self._dtype_ast(args[0])
             return F.length(cols[0]).cast("long") if t == "string" else F.size(cols[0]).cast("long")
         if name in ("tolower", "lower"):
             return F.lower(cols[0])
@@ -657,7 +757,7 @@ class Compiler:
             step = cols[2] if len(cols) > 2 else F.lit(1)
             return F.sequence(cols[0], cols[1], step)
         if name == "isempty":
-            t = self._dtype(cols[0])
+            t = self._dtype_ast(args[0])
             return (F.length(cols[0]) == 0) if t == "string" else (F.size(cols[0]) == 0)
         if name == "timestamp":
             return (F.unix_timestamp() * 1000).cast("long")

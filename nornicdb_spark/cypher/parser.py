@@ -383,6 +383,18 @@ class Parser:
                 return A.Lit(None)
             if kw == "CASE":
                 return self.parse_case()
+            if kw == "EXISTS":
+                self.take()
+                self.expect("OP", "{")
+                paths = [self.parse_path()]
+                while self.accept("OP", ","):
+                    paths.append(self.parse_path())
+                where = None
+                if self.at_kw("WHERE"):
+                    self.take()
+                    where = self.parse_expr()
+                self.expect("OP", "}")
+                return A.ExistsPattern(paths=tuple(paths), where=where)
             if kw == "COUNT":
                 # count(*) | count(expr) | count(DISTINCT expr)
                 self.take()
@@ -400,6 +412,20 @@ class Parser:
             self.expect("OP", ")")
             return e
         if t.kind == "OP" and t.value == "[":
+            # list comprehension [x IN xs WHERE p | e] vs plain literal
+            if self.at_name(k=1) and self.at("KEYWORD", "IN", k=2):
+                self.take()
+                var = self.expect_name()
+                self.expect("KEYWORD", "IN")
+                source = self.parse_expr()
+                where = map_expr = None
+                if self.at_kw("WHERE"):
+                    self.take()
+                    where = self.parse_expr()
+                if self.accept("OP", "|"):
+                    map_expr = self.parse_expr()
+                self.expect("OP", "]")
+                return A.ListComp(var=var, source=source, where=where, map=map_expr)
             self.take()
             items: list = []
             if not self.at("OP", "]"):

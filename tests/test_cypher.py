@@ -359,3 +359,67 @@ def test_explain_produces_plan(eng):
         eng, "MATCH (c:Customer) WHERE c.c_acctbal > 0.0 RETURN c.c_name AS n"
     )
     assert "Cypher AST" in txt and "MatchClause" in txt
+
+
+# ---- EXISTS subqueries / list comprehensions ----------------------------
+
+def test_exists_pattern_subquery(eng, duck):
+    check(
+        eng, duck,
+        """MATCH (p:Part) WHERE EXISTS { (p)<-[:SUPPLIES]-(s:Supplier) }
+           RETURN count(*) AS n""",
+        """SELECT CAST(count(*) AS BIGINT) AS n FROM part
+           WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""",
+    )
+
+
+def test_not_exists_pattern_subquery(eng, duck):
+    check(
+        eng, duck,
+        """MATCH (c:Customer) WHERE NOT EXISTS { (c)-[:PLACED]->(o:Order) }
+           RETURN count(*) AS n""",
+        """SELECT CAST(count(*) AS BIGINT) AS n FROM customer
+           WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    )
+
+
+def test_exists_with_inner_where(eng, duck):
+    check(
+        eng, duck,
+        """MATCH (c:Customer)
+           WHERE EXISTS { (c)-[:PLACED]->(o:Order) WHERE o.o_totalprice > 400000.0 }
+             AND c.c_acctbal > 0.0
+           RETURN count(*) AS n""",
+        """SELECT CAST(count(*) AS BIGINT) AS n FROM customer
+           WHERE EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+             AND c_acctbal > 0.0""",
+    )
+
+
+def test_list_comprehension_filter_map(eng, duck):
+    check(
+        eng, duck,
+        """MATCH (p:Part)
+           RETURN p.p_partkey AS k,
+                  size([w IN split(p.p_name, ' ') WHERE size(w) > 4]) AS n_long,
+                  [w IN split(p.p_name, ' ') | toUpper(w)][0] AS first_up""",
+        """SELECT p_partkey AS k,
+                  CAST(len(list_filter(string_split(p_name, ' '),
+                                       w -> length(w) > 4)) AS BIGINT) AS n_long,
+                  list_transform(string_split(p_name, ' '), w -> upper(w))[1]
+                    AS first_up
+           FROM part""",
+    )
+
+
+def test_list_comprehension_in_where(eng, duck):
+    check(
+        eng, duck,
+        """MATCH (n:Nation)
+           WHERE size([w IN split(n.n_name, ' ') WHERE w CONTAINS 'A']) > 0
+           RETURN count(*) AS n""",
+        """SELECT CAST(count(*) AS BIGINT) AS n FROM nation
+           WHERE len(list_filter(string_split(n_name, ' '),
+                                 w -> contains(w, 'A'))) > 0""",
+    )
