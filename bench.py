@@ -9,6 +9,7 @@ the first measurement.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -21,16 +22,30 @@ from nornicdb_spark import get_spark
 from nornicdb_spark.queries import QUERIES
 
 HEADLINE = [
+    # relational core
     "q1_pricing_summary",
     "q3_top_unshipped_revenue",
     "q5_revenue_by_nation",
     "topk_orders_per_priority",
     "window_lag_running_sum",
+    # graph patterns + algorithms
     "graph_orders_per_customer",
     "graph_customer_parts_2hop",
     "graph_link_prediction_suppliers",
     "graph_var_length_reach",
     "graph_pagerank",
+    "graph_dijkstra_customer_parts",
+    # cypher frontend end-to-end
+    "cypher_orders_pipeline",
+    # search
+    "bm25_topk",
+    "vector_knn_join",
+    "hybrid_rrf",
+    # LLM-pipeline ops
+    "dedup_minhash_lsh",
+    "text_quality_scores",
+    # mutations
+    "mutation_merge_order_counts",
 ]
 
 
@@ -48,13 +63,21 @@ def main():
     # warmup: touch the fact table + trigger codegen paths
     materialize(QUERIES["q1_pricing_summary"](spark, sf_dir))
 
+    # two passes, min per query: host-level contention adds 2-3×
+    # multiplicative noise to single shots; the min is the honest
+    # engine-cost estimate
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in QUERIES:
-            continue
-        t0 = time.perf_counter()
-        materialize(QUERIES[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _pass in range(2):
+        for name in HEADLINE:
+            if name not in QUERIES:
+                continue
+            t0 = time.perf_counter()
+            materialize(QUERIES[name](spark, sf_dir))
+            dt = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
+            # drop references to this query's checkpointed RDDs promptly so
+            # the shared JVM's block manager doesn't bloat into later queries
+            gc.collect()
 
     total = round(sum(timings.values()), 3)
     print(

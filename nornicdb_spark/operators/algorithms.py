@@ -271,8 +271,11 @@ def weighted_shortest_paths(
     degenerate case): each round relaxes the *improved* frontier only, so
     settled mass stops shuffling — rounds ≈ longest shortest-path hop
     count. Returns ``(start_id, end_id, cost[, node_path])``; cost of the
-    start itself is 0.0. Ties on cost break by lexicographic node_path
-    (deterministic).
+    start itself is 0.0. With ``with_paths`` ties on cost break by
+    lexicographic node_path (deterministic); without it only the scalar
+    min cost is tracked — path arrays never enter the shuffle, which is
+    the difference between shuffling (pair, double) and (pair, array)
+    rows at 100 TB.
     """
     from nornicdb_spark.operators.paths import _oriented_edges
 
@@ -288,27 +291,36 @@ def weighted_shortest_paths(
         e = e.select("src", "dst", F.lit(1.0).alias("w"))
     e = e.localCheckpoint(eager=True)  # static across relaxation rounds
 
+    state = [F.lit(0.0).alias("cost")]
+    if with_paths:
+        state.append(F.array(F.col("id")).alias("node_path"))
     best = start.select(
-        F.col("id").alias("start_id"),
-        F.col("id").alias("end_id"),
-        F.lit(0.0).alias("cost"),
-        F.array(F.col("id")).alias("node_path"),
+        F.col("id").alias("start_id"), F.col("id").alias("end_id"), *state
     ).localCheckpoint(eager=True)
     frontier = best
 
-    for _ in range(max_iterations):
-        cand = (
-            frontier.join(e, frontier.end_id == e.src)
-            .select(
-                "start_id",
-                F.col("dst").alias("end_id"),
-                (F.col("cost") + F.col("w")).alias("cost"),
-                F.array_append(F.col("node_path"), F.col("dst")).alias("node_path"),
+    def min_agg(df: DataFrame) -> DataFrame:
+        if with_paths:
+            return (
+                df.groupBy("start_id", "end_id")
+                .agg(F.min(F.struct("cost", "node_path")).alias("m"))
+                .select("start_id", "end_id", "m.cost", "m.node_path")
             )
-            .groupBy("start_id", "end_id")
-            .agg(F.min(F.struct("cost", "node_path")).alias("m"))
-            .select("start_id", "end_id", "m.cost", "m.node_path")
-        )
+        return df.groupBy("start_id", "end_id").agg(F.min("cost").alias("cost"))
+
+    carry = ["start_id", "end_id", "cost"] + (["node_path"] if with_paths else [])
+
+    for _ in range(max_iterations):
+        relax = [
+            "start_id",
+            F.col("dst").alias("end_id"),
+            (F.col("cost") + F.col("w")).alias("cost"),
+        ]
+        if with_paths:
+            relax.append(
+                F.array_append(F.col("node_path"), F.col("dst")).alias("node_path")
+            )
+        cand = min_agg(frontier.join(e, frontier.end_id == e.src).select(*relax))
         improved = (
             cand.join(
                 best.select("start_id", "end_id", F.col("cost").alias("old_cost")),
@@ -316,20 +328,14 @@ def weighted_shortest_paths(
                 "left_outer",
             )
             .filter(F.col("old_cost").isNull() | (F.col("cost") < F.col("old_cost")))
-            .select("start_id", "end_id", "cost", "node_path")
+            .select(*carry)
         ).localCheckpoint(eager=True)
         if improved.isEmpty():
             break
-        best = (
-            best.unionByName(improved)
-            .groupBy("start_id", "end_id")
-            .agg(F.min(F.struct("cost", "node_path")).alias("m"))
-            .select("start_id", "end_id", "m.cost", "m.node_path")
-        ).localCheckpoint(eager=True)
+        best = min_agg(best.unionByName(improved)).localCheckpoint(eager=True)
         frontier = improved
 
-    cols = ["start_id", "end_id", "cost"] + (["node_path"] if with_paths else [])
-    return best.select(*cols)
+    return best.select(*carry)
 
 
 def astar_shortest_path(

@@ -175,8 +175,13 @@ def minhash_near_duplicates(
     n: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Full MinHash-LSH pipeline: shingle → sign → band → verify."""
-    sh = shingles(docs, id_col, text_col, n)
+    """Full MinHash-LSH pipeline: shingle → sign → band → verify.
+
+    The shingle table feeds both the signature build and the exact-verify
+    joins (4 reads total) — materialize it once instead of re-exploding
+    the corpus each time.
+    """
+    sh = shingles(docs, id_col, text_col, n).localCheckpoint(eager=True)
     sigs = minhash_signatures(sh)
     pairs = lsh_candidate_pairs(sigs)
     return jaccard_verify(pairs, sh, threshold)

@@ -1,0 +1,73 @@
+"""Physical-plan regression tests — the scale contract (SURVEY §4).
+
+Correctness tests prove values; these prove the PLANS stay right:
+column pruning reaches the parquet scan, small dimensions broadcast,
+pattern joins never degrade to cartesian products. A regression here
+is invisible at sf0.001 and fatal at 100 TB.
+"""
+
+from __future__ import annotations
+
+import re
+
+from nornicdb_spark.queries import QUERIES
+
+
+def plan_of(spark, name, sf_dir) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def lineitem_read_schemas(plan: str) -> list[str]:
+    out = []
+    for m in re.finditer(r"Location: InMemoryFileIndex \[[^\]]*lineitem[^\]]*\].*?ReadSchema: (\S+)", plan, re.DOTALL):
+        out.append(m.group(1))
+    return out
+
+
+def test_q1_prunes_lineitem_columns(spark, sf_dir):
+    # q1 touches 7 of lineitem's 16 columns; the scan must not read more
+    plan = plan_of(spark, "q1_pricing_summary", sf_dir)
+    schemas = lineitem_read_schemas(plan)
+    assert schemas, "no lineitem scan found"
+    for s in schemas:
+        n_cols = s.count(":")
+        assert n_cols <= 8, f"lineitem scan reads {n_cols} columns: {s}"
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir):
+    plan = plan_of(spark, "q5_revenue_by_nation", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_graph_expand_is_hash_join_not_cartesian(spark, sf_dir):
+    plan = plan_of(spark, "graph_customer_parts_2hop", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cypher_frontend_prunes_scan(spark, sf_dir):
+    # frontend compiles node scans to base tables: a 2-property RETURN
+    # must read only those parquet columns
+    from nornicdb_spark.engine import Engine
+
+    df = Engine(spark, sf_dir).cypher(
+        "MATCH (c:Customer) WHERE c.c_acctbal > 0.0 "
+        "RETURN c.c_name AS name, c.c_acctbal AS bal"
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    m = re.search(r"customer[^\]]*\].*?ReadSchema: (\S+)", plan, re.DOTALL)
+    assert m, "no customer scan found"
+    n_cols = m.group(1).count(":")
+    assert n_cols <= 3, f"cypher scan reads {n_cols} columns: {m.group(1)}"
+    assert "PushedFilters: [IsNotNull(c_acctbal), GreaterThan(c_acctbal,0.0)" in plan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, "top_acctbal_customers", sf_dir)
+    assert "TakeOrderedAndProject" in plan
