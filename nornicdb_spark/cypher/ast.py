@@ -99,6 +99,16 @@ class ListComp:
 
 
 @dataclass(frozen=True)
+class CountPattern:
+    """COUNT { (a)-[:T]->(b) [WHERE ...] } — per-row pattern count
+    (reference executor_mutations.go:1997). Compiled to a grouped
+    left join keyed by a row tag."""
+
+    paths: tuple
+    where: object | None
+
+
+@dataclass(frozen=True)
 class ExistsPattern:
     """EXISTS { (a)-[:T]->(b) [WHERE ...] } — pattern-existence predicate
     (reference executor_mutations.go:1256-1313). Only valid in WHERE;
@@ -178,6 +188,16 @@ class ReturnClause:
     order: tuple = ()
     skip: object | None = None
     limit: object | None = None
+
+
+@dataclass(frozen=True)
+class CallClause:
+    """CALL proc(args) [YIELD cols] — introspection procedures
+    (reference call.go:596-803)."""
+
+    proc: str
+    args: tuple = ()
+    yields: tuple = ()  # () = yield everything
 
 
 @dataclass(frozen=True)

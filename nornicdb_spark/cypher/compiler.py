@@ -119,10 +119,14 @@ class Compiler:
                 self._compile_unwind(clause)
             elif isinstance(clause, A.WithClause):
                 self._compile_projection(clause)
+            elif isinstance(clause, A.CallClause):
+                self._compile_call(clause)
             elif isinstance(clause, A.ReturnClause):
                 out = self._compile_projection(clause)
             else:
                 raise NotImplementedError(f"cypher: clause {type(clause).__name__}")
+        if out is None and isinstance(q.clauses[-1], A.CallClause):
+            out = self.frame  # standalone CALL: implicit yield-all
         assert out is not None, "query must end with RETURN"
         return out
 
@@ -185,7 +189,64 @@ class Compiler:
             else:
                 plain.append(conj)
         for conj in plain:
+            conj = self._rewrite_count_patterns(conj)
             self.frame = self.frame.filter(self._expr(conj))
+
+    def _rewrite_count_patterns(self, e):
+        """Replace each COUNT{pattern} inside an expression with a value
+        binding computed via a row-tagged grouped left join (reference
+        executor_mutations.go:1997 COUNT-subquery comparisons)."""
+        found: list[A.CountPattern] = []
+
+        def scan(x):
+            if isinstance(x, A.CountPattern):
+                found.append(x)
+            elif isinstance(x, A.BinOp):
+                scan(x.left); scan(x.right)
+            elif isinstance(x, A.UnOp):
+                scan(x.operand)
+            elif isinstance(x, A.IsNull):
+                scan(x.operand)
+
+        scan(e)
+        if not found:
+            return e
+        repl: dict[int, A.Var] = {}
+        for cp in found:
+            name = self._fresh("_cnt")
+            tagged = self.frame.withColumn(
+                "_row_id", F.monotonically_increasing_id()
+            ).localCheckpoint(eager=True)
+            saved_bindings = dict(self.bindings)
+            self.frame = tagged
+            for path in cp.paths:
+                self._compile_path(path)
+            if cp.where is not None:
+                self._apply_where(cp.where)
+            counts = self.frame.groupBy("_row_id").agg(
+                F.count(F.lit(1)).alias(name)
+            )
+            self.frame = (
+                tagged.join(counts, "_row_id", "left_outer")
+                .withColumn(name, F.coalesce(F.col(name), F.lit(0)))
+                .drop("_row_id")
+            )
+            self.bindings = saved_bindings
+            self.bindings[name] = Binding("value", column=name)
+            repl[id(cp)] = A.Var(name)
+
+        def rebuild(x):
+            if isinstance(x, A.CountPattern):
+                return repl[id(x)]
+            if isinstance(x, A.BinOp):
+                return A.BinOp(x.op, rebuild(x.left), rebuild(x.right))
+            if isinstance(x, A.UnOp):
+                return A.UnOp(x.op, rebuild(x.operand))
+            if isinstance(x, A.IsNull):
+                return A.IsNull(rebuild(x.operand), x.negated)
+            return x
+
+        return rebuild(e)
 
     @staticmethod
     def _conjuncts(e) -> list:
@@ -316,6 +377,45 @@ class Compiler:
         self.bindings[dst_var] = Binding("node", label=dst.label)
         self._apply_node_props(dst_var, dst)
         return dst_var
+
+    # ---- CALL -----------------------------------------------------------
+
+    PROCEDURES = {
+        "db.labels": lambda self: __import__(
+            "nornicdb_spark.procedures", fromlist=["x"]
+        ).db_labels(self.graph),
+        "db.relationshiptypes": lambda self: __import__(
+            "nornicdb_spark.procedures", fromlist=["x"]
+        ).db_relationship_types(self.graph),
+        "db.propertykeys": lambda self: __import__(
+            "nornicdb_spark.procedures", fromlist=["x"]
+        ).db_property_keys(self.cat),
+        "db.schema.visualization": lambda self: __import__(
+            "nornicdb_spark.procedures", fromlist=["x"]
+        ).db_schema_visualization(self.graph),
+        "db.info": lambda self: __import__(
+            "nornicdb_spark.procedures", fromlist=["x"]
+        ).db_info(self.cat),
+    }
+
+    def _compile_call(self, c: "A.CallClause") -> None:
+        """CALL db.* (reference call.go:596-803) — the procedure's frame
+        joins the pipeline (cross join when rows already exist, matching
+        Cypher's per-row CALL semantics for argless introspection)."""
+        if c.proc not in self.PROCEDURES:
+            raise NotImplementedError(f"cypher: procedure {c.proc}()")
+        result = self.PROCEDURES[c.proc](self)
+        if c.yields:
+            missing = [y for y in c.yields if y not in result.columns]
+            if missing:
+                raise ValueError(f"cypher: {c.proc} cannot YIELD {missing}")
+            result = result.select(*c.yields)
+        if self.frame is None:
+            self.frame = result
+        else:
+            self.frame = self.frame.crossJoin(result)
+        for col in result.columns:
+            self.bindings[col] = Binding("value", column=col)
 
     # ---- UNWIND ---------------------------------------------------------
 

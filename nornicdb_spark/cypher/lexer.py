@@ -16,7 +16,7 @@ KEYWORDS = {
     "BY", "ASC", "ASCENDING", "DESC", "DESCENDING", "SKIP", "LIMIT", "UNION",
     "ALL", "DISTINCT", "AND", "OR", "XOR", "NOT", "IN", "IS", "NULL", "TRUE",
     "FALSE", "STARTS", "ENDS", "CONTAINS", "CASE", "WHEN", "THEN", "ELSE",
-    "END", "EXISTS", "COUNT",
+    "END", "EXISTS", "COUNT", "CALL", "YIELD",
 }
 
 TOKEN_RE = re.compile(

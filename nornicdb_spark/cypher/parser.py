@@ -102,6 +102,12 @@ class Parser:
             elif self.at_kw("WITH"):
                 self.take()
                 clauses.append(self.parse_projection(A.WithClause))
+            elif self.at_kw("CALL"):
+                self.take()
+                clauses.append(self.parse_call())
+                # standalone CALL may end the query (implicit yield-all)
+                if self.at("EOF") or self.at("OP", ";") or self.at_kw("UNION"):
+                    break
             elif self.at_kw("RETURN"):
                 self.take()
                 clauses.append(self.parse_projection(A.ReturnClause))
@@ -172,6 +178,28 @@ class Parser:
             self.take()
             asc = False
         return A.SortItem(expr=expr, ascending=asc)
+
+    def parse_call(self) -> A.CallClause:
+        parts = [self.expect_name()]
+        while self.accept("OP", "."):
+            parts.append(self.expect_name())
+        args: list = []
+        if self.accept("OP", "("):
+            if not self.at("OP", ")"):
+                while True:
+                    args.append(self.parse_expr())
+                    if not self.accept("OP", ","):
+                        break
+            self.expect("OP", ")")
+        yields: list = []
+        if self.at_kw("YIELD"):
+            self.take()
+            yields.append(self.expect_name())
+            while self.accept("OP", ","):
+                yields.append(self.expect_name())
+        return A.CallClause(
+            proc=".".join(parts).lower(), args=tuple(args), yields=tuple(yields)
+        )
 
     # ---- patterns -------------------------------------------------------
 
@@ -395,6 +423,18 @@ class Parser:
                     where = self.parse_expr()
                 self.expect("OP", "}")
                 return A.ExistsPattern(paths=tuple(paths), where=where)
+            if kw == "COUNT" and self.at("OP", "{", k=1):
+                self.take()
+                self.expect("OP", "{")
+                paths = [self.parse_path()]
+                while self.accept("OP", ","):
+                    paths.append(self.parse_path())
+                where = None
+                if self.at_kw("WHERE"):
+                    self.take()
+                    where = self.parse_expr()
+                self.expect("OP", "}")
+                return A.CountPattern(paths=tuple(paths), where=where)
             if kw == "COUNT":
                 # count(*) | count(expr) | count(DISTINCT expr)
                 self.take()

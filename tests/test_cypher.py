@@ -423,3 +423,60 @@ def test_list_comprehension_in_where(eng, duck):
            WHERE len(list_filter(string_split(n_name, ' '),
                                  w -> contains(w, 'A'))) > 0""",
     )
+
+
+# ---- CALL procedures / COUNT{} ------------------------------------------
+
+def test_call_standalone(eng, duck):
+    check(
+        eng, duck,
+        "CALL db.labels()",
+        """SELECT 'Customer' AS label, CAST(count(*) AS BIGINT) AS n_nodes FROM customer
+           UNION ALL SELECT 'Order', count(*) FROM orders
+           UNION ALL SELECT 'Part', count(*) FROM part
+           UNION ALL SELECT 'Supplier', count(*) FROM supplier
+           UNION ALL SELECT 'Nation', count(*) FROM nation
+           UNION ALL SELECT 'Region', count(*) FROM region""",
+    )
+
+
+def test_call_yield_and_return(eng, duck):
+    check(
+        eng, duck,
+        """CALL db.relationshipTypes() YIELD type, n_edges
+           WITH type, n_edges WHERE n_edges > 100
+           RETURN type ORDER BY type""",
+        """SELECT type FROM (
+             SELECT 'PLACED' AS type, (SELECT count(*) FROM orders) AS n
+             UNION ALL SELECT 'CONTAINS', (SELECT count(*) FROM lineitem)
+             UNION ALL SELECT 'SUPPLIES',
+               (SELECT count(*) FROM (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem))
+             UNION ALL SELECT 'FROM',
+               (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier)
+             UNION ALL SELECT 'IN', (SELECT count(*) FROM nation)
+           ) WHERE n > 100 ORDER BY type""",
+    )
+
+
+def test_count_pattern_subquery(eng, duck):
+    check(
+        eng, duck,
+        """MATCH (c:Customer)
+           WHERE COUNT { (c)-[:PLACED]->(o:Order) } >= 25
+           RETURN count(*) AS n""",
+        """SELECT CAST(count(*) AS BIGINT) AS n FROM customer
+           WHERE (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) >= 25""",
+    )
+
+
+def test_count_pattern_with_inner_where(eng, duck):
+    check(
+        eng, duck,
+        """MATCH (n:Nation)
+           WHERE COUNT { (n)<-[:FROM]-(s:Supplier)
+                         WHERE s.s_acctbal > 0.0 } > 1
+           RETURN n.n_nationkey AS k""",
+        """SELECT n_nationkey AS k FROM nation
+           WHERE (SELECT count(*) FROM supplier
+                  WHERE s_nationkey = n_nationkey AND s_acctbal > 0.0) > 1""",
+    )
