@@ -173,3 +173,65 @@ def kalman_velocity(spark, sf_dir):
     # kalman.velocity.process 2-state filter (kalman_functions.go:599-655).
     ev = Catalog(spark, sf_dir).events
     return kalman.kalman_velocity(ev.filter(F.col("user_id") < 8))
+
+
+@register(
+    "stream_windowed_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+           time_bucket(INTERVAL '15 minutes', ts) + INTERVAL '15 minutes'
+             AS window_end,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(value) AS total_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def stream_windowed_counts(spark, sf_dir):
+    # SURVEY §2.11: the SAME events, processed as a bounded Structured
+    # Streaming job (file source → watermark → tumbling window → memory
+    # sink), must equal the batch oracle — exactly-once window semantics.
+    from nornicdb_spark.streaming import structured
+
+    s = structured.read_events_stream(spark, sf_dir)
+    agg = structured.windowed_event_counts(s, window="15 minutes")
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    return structured.run_to_completion(agg, f"stream_win_{tag}")
+
+
+@register(
+    "stream_session_stats",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       <= INTERVAL '30 minutes'
+                  THEN 0 ELSE 1 END AS new_session
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL '30 minutes' AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           sum(value) AS total_value
+    FROM sess GROUP BY user_id, session_no
+    """,
+)
+def stream_session_stats(spark, sf_dir):
+    # session_window streaming agg vs a batch gaps-and-islands oracle:
+    # Spark's session end = last event + gap, start = first event.
+    from nornicdb_spark.streaming import structured
+
+    s = structured.read_events_stream(spark, sf_dir)
+    agg = structured.session_window_stats(s, gap="30 minutes")
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    df = structured.run_to_completion(agg, f"stream_sess_{tag}")
+    return df.select(
+        "user_id", "session_start", "session_end", "n_events", "total_value"
+    )
