@@ -191,6 +191,34 @@ class ReturnClause:
 
 
 @dataclass(frozen=True)
+class CreateClause:
+    paths: tuple
+
+
+@dataclass(frozen=True)
+class MergeClause:
+    path: object
+    on_create: tuple = ()  # tuple[(Prop, expr), ...]
+    on_match: tuple = ()
+
+
+@dataclass(frozen=True)
+class SetClause:
+    items: tuple  # tuple[(Prop, expr), ...]
+
+
+@dataclass(frozen=True)
+class RemoveClause:
+    props: tuple  # tuple[Prop, ...]
+
+
+@dataclass(frozen=True)
+class DeleteClause:
+    vars: tuple
+    detach: bool = False
+
+
+@dataclass(frozen=True)
 class CallClause:
     """CALL proc(args) [YIELD cols] — introspection procedures
     (reference call.go:596-803)."""

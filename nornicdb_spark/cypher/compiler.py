@@ -89,10 +89,16 @@ class Binding:
 
 
 class Compiler:
-    def __init__(self, catalog: Catalog, params: dict | None = None):
+    def __init__(self, catalog: Catalog, params: dict | None = None, store=None):
         self.cat = catalog
         self.graph = catalog.graph
         self.params = params or {}
+        self.store = store  # GraphStore for write clauses / post-write reads
+        from nornicdb_spark.cypher.store import WriteStats
+
+        self.stats = WriteStats()
+        self._wrote = False
+        self._created: dict[str, str] = {}  # CREATE-bound var -> node id
         self.frame: DataFrame | None = None
         self.bindings: dict[str, Binding] = {}
         self._lambda_vars: dict[str, Column] = {}
@@ -104,7 +110,7 @@ class Compiler:
     def compile(self, q: A.Query) -> DataFrame:
         df = self._compile_single(q)
         for is_all, rhs in q.unions:
-            rdf = Compiler(self.cat, self.params)._compile_single(rhs)
+            rdf = Compiler(self.cat, self.params, store=self.store)._compile_single(rhs)
             df = df.unionByName(rdf)
             if not is_all:
                 df = df.distinct()
@@ -121,14 +127,35 @@ class Compiler:
                 self._compile_projection(clause)
             elif isinstance(clause, A.CallClause):
                 self._compile_call(clause)
+            elif isinstance(clause, A.CreateClause):
+                self._compile_create(clause)
+            elif isinstance(clause, A.MergeClause):
+                self._compile_merge(clause)
+            elif isinstance(clause, A.SetClause):
+                self._compile_set(clause.items)
+            elif isinstance(clause, A.RemoveClause):
+                self._compile_set([(pr, A.Lit(None)) for pr in clause.props])
+            elif isinstance(clause, A.DeleteClause):
+                self._compile_delete(clause)
             elif isinstance(clause, A.ReturnClause):
                 out = self._compile_projection(clause)
             else:
                 raise NotImplementedError(f"cypher: clause {type(clause).__name__}")
         if out is None and isinstance(q.clauses[-1], A.CallClause):
             out = self.frame  # standalone CALL: implicit yield-all
+        if out is None and self._wrote:
+            out = self._stats_frame()  # write query: Neo4j-style summary
         assert out is not None, "query must end with RETURN"
         return out
+
+    def _stats_frame(self) -> DataFrame:
+        s = self.stats
+        return self.cat.spark.createDataFrame(
+            [(s.nodes_created, s.relationships_created, s.properties_set,
+              s.nodes_deleted, s.relationships_deleted)],
+            "nodes_created long, relationships_created long, properties_set long, "
+            "nodes_deleted long, relationships_deleted long",
+        )
 
     # ---- frames ---------------------------------------------------------
 
@@ -141,7 +168,7 @@ class Compiler:
         if label not in LABEL_TABLES:
             raise ValueError(f"cypher: unknown label {label!r}")
         table, key = LABEL_TABLES[label]
-        df = self.cat.table(table)
+        df = self.store.tables[table] if self.store is not None else self.cat.table(table)
         return df.select(
             node_id(label, key).alias(f"{var}_id"),
             *[F.col(c).alias(f"{var}_{c}") for c in df.columns],
@@ -306,8 +333,17 @@ class Compiler:
                 F.col(f"{var}_{key}") == self._expr(expr)
             )
 
+    def _edges_df(self) -> DataFrame:
+        return self.store.edges if self.store is not None else self.graph.edges
+
     def _oriented_edges(self, rel: A.RelPat) -> DataFrame:
-        e = self.graph.edges_by_type(*rel.types) if rel.types else self.graph.edges
+        e = self._edges_df()
+        if rel.types:
+            e = e.filter(
+                F.col("type") == rel.types[0]
+                if len(rel.types) == 1
+                else F.col("type").isin(list(rel.types))
+            )
         if rel.direction == "out":
             return e
         flipped = e.select(
@@ -360,8 +396,15 @@ class Compiler:
         starts = self.frame.select(
             F.col(f"{src_var}_id").alias("id")
         ).distinct()
+        from nornicdb_spark.catalog import PropertyGraph
+
+        g = (
+            PropertyGraph(nodes=self.graph.nodes, edges=self.store.edges)
+            if self.store is not None
+            else self.graph
+        )
         paths = var_length_paths(
-            self.graph, starts, min_hops=rel.min_hops, max_hops=rel.max_hops,
+            g, starts, min_hops=rel.min_hops, max_hops=rel.max_hops,
             rel_types=rel.types, direction=rel.direction,
         ).select(
             F.col("start_id").alias(f"{src_var}_id"),
@@ -416,6 +459,194 @@ class Compiler:
             self.frame = self.frame.crossJoin(result)
         for col in result.columns:
             self.bindings[col] = Binding("value", column=col)
+
+    # ---- write clauses --------------------------------------------------
+
+    def _require_store(self):
+        if self.store is None:
+            raise ValueError("cypher: write clauses need an Engine (mutable store)")
+        self._wrote = True
+
+    def _py_value(self, e):
+        if isinstance(e, A.Lit):
+            return e.value
+        if isinstance(e, A.Param):
+            return self.params[e.name]
+        if isinstance(e, A.UnOp) and e.op == "NEG":
+            return -self._py_value(e.operand)
+        raise NotImplementedError("cypher: CREATE/MERGE properties must be literals")
+
+    def _table_local_expr(self, e, var: str) -> Column:
+        """Compile a SET expression against the target node's OWN table
+        (Prop(var, p) → column p); other variables are out of scope —
+        the rewrite happens per label table, not per pattern row."""
+        if isinstance(e, A.Lit):
+            return F.lit(e.value)
+        if isinstance(e, A.Param):
+            return F.lit(self.params[e.name])
+        if isinstance(e, A.Prop) and isinstance(e.subject, A.Var) and e.subject.name == var:
+            return F.col(e.name)
+        if isinstance(e, A.BinOp):
+            l = self._table_local_expr(e.left, var)
+            r = self._table_local_expr(e.right, var)
+            return {
+                "+": l + r, "-": l - r, "*": l * r, "/": l / r, "%": l % r,
+            }[e.op]
+        if isinstance(e, A.UnOp) and e.op == "NEG":
+            return -self._table_local_expr(e.operand, var)
+        if isinstance(e, A.Func):
+            inner = [self._table_local_expr(a, var) for a in e.args]
+            simple = {"toupper": F.upper, "tolower": F.lower, "abs": F.abs,
+                      "round": F.round, "tostring": lambda c: c.cast("string")}
+            if e.name in simple:
+                return simple[e.name](*inner)
+        raise NotImplementedError(
+            "cypher: SET expression may reference only the target node"
+        )
+
+    def _target_ids(self, var: str) -> DataFrame:
+        if var in self._created:
+            return self.cat.spark.createDataFrame(
+                [(self._created[var],)], "_target_id string"
+            )
+        if self.frame is None or f"{var}_id" not in self.frame.columns:
+            raise ValueError(f"cypher: {var} is not bound")
+        return self.frame.select(F.col(f"{var}_id").alias("_target_id")).distinct()
+
+    def _compile_create(self, c: "A.CreateClause") -> None:
+        from nornicdb_spark.catalog import node_id as _  # noqa: F401
+
+        self._require_store()
+        for path in c.paths:
+            elems = path.elements
+            for node in elems[0::2]:
+                var = node.var
+                if var and (var in self.bindings or var in self._created):
+                    continue
+                if node.label is None:
+                    raise NotImplementedError("cypher: CREATE needs a node label")
+                props = {k: self._py_value(v) for k, v in node.props}
+                self.store.create_node(node.label, props)
+                self.stats.add(nodes_created=1)
+                table, key = LABEL_TABLES[node.label]
+                if var:
+                    self._created[var] = f"{node.label}:{props[key]}"
+            for i in range(1, len(elems), 2):
+                rel: A.RelPat = elems[i]
+                if not rel.types or rel.direction == "both":
+                    raise NotImplementedError(
+                        "cypher: CREATE relationship needs a type and direction"
+                    )
+                a, b = elems[i - 1].var, elems[i + 1].var
+                if rel.direction == "in":
+                    a, b = b, a
+                pairs = self._endpoint_pairs(a, b)
+                n = self.store.create_edge(pairs, rel.types[0])
+                self.stats.add(relationships_created=n)
+
+    def _endpoint_pairs(self, a: str | None, b: str | None) -> DataFrame:
+        spark = self.cat.spark
+
+        def frame_col(v):
+            return (
+                self.frame is not None
+                and v is not None
+                and f"{v}_id" in self.frame.columns
+            )
+
+        if frame_col(a) and frame_col(b):
+            return self.frame.select(
+                F.col(f"{a}_id").alias("src"), F.col(f"{b}_id").alias("dst")
+            ).distinct()
+        if frame_col(a) and b in self._created:
+            return self.frame.select(F.col(f"{a}_id").alias("src")).distinct().withColumn(
+                "dst", F.lit(self._created[b])
+            )
+        if a in self._created and frame_col(b):
+            return self.frame.select(F.col(f"{b}_id").alias("dst")).distinct().withColumn(
+                "src", F.lit(self._created[a])
+            ).select("src", "dst")
+        if a in self._created and b in self._created:
+            return spark.createDataFrame(
+                [(self._created[a], self._created[b])], "src string, dst string"
+            )
+        raise ValueError("cypher: CREATE relationship endpoints must be bound")
+
+    def _compile_set(self, items) -> None:
+        self._require_store()
+        per_var: dict[str, dict[str, Column]] = {}
+        for target, expr in items:
+            if not (isinstance(target, A.Prop) and isinstance(target.subject, A.Var)):
+                raise NotImplementedError("cypher: SET target must be var.prop")
+            var = target.subject.name
+            per_var.setdefault(var, {})[target.name] = self._table_local_expr(expr, var)
+        for var, assignments in per_var.items():
+            label = (
+                self.bindings[var].label
+                if var in self.bindings
+                else self._created.get(var, ":").split(":")[0]
+            )
+            if not label:
+                raise ValueError(f"cypher: SET needs a labeled node for {var}")
+            n = self.store.set_props(label, self._target_ids(var), assignments)
+            self.stats.add(properties_set=n)
+
+    def _compile_delete(self, c: "A.DeleteClause") -> None:
+        self._require_store()
+        for var in c.vars:
+            b = self.bindings.get(var)
+            if b is None or b.kind != "node" or b.label is None:
+                raise ValueError(f"cypher: DELETE needs a labeled bound node ({var})")
+            n_nodes, n_edges = self.store.delete_nodes(
+                b.label, self._target_ids(var), c.detach
+            )
+            self.stats.add(nodes_deleted=n_nodes, relationships_deleted=n_edges)
+
+    def _compile_merge(self, c: "A.MergeClause") -> None:
+        self._require_store()
+        elems = c.path.elements
+        if len(elems) != 1:
+            raise NotImplementedError("cypher: MERGE supports single-node patterns")
+        node: A.NodePat = elems[0]
+        if node.label is None or not node.props:
+            raise NotImplementedError("cypher: MERGE needs (n:Label {props})")
+        table, key, df = self.store.table_for(node.label)
+        props = {k: self._py_value(v) for k, v in node.props}
+        cond = None
+        for k, v in props.items():
+            c2 = F.col(k) == F.lit(v)
+            cond = c2 if cond is None else (cond & c2)
+        matched = df.filter(cond)
+        var = node.var or self._fresh()
+        if matched.limit(1).count() == 0:
+            self.store.create_node(node.label, props)
+            self.stats.add(nodes_created=1)
+            self._created[var] = f"{node.label}:{props[key]}"
+            sets = c.on_create
+        else:
+            self._created[var] = None  # resolved below via prop filter
+            sets = c.on_match
+        # target ids = rows matching the merge props (covers both fates)
+        ids = (
+            self.store.tables[table]
+            .filter(cond)
+            .select(
+                F.concat(
+                    F.lit(node.label + ":"), F.col(key).cast("string")
+                ).alias("_target_id")
+            )
+        )
+        if sets:
+            per: dict[str, Column] = {}
+            for target, expr in sets:
+                if not (isinstance(target, A.Prop) and isinstance(target.subject, A.Var)):
+                    raise NotImplementedError("cypher: SET target must be var.prop")
+                per[target.name] = self._table_local_expr(expr, target.subject.name)
+            n = self.store.set_props(node.label, ids, per)
+            self.stats.add(properties_set=n)
+        first = ids.first()
+        self._created[var] = first["_target_id"] if first else None
+        self.bindings[var] = Binding("node", label=node.label)
 
     # ---- UNWIND ---------------------------------------------------------
 

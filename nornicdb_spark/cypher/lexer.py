@@ -16,7 +16,8 @@ KEYWORDS = {
     "BY", "ASC", "ASCENDING", "DESC", "DESCENDING", "SKIP", "LIMIT", "UNION",
     "ALL", "DISTINCT", "AND", "OR", "XOR", "NOT", "IN", "IS", "NULL", "TRUE",
     "FALSE", "STARTS", "ENDS", "CONTAINS", "CASE", "WHEN", "THEN", "ELSE",
-    "END", "EXISTS", "COUNT", "CALL", "YIELD",
+    "END", "EXISTS", "COUNT", "CALL", "YIELD", "CREATE", "MERGE", "SET",
+    "REMOVE", "DELETE", "DETACH", "ON",
 }
 
 TOKEN_RE = re.compile(

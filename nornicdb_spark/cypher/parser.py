@@ -102,6 +102,57 @@ class Parser:
             elif self.at_kw("WITH"):
                 self.take()
                 clauses.append(self.parse_projection(A.WithClause))
+            elif self.at_kw("CREATE"):
+                self.take()
+                paths = [self.parse_path()]
+                while self.accept("OP", ","):
+                    paths.append(self.parse_path())
+                clauses.append(A.CreateClause(paths=tuple(paths)))
+                if self._at_query_end():
+                    break
+            elif self.at_kw("MERGE"):
+                self.take()
+                path = self.parse_path()
+                on_create: list = []
+                on_match: list = []
+                while self.at_kw("ON"):
+                    self.take()
+                    which = self.expect_name().upper()
+                    self.expect("KEYWORD", "SET")
+                    items = self.parse_set_items()
+                    (on_create if which == "CREATE" else on_match).extend(items)
+                clauses.append(
+                    A.MergeClause(
+                        path=path, on_create=tuple(on_create), on_match=tuple(on_match)
+                    )
+                )
+                if self._at_query_end():
+                    break
+            elif self.at_kw("SET"):
+                self.take()
+                clauses.append(A.SetClause(items=tuple(self.parse_set_items())))
+                if self._at_query_end():
+                    break
+            elif self.at_kw("REMOVE"):
+                self.take()
+                props = [self.parse_postfix()]
+                while self.accept("OP", ","):
+                    props.append(self.parse_postfix())
+                clauses.append(A.RemoveClause(props=tuple(props)))
+                if self._at_query_end():
+                    break
+            elif self.at_kw("DELETE") or self.at_kw("DETACH"):
+                detach = False
+                if self.at_kw("DETACH"):
+                    self.take()
+                    detach = True
+                self.expect("KEYWORD", "DELETE")
+                names = [self.expect_name()]
+                while self.accept("OP", ","):
+                    names.append(self.expect_name())
+                clauses.append(A.DeleteClause(vars=tuple(names), detach=detach))
+                if self._at_query_end():
+                    break
             elif self.at_kw("CALL"):
                 self.take()
                 clauses.append(self.parse_call())
@@ -178,6 +229,20 @@ class Parser:
             self.take()
             asc = False
         return A.SortItem(expr=expr, ascending=asc)
+
+    def _at_query_end(self) -> bool:
+        return self.at("EOF") or self.at("OP", ";") or self.at_kw("UNION")
+
+    def parse_set_items(self) -> list:
+        items = [self._parse_set_item()]
+        while self.accept("OP", ","):
+            items.append(self._parse_set_item())
+        return items
+
+    def _parse_set_item(self):
+        target = self.parse_postfix()
+        self.expect("OP", "=")
+        return (target, self.parse_expr())
 
     def parse_call(self) -> A.CallClause:
         parts = [self.expect_name()]

@@ -1,0 +1,122 @@
+"""Mutable graph store backing Cypher write clauses.
+
+The batch engine's tables are immutable parquet; a write session works on
+*versions*: every CREATE/SET/DELETE produces new DataFrames (pure
+rewrites, operators/mutations.py style) and the store swaps the pointer —
+the batch analogue of the reference's implicit write transaction
+(executor.go:707-801). Reads inside the same Engine see the latest
+version; nothing touches disk until the caller persists.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nornicdb_spark.catalog import NODE_SPECS, Catalog, node_id
+
+LABEL_TABLES = {label: (table, key) for label, table, key in NODE_SPECS}
+
+
+@dataclass
+class WriteStats:
+    nodes_created: int = 0
+    relationships_created: int = 0
+    properties_set: int = 0
+    nodes_deleted: int = 0
+    relationships_deleted: int = 0
+
+    def add(self, **kw) -> None:
+        for k, v in kw.items():
+            setattr(self, k, getattr(self, k) + v)
+
+
+@dataclass
+class GraphStore:
+    catalog: Catalog
+    tables: dict[str, DataFrame] = field(default_factory=dict)
+    edges: DataFrame | None = None
+
+    def __post_init__(self):
+        for _label, table, _key in NODE_SPECS:
+            self.tables.setdefault(table, self.catalog.table(table))
+        if self.edges is None:
+            self.edges = self.catalog.graph.edges
+
+    def table_for(self, label: str) -> tuple[str, str, DataFrame]:
+        table, key = LABEL_TABLES[label]
+        return table, key, self.tables[table]
+
+    # ---- mutations (pure rewrites + pointer swap) ----------------------
+
+    def create_node(self, label: str, props: dict) -> None:
+        table, key, df = self.table_for(label)
+        if key not in props:
+            raise ValueError(f"CREATE (:{label}) needs the key property {key}")
+        row = {c: props.get(c) for c in df.columns}
+        new = self.catalog.spark.createDataFrame(
+            [tuple(row[c] for c in df.columns)], df.schema
+        )
+        self.tables[table] = df.unionByName(new)
+
+    def create_edge(self, pairs: DataFrame, etype: str) -> int:
+        """One edge per row of ``pairs`` (columns src, dst)."""
+        cols = [
+            F.col("src"), F.col("dst"), F.lit(etype).alias("type"),
+            F.xxhash64("src", "dst", F.lit(etype), F.lit(0)).alias("edge_id"),
+        ]
+        prop_cols = [c for c in self.edges.columns if c not in ("src", "dst", "type", "edge_id")]
+        for c in prop_cols:
+            cols.append(F.lit(None).cast(self.edges.schema[c].dataType).alias(c))
+        new = pairs.select(*cols)
+        n = new.count()
+        self.edges = self.edges.unionByName(new).localCheckpoint(eager=True)
+        return n
+
+    def set_props(
+        self, label: str, target_ids: DataFrame, assignments: dict[str, F.Column]
+    ) -> int:
+        """SET over the rows of `label`'s table whose graph id is in
+        target_ids (column `_target_id`). Expressions see the table's own
+        columns. New property columns are allowed."""
+        table, key, df = self.table_for(label)
+        tagged = df.join(
+            target_ids.select(F.col("_target_id")),
+            node_id(label, key) == F.col("_target_id"),
+            "left_outer",
+        )
+        hit = F.col("_target_id").isNotNull()
+        out = tagged
+        for c, expr in assignments.items():
+            prev = F.col(c) if c in df.columns else F.lit(None)
+            out = out.withColumn(c, F.when(hit, expr).otherwise(prev))
+        keep = list(df.columns) + [c for c in assignments if c not in df.columns]
+        self.tables[table] = out.select(*keep)
+        return target_ids.count() * len(assignments)
+
+    def delete_nodes(self, label: str, target_ids: DataFrame, detach: bool) -> tuple[int, int]:
+        table, key, df = self.table_for(label)
+        ids = target_ids.select(F.col("_target_id")).distinct().localCheckpoint(eager=True)
+        touching = self.edges.join(
+            ids, (self.edges.src == F.col("_target_id")) | (self.edges.dst == F.col("_target_id")),
+            "left_semi",
+        )
+        n_edges = 0
+        if not detach:
+            if touching.limit(1).count():
+                raise ValueError(
+                    "Cannot delete nodes that still have relationships; use DETACH DELETE"
+                )
+        else:
+            n_edges = touching.count()
+            self.edges = (
+                self.edges.join(ids, self.edges.src == F.col("_target_id"), "left_anti")
+                .join(ids, F.col("dst") == F.col("_target_id"), "left_anti")
+            ).localCheckpoint(eager=True)
+        n_nodes = ids.count()
+        self.tables[table] = df.join(
+            ids, node_id(label, key) == F.col("_target_id"), "left_anti"
+        )
+        return n_nodes, n_edges

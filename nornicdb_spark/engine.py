@@ -23,11 +23,28 @@ class Engine:
     def __init__(self, spark: SparkSession, sf_dir: str):
         self.spark = spark
         self.catalog = Catalog(spark, sf_dir)
+        self._store = None
+
+    @property
+    def store(self):
+        """Session-scoped mutable graph store — created on first use;
+        reads and writes in this Engine share its table versions
+        (the batch analogue of the reference's implicit transaction)."""
+        if self._store is None:
+            from nornicdb_spark.cypher.store import GraphStore
+
+            self._store = GraphStore(self.catalog)
+        return self._store
 
     def cypher(self, query: str, params: dict | None = None) -> DataFrame:
         """Execute a Cypher query; returns the result DataFrame
-        (lazy — Catalyst plans it with the rest of the job)."""
-        return compile_cypher(self.catalog, query, params)
+        (lazy — Catalyst plans it with the rest of the job). Write
+        queries (CREATE/MERGE/SET/REMOVE/DELETE) mutate this Engine's
+        store eagerly and return a one-row stats summary."""
+        from nornicdb_spark.cypher.compiler import Compiler
+        from nornicdb_spark.cypher.parser import parse as _parse
+
+        return Compiler(self.catalog, params, store=self.store).compile(_parse(query))
 
     def explain(self, query: str, params: dict | None = None) -> str:
         """EXPLAIN (reference explain.go:37-63): parsed clause summary +

@@ -103,3 +103,41 @@ def cypher_unwind_functions(spark, sf_dir):
         """MATCH (p:Part) UNWIND split(p.p_name, ' ') AS w
            RETURN w AS word, count(*) AS n, size(w) AS len""",
     )
+
+
+@register(
+    "cypher_write_pipeline",
+    oracle="""
+    WITH regions AS (
+      SELECT r_regionkey, r_name FROM region
+      UNION ALL SELECT 90, 'FRONTIER'
+    ),
+    nations AS (SELECT * FROM nation WHERE n_nationkey >= 3)
+    SELECT r_regionkey AS r_key,
+           CASE WHEN r_regionkey = 90 THEN 'FRONTIER*' ELSE r_name END AS name,
+           CAST(count(n_nationkey) AS BIGINT) AS n_nations
+    FROM regions LEFT JOIN nations ON n_regionkey = r_regionkey
+    GROUP BY 1, 2
+    """,
+)
+def cypher_write_pipeline(spark, sf_dir):
+    # SURVEY §2.7 through the FRONTEND: CREATE + MERGE(ON MATCH SET) +
+    # DETACH DELETE against the session store, then a read over the
+    # mutated state — the oracle restates the net effect in SQL.
+    from nornicdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.cypher("CREATE (r:Region {r_regionkey: 90, r_name: 'FRONTIER'})").collect()
+    eng.cypher(
+        """MERGE (r:Region {r_regionkey: 90})
+           ON CREATE SET r.r_name = 'wrong'
+           ON MATCH SET r.r_name = 'FRONTIER*'"""
+    ).collect()
+    eng.cypher(
+        "MATCH (n:Nation) WHERE n.n_nationkey < 3 DETACH DELETE n"
+    ).collect()
+    return eng.cypher(
+        """MATCH (r:Region) OPTIONAL MATCH (r)<-[:IN]-(n:Nation)
+           RETURN r.r_regionkey AS r_key, r.r_name AS name,
+                  count(n.n_nationkey) AS n_nations"""
+    )

@@ -1,0 +1,128 @@
+"""Cypher write-clause behavior tests (reference merge_test.go /
+executor_mutations style): CREATE/MERGE/SET/REMOVE/DELETE against the
+session store, reads observing writes.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nornicdb_spark.engine import Engine
+
+
+@pytest.fixture()
+def eng(spark, sf_dir):
+    # function-scoped: each test gets a fresh store
+    return Engine(spark, sf_dir)
+
+
+def one(df):
+    rows = df.collect()
+    assert len(rows) == 1
+    return rows[0]
+
+
+def test_create_node_then_read(eng):
+    stats = one(eng.cypher("CREATE (r:Region {r_regionkey: 90, r_name: 'R90'})"))
+    assert stats.nodes_created == 1
+    row = one(eng.cypher(
+        "MATCH (r:Region) WHERE r.r_regionkey = 90 RETURN r.r_name AS name"
+    ))
+    assert row.name == "R90"
+
+
+def test_create_relationship_between_created(eng):
+    stats = one(eng.cypher(
+        """CREATE (a:Region {r_regionkey: 91, r_name: 'A'}),
+                  (b:Region {r_regionkey: 92, r_name: 'B'}),
+                  (a)-[:IN]->(b)"""
+    ))
+    assert stats.nodes_created == 2
+    assert stats.relationships_created == 1
+    row = one(eng.cypher(
+        """MATCH (a:Region {r_regionkey: 91})-[:IN]->(b:Region)
+           RETURN b.r_regionkey AS k"""
+    ))
+    assert row.k == 92
+
+
+def test_set_property_and_new_property(eng):
+    stats = one(eng.cypher(
+        "MATCH (n:Nation) WHERE n.n_nationkey < 3 SET n.flag = 'X'"
+    ))
+    assert stats.properties_set == 3
+    got = eng.cypher(
+        "MATCH (n:Nation) WHERE n.flag = 'X' RETURN count(*) AS n"
+    )
+    assert one(got).n == 3
+
+
+def test_set_expression_over_own_properties(eng):
+    eng.cypher("MATCH (n:Nation) SET n.double_key = n.n_nationkey * 2")
+    row = one(eng.cypher(
+        "MATCH (n:Nation {n_nationkey: 7}) RETURN n.double_key AS d"
+    ))
+    assert row.d == 14
+
+
+def test_remove_property(eng):
+    eng.cypher("MATCH (n:Nation) SET n.flag = 'Y'")
+    eng.cypher("MATCH (n:Nation) WHERE n.n_nationkey < 5 REMOVE n.flag")
+    n = one(eng.cypher(
+        "MATCH (n:Nation) WHERE n.flag IS NULL RETURN count(*) AS n"
+    )).n
+    assert n == 5
+
+
+def test_delete_refuses_connected_nodes(eng):
+    with pytest.raises(ValueError, match="DETACH"):
+        eng.cypher("MATCH (n:Nation {n_nationkey: 0}) DELETE n")
+
+
+def test_detach_delete_cascades(eng):
+    stats = one(eng.cypher(
+        "MATCH (n:Nation {n_nationkey: 0}) DETACH DELETE n"
+    ))
+    assert stats.nodes_deleted == 1
+    assert stats.relationships_deleted > 0
+    assert one(eng.cypher("MATCH (n:Nation) RETURN count(*) AS n")).n == 24
+    # no edge in the store still touches the deleted node
+    dangling = eng.store.edges.filter(
+        (F.col("src") == "Nation:0") | (F.col("dst") == "Nation:0")
+    ).count()
+    assert dangling == 0
+
+
+def test_merge_on_create_and_on_match(eng):
+    s1 = one(eng.cypher(
+        """MERGE (r:Region {r_regionkey: 95})
+           ON CREATE SET r.r_name = 'fresh'
+           ON MATCH SET r.r_name = 'seen'"""
+    ))
+    assert s1.nodes_created == 1
+    assert one(eng.cypher(
+        "MATCH (r:Region {r_regionkey: 95}) RETURN r.r_name AS name"
+    )).name == "fresh"
+    s2 = one(eng.cypher(
+        """MERGE (r:Region {r_regionkey: 95})
+           ON CREATE SET r.r_name = 'fresh'
+           ON MATCH SET r.r_name = 'seen'"""
+    ))
+    assert s2.nodes_created == 0
+    assert one(eng.cypher(
+        "MATCH (r:Region {r_regionkey: 95}) RETURN r.r_name AS name"
+    )).name == "seen"
+
+
+def test_create_edges_from_matched_frame(eng):
+    # bound-to-created: every nation of region 0 gets an edge to the new
+    # hub node — one edge per matched row, one node total
+    stats = one(eng.cypher(
+        """MATCH (n:Nation) WHERE n.n_regionkey = 0
+           CREATE (n)-[:IN]->(h:Region {r_regionkey: 98, r_name: 'H2'})"""
+    ))
+    assert stats.relationships_created == 5
+    assert one(eng.cypher(
+        "MATCH (n:Nation)-[:IN]->(h:Region {r_regionkey: 98}) RETURN count(*) AS n"
+    )).n == 5
