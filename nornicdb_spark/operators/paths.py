@@ -100,6 +100,152 @@ def var_length_paths(
     return res
 
 
+def all_simple_paths(
+    graph,
+    start: DataFrame,
+    target: DataFrame,
+    max_hops: int = 3,
+    rel_types: tuple[str, ...] = (),
+    direction: str = OUT,
+) -> DataFrame:
+    """apoc.algo.allSimplePaths — every node-disjoint path from ``start``
+    to ``target`` of length ≤ ``max_hops`` (reference
+    apoc_algorithms.go:206-251, DFS with per-path node-uniqueness).
+
+    Frontier enumeration like :func:`var_length_paths`, but the uniqueness
+    guard is on *nodes* (simple paths) rather than relationships, and only
+    rows whose endpoint is in ``target`` are emitted. Returns
+    ``(start_id, end_id, depth, node_path)``.
+    """
+    edges = _oriented_edges(graph, rel_types, direction).select(
+        "src", "dst"
+    ).localCheckpoint(eager=True)
+    targets = target.select(F.col("id").alias("end_id")).distinct()
+
+    frontier = start.select(
+        F.col("id").alias("start_id"),
+        F.col("id").alias("end_id"),
+        F.array(F.col("id")).alias("node_path"),
+    )
+    hits: list[DataFrame] = []
+    for depth in range(1, max_hops + 1):
+        frontier = (
+            frontier.join(edges, frontier.end_id == edges.src)
+            # node-uniqueness per path = simple path (vs. the relationship
+            # uniqueness var_length_paths uses — Cypher default)
+            .filter(~F.array_contains(F.col("node_path"), F.col("dst")))
+            .select(
+                "start_id",
+                F.col("dst").alias("end_id"),
+                F.array_append(F.col("node_path"), F.col("dst")).alias("node_path"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        hits.append(
+            frontier.join(targets, "end_id", "left_semi").withColumn(
+                "depth", F.lit(depth)
+            )
+        )
+        if frontier.isEmpty():
+            break
+
+    res = hits[0]
+    for df in hits[1:]:
+        res = res.unionByName(df)
+    return res.select("start_id", "end_id", "depth", "node_path")
+
+
+def subgraph_nodes(
+    graph,
+    start: DataFrame,
+    max_level: int = 3,
+    rel_types: tuple[str, ...] = (),
+    direction: str = OUT,
+) -> DataFrame:
+    """apoc.path.subgraphNodes — the distinct nodes reachable from the
+    ``start`` set within ``max_level`` hops, each tagged with its minimum
+    BFS level (reference call_apoc_path.go filtered expansion). Level 0 is
+    the start set itself. Returns ``(id, level)``.
+
+    Unlike the path enumerators this is a *set* BFS: the frontier is
+    deduplicated against everything seen, so work is bounded by the
+    subgraph size, not the path count.
+    """
+    edges = _oriented_edges(graph, rel_types, direction).select(
+        "src", "dst"
+    ).localCheckpoint(eager=True)
+
+    seen = start.select("id").distinct().withColumn("level", F.lit(0))
+    seen = seen.localCheckpoint(eager=True)
+    frontier = seen.select("id")
+    for level in range(1, max_level + 1):
+        frontier = (
+            frontier.join(edges, frontier.id == edges.src)
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(seen.select("id"), "id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if frontier.isEmpty():
+            break
+        seen = seen.unionByName(
+            frontier.withColumn("level", F.lit(level))
+        ).localCheckpoint(eager=True)
+    return seen
+
+
+def spanning_tree(
+    graph,
+    start: DataFrame,
+    max_level: int = 3,
+    rel_types: tuple[str, ...] = (),
+    direction: str = OUT,
+) -> DataFrame:
+    """apoc.path.spanningTree — a BFS tree over the reachable subgraph:
+    every reached node appears once with exactly one parent (reference
+    call_apoc_path.go). Deterministic parent choice: the minimum parent id
+    among first-level reachers. Returns ``(id, parent, level)`` for
+    level ≥ 1 (start nodes are roots, not emitted).
+    """
+    edges = _oriented_edges(graph, rel_types, direction).select(
+        "src", "dst"
+    ).localCheckpoint(eager=True)
+
+    seen = start.select("id").distinct().localCheckpoint(eager=True)
+    frontier = seen
+    out: list[DataFrame] = []
+    for level in range(1, max_level + 1):
+        reached = (
+            frontier.join(edges, frontier.id == edges.src)
+            .groupBy(F.col("dst").alias("next_id"))
+            .agg(F.min(F.col("src")).alias("parent"))
+            .join(seen, F.col("next_id") == seen.id, "left_anti")
+            .select(
+                F.col("next_id").alias("id"),
+                "parent",
+                F.lit(level).alias("level"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if reached.isEmpty():
+            break
+        out.append(reached)
+        seen = seen.unionByName(reached.select("id")).localCheckpoint(eager=True)
+        frontier = reached.select("id")
+
+    if not out:
+        return (
+            start.select("id")
+            .withColumn("parent", F.lit(None).cast("string"))
+            .withColumn("level", F.lit(0))
+            .limit(0)
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res
+
+
 def shortest_paths(
     graph,
     start: DataFrame,

@@ -467,3 +467,110 @@ def graph_connected_components(spark, sf_dir):
             F.sum("size").alias("n_nodes"),
         )
     )
+
+
+@register(
+    "graph_all_simple_paths",
+    oracle="""
+    SELECT CAST(o_custkey AS BIGINT) AS c_key,
+           CAST(count(*) AS BIGINT) AS n_paths
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_custkey
+    """,
+)
+def graph_all_simple_paths(spark, sf_dir):
+    # apoc.algo.allSimplePaths (reference apoc_algorithms.go:206-251):
+    # Customer→Part simple paths within 2 hops over PLACED/CONTAINS.
+    # The projection is a DAG, so every Customer→Order→Part walk is a
+    # simple path and the per-customer path count equals the lineitem
+    # count reached through that customer's orders.
+    from nornicdb_spark.operators.paths import all_simple_paths
+
+    g = _graph(spark, sf_dir)
+    starts = g.nodes_by_label("Customer").select("id")
+    targets = g.nodes_by_label("Part").select("id")
+    paths = all_simple_paths(
+        g, starts, targets, max_hops=2, rel_types=("PLACED", "CONTAINS")
+    )
+    c_key = F.split(F.col("start_id"), ":").getItem(1).cast("long")
+    return paths.groupBy(c_key.alias("c_key")).agg(
+        F.count(F.lit(1)).alias("n_paths")
+    )
+
+
+@register(
+    "graph_subgraph_nodes",
+    oracle="""
+    SELECT 'Supplier' AS label, CAST(0 AS INT) AS level,
+           CAST(count(*) AS BIGINT) AS n_nodes FROM supplier
+    UNION ALL
+    SELECT 'Part', 1, CAST(count(DISTINCT l_partkey) AS BIGINT) FROM lineitem
+    UNION ALL
+    SELECT 'Nation', 1, CAST(count(DISTINCT s_nationkey) AS BIGINT) FROM supplier
+    UNION ALL
+    SELECT 'Region', 2, CAST(count(DISTINCT n_regionkey) AS BIGINT)
+    FROM nation WHERE n_nationkey IN (SELECT s_nationkey FROM supplier)
+    """,
+)
+def graph_subgraph_nodes(spark, sf_dir):
+    # apoc.path.subgraphNodes (reference call_apoc_path.go): distinct
+    # reachable set from all Supplier nodes within 2 hops, tagged with
+    # min BFS level, summarized per (label, level).
+    from nornicdb_spark.operators.paths import subgraph_nodes
+
+    g = _graph(spark, sf_dir)
+    starts = g.nodes_by_label("Supplier").select("id")
+    reach = subgraph_nodes(g, starts, max_level=2)
+    label = F.split(F.col("id"), ":").getItem(0)
+    return reach.groupBy(label.alias("label"), F.col("level")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+
+
+@register(
+    "graph_spanning_tree",
+    oracle="""
+    SELECT 'Nation:' || CAST(n_nationkey AS VARCHAR) AS id,
+           'Region:' || CAST(n_regionkey AS VARCHAR) AS parent,
+           CAST(1 AS INT) AS level
+    FROM nation
+    UNION ALL
+    SELECT 'Customer:' || CAST(c_custkey AS VARCHAR),
+           'Nation:' || CAST(c_nationkey AS VARCHAR), 2
+    FROM customer
+    UNION ALL
+    SELECT 'Supplier:' || CAST(s_suppkey AS VARCHAR),
+           'Nation:' || CAST(s_nationkey AS VARCHAR), 2
+    FROM supplier
+    """,
+)
+def graph_spanning_tree(spark, sf_dir):
+    # apoc.path.spanningTree (reference call_apoc_path.go): reverse BFS
+    # tree rooted at the Region nodes over IN/FROM. Each Nation's sole
+    # parent is its Region; each Customer/Supplier's sole parent is its
+    # Nation — a unique, fully SQL-checkable tree.
+    from nornicdb_spark.operators.paths import spanning_tree
+
+    g = _graph(spark, sf_dir)
+    starts = g.nodes_by_label("Region").select("id")
+    return spanning_tree(
+        g, starts, max_level=2, rel_types=("IN", "FROM"), direction="in"
+    )
+
+
+@register("graph_label_propagation")  # iterative fixpoint; rows-only check
+def graph_label_propagation(spark, sf_dir):
+    # apoc.algo.labelPropagation (reference apoc_community.go:225-329):
+    # community sizes summarized, deterministic min-label tie-break.
+    g = _graph(spark, sf_dir)
+    lp = algorithms.label_propagation(g, max_iterations=5)
+    return (
+        lp.groupBy("community")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_communities"),
+            F.max("size").alias("largest"),
+            F.sum("size").alias("n_nodes"),
+        )
+    )

@@ -132,3 +132,28 @@ def test_fastrp_structural_equivalence(spark):
     assert emb["l1"] == emb["l2"] == emb["l3"]
     norm_h = math.sqrt(sum(x * x for x in emb["h"]))
     assert norm_h > 0
+
+
+def test_all_simple_paths_cycle_guard(spark):
+    # a→b→c→a cycle plus a→c: simple paths a→c are (a,c) and (a,b,c);
+    # the cycle must not produce a path revisiting a.
+    g = tiny_graph(spark, [("a", "b", 1), ("b", "c", 1), ("c", "a", 1), ("a", "c", 1)])
+    from nornicdb_spark.operators.paths import all_simple_paths
+
+    paths = all_simple_paths(
+        g, start_df(spark, "a"), start_df(spark, "c"), max_hops=4
+    ).collect()
+    got = sorted(tuple(r.node_path) for r in paths)
+    assert got == [("a", "b", "c"), ("a", "c")]
+
+
+def test_subgraph_nodes_min_level_and_spanning_tree(spark):
+    # diamond a→{b,c}→d: d is level 2 exactly once; spanning tree parent
+    # of d is min(b, c) = b.
+    g = tiny_graph(spark, [("a", "b", 1), ("a", "c", 1), ("b", "d", 1), ("c", "d", 1)])
+    from nornicdb_spark.operators.paths import spanning_tree, subgraph_nodes
+
+    reach = {r.id: r.level for r in subgraph_nodes(g, start_df(spark, "a"), 3).collect()}
+    assert reach == {"a": 0, "b": 1, "c": 1, "d": 2}
+    tree = {r.id: (r.parent, r.level) for r in spanning_tree(g, start_df(spark, "a"), 3).collect()}
+    assert tree == {"b": ("a", 1), "c": ("a", 1), "d": ("b", 2)}
