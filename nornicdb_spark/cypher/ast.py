@@ -99,6 +99,44 @@ class ListComp:
 
 
 @dataclass(frozen=True)
+class Reduce:
+    """reduce(acc = init, var IN list | expr) — Cypher list fold."""
+
+    acc: str
+    init: object
+    var: str
+    source: object
+    expr: object
+
+
+@dataclass(frozen=True)
+class QuantPred:
+    """all/any/none/single(var IN list WHERE pred)."""
+
+    kind: str  # all | any | none | single
+    var: str
+    source: object
+    where: object
+
+
+@dataclass(frozen=True)
+class PatternComp:
+    """[(a)-[:T]->(b) WHERE p | expr] — pattern comprehension; one array
+    element per pattern match of the current row."""
+
+    path: object  # Path
+    where: object | None
+    map: object
+
+
+@dataclass(frozen=True)
+class CollectSubquery:
+    """COLLECT { MATCH ... RETURN expr } — correlated collect subquery."""
+
+    query: object  # Query whose last clause is a single-item Return
+
+
+@dataclass(frozen=True)
 class CountPattern:
     """COUNT { (a)-[:T]->(b) [WHERE ...] } — per-row pattern count
     (reference executor_mutations.go:1997). Compiled to a grouped
@@ -139,9 +177,14 @@ class RelPat:
 
 @dataclass(frozen=True)
 class Path:
-    """Alternating node/rel sequence: n0, r0, n1, r1, n2 ..."""
+    """Alternating node/rel sequence: n0, r0, n1, r1, n2 ...
+
+    ``name`` set for ``MATCH p = ...`` named paths; ``func`` is
+    ``shortestpath``/``allshortestpaths`` when the pattern is wrapped."""
 
     elements: tuple
+    name: str | None = None
+    func: str | None = None
 
 
 # ---- clauses ------------------------------------------------------------
@@ -203,8 +246,34 @@ class MergeClause:
 
 
 @dataclass(frozen=True)
+class SetPlus:
+    """SET n += {map} — merge map entries into the node's properties."""
+
+    var: str
+    map: object  # MapLit or Param
+
+
+@dataclass(frozen=True)
 class SetClause:
-    items: tuple  # tuple[(Prop, expr), ...]
+    items: tuple  # tuple[(Prop, expr) | SetPlus, ...]
+
+
+@dataclass(frozen=True)
+class ForeachClause:
+    """FOREACH (var IN list | update clauses) — reference
+    clauses.go:1689-1797."""
+
+    var: str
+    source: object
+    updates: tuple  # update clause objects
+
+
+@dataclass(frozen=True)
+class CallSubquery:
+    """CALL { subquery } — uncorrelated subquery composition
+    (reference executor_subqueries.go:27-666)."""
+
+    query: object  # Query
 
 
 @dataclass(frozen=True)

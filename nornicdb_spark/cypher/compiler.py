@@ -103,6 +103,8 @@ class Compiler:
         self.bindings: dict[str, Binding] = {}
         self._lambda_vars: dict[str, Column] = {}
         self._lambda_types: dict[str, str] = {}
+        self._scalar_vars: dict[str, object] = {}  # FOREACH loop bindings
+        self._paths: dict[str, dict] = {}  # named-path accessors
         self._anon = itertools.count()
 
     # ---- top level ------------------------------------------------------
@@ -119,34 +121,84 @@ class Compiler:
     def _compile_single(self, q: A.Query) -> DataFrame:
         out: DataFrame | None = None
         for clause in q.clauses:
-            if isinstance(clause, A.MatchClause):
-                self._compile_match(clause)
-            elif isinstance(clause, A.UnwindClause):
-                self._compile_unwind(clause)
-            elif isinstance(clause, A.WithClause):
-                self._compile_projection(clause)
-            elif isinstance(clause, A.CallClause):
-                self._compile_call(clause)
-            elif isinstance(clause, A.CreateClause):
-                self._compile_create(clause)
-            elif isinstance(clause, A.MergeClause):
-                self._compile_merge(clause)
-            elif isinstance(clause, A.SetClause):
-                self._compile_set(clause.items)
-            elif isinstance(clause, A.RemoveClause):
-                self._compile_set([(pr, A.Lit(None)) for pr in clause.props])
-            elif isinstance(clause, A.DeleteClause):
-                self._compile_delete(clause)
-            elif isinstance(clause, A.ReturnClause):
+            if isinstance(clause, A.ReturnClause):
                 out = self._compile_projection(clause)
             else:
-                raise NotImplementedError(f"cypher: clause {type(clause).__name__}")
+                self._compile_clause(clause)
         if out is None and isinstance(q.clauses[-1], A.CallClause):
             out = self.frame  # standalone CALL: implicit yield-all
         if out is None and self._wrote:
             out = self._stats_frame()  # write query: Neo4j-style summary
         assert out is not None, "query must end with RETURN"
         return out
+
+    def _compile_clause(self, clause) -> None:
+        if isinstance(clause, A.MatchClause):
+            self._compile_match(clause)
+        elif isinstance(clause, A.UnwindClause):
+            self._compile_unwind(clause)
+        elif isinstance(clause, A.WithClause):
+            self._compile_projection(clause)
+        elif isinstance(clause, A.CallClause):
+            self._compile_call(clause)
+        elif isinstance(clause, A.CallSubquery):
+            self._compile_call_subquery(clause)
+        elif isinstance(clause, A.CreateClause):
+            self._compile_create(clause)
+        elif isinstance(clause, A.MergeClause):
+            self._compile_merge(clause)
+        elif isinstance(clause, A.SetClause):
+            self._compile_set(clause.items)
+        elif isinstance(clause, A.RemoveClause):
+            self._compile_set([(pr, A.Lit(None)) for pr in clause.props])
+        elif isinstance(clause, A.DeleteClause):
+            self._compile_delete(clause)
+        elif isinstance(clause, A.ForeachClause):
+            self._compile_foreach(clause)
+        else:
+            raise NotImplementedError(f"cypher: clause {type(clause).__name__}")
+
+    def _compile_foreach(self, c: "A.ForeachClause") -> None:
+        """FOREACH — driver-side loop over a list value; each element is
+        bound as a scalar and the update clauses replayed (reference
+        clauses.go:1689-1797 iterates the same way per row)."""
+        self._require_store()
+        values = self._py_value(c.source)
+        if values is None:
+            return
+        outer = self._scalar_vars.get(c.var)
+        for v in values:
+            self._scalar_vars[c.var] = v
+            for up in c.updates:
+                self._compile_clause(up)
+        if outer is None:
+            self._scalar_vars.pop(c.var, None)
+        else:
+            self._scalar_vars[c.var] = outer
+
+    def _compile_call_subquery(self, c: "A.CallSubquery") -> None:
+        """CALL { subquery } — uncorrelated: compile independently, cross
+        join the result into the pipeline (reference
+        executor_subqueries.go:27-666; correlated import via WITH is not
+        yet supported)."""
+        inner = Compiler(self.cat, self.params, store=self.store)
+        result = inner._compile_single(c.query)
+        self.stats.add(
+            nodes_created=inner.stats.nodes_created,
+            relationships_created=inner.stats.relationships_created,
+            properties_set=inner.stats.properties_set,
+            nodes_deleted=inner.stats.nodes_deleted,
+            relationships_deleted=inner.stats.relationships_deleted,
+        )
+        self._wrote = self._wrote or inner._wrote
+        if not isinstance(c.query.clauses[-1], A.ReturnClause):
+            return  # unit subquery (writes only) — nothing to import
+        if self.frame is None:
+            self.frame = result
+        else:
+            self.frame = self.frame.crossJoin(result)
+        for col in result.columns:
+            self.bindings[col] = Binding("value", column=col)
 
     def _stats_frame(self) -> DataFrame:
         s = self.stats
@@ -166,9 +218,21 @@ class Compiler:
             df = self.graph.nodes
             return df.select(*[F.col(c).alias(f"{var}_{c}") for c in df.columns])
         if label not in LABEL_TABLES:
-            raise ValueError(f"cypher: unknown label {label!r}")
-        table, key = LABEL_TABLES[label]
-        df = self.store.tables[table] if self.store is not None else self.cat.table(table)
+            # dynamic label (created at runtime) or unknown → empty scan;
+            # the reference is schema-free, so neither is an error
+            if self.store is not None and self.store.has_dynamic(label):
+                _t, key, df = self.store.table_for(label)
+            else:
+                return self.cat.spark.createDataFrame(
+                    [], f"{var}_id string"
+                )
+        else:
+            table, key = LABEL_TABLES[label]
+            df = (
+                self.store.tables[table]
+                if self.store is not None
+                else self.cat.table(table)
+            )
         return df.select(
             node_id(label, key).alias(f"{var}_id"),
             *[F.col(c).alias(f"{var}_{c}") for c in df.columns],
@@ -219,14 +283,19 @@ class Compiler:
             conj = self._rewrite_count_patterns(conj)
             self.frame = self.frame.filter(self._expr(conj))
 
+    _SUBQUERY_NODES = (A.CountPattern, A.PatternComp, A.CollectSubquery,
+                       A.ExistsPattern)
+
     def _rewrite_count_patterns(self, e):
-        """Replace each COUNT{pattern} inside an expression with a value
-        binding computed via a row-tagged grouped left join (reference
-        executor_mutations.go:1997 COUNT-subquery comparisons)."""
-        found: list[A.CountPattern] = []
+        """Replace each pattern subquery (COUNT{}, EXISTS{} in expression
+        position, pattern comprehension, COLLECT{}) inside an expression
+        with a value binding computed via a row-tagged grouped left join
+        (reference executor_mutations.go:1997 COUNT-subquery comparisons;
+        subquery composition executor_subqueries.go)."""
+        found: list = []
 
         def scan(x):
-            if isinstance(x, A.CountPattern):
+            if isinstance(x, self._SUBQUERY_NODES):
                 found.append(x)
             elif isinstance(x, A.BinOp):
                 scan(x.left); scan(x.right)
@@ -234,36 +303,31 @@ class Compiler:
                 scan(x.operand)
             elif isinstance(x, A.IsNull):
                 scan(x.operand)
+            elif isinstance(x, A.Func):
+                for a in x.args:
+                    scan(a)
+            elif isinstance(x, A.Case):
+                for c, r in x.whens:
+                    scan(c); scan(r)
+                if x.subject is not None:
+                    scan(x.subject)
+                if x.default is not None:
+                    scan(x.default)
+            elif isinstance(x, A.ListLit):
+                for i in x.items:
+                    scan(i)
+            elif isinstance(x, A.Index):
+                scan(x.subject); scan(x.index)
 
         scan(e)
         if not found:
             return e
-        repl: dict[int, A.Var] = {}
-        for cp in found:
-            name = self._fresh("_cnt")
-            tagged = self.frame.withColumn(
-                "_row_id", F.monotonically_increasing_id()
-            ).localCheckpoint(eager=True)
-            saved_bindings = dict(self.bindings)
-            self.frame = tagged
-            for path in cp.paths:
-                self._compile_path(path)
-            if cp.where is not None:
-                self._apply_where(cp.where)
-            counts = self.frame.groupBy("_row_id").agg(
-                F.count(F.lit(1)).alias(name)
-            )
-            self.frame = (
-                tagged.join(counts, "_row_id", "left_outer")
-                .withColumn(name, F.coalesce(F.col(name), F.lit(0)))
-                .drop("_row_id")
-            )
-            self.bindings = saved_bindings
-            self.bindings[name] = Binding("value", column=name)
-            repl[id(cp)] = A.Var(name)
+        repl: dict[int, object] = {}
+        for sq in found:
+            repl[id(sq)] = self._materialize_subquery(sq)
 
         def rebuild(x):
-            if isinstance(x, A.CountPattern):
+            if isinstance(x, self._SUBQUERY_NODES):
                 return repl[id(x)]
             if isinstance(x, A.BinOp):
                 return A.BinOp(x.op, rebuild(x.left), rebuild(x.right))
@@ -271,9 +335,81 @@ class Compiler:
                 return A.UnOp(x.op, rebuild(x.operand))
             if isinstance(x, A.IsNull):
                 return A.IsNull(rebuild(x.operand), x.negated)
+            if isinstance(x, A.Func):
+                return A.Func(x.name, tuple(rebuild(a) for a in x.args), x.distinct)
+            if isinstance(x, A.Case):
+                return A.Case(
+                    rebuild(x.subject) if x.subject is not None else None,
+                    tuple((rebuild(c), rebuild(r)) for c, r in x.whens),
+                    rebuild(x.default) if x.default is not None else None,
+                )
+            if isinstance(x, A.ListLit):
+                return A.ListLit(tuple(rebuild(i) for i in x.items))
+            if isinstance(x, A.Index):
+                return A.Index(rebuild(x.subject), rebuild(x.index))
             return x
 
         return rebuild(e)
+
+    def _materialize_subquery(self, sq):
+        """Run one pattern subquery per current row (row-tag machinery);
+        returns the AST replacement expression."""
+        name = self._fresh("_sq")
+        tagged = self.frame.withColumn(
+            "_row_id", F.monotonically_increasing_id()
+        ).localCheckpoint(eager=True)
+        saved_bindings = dict(self.bindings)
+        self.frame = tagged
+
+        if isinstance(sq, (A.CountPattern, A.ExistsPattern)):
+            for path in sq.paths:
+                self._compile_path(path)
+            if sq.where is not None:
+                self._apply_where(sq.where)
+            agg = self.frame.groupBy("_row_id").agg(F.count(F.lit(1)).alias(name))
+            fill, post = F.lit(0), (
+                A.Var(name) if isinstance(sq, A.CountPattern)
+                else A.BinOp(">", A.Var(name), A.Lit(0))
+            )
+        elif isinstance(sq, A.PatternComp):
+            self._compile_path(sq.path)
+            if sq.where is not None:
+                self._apply_where(sq.where)
+            rows = self.frame.select("_row_id", self._expr(sq.map).alias("_val"))
+            elem = rows.schema["_val"].dataType.simpleString()
+            agg = rows.groupBy("_row_id").agg(
+                F.array_sort(F.collect_list("_val")).alias(name)
+            )
+            fill, post = F.array().cast(f"array<{elem}>"), A.Var(name)
+        else:  # CollectSubquery
+            inner_clauses = sq.query.clauses
+            ret = inner_clauses[-1]
+            if not isinstance(ret, A.ReturnClause) or len(ret.items) != 1:
+                raise NotImplementedError(
+                    "cypher: COLLECT {} needs a single-item RETURN"
+                )
+            for clause in inner_clauses[:-1]:
+                if not isinstance(clause, (A.MatchClause, A.UnwindClause)):
+                    raise NotImplementedError(
+                        "cypher: COLLECT {} supports MATCH/UNWIND bodies"
+                    )
+                self._compile_clause(clause)
+            rows = self.frame.select(
+                "_row_id", self._expr(ret.items[0].expr).alias("_val")
+            )
+            elem = rows.schema["_val"].dataType.simpleString()
+            collect = F.collect_set("_val") if ret.distinct else F.collect_list("_val")
+            agg = rows.groupBy("_row_id").agg(F.array_sort(collect).alias(name))
+            fill, post = F.array().cast(f"array<{elem}>"), A.Var(name)
+
+        self.frame = (
+            tagged.join(agg, "_row_id", "left_outer")
+            .withColumn(name, F.coalesce(F.col(name), fill))
+            .drop("_row_id")
+        )
+        self.bindings = saved_bindings
+        self.bindings[name] = Binding("value", column=name)
+        return post
 
     @staticmethod
     def _conjuncts(e) -> list:
@@ -301,15 +437,109 @@ class Compiler:
         self.bindings = saved_bindings
 
     def _compile_path(self, path: A.Path) -> None:
+        if path.func in ("shortestpath", "allshortestpaths"):
+            self._compile_shortest(path)
+            return
         elems = path.elements
         node = elems[0]
         var = self._bind_node(node)
+        node_vars = [var]
+        rel_entries: list = []
         i = 1
         while i < len(elems):
             rel: A.RelPat = elems[i]
             dst: A.NodePat = elems[i + 1]
-            var = self._expand(var, rel, dst)
+            var = self._expand(var, rel, dst, keep_path=bool(path.name))
+            if rel.min_hops == 1 and rel.max_hops == 1:
+                rel_entries.append(("fixed", self._last_rel_var))
+            else:
+                rel_entries.append(("varlen", self._last_varlen))
+            node_vars.append(var)
             i += 2
+        if path.name:
+            self._paths[path.name] = {"nodes": node_vars, "rels": rel_entries}
+            self.bindings[path.name] = Binding("path")
+
+    def _compile_shortest(self, path: A.Path) -> None:
+        """MATCH p = shortestPath((a)-[*..m]->(b)) — frontier BFS via the
+        paths operators (reference shortest_path.go:18-365,
+        traversal.go:1435-1553). allShortestPaths keeps every min-length
+        node sequence; shortestPath picks the lexicographic min."""
+        from nornicdb_spark.catalog import PropertyGraph
+        from nornicdb_spark.operators.paths import all_shortest_paths
+
+        elems = path.elements
+        if len(elems) != 3:
+            raise NotImplementedError(
+                "cypher: shortestPath needs a single-relationship pattern"
+            )
+        a, rel, b = elems
+        a_var = a.var or self._fresh()
+        b_var = b.var or self._fresh()
+        a_bound = a_var in self.bindings
+        b_bound = b_var in self.bindings
+
+        if a_bound:
+            starts = self.frame.select(F.col(f"{a_var}_id").alias("id")).distinct()
+        else:
+            starts = self._node_frame(a_var, a.label).select(
+                F.col(f"{a_var}_id").alias("id")
+            )
+        if b_bound:
+            targets = self.frame.select(F.col(f"{b_var}_id").alias("id")).distinct()
+        else:
+            targets = self._node_frame(b_var, b.label).select(
+                F.col(f"{b_var}_id").alias("id")
+            )
+
+        g = (
+            PropertyGraph(nodes=self.graph.nodes, edges=self.store.edges)
+            if self.store is not None
+            else self.graph
+        )
+        paths = all_shortest_paths(
+            g, starts, targets, max_hops=rel.max_hops,
+            rel_types=rel.types, direction=rel.direction,
+        ).filter(F.col("distance") >= rel.min_hops)
+        if path.func == "shortestpath":
+            paths = (
+                paths.groupBy("start_id", "end_id")
+                .agg(F.min(F.struct("distance", "node_path")).alias("m"))
+                .select("start_id", "end_id", "m.distance", "m.node_path")
+            )
+        name = path.name or self._fresh("_p")
+        paths = paths.select(
+            F.col("start_id").alias(f"{a_var}_id"),
+            F.col("end_id").alias(f"{b_var}_id"),
+            F.col("distance").alias(f"_path_{name}_len"),
+            F.col("node_path").alias(f"_path_{name}_nodes"),
+        )
+
+        on = []
+        if a_bound:
+            on.append(f"{a_var}_id")
+        if b_bound:
+            on.append(f"{b_var}_id")
+        if self.frame is None:
+            self.frame = paths
+        elif on:
+            self.frame = self.frame.join(paths, on=on, how="inner")
+        else:
+            self.frame = self.frame.crossJoin(paths)
+        for v, pat, bound in ((a_var, a, a_bound), (b_var, b, b_bound)):
+            if not bound:
+                if pat.label is not None:
+                    dn = self._node_frame(v, pat.label)
+                    self.frame = self.frame.join(dn, on=f"{v}_id", how="inner")
+                self.bindings[v] = Binding("node", label=pat.label)
+                self._apply_node_props(v, pat)
+        if path.name:
+            self._paths[path.name] = {
+                "shortest": True,
+                "len_col": f"_path_{name}_len",
+                "nodes_col": f"_path_{name}_nodes",
+            }
+            self.bindings[path.name] = Binding("path")
 
     def _bind_node(self, node: A.NodePat) -> str:
         var = node.var or self._fresh()
@@ -354,12 +584,17 @@ class Compiler:
             return flipped
         return e.unionByName(flipped, allowMissingColumns=False)
 
-    def _expand(self, src_var: str, rel: A.RelPat, dst: A.NodePat) -> str:
+    def _expand(
+        self, src_var: str, rel: A.RelPat, dst: A.NodePat, keep_path: bool = False
+    ) -> str:
         dst_var = dst.var or self._fresh()
         rel_var = rel.var or self._fresh("_r")
+        self._last_rel_var = rel_var
 
         if rel.min_hops != 1 or rel.max_hops != 1:
-            return self._expand_var_length(src_var, rel, dst, dst_var)
+            return self._expand_var_length(
+                src_var, rel, dst, dst_var, keep_path=keep_path
+            )
 
         edges = self._oriented_edges(rel)
         re = edges.select(
@@ -389,7 +624,12 @@ class Compiler:
         return dst_var
 
     def _expand_var_length(
-        self, src_var: str, rel: A.RelPat, dst: A.NodePat, dst_var: str
+        self,
+        src_var: str,
+        rel: A.RelPat,
+        dst: A.NodePat,
+        dst_var: str,
+        keep_path: bool = False,
     ) -> str:
         from nornicdb_spark.operators.paths import var_length_paths
 
@@ -403,14 +643,28 @@ class Compiler:
             if self.store is not None
             else self.graph
         )
+        rel_var = rel.var or self._fresh("_r")
+        depth_col = f"{rel_var}_length"
+        info = {
+            "depth": depth_col,
+            "nodes": f"_vl_{rel_var}_nodes",
+            "rels": f"_vl_{rel_var}_rels",
+        }
+        self._last_varlen = info
+        cols = [
+            F.col("start_id").alias(f"{src_var}_id"),
+            F.col("end_id").alias(f"{dst_var}_id"),
+            F.col("depth").alias(depth_col),
+        ]
+        if keep_path:
+            # named path: carry node/edge arrays for nodes(p)/
+            # relationships(p) (reference traversal.go:1264-1275)
+            cols.append(F.col("node_path").alias(info["nodes"]))
+            cols.append(F.col("edge_path").alias(info["rels"]))
         paths = var_length_paths(
             g, starts, min_hops=rel.min_hops, max_hops=rel.max_hops,
             rel_types=rel.types, direction=rel.direction,
-        ).select(
-            F.col("start_id").alias(f"{src_var}_id"),
-            F.col("end_id").alias(f"{dst_var}_id"),
-            F.col("depth").alias(f"{rel.var or self._fresh('_r')}_length"),
-        )
+        ).select(*cols)
         self.frame = self.frame.join(paths, on=f"{src_var}_id", how="inner")
         if dst_var in self.bindings:
             raise NotImplementedError("cypher: var-length to a bound variable")
@@ -472,8 +726,23 @@ class Compiler:
             return e.value
         if isinstance(e, A.Param):
             return self.params[e.name]
+        if isinstance(e, A.Var) and e.name in self._scalar_vars:
+            return self._scalar_vars[e.name]
+        if isinstance(e, A.ListLit):
+            return [self._py_value(i) for i in e.items]
         if isinstance(e, A.UnOp) and e.op == "NEG":
             return -self._py_value(e.operand)
+        if isinstance(e, A.BinOp):
+            l, r = self._py_value(e.left), self._py_value(e.right)
+            ops = {"+": lambda: l + r, "-": lambda: l - r, "*": lambda: l * r,
+                   "%": lambda: l % r,
+                   "/": lambda: l // r if isinstance(l, int) and isinstance(r, int) else l / r}
+            if e.op in ops:
+                return ops[e.op]()
+        if isinstance(e, A.Func) and e.name == "range":
+            vals = [self._py_value(a) for a in e.args]
+            step = vals[2] if len(vals) > 2 else 1
+            return list(range(vals[0], vals[1] + (1 if step > 0 else -1), step))
         raise NotImplementedError("cypher: CREATE/MERGE properties must be literals")
 
     def _table_local_expr(self, e, var: str) -> Column:
@@ -526,11 +795,10 @@ class Compiler:
                 if node.label is None:
                     raise NotImplementedError("cypher: CREATE needs a node label")
                 props = {k: self._py_value(v) for k, v in node.props}
-                self.store.create_node(node.label, props)
+                nid = self.store.create_node(node.label, props)
                 self.stats.add(nodes_created=1)
-                table, key = LABEL_TABLES[node.label]
                 if var:
-                    self._created[var] = f"{node.label}:{props[key]}"
+                    self._created[var] = nid
             for i in range(1, len(elems), 2):
                 rel: A.RelPat = elems[i]
                 if not rel.types or rel.direction == "both":
@@ -574,6 +842,24 @@ class Compiler:
 
     def _compile_set(self, items) -> None:
         self._require_store()
+        # SET n += {map} (reference set_helpers.go map-merge) expands to
+        # one property assignment per map entry
+        expanded = []
+        for item in items:
+            if isinstance(item, A.SetPlus):
+                m = item.map
+                if isinstance(m, A.Param):
+                    val = self.params[m.name]
+                    if not isinstance(val, dict):
+                        raise ValueError("cypher: SET += needs a map")
+                    m = A.MapLit(tuple((k, A.Lit(v)) for k, v in val.items()))
+                if not isinstance(m, A.MapLit):
+                    raise NotImplementedError("cypher: SET += needs a map literal")
+                for k, v in m.items:
+                    expanded.append((A.Prop(A.Var(item.var), k), v))
+            else:
+                expanded.append(item)
+        items = expanded
         per_var: dict[str, dict[str, Column]] = {}
         for target, expr in items:
             if not (isinstance(target, A.Prop) and isinstance(target.subject, A.Var)):
@@ -612,23 +898,31 @@ class Compiler:
             raise NotImplementedError("cypher: MERGE needs (n:Label {props})")
         table, key, df = self.store.table_for(node.label)
         props = {k: self._py_value(v) for k, v in node.props}
+        missing_cols = [k for k in props if k not in df.columns]
         cond = None
         for k, v in props.items():
-            c2 = F.col(k) == F.lit(v)
+            c2 = (F.col(k) == F.lit(v)) if k in df.columns else F.lit(False)
             cond = c2 if cond is None else (cond & c2)
         matched = df.filter(cond)
         var = node.var or self._fresh()
-        if matched.limit(1).count() == 0:
-            self.store.create_node(node.label, props)
+        if missing_cols or matched.limit(1).count() == 0:
+            nid = self.store.create_node(node.label, props)
             self.stats.add(nodes_created=1)
-            self._created[var] = f"{node.label}:{props[key]}"
+            self._created[var] = nid
             sets = c.on_create
         else:
             self._created[var] = None  # resolved below via prop filter
             sets = c.on_match
-        # target ids = rows matching the merge props (covers both fates)
+        # target ids = rows matching the merge props (covers both fates);
+        # re-derive the predicate against the post-create table — a
+        # dynamic-label create may have added the property columns
+        fresh = self.store.tables[table]
+        cond = None
+        for k, v in props.items():
+            c2 = (F.col(k) == F.lit(v)) if k in fresh.columns else F.lit(False)
+            cond = c2 if cond is None else (cond & c2)
         ids = (
-            self.store.tables[table]
+            fresh
             .filter(cond)
             .select(
                 F.concat(
@@ -687,9 +981,69 @@ class Compiler:
             new_bindings[name] = Binding("value", column=name)
         return cols, new_bindings, key_cols
 
+    @staticmethod
+    def _collect_var_names(e, acc: set) -> None:
+        if isinstance(e, A.Var):
+            acc.add(e.name)
+        elif isinstance(e, A.Prop):
+            Compiler._collect_var_names(e.subject, acc)
+        elif isinstance(e, A.BinOp):
+            Compiler._collect_var_names(e.left, acc)
+            Compiler._collect_var_names(e.right, acc)
+        elif isinstance(e, A.UnOp):
+            Compiler._collect_var_names(e.operand, acc)
+        elif isinstance(e, A.IsNull):
+            Compiler._collect_var_names(e.operand, acc)
+        elif isinstance(e, A.Func):
+            for a in e.args:
+                Compiler._collect_var_names(a, acc)
+        elif isinstance(e, A.Index):
+            Compiler._collect_var_names(e.subject, acc)
+            Compiler._collect_var_names(e.index, acc)
+        elif isinstance(e, A.Case):
+            parts = [e.subject, e.default] + [x for w in e.whens for x in w]
+            for p in parts:
+                if p is not None:
+                    Compiler._collect_var_names(p, acc)
+
     def _compile_projection(self, clause) -> DataFrame:
-        items = clause.items
+        if self.frame is not None:
+            items = tuple(
+                A.ReturnItem(self._rewrite_count_patterns(it.expr), it.alias)
+                for it in clause.items
+            )
+        else:
+            items = clause.items
         has_agg = any(_contains_agg(it.expr) for it in items)
+
+        # ORDER BY may reference pattern variables that the projection
+        # drops (Cypher allows `RETURN c.name ORDER BY c.acctbal`):
+        # resolve each sort item now — exact structural match to a
+        # projected item sorts on its output column; otherwise, when the
+        # sort expression uses vars the projection loses, compute it on
+        # the PRE-projection frame as a hidden column.
+        presort: dict[int, str] = {}
+        if clause.order and not has_agg and not clause.distinct and self.frame is not None:
+            out_names = {
+                it.alias or expr_name(it.expr) for it in items
+            } | {
+                it.expr.name
+                for it in items
+                if isinstance(it.expr, A.Var) and it.expr.name in self.bindings
+            }
+            for n, s in enumerate(clause.order):
+                if any(it.expr == s.expr for it in items):
+                    continue
+                used: set = set()
+                self._collect_var_names(s.expr, used)
+                lost = {
+                    v for v in used
+                    if v in self.bindings and v not in out_names
+                }
+                if lost:
+                    name = f"_presort{n}"
+                    self.frame = self.frame.withColumn(name, self._expr(s.expr))
+                    presort[n] = name
 
         if has_agg:
             group_items = [it for it in items if not _contains_agg(it.expr)]
@@ -712,8 +1066,10 @@ class Compiler:
                     if k not in tmp.columns:
                         tmp = tmp.withColumn(k, c)
                     key_names.append(k)
-                df = tmp.groupBy(*key_names).agg(*aggs)
-                df = df.select(*key_names, *list(abind))
+                # backticks: unaliased keys like `n.n_name` contain dots
+                key_refs = [F.col(f"`{k}`") for k in key_names]
+                df = tmp.groupBy(*key_refs).agg(*aggs)
+                df = df.select(*key_refs, *[F.col(f"`{a}`") for a in abind])
             else:
                 df = self.frame.agg(*aggs)
             self.frame = df
@@ -722,6 +1078,7 @@ class Compiler:
             if self.frame is None:
                 self.frame = self.cat.spark.range(1)
             cols, nbind, _ = self._projection_columns(items)
+            cols += [F.col(n) for n in presort.values()]
             self.frame = self.frame.select(*cols)
             self.bindings = nbind
 
@@ -730,10 +1087,19 @@ class Compiler:
         if getattr(clause, "where", None) is not None:
             self.frame = self.frame.filter(self._expr(clause.where))
         if clause.order:
+            out_names = [it.alias or expr_name(it.expr) for it in items]
             sort_cols = []
-            extra = []
+            extra = list(presort.values())
             for n, s in enumerate(clause.order):
-                if isinstance(s.expr, A.Var) and s.expr.name in self.frame.columns:
+                matched = next(
+                    (nm for it, nm in zip(items, out_names) if it.expr == s.expr),
+                    None,
+                )
+                if n in presort:
+                    c = F.col(presort[n])
+                elif matched is not None and matched in self.frame.columns:
+                    c = F.col(f"`{matched}`")
+                elif isinstance(s.expr, A.Var) and s.expr.name in self.frame.columns:
                     c = F.col(f"`{s.expr.name}`")
                 else:
                     name = f"_sort{n}"
@@ -743,6 +1109,9 @@ class Compiler:
                 sort_cols.append(c.asc() if s.ascending else c.desc())
             self.frame = self.frame.orderBy(*sort_cols)
             for name in extra:
+                self.frame = self.frame.drop(name)
+        elif presort:
+            for name in presort.values():
                 self.frame = self.frame.drop(name)
         if clause.skip is not None:
             self.frame = self.frame.offset(int(self._lit_value(clause.skip)))
@@ -801,6 +1170,8 @@ class Compiler:
         if isinstance(e, A.Var):
             if e.name in self._lambda_vars:
                 return self._lambda_vars[e.name]
+            if e.name in self._scalar_vars:
+                return F.lit(self._scalar_vars[e.name])
             b = self.bindings.get(e.name)
             if b is None:
                 raise ValueError(f"cypher: unbound variable {e.name!r}")
@@ -814,19 +1185,27 @@ class Compiler:
                 if b is not None and b.kind in ("node", "rel"):
                     col = f"{var}_{e.name}"
                     if col not in self.frame.columns:
-                        raise ValueError(
-                            f"cypher: unknown property {var}.{e.name}"
-                        )
+                        # schema-free reference semantics: a property the
+                        # entity doesn't have is null, not an error
+                        return F.lit(None)
                     return F.col(col)
             return self._expr(e.subject).getField(e.name)
         if isinstance(e, A.ListLit):
             return F.array(*[self._expr(i) for i in e.items])
         if isinstance(e, A.MapLit):
-            pairs = []
-            for k, v in e.items:
-                pairs.append(F.lit(k))
-                pairs.append(self._expr(v))
-            return F.create_map(*pairs)
+            # Cypher maps are heterogeneous → struct (named fields),
+            # which also keeps .key access and to-JSON shape
+            return F.struct(
+                *[self._expr(v).alias(k) for k, v in e.items]
+            )
+        if isinstance(e, A.Reduce):
+            return self._reduce(e)
+        if isinstance(e, A.QuantPred):
+            return self._quantifier(e)
+        if isinstance(e, (A.PatternComp, A.CollectSubquery, A.CountPattern)):
+            raise NotImplementedError(
+                "cypher: pattern subquery must appear in WHERE / WITH / RETURN"
+            )
         if isinstance(e, A.ListComp):
             src_col = self._expr(e.source)
             probe = self.frame if self.frame is not None else self.cat.spark.range(1)
@@ -873,6 +1252,65 @@ class Compiler:
         if isinstance(e, A.BinOp):
             return self._binop(e, agg=agg)
         raise NotImplementedError(f"cypher: expression {type(e).__name__}")
+
+    def _elem_type(self, source_ast) -> str:
+        """Element type of a list-valued expression (for lambda vars)."""
+        probe = self.frame if self.frame is not None else self.cat.spark.range(1)
+        try:
+            t = probe.select(self._expr(source_ast).alias("_t")).schema[0].dataType
+            return t.elementType.typeName() if t.typeName() == "array" else "unknown"
+        except Exception:
+            return "unknown"
+
+    def _scoped_lambda(self, var: str, elem_type: str, expr_ast):
+        def fn(x):
+            self._lambda_vars[var] = x
+            self._lambda_types[var] = elem_type
+            try:
+                return self._expr(expr_ast)
+            finally:
+                del self._lambda_vars[var]
+                del self._lambda_types[var]
+
+        return fn
+
+    def _reduce(self, e: A.Reduce) -> Column:
+        """reduce(acc = init, x IN list | expr) → F.aggregate."""
+        src = self._expr(e.source)
+        elem_type = self._elem_type(e.source)
+        init = self._expr(e.init)
+        # F.aggregate needs acc/init type stability: widen an integer
+        # seed to double when folding doubles (Cypher coerces freely)
+        if elem_type == "double" and self._dtype_ast(e.init) in (
+            "long", "integer", "unknown"
+        ):
+            init = init.cast("double")
+
+        def merge(acc, x):
+            self._lambda_vars[e.acc] = acc
+            self._lambda_vars[e.var] = x
+            self._lambda_types[e.var] = elem_type
+            try:
+                return self._expr(e.expr)
+            finally:
+                del self._lambda_vars[e.acc]
+                del self._lambda_vars[e.var]
+                del self._lambda_types[e.var]
+
+        return F.aggregate(src, init, merge)
+
+    def _quantifier(self, e: A.QuantPred) -> Column:
+        """all/any/none/single(x IN list WHERE p) — higher-order preds."""
+        src = self._expr(e.source)
+        pred = self._scoped_lambda(e.var, self._elem_type(e.source), e.where)
+        if e.kind == "all":
+            return F.forall(src, pred)
+        if e.kind == "any":
+            return F.exists(src, pred)
+        if e.kind == "none":
+            return ~F.exists(src, pred)
+        # single: exactly one element satisfies
+        return F.size(F.filter(src, pred)) == 1
 
     def _case(self, e: A.Case) -> Column:
         col = None
@@ -995,9 +1433,85 @@ class Compiler:
             v = args[0]
             if isinstance(v, A.Var):
                 return F.col(f"{v.name}_type")
+        if name in ("properties", "keys") and args and isinstance(args[0], A.Var):
+            var = args[0].name
+            b = self.bindings.get(var)
+            if b is not None and b.kind in ("node", "rel"):
+                prefix = f"{var}_"
+                props = [
+                    c[len(prefix):]
+                    for c in self.frame.columns
+                    if c.startswith(prefix) and c != f"{var}_id"
+                ]
+                if name == "keys":
+                    return F.array(*[F.lit(p) for p in props])
+                return F.struct(
+                    *[F.col(f"{prefix}{p}").alias(p) for p in props]
+                )
+        if name.startswith("duration"):
+            from nornicdb_spark.functions import temporal as T
+
+            dur_map = {
+                "duration.between": T.duration_between,
+                "duration.inmonths": T.duration_in_months,
+                "duration.indays": T.duration_in_days,
+                "duration.inseconds": T.duration_in_seconds,
+            }
+            if name in dur_map:
+                return dur_map[name](self._expr(args[0]), self._expr(args[1]))
+
+        if (
+            name in ("length", "nodes", "relationships")
+            and args
+            and isinstance(args[0], A.Var)
+            and args[0].name in self._paths
+        ):
+            info = self._paths[args[0].name]
+            if info.get("shortest"):
+                if name == "length":
+                    return F.col(info["len_col"]).cast("long")
+                if name == "nodes":
+                    return F.col(info["nodes_col"])
+                raise NotImplementedError(
+                    "cypher: relationships() on shortestPath paths"
+                )
+            if name == "length":
+                total = None
+                for kind, entry in info["rels"]:
+                    c = F.lit(1) if kind == "fixed" else F.col(entry["depth"])
+                    total = c if total is None else total + c
+                return (total if total is not None else F.lit(0)).cast("long")
+            if name == "nodes":
+                acc = F.array(F.col(f"{info['nodes'][0]}_id"))
+                for (kind, entry), nv in zip(info["rels"], info["nodes"][1:]):
+                    if kind == "fixed":
+                        acc = F.array_append(acc, F.col(f"{nv}_id"))
+                    else:
+                        nc = F.col(entry["nodes"])
+                        acc = F.concat(
+                            acc,
+                            F.slice(nc, 2, F.greatest(F.size(nc) - 1, F.lit(0))),
+                        )
+                return acc
+            acc = None
+            for kind, entry in info["rels"]:
+                c = (
+                    F.array(F.col(f"{entry}_edge_id"))
+                    if kind == "fixed"
+                    else F.col(entry["rels"])
+                )
+                acc = c if acc is None else F.concat(acc, c)
+            return acc if acc is not None else F.array().cast("array<long>")
 
         cols = [self._expr(a, agg=agg) for a in args]
 
+        if name == "length":
+            t = self._dtype_ast(args[0])
+            return (
+                F.length(cols[0]).cast("long")
+                if t == "string"
+                else F.size(cols[0]).cast("long")
+            )
         if name == "size":
             t = self._dtype_ast(args[0])
             return F.length(cols[0]).cast("long") if t == "string" else F.size(cols[0]).cast("long")

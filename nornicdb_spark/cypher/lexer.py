@@ -17,7 +17,7 @@ KEYWORDS = {
     "ALL", "DISTINCT", "AND", "OR", "XOR", "NOT", "IN", "IS", "NULL", "TRUE",
     "FALSE", "STARTS", "ENDS", "CONTAINS", "CASE", "WHEN", "THEN", "ELSE",
     "END", "EXISTS", "COUNT", "CALL", "YIELD", "CREATE", "MERGE", "SET",
-    "REMOVE", "DELETE", "DETACH", "ON",
+    "REMOVE", "DELETE", "DETACH", "ON", "FOREACH",
 }
 
 TOKEN_RE = re.compile(
@@ -28,7 +28,7 @@ TOKEN_RE = re.compile(
   | (?P<STRING>'(?:\\.|[^'\\])*'|"(?:\\.|[^"\\])*")
   | (?P<PARAM>\$[A-Za-z_][A-Za-z0-9_]*)
   | (?P<NAME>`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<OP><=|>=|<>|=~|->|<-|\.\.|[()\[\]{},:;.+\-*/%=<>|])
+  | (?P<OP><=|>=|<>|=~|->|<-|\.\.|\+=|[()\[\]{},:;.+\-*/%=<>|])
     """,
     re.VERBOSE | re.DOTALL,
 )

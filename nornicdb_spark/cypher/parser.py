@@ -153,8 +153,19 @@ class Parser:
                 clauses.append(A.DeleteClause(vars=tuple(names), detach=detach))
                 if self._at_query_end():
                     break
+            elif self.at_kw("FOREACH"):
+                self.take()
+                clauses.append(self.parse_foreach())
+                if self._at_query_end():
+                    break
             elif self.at_kw("CALL"):
                 self.take()
+                if self.at("OP", "{"):
+                    self.take()
+                    sub = self.parse_single_query()
+                    self.expect("OP", "}")
+                    clauses.append(A.CallSubquery(query=sub))
+                    continue
                 clauses.append(self.parse_call())
                 # standalone CALL may end the query (implicit yield-all)
                 if self.at("EOF") or self.at("OP", ";") or self.at_kw("UNION"):
@@ -173,9 +184,9 @@ class Parser:
     def parse_match(self, optional: bool, consumed: bool = False) -> A.MatchClause:
         if not consumed:
             self.expect("KEYWORD", "MATCH")
-        paths = [self.parse_path()]
+        paths = [self.parse_match_path()]
         while self.accept("OP", ","):
-            paths.append(self.parse_path())
+            paths.append(self.parse_match_path())
         where = None
         if self.at_kw("WHERE"):
             self.take()
@@ -231,7 +242,11 @@ class Parser:
         return A.SortItem(expr=expr, ascending=asc)
 
     def _at_query_end(self) -> bool:
-        return self.at("EOF") or self.at("OP", ";") or self.at_kw("UNION")
+        # '}' ends a CALL { } / COLLECT { } subquery body
+        return (
+            self.at("EOF") or self.at("OP", ";") or self.at_kw("UNION")
+            or self.at("OP", "}")
+        )
 
     def parse_set_items(self) -> list:
         items = [self._parse_set_item()]
@@ -241,8 +256,67 @@ class Parser:
 
     def _parse_set_item(self):
         target = self.parse_postfix()
+        if self.at("OP", "+="):
+            self.take()
+            if not isinstance(target, A.Var):
+                raise SyntaxError("cypher: SET += target must be a variable")
+            return A.SetPlus(var=target.name, map=self.parse_expr())
         self.expect("OP", "=")
         return (target, self.parse_expr())
+
+    def parse_match_path(self) -> A.Path:
+        """A MATCH pattern element: ``[name =] [shortestPath(] path [)]``."""
+        name = None
+        if self.at("NAME") and self.at("OP", "=", k=1):
+            name = self.take().value
+            self.take()
+        func = None
+        if self.at("NAME") and self.peek().value.lower() in (
+            "shortestpath", "allshortestpaths"
+        ) and self.at("OP", "(", k=1):
+            func = self.take().value.lower()
+            self.expect("OP", "(")
+            inner = self.parse_path()
+            self.expect("OP", ")")
+            return A.Path(elements=inner.elements, name=name, func=func)
+        p = self.parse_path()
+        return A.Path(elements=p.elements, name=name, func=func) if name else p
+
+    def parse_foreach(self) -> A.ForeachClause:
+        """FOREACH (var IN expr | update clauses)."""
+        self.expect("OP", "(")
+        var = self.expect_name()
+        self.expect("KEYWORD", "IN")
+        source = self.parse_expr()
+        self.expect("OP", "|")
+        updates: list = []
+        while not self.at("OP", ")"):
+            if self.at_kw("CREATE"):
+                self.take()
+                paths = [self.parse_path()]
+                while self.accept("OP", ","):
+                    paths.append(self.parse_path())
+                updates.append(A.CreateClause(paths=tuple(paths)))
+            elif self.at_kw("SET"):
+                self.take()
+                updates.append(A.SetClause(items=tuple(self.parse_set_items())))
+            elif self.at_kw("DELETE") or self.at_kw("DETACH"):
+                detach = bool(self.at_kw("DETACH") and self.take())
+                self.expect("KEYWORD", "DELETE")
+                names = [self.expect_name()]
+                while self.accept("OP", ","):
+                    names.append(self.expect_name())
+                updates.append(A.DeleteClause(vars=tuple(names), detach=detach))
+            elif self.at_kw("FOREACH"):
+                self.take()
+                updates.append(self.parse_foreach())
+            else:
+                t = self.peek()
+                raise SyntaxError(
+                    f"cypher: unexpected {t.value!r} in FOREACH at {t.pos}"
+                )
+        self.expect("OP", ")")
+        return A.ForeachClause(var=var, source=source, updates=tuple(updates))
 
     def parse_call(self) -> A.CallClause:
         parts = [self.expect_name()]
@@ -479,6 +553,7 @@ class Parser:
             if kw == "EXISTS":
                 self.take()
                 self.expect("OP", "{")
+                self.accept("KEYWORD", "MATCH")  # full-form tolerated
                 paths = [self.parse_path()]
                 while self.accept("OP", ","):
                     paths.append(self.parse_path())
@@ -491,6 +566,7 @@ class Parser:
             if kw == "COUNT" and self.at("OP", "{", k=1):
                 self.take()
                 self.expect("OP", "{")
+                self.accept("KEYWORD", "MATCH")  # full-form tolerated
                 paths = [self.parse_path()]
                 while self.accept("OP", ","):
                     paths.append(self.parse_path())
@@ -500,6 +576,9 @@ class Parser:
                     where = self.parse_expr()
                 self.expect("OP", "}")
                 return A.CountPattern(paths=tuple(paths), where=where)
+            if kw == "ALL" and self.at("OP", "(", k=1):
+                self.take()
+                return self.parse_quantifier("all")
             if kw == "COUNT":
                 # count(*) | count(expr) | count(DISTINCT expr)
                 self.take()
@@ -517,6 +596,22 @@ class Parser:
             self.expect("OP", ")")
             return e
         if t.kind == "OP" and t.value == "[":
+            # pattern comprehension [(a)-[:T]->(b) WHERE p | e]
+            if self.at("OP", "(", k=1):
+                saved = self.i
+                try:
+                    self.take()
+                    path = self.parse_path()
+                    where = None
+                    if self.at_kw("WHERE"):
+                        self.take()
+                        where = self.parse_expr()
+                    self.expect("OP", "|")
+                    map_expr = self.parse_expr()
+                    self.expect("OP", "]")
+                    return A.PatternComp(path=path, where=where, map=map_expr)
+                except SyntaxError:
+                    self.i = saved  # plain list starting with a paren expr
             # list comprehension [x IN xs WHERE p | e] vs plain literal
             if self.at_name(k=1) and self.at("KEYWORD", "IN", k=2):
                 self.take()
@@ -543,12 +638,53 @@ class Parser:
         if t.kind == "OP" and t.value == "{":
             return A.MapLit(items=self.parse_map_pairs())
         if t.kind == "NAME":
+            low = t.value.lower()
+            if low == "collect" and self.at("OP", "{", k=1):
+                self.take()
+                self.expect("OP", "{")
+                sub = self.parse_single_query()
+                self.expect("OP", "}")
+                return A.CollectSubquery(query=sub)
+            if low == "reduce" and self.at("OP", "(", k=1):
+                self.take()
+                self.expect("OP", "(")
+                acc = self.expect_name()
+                self.expect("OP", "=")
+                init = self.parse_expr()
+                self.expect("OP", ",")
+                var = self.expect_name()
+                self.expect("KEYWORD", "IN")
+                source = self.parse_expr()
+                self.expect("OP", "|")
+                expr = self.parse_expr()
+                self.expect("OP", ")")
+                return A.Reduce(acc=acc, init=init, var=var, source=source, expr=expr)
+            if (
+                low in ("any", "none", "single")
+                and self.at("OP", "(", k=1)
+                and self.at_name(k=2)
+                and self.at("KEYWORD", "IN", k=3)
+            ):
+                self.take()
+                return self.parse_quantifier(low)
             # function call?  name(.name)* "(" args ")"
             if self.at("OP", "(", k=1) or (self.at("OP", ".", k=1) and self._is_dotted_call()):
                 return self.parse_func_call()
             self.take()
             return A.Var(t.value)
         raise SyntaxError(f"cypher: unexpected {t.value!r} at {t.pos}")
+
+    def parse_quantifier(self, kind: str) -> A.QuantPred:
+        """all/any/none/single(var IN list WHERE pred) — the leading
+        name token is already consumed."""
+        self.expect("OP", "(")
+        var = self.expect_name()
+        self.expect("KEYWORD", "IN")
+        source = self.parse_expr()
+        self.expect("KEYWORD", "WHERE")
+        where = self.parse_expr()
+        self.expect("OP", ")")
+        return A.QuantPred(kind=kind, var=var, source=source, where=where)
 
     def _is_dotted_call(self) -> bool:
         """Disambiguate ``n.prop`` from ``apoc.coll.sum(...)`` — scan the

@@ -39,20 +39,44 @@ class GraphStore:
     tables: dict[str, DataFrame] = field(default_factory=dict)
     edges: DataFrame | None = None
 
+    _dyn_counter: int = 0
+
     def __post_init__(self):
         for _label, table, _key in NODE_SPECS:
             self.tables.setdefault(table, self.catalog.table(table))
         if self.edges is None:
             self.edges = self.catalog.graph.edges
 
+    # ---- dynamic labels (schema-free reference semantics) ---------------
+
+    def has_dynamic(self, label: str) -> bool:
+        return f"_dyn_{label}" in self.tables
+
     def table_for(self, label: str) -> tuple[str, str, DataFrame]:
-        table, key = LABEL_TABLES[label]
-        return table, key, self.tables[table]
+        if label in LABEL_TABLES:
+            table, key = LABEL_TABLES[label]
+            return table, key, self.tables[table]
+        table = f"_dyn_{label}"
+        if table not in self.tables:
+            # empty dynamic table: surrogate key only; property columns
+            # appear as nodes are created (schema-free, like the
+            # reference's map-per-entity storage types.go:185-211)
+            self.tables[table] = self.catalog.spark.createDataFrame(
+                [], "_key long"
+            )
+        return table, "_key", self.tables[table]
 
     # ---- mutations (pure rewrites + pointer swap) ----------------------
 
-    def create_node(self, label: str, props: dict) -> None:
+    def create_node(self, label: str, props: dict) -> str:
         table, key, df = self.table_for(label)
+        if label not in LABEL_TABLES:
+            props = dict(props)
+            props[key] = self._dyn_counter
+            self._dyn_counter += 1
+            new = self.catalog.spark.createDataFrame([props])
+            self.tables[table] = df.unionByName(new, allowMissingColumns=True)
+            return f"{label}:{props[key]}"
         if key not in props:
             raise ValueError(f"CREATE (:{label}) needs the key property {key}")
         row = {c: props.get(c) for c in df.columns}
@@ -60,6 +84,7 @@ class GraphStore:
             [tuple(row[c] for c in df.columns)], df.schema
         )
         self.tables[table] = df.unionByName(new)
+        return f"{label}:{props[key]}"
 
     def create_edge(self, pairs: DataFrame, etype: str) -> int:
         """One edge per row of ``pairs`` (columns src, dst)."""

@@ -79,19 +79,28 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("contrib").alias("contrib"))
         )
-        dangling = (
-            ranks.filter(F.col("out_degree").isNull()).agg(F.sum("rank")).collect()[0][0]
-            or 0.0
+        # dangling mass as a broadcast 1-row aggregate (not a driver
+        # collect): keeps each iteration a single job — the scalar joins
+        # into the same stage instead of forcing an extra action.
+        dangling = F.broadcast(
+            ranks.filter(F.col("out_degree").isNull()).agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling_mass")
+            )
         )
-        base = (1.0 - damping) / n + damping * dangling / n
         ranks = (
             ranks.select("id", "out_degree")
             .join(contribs, "id", "left_outer")
+            .crossJoin(dangling)
             .withColumn(
                 "rank",
-                F.lit(base) + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0)),
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping)
+                * (
+                    F.coalesce(F.col("contrib"), F.lit(0.0))
+                    + F.col("dangling_mass") / n
+                ),
             )
-            .drop("contrib")
+            .drop("contrib", "dangling_mass")
         ).localCheckpoint(eager=True)
 
     return ranks.select("id", F.col("rank").alias("pagerank"))

@@ -141,3 +141,81 @@ def cypher_write_pipeline(spark, sf_dir):
            RETURN r.r_regionkey AS r_key, r.r_name AS name,
                   count(n.n_nationkey) AS n_nations"""
     )
+
+
+@register(
+    "cypher_shortest_path",
+    oracle="""
+    SELECT CAST(2 AS BIGINT) AS path_len,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer
+    """,
+)
+def cypher_shortest_path(spark, sf_dir):
+    # MATCH p = shortestPath(...) through the frontend (reference
+    # shortest_path.go:18-365): every customer reaches its region in
+    # exactly 2 hops (FROM → IN), so one row at length 2.
+    return _run(
+        spark, sf_dir,
+        """MATCH p = shortestPath((c:Customer)-[*..4]->(r:Region))
+           RETURN length(p) AS path_len, count(*) AS n_customers""",
+    )
+
+
+@register(
+    "cypher_pattern_comprehension",
+    oracle="""
+    SELECT n_nationkey AS k,
+           (SELECT count(*) FROM supplier WHERE s_nationkey = n_nationkey)::INT
+           AS n_sups,
+           EXISTS (SELECT 1 FROM customer WHERE c_nationkey = n_nationkey)
+           AS has_cust
+    FROM nation
+    """,
+)
+def cypher_pattern_comprehension(spark, sf_dir):
+    # pattern comprehension + EXISTS{} in RETURN position (reference
+    # executor_mutations.go subquery expressions).
+    return _run(
+        spark, sf_dir,
+        """MATCH (n:Nation)
+           RETURN n.n_nationkey AS k,
+                  size([(n)<-[:FROM]-(s:Supplier) | s.s_name]) AS n_sups,
+                  EXISTS { (n)<-[:FROM]-(:Customer) } AS has_cust""",
+    )
+
+
+@register(
+    "cypher_list_fold_quantifiers",
+    oracle="""
+    SELECT CAST(10 AS BIGINT) AS total, true AS all_pos, false AS any_big,
+           true AS none_neg, true AS single_two
+    """,
+)
+def cypher_list_fold_quantifiers(spark, sf_dir):
+    # reduce + all/any/none/single higher-order predicates (SURVEY §2.6
+    # list higher-order; reference functions_eval dispatch).
+    return _run(
+        spark, sf_dir,
+        """RETURN reduce(s = 0, x IN [1,2,3,4] | s + x) AS total,
+                  all(x IN [1,2,3] WHERE x > 0) AS all_pos,
+                  any(x IN [1,2,3] WHERE x > 9) AS any_big,
+                  none(x IN [1,2] WHERE x < 0) AS none_neg,
+                  single(x IN [1,2,3] WHERE x = 2) AS single_two""",
+    )
+
+
+@register(
+    "cypher_foreach_writes",
+    oracle="""
+    SELECT CAST(3 AS BIGINT) AS n, CAST(60 AS BIGINT) AS total
+    """,
+)
+def cypher_foreach_writes(spark, sf_dir):
+    # FOREACH driver loop + dynamic (schema-free) labels (reference
+    # clauses.go:1689-1797).
+    from nornicdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.cypher("FOREACH (x IN [10, 20, 30] | CREATE (:Marker {v: x}))").collect()
+    return eng.cypher("MATCH (m:Marker) RETURN count(*) AS n, sum(m.v) AS total")

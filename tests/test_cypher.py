@@ -480,3 +480,160 @@ def test_count_pattern_with_inner_where(eng, duck):
            WHERE (SELECT count(*) FROM supplier
                   WHERE s_nationkey = n_nationkey AND s_acctbal > 0.0) > 1""",
     )
+
+
+# ---- named paths / shortestPath -----------------------------------------
+
+def test_named_path_accessors(eng, duck):
+    check(
+        eng, duck,
+        """MATCH p = (n:Nation)-[:IN]->(r:Region)
+           RETURN length(p) AS l, size(nodes(p)) AS ns,
+                  size(relationships(p)) AS rs, n.n_nationkey AS k""",
+        """SELECT CAST(1 AS BIGINT) AS l, 2 AS ns, 1 AS rs,
+                  n_nationkey AS k FROM nation""",
+    )
+
+
+def test_shortest_path_length(eng, duck):
+    # Customer → Nation → Region is always the unique 2-hop min path
+    check(
+        eng, duck,
+        """MATCH p = shortestPath((c:Customer)-[*..4]->(r:Region))
+           RETURN length(p) AS l, count(*) AS n""",
+        "SELECT CAST(2 AS BIGINT) AS l, CAST(count(*) AS BIGINT) AS n FROM customer",
+    )
+
+
+def test_named_path_var_length_nodes(eng):
+    rows = eng.cypher(
+        """MATCH p = (n:Nation)-[*1..2]->(x)
+           RETURN length(p) AS l, size(nodes(p)) AS ns LIMIT 5"""
+    ).collect()
+    assert rows and all(r.ns == r.l + 1 for r in rows)
+
+
+# ---- expression-level additions -----------------------------------------
+
+def test_reduce_fold(eng):
+    row = eng.cypher(
+        "RETURN reduce(s = 0, x IN [1,2,3,4] | s + x) AS total"
+    ).collect()[0]
+    assert row.total == 10
+
+
+def test_reduce_mixed_numeric(eng):
+    row = eng.cypher(
+        "RETURN reduce(s = 0, x IN [1.5, 2.5] | s + x) AS total"
+    ).collect()[0]
+    assert row.total == 4.0
+
+
+def test_quantifier_predicates(eng):
+    row = eng.cypher(
+        """RETURN all(x IN [1,2,3] WHERE x > 0) AS a,
+                  any(x IN [1,2,3] WHERE x > 2) AS b,
+                  none(x IN [1,2] WHERE x > 5) AS c,
+                  single(x IN [1,2,3] WHERE x = 2) AS d"""
+    ).collect()[0]
+    assert (row.a, row.b, row.c, row.d) == (True, True, True, True)
+
+
+def test_map_literal_heterogeneous(eng):
+    row = eng.cypher("RETURN {a: 1, b: 'x'} AS m").collect()[0]
+    assert row.m.a == 1 and row.m.b == "x"
+
+
+def test_properties_and_keys(eng):
+    row = eng.cypher(
+        "MATCH (r:Region) RETURN properties(r) AS p, keys(r) AS k LIMIT 1"
+    ).collect()[0]
+    assert "r_name" in row.k and row.p.r_name is not None
+
+
+def test_missing_property_is_null(eng, duck):
+    # schema-free semantics: absent property → null, not an error
+    check(
+        eng, duck,
+        "MATCH (n:Nation) WHERE n.nope IS NULL RETURN count(*) AS n",
+        "SELECT CAST(count(*) AS BIGINT) AS n FROM nation",
+    )
+
+
+def test_duration_between_components(eng):
+    row = eng.cypher(
+        "RETURN duration.between(date('2024-01-01'), date('2024-03-15')) AS d"
+    ).collect()[0]
+    assert row.d.months == 2 and row.d.days == 14
+
+
+# ---- pattern comprehension / COLLECT / CALL subquery ---------------------
+
+def test_pattern_comprehension(eng, duck):
+    check(
+        eng, duck,
+        """MATCH (n:Nation)
+           RETURN n.n_nationkey AS k,
+                  size([(n)<-[:FROM]-(s:Supplier) | s.s_name]) AS n_sups""",
+        """SELECT n_nationkey AS k,
+                  (SELECT count(*) FROM supplier WHERE s_nationkey = n_nationkey)::INT
+                  AS n_sups
+           FROM nation""",
+    )
+
+
+def test_collect_subquery(eng):
+    rows = eng.cypher(
+        """MATCH (r:Region)
+           RETURN r.r_regionkey AS k,
+                  COLLECT { MATCH (r)<-[:IN]-(n:Nation) RETURN n.n_name } AS nations
+           ORDER BY k"""
+    ).collect()
+    assert len(rows) == 5 and all(len(r.nations) == 5 for r in rows)
+
+
+def test_call_subquery_uncorrelated(eng, duck):
+    check(
+        eng, duck,
+        """CALL { MATCH (r:Region) RETURN count(*) AS n_regions }
+           MATCH (n:Nation) RETURN n_regions, count(*) AS n_nations""",
+        """SELECT CAST(5 AS BIGINT) AS n_regions,
+                  CAST(count(*) AS BIGINT) AS n_nations FROM nation""",
+    )
+
+
+def test_exists_in_return_position(eng, duck):
+    check(
+        eng, duck,
+        """MATCH (n:Nation)
+           RETURN n.n_nationkey AS k,
+                  EXISTS { (n)<-[:FROM]-(:Supplier) } AS has_sup""",
+        """SELECT n_nationkey AS k,
+                  EXISTS (SELECT 1 FROM supplier WHERE s_nationkey = n_nationkey)
+                  AS has_sup
+           FROM nation""",
+    )
+
+
+# ---- ORDER BY on unprojected expressions --------------------------------
+
+def test_order_by_unprojected_property(eng, duck):
+    check(
+        eng, duck,
+        """MATCH (c:Customer) RETURN c.c_name AS name
+           ORDER BY c.c_acctbal DESC, c.c_custkey ASC LIMIT 5""",
+        """SELECT c_name AS name FROM customer
+           ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 5""",
+    )
+
+
+def test_order_by_aggregate_expression(eng, duck):
+    check(
+        eng, duck,
+        """MATCH (c:Customer)-[:PLACED]->(o:Order)
+           RETURN c.c_custkey AS k, count(o) AS n
+           ORDER BY count(o) DESC, c.c_custkey ASC LIMIT 5""",
+        """SELECT c_custkey AS k, CAST(count(*) AS BIGINT) AS n
+           FROM customer JOIN orders ON o_custkey = c_custkey
+           GROUP BY c_custkey ORDER BY n DESC, c_custkey ASC LIMIT 5""",
+    )

@@ -126,3 +126,59 @@ def test_create_edges_from_matched_frame(eng):
     assert one(eng.cypher(
         "MATCH (n:Nation)-[:IN]->(h:Region {r_regionkey: 98}) RETURN count(*) AS n"
     )).n == 5
+
+
+def test_foreach_creates_dynamic_label_nodes(eng):
+    stats = one(eng.cypher("FOREACH (x IN [1,2,3] | CREATE (:Tmp {v: x}))"))
+    assert stats.nodes_created == 3
+    row = one(eng.cypher("MATCH (t:Tmp) RETURN count(*) AS n, sum(t.v) AS s"))
+    assert (row.n, row.s) == (3, 6)
+
+
+def test_foreach_range_and_nested(eng):
+    one(eng.cypher(
+        "FOREACH (x IN range(1, 2) | FOREACH (y IN [10] | CREATE (:Pt {v: x * y})))"
+    ))
+    row = one(eng.cypher("MATCH (p:Pt) RETURN count(*) AS n, sum(p.v) AS s"))
+    assert (row.n, row.s) == (2, 30)
+
+
+def test_set_plus_map_merge(eng):
+    one(eng.cypher(
+        "MATCH (r:Region {r_regionkey: 0}) SET r += {r_name: 'ZED', extra: 7}"
+    ))
+    row = one(eng.cypher(
+        "MATCH (r:Region {r_regionkey: 0}) RETURN r.r_name AS n, r.extra AS e"
+    ))
+    assert (row.n, row.e) == ("ZED", 7)
+
+
+def test_detach_delete_dynamic_label(eng):
+    one(eng.cypher("FOREACH (x IN [1,2] | CREATE (:Tmp {v: x}))"))
+    stats = one(eng.cypher("MATCH (t:Tmp) DETACH DELETE t"))
+    assert stats.nodes_deleted == 2
+    row = one(eng.cypher("MATCH (t:Tmp) RETURN count(*) AS n"))
+    assert row.n == 0
+
+
+def test_match_unknown_label_is_empty_not_error(eng):
+    row = one(eng.cypher("MATCH (z:Nope) RETURN count(*) AS n"))
+    assert row.n == 0
+
+
+def test_merge_dynamic_label_upsert(eng):
+    s1 = one(eng.cypher("MERGE (t:Tag {name: 'alpha'}) ON CREATE SET t.hits = 1"))
+    assert s1.nodes_created == 1
+    s2 = one(eng.cypher(
+        "MERGE (t:Tag {name: 'alpha'}) ON MATCH SET t.hits = 2"
+    ))
+    assert s2.nodes_created == 0
+    row = one(eng.cypher("MATCH (t:Tag {name: 'alpha'}) RETURN t.hits AS h"))
+    assert row.h == 2
+
+
+def test_call_subquery_with_write(eng):
+    stats = one(eng.cypher(
+        "CALL { CREATE (:Tmp {v: 1}) } CREATE (:Tmp {v: 2})"
+    ))
+    assert stats.nodes_created == 2
