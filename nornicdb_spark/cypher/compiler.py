@@ -677,22 +677,74 @@ class Compiler:
 
     # ---- CALL -----------------------------------------------------------
 
+    def _proc_vector_query(self, args, rels: bool = False) -> DataFrame:
+        """CALL db.index.vector.queryNodes(index, k, vector)
+        (reference call_vector.go:35-280): exact cosine top-k over the
+        embeddings table — brute force is the oracle path; HNSW/k-means
+        pruned variants live in nornicdb_spark.search for scale."""
+        from nornicdb_spark.search.vector import cosine_topk
+
+        vals = [self._py_value(a) for a in args]
+        _index, k, vec = vals[0], int(vals[1]), vals[2]
+        return cosine_topk(self.cat.embeddings, vec, k=k).select(
+            F.col("vec_id").alias("node"), F.col("score")
+        )
+
+    def _proc_fulltext_query(self, args) -> DataFrame:
+        """CALL db.index.fulltext.queryNodes(index, query[, k])
+        (reference call_fulltext.go; BM25 scoring
+        fulltext_index.go:123-199). The posting index is memoized on the
+        catalog — build once, query many."""
+        from nornicdb_spark.search.bm25 import BM25Index
+
+        vals = [self._py_value(a) for a in args]
+        qtext = vals[1]
+        k = int(vals[2]) if len(vals) > 2 else 10
+        idx = getattr(self.cat, "_bm25_index", None)
+        if idx is None:
+            idx = BM25Index.build(self.cat.documents)
+            self.cat._bm25_index = idx
+        return idx.search(qtext, k=k).select(
+            F.col("doc_id").alias("node"), F.col("score")
+        )
+
     PROCEDURES = {
-        "db.labels": lambda self: __import__(
+        "db.labels": lambda self, args: __import__(
             "nornicdb_spark.procedures", fromlist=["x"]
         ).db_labels(self.graph),
-        "db.relationshiptypes": lambda self: __import__(
+        "db.relationshiptypes": lambda self, args: __import__(
             "nornicdb_spark.procedures", fromlist=["x"]
         ).db_relationship_types(self.graph),
-        "db.propertykeys": lambda self: __import__(
+        "db.propertykeys": lambda self, args: __import__(
             "nornicdb_spark.procedures", fromlist=["x"]
         ).db_property_keys(self.cat),
-        "db.schema.visualization": lambda self: __import__(
+        "db.schema.visualization": lambda self, args: __import__(
             "nornicdb_spark.procedures", fromlist=["x"]
         ).db_schema_visualization(self.graph),
-        "db.info": lambda self: __import__(
+        "db.info": lambda self, args: __import__(
             "nornicdb_spark.procedures", fromlist=["x"]
         ).db_info(self.cat),
+        "db.ping": lambda self, args: __import__(
+            "nornicdb_spark.procedures", fromlist=["x"]
+        ).db_ping(self.cat),
+        "db.indexes": lambda self, args: __import__(
+            "nornicdb_spark.procedures", fromlist=["x"]
+        ).db_indexes(self.cat),
+        "db.constraints": lambda self, args: __import__(
+            "nornicdb_spark.procedures", fromlist=["x"]
+        ).db_constraints(self.cat),
+        "dbms.components": lambda self, args: __import__(
+            "nornicdb_spark.procedures", fromlist=["x"]
+        ).dbms_components(self.cat),
+        "db.index.vector.querynodes": lambda self, args: self._proc_vector_query(
+            args
+        ),
+        "db.index.vector.queryrelationships": lambda self, args: (
+            self._proc_vector_query(args, rels=True)
+        ),
+        "db.index.fulltext.querynodes": lambda self, args: (
+            self._proc_fulltext_query(args)
+        ),
     }
 
     def _compile_call(self, c: "A.CallClause") -> None:
@@ -701,7 +753,7 @@ class Compiler:
         Cypher's per-row CALL semantics for argless introspection)."""
         if c.proc not in self.PROCEDURES:
             raise NotImplementedError(f"cypher: procedure {c.proc}()")
-        result = self.PROCEDURES[c.proc](self)
+        result = self.PROCEDURES[c.proc](self, c.args)
         if c.yields:
             missing = [y for y in c.yields if y not in result.columns]
             if missing:

@@ -56,3 +56,46 @@ def db_info(cat: Catalog) -> DataFrame:
     """CALL db.info / dbms.components — engine identity + table stats."""
     rows = [("nornicdb_spark", "0.1", t) for t in ("batch",)]
     return cat.spark.createDataFrame(rows, "name string, version string, mode string")
+
+
+def db_ping(cat: Catalog) -> DataFrame:
+    """CALL db.ping (reference call.go:676)."""
+    return cat.spark.createDataFrame([("ok",)], "status string")
+
+
+def db_indexes(cat: Catalog) -> DataFrame:
+    """CALL db.indexes / SHOW INDEXES (reference executor_show.go:16-32).
+    In this engine Catalyst pushdown subsumes property/range/composite
+    indexes; the materialized structures are the search-side ones."""
+    rows = [
+        ("embeddings_cosine", "VECTOR", "Embedding", ["embedding"], "ONLINE"),
+        ("documents_fulltext", "FULLTEXT", "Document", ["text"], "ONLINE"),
+    ]
+    return cat.spark.createDataFrame(
+        rows,
+        "name string, type string, labelsOrTypes string, properties array<string>, "
+        "state string",
+    )
+
+
+def db_constraints(cat: Catalog) -> DataFrame:
+    """CALL db.constraints / SHOW CONSTRAINTS — the key column of every
+    base table behaves as a uniqueness constraint (enforced by the
+    write path's groupBy-count check)."""
+    rows = [
+        (f"unique_{label.lower()}_{key}", "UNIQUENESS", label, [key])
+        for label, _table, key in NODE_SPECS
+    ]
+    return cat.spark.createDataFrame(
+        rows, "name string, type string, label string, properties array<string>"
+    )
+
+
+def dbms_components(cat: Catalog) -> DataFrame:
+    """CALL dbms.components (reference call.go:750s)."""
+    import pyspark
+
+    return cat.spark.createDataFrame(
+        [("nornicdb-spark", [pyspark.__version__], "community")],
+        "name string, versions array<string>, edition string",
+    )

@@ -219,3 +219,53 @@ def cypher_foreach_writes(spark, sf_dir):
     eng = Engine(spark, sf_dir)
     eng.cypher("FOREACH (x IN [10, 20, 30] | CREATE (:Marker {v: x}))").collect()
     return eng.cypher("MATCH (m:Marker) RETURN count(*) AS n, sum(m.v) AS total")
+
+
+@register(
+    "cypher_vector_search",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    )
+    SELECT vec_id,
+           list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+             / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(qv, qv))) AS score
+    FROM embeddings, q
+    ORDER BY score DESC, vec_id LIMIT 10
+    """,
+)
+def cypher_vector_search(spark, sf_dir):
+    # CALL db.index.vector.queryNodes through the frontend (reference
+    # call_vector.go:35-280) — exact cosine top-k, parameterized vector.
+    from nornicdb_spark.catalog import Catalog
+    from pyspark.sql import functions as F
+
+    emb = Catalog(spark, sf_dir).embeddings
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    return _run(
+        spark, sf_dir,
+        """CALL db.index.vector.queryNodes('embeddings_cosine', 10, $qv)
+           YIELD node, score RETURN node AS vec_id, score""",
+        {"qv": qv},
+    )
+
+
+from nornicdb_spark.search.bm25 import bm25_oracle_sql as _bm25_oracle
+
+
+@register(
+    "cypher_fulltext_search",
+    oracle=_bm25_oracle("spark shuffle partition", k=10),
+)
+def cypher_fulltext_search(spark, sf_dir):
+    # CALL db.index.fulltext.queryNodes through the frontend (reference
+    # call_fulltext.go) — BM25 top-k, full scoring oracle.
+    return _run(
+        spark, sf_dir,
+        """CALL db.index.fulltext.queryNodes('documents_fulltext',
+           'spark shuffle partition', 10)
+           YIELD node, score RETURN node AS doc_id, score""",
+    )

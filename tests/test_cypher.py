@@ -637,3 +637,39 @@ def test_order_by_aggregate_expression(eng, duck):
            FROM customer JOIN orders ON o_custkey = c_custkey
            GROUP BY c_custkey ORDER BY n DESC, c_custkey ASC LIMIT 5""",
     )
+
+
+# ---- CALL procedures with arguments (search surface) ---------------------
+
+def test_call_vector_query_nodes(eng):
+    from pyspark.sql import functions as F
+    from nornicdb_spark.catalog import Catalog
+
+    qv = [float(x) for x in (
+        eng.catalog.embeddings.filter(F.col("vec_id") == 0)
+        .select("embedding").collect()[0][0]
+    )]
+    rows = eng.cypher(
+        """CALL db.index.vector.queryNodes('idx', 3, $qv)
+           YIELD node, score RETURN node, score""",
+        {"qv": qv},
+    ).collect()
+    assert len(rows) == 3 and rows[0].node == 0 and abs(rows[0].score - 1.0) < 1e-9
+
+
+def test_call_fulltext_query_nodes(eng):
+    rows = eng.cypher(
+        """CALL db.index.fulltext.queryNodes('ft', 'spark shuffle', 5)
+           YIELD node, score RETURN node, score"""
+    ).collect()
+    assert 0 < len(rows) <= 5
+    assert all(rows[i].score >= rows[i + 1].score for i in range(len(rows) - 1))
+
+
+def test_call_introspection_procedures(eng):
+    assert eng.cypher("CALL db.ping()").collect()[0].status == "ok"
+    names = {r.name for r in eng.cypher("CALL db.indexes()").collect()}
+    assert "documents_fulltext" in names
+    assert eng.cypher("CALL db.constraints()").count() > 0
+    comp = eng.cypher("CALL dbms.components()").collect()[0]
+    assert comp.name == "nornicdb-spark"
