@@ -1663,6 +1663,39 @@ class Compiler:
         if name == "datetime":
             return F.to_timestamp(cols[0]) if cols else F.current_timestamp()
 
+        # vector similarity (reference executor_show.go:151-152,
+        # call_vector.go:153-232 — euclidean similarity is 1/(1+d²))
+        if name == "vector.similarity.cosine":
+            from nornicdb_spark.search.vector import cosine_sim
+
+            return cosine_sim(
+                cols[0].cast("array<double>"), cols[1].cast("array<double>")
+            )
+        if name == "vector.similarity.euclidean":
+            from nornicdb_spark.search.vector import euclidean_dist
+
+            d = euclidean_dist(
+                cols[0].cast("array<double>"), cols[1].cast("array<double>")
+            )
+            return F.lit(1.0) / (F.lit(1.0) + d * d)
+
+        # spatial (reference executor_show.go:141-148)
+        if name == "point" and args and isinstance(args[0], A.MapLit):
+            from nornicdb_spark.functions import spatial
+
+            keys = {k.lower(): self._expr(v) for k, v in args[0].items}
+            if "longitude" in keys or "latitude" in keys:
+                return spatial.point(keys["longitude"], keys["latitude"])
+            return spatial.point(keys["x"], keys["y"], srid=7203)
+        if name in ("distance", "point.distance"):
+            from nornicdb_spark.functions import spatial
+
+            return spatial.point_distance(cols[0], cols[1])
+        if name == "point.withindistance":
+            from nornicdb_spark.functions import spatial
+
+            return spatial.within_distance(cols[0], cols[1], cols[2])
+
         # APOC passthroughs to our function library
         from nornicdb_spark.functions import apoc as apoc_fns
 
@@ -1674,11 +1707,37 @@ class Compiler:
             "apoc.coll.toset": apoc_fns.coll_to_set,
             "apoc.coll.flatten": apoc_fns.coll_flatten,
             "apoc.coll.sort": apoc_fns.coll_sort,
+            "apoc.coll.subtract": apoc_fns.coll_subtract,
+            "apoc.coll.union": apoc_fns.coll_union,
+            "apoc.coll.unionall": apoc_fns.coll_union_all,
+            "apoc.coll.intersection": apoc_fns.coll_intersection,
+            "apoc.coll.indexof": apoc_fns.coll_index_of,
+            "apoc.coll.containsall": apoc_fns.coll_contains_all,
+            "apoc.coll.containsany": apoc_fns.coll_contains_any,
+            "apoc.coll.contains": lambda a, v: F.array_contains(a, v),
+            "apoc.coll.occurrences": apoc_fns.coll_occurrences,
+            "apoc.coll.frequencies": apoc_fns.coll_frequencies,
+            "apoc.coll.pairs": apoc_fns.coll_pairs,
+            "apoc.coll.zip": apoc_fns.coll_zip,
+            "apoc.coll.reverse": lambda a: F.reverse(a),
+            "apoc.map.merge": apoc_fns.map_merge,
+            "apoc.map.frompairs": apoc_fns.map_from_pairs,
+            "apoc.map.clean": apoc_fns.map_clean,
             "apoc.text.join": lambda a, b: F.array_join(a, self._lit_value(args[1])),
             "apoc.convert.tojson": apoc_fns.convert_to_json,
+            "apoc.convert.fromjsonmap": apoc_fns.convert_from_json_map,
+            "apoc.convert.fromjsonlist": apoc_fns.convert_from_json_list,
+            "apoc.meta.type": lambda c: F.typeof(c),
+            "apoc.create.uuid": lambda: F.expr("uuid()"),
         }
         if name in apoc_map:
             return apoc_map[name](*cols)
+        if name == "apoc.coll.partition":
+            return apoc_fns.coll_partition(cols[0], int(self._lit_value(args[1])))
+        if name == "apoc.map.setkey":
+            return apoc_fns.map_set_key(cols[0], cols[1], cols[2])
+        if name == "apoc.map.removekey":
+            return apoc_fns.map_remove_key(cols[0], self._lit_value(args[1]))
 
         raise NotImplementedError(f"cypher: function {name}()")
 

@@ -688,17 +688,18 @@ class Parser:
 
     def _is_dotted_call(self) -> bool:
         """Disambiguate ``n.prop`` from ``apoc.coll.sum(...)`` — scan the
-        dotted name chain; a call has '(' right after it."""
+        dotted name chain; a call has '(' right after it. Keywords are
+        legal name segments (apoc.coll.union, duration.in...)."""
         k = 0
-        while self.at("NAME", k=k) and self.at("OP", ".", k=k + 1):
+        while self.at_name(k=k) and self.at("OP", ".", k=k + 1):
             k += 2
-        return self.at("NAME", k=k) and self.at("OP", "(", k=k + 1)
+        return self.at_name(k=k) and self.at("OP", "(", k=k + 1)
 
     def parse_func_call(self) -> A.Func:
-        parts = [self.expect("NAME").value]
-        while self.at("OP", ".") and self.at("NAME", k=1) and not self.at("OP", "(", k=1):
+        parts = [self.expect_name()]
+        while self.at("OP", ".") and self.at_name(k=1) and not self.at("OP", "(", k=1):
             self.take()
-            parts.append(self.expect("NAME").value)
+            parts.append(self.expect_name())
         self.expect("OP", "(")
         distinct = bool(self.at_kw("DISTINCT") and self.take())
         args: list = []

@@ -673,3 +673,32 @@ def test_call_introspection_procedures(eng):
     assert eng.cypher("CALL db.constraints()").count() > 0
     comp = eng.cypher("CALL dbms.components()").collect()[0]
     assert comp.name == "nornicdb-spark"
+
+
+def test_vector_similarity_functions(eng):
+    row = eng.cypher(
+        """RETURN vector.similarity.cosine([1.0, 0.0], [0.0, 1.0]) AS orth,
+                  vector.similarity.euclidean([0.0, 0.0], [3.0, 4.0]) AS euc"""
+    ).collect()[0]
+    assert abs(row.orth) < 1e-12 and abs(row.euc - 1 / 26) < 1e-12
+
+
+def test_spatial_point_distance(eng):
+    row = eng.cypher(
+        """RETURN distance(point({longitude: 0.0, latitude: 0.0}),
+                           point({longitude: 0.0, latitude: 1.0})) AS d"""
+    ).collect()[0]
+    assert abs(row.d - 111194.93) < 1.0  # one degree of latitude in meters
+
+
+def test_apoc_collection_function_surface(eng):
+    row = eng.cypher(
+        """RETURN apoc.coll.union([1,2], [2,3]) AS u,
+                  apoc.coll.intersection([1,2,3], [2,3,4]) AS i,
+                  apoc.coll.containsAll([1,2,3], [1,2]) AS ca,
+                  apoc.coll.occurrences([1,1,2], 1) AS oc,
+                  apoc.coll.partition([1,2,3,4,5], 2) AS pt"""
+    ).collect()[0]
+    assert sorted(row.u) == [1, 2, 3] and sorted(row.i) == [2, 3]
+    assert row.ca is True and row.oc == 2
+    assert [list(p) for p in row.pt] == [[1, 2], [3, 4], [5]]
