@@ -677,6 +677,86 @@ class Compiler:
 
     # ---- CALL -----------------------------------------------------------
 
+    def _pgraph(self):
+        """Store-aware graph view for algorithms/paths."""
+        from nornicdb_spark.catalog import PropertyGraph
+
+        if self.store is not None:
+            return PropertyGraph(nodes=self.graph.nodes, edges=self.store.edges)
+        return self.graph
+
+    def _proc_pagerank(self, args) -> DataFrame:
+        """CALL apoc.algo.pageRank([iterations[, damping]]) → (node,
+        score) (reference apoc_algorithms.go:252-307)."""
+        from nornicdb_spark.operators import algorithms
+
+        vals = [self._py_value(a) for a in args]
+        iterations = int(vals[0]) if vals else 10
+        damping = float(vals[1]) if len(vals) > 1 else 0.85
+        return algorithms.pagerank(
+            self._pgraph(), iterations=iterations, damping=damping
+        ).select(F.col("id").alias("node"), F.col("pagerank").alias("score"))
+
+    def _proc_wcc(self, args) -> DataFrame:
+        """CALL apoc.algo.wcc() → (node, component)
+        (reference apoc_community.go:332-429)."""
+        from nornicdb_spark.operators import algorithms
+
+        return algorithms.connected_components(self._pgraph()).select(
+            F.col("id").alias("node"), F.col("component")
+        )
+
+    def _proc_label_propagation(self, args) -> DataFrame:
+        """CALL apoc.algo.labelPropagation([iterations]) → (node,
+        community) (reference apoc_community.go:225-329)."""
+        from nornicdb_spark.operators import algorithms
+
+        vals = [self._py_value(a) for a in args]
+        its = int(vals[0]) if vals else 10
+        return algorithms.label_propagation(
+            self._pgraph(), max_iterations=its
+        ).select(F.col("id").alias("node"), F.col("community"))
+
+    def _proc_dijkstra(self, args) -> DataFrame:
+        """CALL apoc.algo.dijkstra(startId, endId[, weightProp]) →
+        (start, end, cost) (reference apoc_algorithms.go:55-113).
+        Node references are graph ids ('Label:key')."""
+        from nornicdb_spark.operators.algorithms import weighted_shortest_paths
+
+        vals = [self._py_value(a) for a in args]
+        start_id, end_id = vals[0], vals[1]
+        weight = vals[2] if len(vals) > 2 else None
+        starts = self.cat.spark.createDataFrame([(start_id,)], "id string")
+        res = weighted_shortest_paths(self._pgraph(), starts, weight_col=weight)
+        return res.filter(F.col("end_id") == F.lit(end_id)).select(
+            F.col("start_id").alias("start"),
+            F.col("end_id").alias("end"),
+            F.col("cost"),
+        )
+
+    def _proc_khop(self, args) -> DataFrame:
+        """CALL apoc.neighbors.tohop(nodeId, hops) → (node, depth)
+        (reference apoc_algorithms.go:448-551)."""
+        from nornicdb_spark.operators.algorithms import k_hop_neighborhood
+
+        vals = [self._py_value(a) for a in args]
+        start_id, hops = vals[0], int(vals[1])
+        starts = self.cat.spark.createDataFrame([(start_id,)], "id string")
+        return k_hop_neighborhood(self._pgraph(), starts, hops).select(
+            F.col("end_id").alias("node"), F.col("first_depth").alias("depth")
+        )
+
+    def _proc_fastrp(self, args) -> DataFrame:
+        """CALL gds.fastRP.stream([dim]) → (nodeId, embedding)
+        (reference fastrp.go:28-802)."""
+        from nornicdb_spark.operators.algorithms import fastrp_embeddings
+
+        vals = [self._py_value(a) for a in args]
+        dim = int(vals[0]) if vals else 32
+        return fastrp_embeddings(self._pgraph(), dim=dim).select(
+            F.col("id").alias("nodeId"), F.col("embedding")
+        )
+
     def _proc_vector_query(self, args, rels: bool = False) -> DataFrame:
         """CALL db.index.vector.queryNodes(index, k, vector)
         (reference call_vector.go:35-280): exact cosine top-k over the
@@ -745,6 +825,14 @@ class Compiler:
         "db.index.fulltext.querynodes": lambda self, args: (
             self._proc_fulltext_query(args)
         ),
+        "apoc.algo.pagerank": lambda self, args: self._proc_pagerank(args),
+        "apoc.algo.wcc": lambda self, args: self._proc_wcc(args),
+        "apoc.algo.labelpropagation": lambda self, args: (
+            self._proc_label_propagation(args)
+        ),
+        "apoc.algo.dijkstra": lambda self, args: self._proc_dijkstra(args),
+        "apoc.neighbors.tohop": lambda self, args: self._proc_khop(args),
+        "gds.fastrp.stream": lambda self, args: self._proc_fastrp(args),
     }
 
     def _compile_call(self, c: "A.CallClause") -> None:

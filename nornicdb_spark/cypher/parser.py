@@ -579,6 +579,19 @@ class Parser:
             if kw == "ALL" and self.at("OP", "(", k=1):
                 self.take()
                 return self.parse_quantifier("all")
+            # any other keyword in expression position is an identifier
+            # (YIELD columns / properties named end, count, set, ...).
+            # CASE excluded: it legitimately begins an expression; its
+            # inner keywords are consumed by parse_case before the
+            # expression parser ever sees them in primary position.
+            # COUNT excluded: count(*) needs the dedicated branch below.
+            if kw not in ("CASE", "COUNT"):
+                if self.at("OP", "(", k=1) or (
+                    self.at("OP", ".", k=1) and self._is_dotted_call()
+                ):
+                    return self.parse_func_call()
+                self.take()
+                return A.Var(t.value)
             if kw == "COUNT":
                 # count(*) | count(expr) | count(DISTINCT expr)
                 self.take()

@@ -702,3 +702,57 @@ def test_apoc_collection_function_surface(eng):
     assert sorted(row.u) == [1, 2, 3] and sorted(row.i) == [2, 3]
     assert row.ca is True and row.oc == 2
     assert [list(p) for p in row.pt] == [[1, 2], [3, 4], [5]]
+
+
+# ---- algorithm procedures ------------------------------------------------
+
+def test_call_pagerank_procedure(eng):
+    rows = eng.cypher(
+        """CALL apoc.algo.pageRank(3) YIELD node, score
+           RETURN node, score ORDER BY score DESC, node ASC LIMIT 5"""
+    ).collect()
+    assert len(rows) == 5 and rows[0].score >= rows[-1].score
+
+
+def test_call_wcc_and_lpa_procedures(eng):
+    n_wcc = eng.cypher("CALL apoc.algo.wcc()").count()
+    n_lpa = eng.cypher("CALL apoc.algo.labelPropagation(2)").count()
+    n_nodes = eng.catalog.graph.nodes.count()
+    assert n_wcc == n_lpa == n_nodes
+
+
+def test_call_dijkstra_procedure(eng):
+    # customer 1 sits in region 4 in the sf0.001 fixture; hop cost 2
+    row = eng.cypher(
+        """CALL apoc.algo.dijkstra('Customer:1', 'Region:4')
+           YIELD start, end, cost RETURN start, end, cost"""
+    ).collect()
+    assert row and row[0].cost == 2.0
+
+
+def test_call_khop_procedure(eng, duck):
+    check(
+        eng, duck,
+        """CALL apoc.neighbors.tohop('Supplier:1', 2) YIELD node, depth
+           RETURN depth, count(*) AS n""",
+        """
+        WITH l1(id) AS (
+          SELECT DISTINCT 'Part:' || l_partkey FROM lineitem WHERE l_suppkey = 1
+          UNION SELECT 'Nation:' || s_nationkey FROM supplier WHERE s_suppkey = 1
+        ),
+        l2(id) AS (
+          SELECT 'Region:' || n_regionkey FROM nation
+          WHERE n_nationkey IN (SELECT s_nationkey FROM supplier WHERE s_suppkey = 1)
+        )
+        SELECT 1 AS depth, CAST(count(*) AS BIGINT) AS n FROM l1
+        UNION ALL
+        SELECT 2, CAST(count(*) AS BIGINT) FROM l2 WHERE id NOT IN (SELECT id FROM l1)
+        """,
+    )
+
+
+def test_call_fastrp_procedure(eng):
+    rows = eng.cypher(
+        "CALL gds.fastRP.stream(8) YIELD nodeId, embedding RETURN nodeId, embedding LIMIT 3"
+    ).collect()
+    assert len(rows) == 3 and all(len(r.embedding) == 8 for r in rows)
