@@ -31,8 +31,11 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-from nornicdb_spark.queries import relational  # noqa: E402,F401
-from nornicdb_spark.queries import graph  # noqa: E402,F401
+# Registration order matters: the driver's correctness harness verifies the
+# first N registry entries, so families without a driver-verified row yet
+# (search, LLM pipeline, temporal, mutations, Cypher frontend, functions,
+# sources) register before the relational/graph families that were fully
+# hash-stamped in round 1.
 from nornicdb_spark.queries import search  # noqa: E402,F401
 from nornicdb_spark.queries import llm_pipeline  # noqa: E402,F401
 from nornicdb_spark.queries import temporal  # noqa: E402,F401
@@ -40,5 +43,15 @@ from nornicdb_spark.queries import mutations  # noqa: E402,F401
 from nornicdb_spark.queries import functions_ext  # noqa: E402,F401
 from nornicdb_spark.queries import sources_io  # noqa: E402,F401
 from nornicdb_spark.queries import cypher_queries  # noqa: E402,F401
+from nornicdb_spark.queries import relational  # noqa: E402,F401
+from nornicdb_spark.queries import graph  # noqa: E402,F401
+
+# Within the order above, oracle-backed queries register ahead of rows-only
+# ones (stable sort) so hash-comparable entries fill the driver's verification
+# window first.
+_ordered = sorted(QUERIES, key=lambda n: n not in ORACLES)
+_reordered = {n: QUERIES[n] for n in _ordered}
+QUERIES.clear()
+QUERIES.update(_reordered)
 
 __all__ = ["QUERIES", "ORACLES", "register"]
