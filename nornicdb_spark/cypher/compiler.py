@@ -245,17 +245,29 @@ class Compiler:
 
     def _compile_match(self, m: A.MatchClause) -> None:
         if m.optional and self.frame is not None:
-            lhs = self.frame
-            lhs_cols = list(lhs.columns)
+            # Row-tag rejoin (same machinery as _apply_exists): joining back
+            # on every lhs column would drop rows whose lhs columns hold NULL
+            # (edge-prop padding, prior OPTIONAL MATCH) and cross-multiply
+            # duplicate lhs rows, so tag each row with a checkpointed id and
+            # left-join the optional extension on the tag alone.
+            tagged = self.frame.withColumn(
+                "_row_id", F.monotonically_increasing_id()
+            ).localCheckpoint(eager=True)
+            lhs_cols = [c for c in tagged.columns if c != "_row_id"]
             saved = dict(self.bindings)
+            self.frame = tagged
             for path in m.paths:
                 self._compile_path(path)
             if m.where is not None:
                 self.frame = self.frame.filter(self._expr(m.where))
-            new_cols = [c for c in self.frame.columns if c not in lhs_cols]
-            self.frame = lhs.join(
-                self.frame.select(*lhs_cols, *new_cols), on=lhs_cols, how="left_outer"
-            )
+            new_cols = [
+                c for c in self.frame.columns
+                if c not in lhs_cols and c != "_row_id"
+            ]
+            self.frame = tagged.join(
+                self.frame.select("_row_id", *new_cols), on="_row_id",
+                how="left_outer",
+            ).drop("_row_id")
             # bindings from the optional side stay visible (null-filled)
             saved.update(self.bindings)
             self.bindings = saved
@@ -1509,8 +1521,10 @@ class Compiler:
         if op == ">=":
             return l >= r
         if op == "IN":
-            if isinstance(e.right, A.ListLit):
-                return l.isin([i.value for i in e.right.items if isinstance(i, A.Lit)])
+            if isinstance(e.right, A.ListLit) and all(
+                isinstance(i, A.Lit) for i in e.right.items
+            ):
+                return l.isin([i.value for i in e.right.items])
             if isinstance(e.right, A.Param) and isinstance(
                 self.params.get(e.right.name), (list, tuple)
             ):

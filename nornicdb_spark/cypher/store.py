@@ -40,6 +40,7 @@ class GraphStore:
     edges: DataFrame | None = None
 
     _dyn_counter: int = 0
+    _edge_batch: int = 0
 
     def __post_init__(self):
         for _label, table, _key in NODE_SPECS:
@@ -87,10 +88,22 @@ class GraphStore:
         return f"{label}:{props[key]}"
 
     def create_edge(self, pairs: DataFrame, etype: str) -> int:
-        """One edge per row of ``pairs`` (columns src, dst)."""
+        """One edge per row of ``pairs`` (columns src, dst).
+
+        edge_id is salted with a per-store batch counter plus a per-row id so
+        parallel same-type edges (or re-running the same CREATE) never share
+        an id — relationship-uniqueness in var_length_paths depends on
+        distinct edge_ids. The union is checkpointed, so the generated ids
+        are materialized once and stable thereafter.
+        """
+        salt = self._edge_batch
+        self._edge_batch += 1
         cols = [
             F.col("src"), F.col("dst"), F.lit(etype).alias("type"),
-            F.xxhash64("src", "dst", F.lit(etype), F.lit(0)).alias("edge_id"),
+            F.xxhash64(
+                "src", "dst", F.lit(etype), F.lit(salt),
+                F.monotonically_increasing_id(),
+            ).alias("edge_id"),
         ]
         prop_cols = [c for c in self.edges.columns if c not in ("src", "dst", "type", "edge_id")]
         for c in prop_cols:

@@ -41,9 +41,23 @@ def haversine_distance_m(
     return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(a))
 
 
+def euclidean_distance(p1: Column, p2: Column) -> Column:
+    """Planar distance for cartesian (srid 7203) points."""
+    dx = p2["x"] - p1["x"]
+    dy = p2["y"] - p1["y"]
+    return F.sqrt(dx * dx + dy * dy)
+
+
 def point_distance(p1: Column, p2: Column) -> Column:
-    """point.distance over two point structs (WGS84 haversine)."""
-    return haversine_distance_m(p1["y"], p1["x"], p2["y"], p2["x"])
+    """point.distance over two point structs.
+
+    Matches the reference (functions_eval_math.go): haversine meters for
+    geographic points (srid 4326), plain Euclidean for cartesian points
+    (srid 7203, built by point({x, y})). Branches on the first point's srid.
+    """
+    return F.when(
+        p1["srid"] == F.lit(7203), euclidean_distance(p1, p2)
+    ).otherwise(haversine_distance_m(p1["y"], p1["x"], p2["y"], p2["x"]))
 
 
 def within_bbox(p: Column, min_x, min_y, max_x, max_y) -> Column:

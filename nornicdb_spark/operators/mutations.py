@@ -237,8 +237,12 @@ def delete_nodes(
             doomed, nodes[id_col] == F.col("_del_id"), "left_anti"
         )
     else:
-        doomed = nodes.filter(condition).select(F.col(id_col).alias("_del_id"))
-        survivors = nodes.filter(~condition)
+        # Cypher 3VL: a NULL predicate is no-match — the node survives.
+        # Without the coalesce, rows where the predicate evaluates NULL
+        # would fall out of BOTH the doomed set and the survivors.
+        cond = F.coalesce(condition, F.lit(False))
+        doomed = nodes.filter(cond).select(F.col(id_col).alias("_del_id"))
+        survivors = nodes.filter(~cond)
     new_edges = edges
     stats = MutationStats()
     if edges is not None:

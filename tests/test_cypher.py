@@ -83,6 +83,17 @@ def test_in_list_and_is_null(eng, duck):
     )
 
 
+def test_in_list_with_non_literal_items(eng, duck):
+    # IN over a list holding expressions (not just literals) must not
+    # silently drop the non-literal elements.
+    check(
+        eng, duck,
+        """MATCH (n:Nation) WHERE n.n_name IN [n.n_name, 'ZZZ']
+           RETURN count(*) AS n""",
+        "SELECT CAST(count(*) AS BIGINT) AS n FROM nation",
+    )
+
+
 def test_parameters(eng, duck):
     check(
         eng, duck,
@@ -163,6 +174,38 @@ def test_optional_match_nulls(eng, duck):
            RETURN n.n_nationkey AS k, count(s.s_suppkey) AS n""",
         """SELECT n_nationkey AS k, CAST(count(s_suppkey) AS BIGINT) AS n
            FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey
+           GROUP BY n_nationkey""",
+    )
+
+
+def test_optional_match_after_relationship_match(eng, duck):
+    # The PLACED match pads the frame with NULL edge-prop columns
+    # (l_quantity etc. belong to CONTAINS edges); the optional rejoin must
+    # not equate on those NULLs or every optional row comes back empty.
+    check(
+        eng, duck,
+        """MATCH (c:Customer)-[:PLACED]->(o:Order)
+           OPTIONAL MATCH (o)-[r:CONTAINS]->(p:Part)
+           RETURN c.c_custkey AS k, count(p.p_partkey) AS n""",
+        """SELECT c_custkey AS k, CAST(count(l_partkey) AS BIGINT) AS n
+           FROM customer JOIN orders ON o_custkey = c_custkey
+           LEFT JOIN lineitem ON l_orderkey = o_orderkey
+           GROUP BY c_custkey""",
+    )
+
+
+def test_chained_optional_matches(eng, duck):
+    # A second OPTIONAL MATCH after one that produced NULL rows: the
+    # NULL-supplier nations must still pick up their region.
+    check(
+        eng, duck,
+        """MATCH (n:Nation)
+           OPTIONAL MATCH (n)<-[:FROM]-(s:Supplier)
+           OPTIONAL MATCH (n)-[:IN]->(r:Region)
+           RETURN n.n_nationkey AS k, count(r.r_name) AS nr""",
+        """SELECT n_nationkey AS k, CAST(count(r_name) AS BIGINT) AS nr
+           FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey
+           LEFT JOIN region ON r_regionkey = n_regionkey
            GROUP BY n_nationkey""",
     )
 
@@ -689,6 +732,16 @@ def test_spatial_point_distance(eng):
                            point({longitude: 0.0, latitude: 1.0})) AS d"""
     ).collect()[0]
     assert abs(row.d - 111194.93) < 1.0  # one degree of latitude in meters
+
+
+def test_spatial_cartesian_distance_is_euclidean(eng):
+    # point({x, y}) builds srid-7203 cartesian points; distance() on them is
+    # planar Euclidean, not haversine (reference functions_eval_math.go).
+    row = eng.cypher(
+        """RETURN distance(point({x: 0.0, y: 0.0}),
+                           point({x: 3.0, y: 4.0})) AS d"""
+    ).collect()[0]
+    assert abs(row.d - 5.0) < 1e-9
 
 
 def test_apoc_collection_function_surface(eng):

@@ -128,6 +128,29 @@ def test_create_edges_from_matched_frame(eng):
     )).n == 5
 
 
+def test_parallel_created_edges_get_distinct_ids(eng):
+    # Creating a second same-type edge between the same endpoints (or
+    # re-running a CREATE) must yield a new edge_id — relationship
+    # uniqueness in var-length traversal depends on distinct ids.
+    eng.cypher(
+        """CREATE (a:Region {r_regionkey: 93, r_name: 'P1'}),
+                  (b:Region {r_regionkey: 94, r_name: 'P2'})"""
+    )
+    for _ in range(2):
+        eng.cypher(
+            """MATCH (a:Region {r_regionkey: 93}), (b:Region {r_regionkey: 94})
+               CREATE (a)-[:LINK]->(b)"""
+        )
+    n = one(eng.cypher(
+        "MATCH (a:Region {r_regionkey: 93})-[:LINK]->(b:Region) RETURN count(*) AS n"
+    )).n
+    assert n == 2
+    n_var = one(eng.cypher(
+        "MATCH (a:Region {r_regionkey: 93})-[*1..1]->(b) RETURN count(*) AS n"
+    )).n
+    assert n_var == 2
+
+
 def test_foreach_creates_dynamic_label_nodes(eng):
     stats = one(eng.cypher("FOREACH (x IN [1,2,3] | CREATE (:Tmp {v: x}))"))
     assert stats.nodes_created == 3

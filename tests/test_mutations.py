@@ -95,6 +95,17 @@ def test_detach_delete_cascades(spark, base):
     assert res.stats.relationships_deleted == 2
 
 
+def test_delete_null_predicate_keeps_node(spark):
+    # Cypher 3VL: DELETE ... WHERE age > 30 with age NULL is no-match —
+    # the row must survive, not silently vanish from both sets.
+    df = spark.createDataFrame(
+        [(1, 40), (2, None), (3, 20)], "id long, age long"
+    )
+    res = mut.delete_nodes(df, F.col("age") > 30)
+    assert sorted(r.id for r in res.df.collect()) == [2, 3]
+    assert res.stats.nodes_deleted == 1
+
+
 def test_delete_by_target_frame(spark, base):
     targets = spark.createDataFrame([(2,)], "id long")
     res = mut.delete_nodes(base, targets)
