@@ -50,6 +50,29 @@ NODE_SPECS = (
 )
 
 
+def _read_events(spark: SparkSession, path: str) -> DataFrame:
+    """Read the events table with a timestamp-typed ``ts`` regardless of
+    the fixture's physical encoding.
+
+    Older driver fixtures wrote ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark's reader rejects unless read as long nanos (legacy conf) and
+    truncated to microseconds with exact integer division (double division
+    would lose precision at 1e18 magnitudes; truncation matches DuckDB's
+    ns→µs behavior). Newer fixtures write TIMESTAMP(MICROS), which Spark
+    reads natively. Detect which one we got and normalize.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    ts_type = df.schema["ts"].dataType.typeName()
+    if ts_type in ("long", "bigint"):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type != "timestamp":
+        # TIMESTAMP_NTZ → TIMESTAMP: value-preserving under the session's
+        # UTC timezone, and required by unix_micros / watermarks.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def node_id(label: str, key_col) -> F.Column:
     """Graph node id: '<Label>:<key>' (FIXTURES.md §A)."""
     return F.concat(F.lit(label + ":"), F.col(key_col).cast("string"))
@@ -69,17 +92,7 @@ class Catalog:
                 raise KeyError(f"unknown table {name!r}; have {TABLES}")
             path = f"{self.sf_dir}/{name}.parquet"
             if name == "events":
-                # events.ts is parquet TIMESTAMP(NANOS) which Spark's
-                # reader rejects; read nanos as long and truncate to
-                # microseconds with integer division (exact — double
-                # division would lose precision at 1e18 magnitudes, and
-                # truncation matches DuckDB's ns→µs behavior).
-                self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-                df = self.spark.read.parquet(path)
-                df = df.withColumn(
-                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
-                )
-                self._tables[name] = df
+                self._tables[name] = _read_events(self.spark, path)
             else:
                 self._tables[name] = self.spark.read.parquet(path)
         return self._tables[name]

@@ -215,7 +215,7 @@ class Compiler:
         """Scan for (var:Label) — typed base table + synthesized graph id;
         label-less vars scan the id-only union (no properties)."""
         if label is None:
-            df = self.graph.nodes
+            df = self.store.nodes if self.store is not None else self.graph.nodes
             return df.select(*[F.col(c).alias(f"{var}_{c}") for c in df.columns])
         if label not in LABEL_TABLES:
             # dynamic label (created at runtime) or unknown → empty scan;
@@ -477,7 +477,6 @@ class Compiler:
         paths operators (reference shortest_path.go:18-365,
         traversal.go:1435-1553). allShortestPaths keeps every min-length
         node sequence; shortestPath picks the lexicographic min."""
-        from nornicdb_spark.catalog import PropertyGraph
         from nornicdb_spark.operators.paths import all_shortest_paths
 
         elems = path.elements
@@ -504,11 +503,7 @@ class Compiler:
                 F.col(f"{b_var}_id").alias("id")
             )
 
-        g = (
-            PropertyGraph(nodes=self.graph.nodes, edges=self.store.edges)
-            if self.store is not None
-            else self.graph
-        )
+        g = self._pgraph()
         paths = all_shortest_paths(
             g, starts, targets, max_hops=rel.max_hops,
             rel_types=rel.types, direction=rel.direction,
@@ -648,13 +643,7 @@ class Compiler:
         starts = self.frame.select(
             F.col(f"{src_var}_id").alias("id")
         ).distinct()
-        from nornicdb_spark.catalog import PropertyGraph
-
-        g = (
-            PropertyGraph(nodes=self.graph.nodes, edges=self.store.edges)
-            if self.store is not None
-            else self.graph
-        )
+        g = self._pgraph()
         rel_var = rel.var or self._fresh("_r")
         depth_col = f"{rel_var}_length"
         info = {
@@ -694,7 +683,7 @@ class Compiler:
         from nornicdb_spark.catalog import PropertyGraph
 
         if self.store is not None:
-            return PropertyGraph(nodes=self.graph.nodes, edges=self.store.edges)
+            return PropertyGraph(nodes=self.store.nodes, edges=self.store.edges)
         return self.graph
 
     def _proc_pagerank(self, args) -> DataFrame:

@@ -48,6 +48,38 @@ class GraphStore:
         if self.edges is None:
             self.edges = self.catalog.graph.edges
 
+    # ---- store-aware graph views ----------------------------------------
+
+    @property
+    def nodes(self) -> DataFrame:
+        """Union node view (id, label, key) over this store's *current*
+        table versions — the mutable counterpart of
+        ``Catalog.graph.nodes``, so post-write traversals (var-length,
+        shortest-path, unlabeled scans) see CREATEd/DELETEd nodes."""
+        parts = []
+        for label, table, key in NODE_SPECS:
+            parts.append(
+                self.tables[table].select(
+                    node_id(label, key).alias("id"),
+                    F.lit(label).alias("label"),
+                    F.col(key).cast("long").alias("key"),
+                )
+            )
+        for table, df in self.tables.items():
+            if table.startswith("_dyn_"):
+                label = table[len("_dyn_"):]
+                parts.append(
+                    df.select(
+                        node_id(label, "_key").alias("id"),
+                        F.lit(label).alias("label"),
+                        F.col("_key").cast("long").alias("key"),
+                    )
+                )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     # ---- dynamic labels (schema-free reference semantics) ---------------
 
     def has_dynamic(self, label: str) -> bool:

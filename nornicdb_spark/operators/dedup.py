@@ -312,23 +312,88 @@ def embedding_near_duplicates(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact: bool = True,
+    n_blocks: int = 8,
+    n_bits: int = 32,
+    n_bands: int = 16,
+    seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (a < b, cosine ≥ threshold).
 
-    Brute-force O(n²) formulation — correct but quadratic; at scale swap
-    the pair source for LSH band buckets (RandomHyperplaneLSH.bucketize)
-    and keep the same verify expression."""
+    ``exact=True``: complete all-pairs verification, expressed as a
+    balanced block-grid equi-join (1-Bucket-Theta style) — rows are
+    hash-blocked, the B·(B+1)/2 block-pair grid is broadcast, and the
+    pair stream comes out of two hash joins. Same O(n²) comparisons any
+    exact method needs, but shuffle-balanced across B² tasks with NO
+    CartesianProduct node — at scale you raise ``n_blocks`` to match the
+    cluster, and no single task ever holds more than (n/B)² pairs.
+
+    ``exact=False``: LSH-bucketed candidate generation
+    (RandomHyperplaneLSH band buckets as join keys) + unchanged exact
+    cosine verify — sublinear pair stream, the 100 TB path for the
+    realistic high-threshold (≳0.8) near-dup setting. Recall at a given
+    threshold is set by (n_bits/n_bands, n_bands): P[miss] =
+    (1 - p^r)^b with p = 1 - acos(t)/π, r bits per band, b bands.
+    """
     from nornicdb_spark.search.vector import cosine_sim
 
     e = embeddings.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    a = e.select(F.col("id").alias("a"), F.col("v").alias("va"))
-    b = e.select(F.col("id").alias("b"), F.col("v").alias("vb"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("a") < F.col("b"))
-        .withColumn("cosine", cosine_sim(F.col("va"), F.col("vb")))
-        .filter(F.col("cosine") >= threshold)
-        .select("a", "b", "cosine")
-    )
+    if exact:
+        spark = embeddings.sparkSession
+        grid = spark.createDataFrame(
+            [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+            "bi int, bj int",
+        )
+        a = e.select(
+            F.col("id").alias("a"),
+            F.col("v").alias("va"),
+            F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int").alias("bi"),
+        )
+        b = e.select(
+            F.col("id").alias("b"),
+            F.col("v").alias("vb"),
+            F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int").alias("bj"),
+        )
+        pairs = (
+            a.join(F.broadcast(grid), "bi")
+            .join(b, "bj")
+            # cross-block pairs appear once per unordered block pair;
+            # same-block pairs need the id order filter.
+            .filter(
+                (F.col("bi") < F.col("bj"))
+                | ((F.col("bi") == F.col("bj")) & (F.col("a") < F.col("b")))
+            )
+            .select(
+                F.least("a", "b").alias("a"),
+                F.greatest("a", "b").alias("b"),
+                # cosine is symmetric — orientation of va/vb is irrelevant
+                cosine_sim(F.col("va"), F.col("vb")).alias("cosine"),
+            )
+        )
+    else:
+        from nornicdb_spark.search.vector import RandomHyperplaneLSH
+
+        dim = len(e.select("v").head()[0])
+        lsh = RandomHyperplaneLSH.build(
+            dim, n_bits=n_bits, n_bands=n_bands, seed=seed,
+            id_col="id", vec_col="v",
+        )
+        buckets = lsh.bucketize(e)
+        cand = (
+            buckets.select(F.col("vec_id").alias("a"), "band", "bucket")
+            .join(
+                buckets.select(F.col("vec_id").alias("b"), "band", "bucket"),
+                ["band", "bucket"],
+            )
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+        )
+        pairs = (
+            cand.join(e.select(F.col("id").alias("a"), F.col("v").alias("va")), "a")
+            .join(e.select(F.col("id").alias("b"), F.col("v").alias("vb")), "b")
+            .select("a", "b", cosine_sim(F.col("va"), F.col("vb")).alias("cosine"))
+        )
+    return pairs.filter(F.col("cosine") >= threshold).select("a", "b", "cosine")

@@ -5,6 +5,8 @@ exercises the full §3 pipeline end-to-end.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from nornicdb_spark.engine import Engine
 from nornicdb_spark.queries import register
 
@@ -276,18 +278,21 @@ def cypher_fulltext_search(spark, sf_dir):
     oracle="""
     SELECT CAST(1.0 AS DOUBLE) AS cos_same,
            CAST(1.0 / 26.0 AS DOUBLE) AS euc_sim,
-           CAST([1, 3] AS BIGINT[]) AS sub,
+           '[1,3]' AS sub,
            CAST(1 AS BIGINT) AS idx
     """,
 )
 def cypher_vector_spatial_functions(spark, sf_dir):
     # SURVEY §2.6 vector-similarity + APOC collection scalar functions
     # through the frontend (reference executor_show.go:151-152,
-    # apoc_collections.go).
-    return _run(
+    # apoc_collections.go). The list result is JSON-serialized because
+    # the correctness harness canonicalizes rows with a pandas sort,
+    # which cannot order raw array cells.
+    df = _run(
         spark, sf_dir,
         """RETURN vector.similarity.cosine([1.0, 0.0], [1.0, 0.0]) AS cos_same,
                   vector.similarity.euclidean([0.0, 0.0], [3.0, 4.0]) AS euc_sim,
                   apoc.coll.subtract([1,2,3], [2]) AS sub,
                   apoc.coll.indexOf([5,6,7], 6) AS idx""",
     )
+    return df.withColumn("sub", F.to_json("sub"))

@@ -197,9 +197,21 @@ def dedup_ngram_jaccard(spark, sf_dir):
 )
 def dedup_embedding_cosine(spark, sf_dir):
     # embedding-cosine near-dup pairs (threshold tuned to the fixture's
-    # similarity distribution — max pairwise cosine ≈ 0.51).
+    # similarity distribution — max pairwise cosine ≈ 0.51). Exact mode:
+    # balanced block-grid theta-join, no CartesianProduct in the plan.
     emb = Catalog(spark, sf_dir).embeddings
-    return dedup.embedding_near_duplicates(emb, threshold=0.45)
+    return dedup.embedding_near_duplicates(emb, threshold=0.45, exact=True)
+
+
+@register("dedup_embedding_lsh")  # approximate — rows-only; recall in tests
+def dedup_embedding_lsh(spark, sf_dir):
+    # LSH-bucketed near-dup candidates + exact verify — the sublinear
+    # 100 TB path (band buckets as join keys; see
+    # operators/dedup.py embedding_near_duplicates exact=False).
+    emb = Catalog(spark, sf_dir).embeddings
+    return dedup.embedding_near_duplicates(
+        emb, threshold=0.45, exact=False, n_bits=32, n_bands=16
+    )
 
 
 # --- text analysis -------------------------------------------------------

@@ -187,12 +187,13 @@ def ann_lsh(spark, sf_dir):
 
 @register("ann_hnsw")  # approximate — rows-only; recall gated in tests
 def ann_hnsw(spark, sf_dir):
-    # batch-built HNSW, broadcast query fan-out (reference
+    # distributed HNSW: per-partition shard build on executors + scatter/
+    # gather query grid — no driver collect of vectors (reference
     # search/hnsw_index.go; presets hnsw_config.go:37-68).
-    from nornicdb_spark.search.hnsw import HnswIndex
+    from nornicdb_spark.search.hnsw import ShardedHnswIndex
 
     emb = Catalog(spark, sf_dir).embeddings
-    idx = HnswIndex.build(emb, preset="balanced")
+    idx = ShardedHnswIndex.build_partitioned(emb, num_shards=4, preset="balanced")
     queries = emb.select(F.col("vec_id").alias("query_id"), "embedding").orderBy(
         "query_id"
     ).limit(25)

@@ -183,3 +183,113 @@ class HnswIndex:
         return queries.select(id_col, vec_col).mapInPandas(
             lookup, "query_id long, vec_id long, score double, rank int"
         )
+
+
+class ShardedHnswIndex:
+    """Distributed HNSW — the 100 TB shape of reference
+    pkg/search/hnsw_index.go (IVF-style shard + global re-rank).
+
+    Build: embeddings are hash-partitioned by id into ``num_shards``
+    partitions and each executor builds one :class:`HnswIndex` over its
+    partition via ``mapPartitions`` — the raw vectors NEVER move to the
+    driver; the shard objects live in a persisted RDD on the executors.
+
+    Query: scatter/gather. Each (shard × query-chunk) pair runs as one
+    task (RDD ``cartesian``); every shard answers its local top-k and a
+    per-query window merge produces the global top-k. Recall is ≥ the
+    single-index recall because each shard is smaller (graded in
+    tests/test_hnsw.py, mirroring the reference's hnsw recall tests).
+    """
+
+    def __init__(self, shards, num_shards: int, ef_search: int):
+        self.shards = shards  # RDD[HnswIndex], persisted executor-side
+        self.num_shards = num_shards
+        self.ef_search = ef_search
+
+    @classmethod
+    def build_partitioned(
+        cls,
+        embeddings: DataFrame,
+        num_shards: int | None = None,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        preset: str = "balanced",
+        seed: int = 42,
+        **overrides,
+    ) -> "ShardedHnswIndex":
+        """Build shard indexes on the executors (no driver collect)."""
+        from pyspark import StorageLevel
+        from pyspark.sql import functions as F
+
+        cfg = {**PRESETS[preset], **overrides}
+        n = num_shards or max(2, embeddings.rdd.getNumPartitions())
+        parts = embeddings.select(id_col, vec_col).repartition(n, F.col(id_col))
+
+        def build_shard(rows):
+            rows = sorted(rows, key=lambda r: r[0])  # deterministic insert order
+            if not rows:
+                return
+            ids = np.array([r[0] for r in rows], dtype=np.int64)
+            vecs = np.array([list(r[1]) for r in rows], dtype=np.float32)
+            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            yield HnswIndex(
+                ids, vecs / norms, cfg["m"], cfg["ef_construction"],
+                cfg["ef_search"], seed,
+            )
+
+        shards = parts.rdd.mapPartitions(build_shard).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        shards.count()  # materialize the build now (counts shards, moves no vectors)
+        return cls(shards, n, cfg["ef_search"])
+
+    def search(self, query_vec, k: int = 10):
+        """Single-query scatter/gather: each shard returns its local
+        top-k (k rows per shard cross the wire, not vectors)."""
+        q = np.asarray(query_vec, dtype=np.float32)
+        hits = self.shards.flatMap(lambda idx: idx.search(q, k=k)).collect()
+        hits.sort(key=lambda t: (-t[1], t[0]))
+        return hits[:k]
+
+    def search_distributed(
+        self, queries: DataFrame, k: int = 10,
+        id_col: str = "query_id", vec_col: str = "embedding",
+        query_chunks: int = 4,
+    ) -> DataFrame:
+        """Query-table scatter/gather, fully distributed: shards × query
+        chunks as a task grid, then a per-query top-k merge. Returns
+        (query_id, vec_id, score, rank) like
+        :meth:`HnswIndex.search_distributed`."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        spark = queries.sparkSession
+        chunks = (
+            queries.select(id_col, vec_col)
+            .repartition(query_chunks)
+            .rdd.glom()
+            .filter(lambda c: len(c) > 0)
+        )
+
+        def probe(pair):
+            idx, chunk = pair
+            out = []
+            for row in chunk:
+                qid = row[0]
+                for vid, score in idx.search(row[1], k=k):
+                    out.append((int(qid), int(vid), float(score)))
+            return out
+
+        scored = spark.createDataFrame(
+            self.shards.cartesian(chunks).flatMap(probe),
+            schema="query_id long, vec_id long, score double",
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), "vec_id")
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+        )
+
+    def unpersist(self) -> None:
+        self.shards.unpersist()

@@ -12,27 +12,32 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-EVENTS_RAW_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
-    "value double, props string"
-)
-
-
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-based event stream (one-file-per-trigger parquet source).
     In production this is Kafka; the transformations are source-agnostic.
 
-    The fixture's ts is TIMESTAMP(NANOS) → read as long nanos (legacy
-    conf) and converted with exact integer division, same as the batch
-    catalog."""
+    The stream schema is taken from a batch read of the same file so the
+    reader tracks the fixture's physical encoding (older fixtures wrote
+    ts as TIMESTAMP(NANOS) → long nanos under the legacy conf; newer ones
+    write TIMESTAMP(MICROS) which Spark reads natively), mirroring the
+    batch catalog's normalization."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = sf_dir.rstrip("/")
+    raw_schema = spark.read.parquet(f"{path}/events.parquet").schema
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")  # file source needs a dir
-        .load(sf_dir.rstrip("/"))
+        .load(path)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = raw.schema["ts"].dataType.typeName()
+    if ts_type in ("long", "bigint"):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type != "timestamp":
+        # TIMESTAMP_NTZ → TIMESTAMP (value-preserving under UTC session
+        # tz; event-time watermarks require TimestampType).
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def windowed_event_counts(

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from nornicdb_spark.search.hnsw import HnswIndex
+from nornicdb_spark.search.hnsw import HnswIndex, ShardedHnswIndex
 from nornicdb_spark.search.vector import cosine_topk
 
 
@@ -30,6 +30,40 @@ def test_hnsw_deterministic_build(spark, catalog):
     a = HnswIndex.build(emb).search(q, k=5)
     b = HnswIndex.build(emb).search(q, k=5)
     assert a == b
+
+
+def test_sharded_hnsw_recall_vs_bruteforce(spark, catalog):
+    # build_partitioned must keep vectors on the executors and still hit
+    # ≥0.9 recall@10 against the exact scan (VERDICT round-1 gate).
+    emb = catalog.embeddings
+    query = [float((i * 7) % 13) / 13.0 for i in range(64)]
+    idx = ShardedHnswIndex.build_partitioned(emb, num_shards=4, preset="balanced")
+    try:
+        approx = [vid for vid, _ in idx.search(query, k=10)]
+        exact = [
+            r.vec_id
+            for r in cosine_topk(emb, query, k=10, id_col="vec_id").collect()
+        ]
+        overlap = len(set(approx) & set(exact))
+        assert overlap >= 9, f"sharded recall@10 too low: {overlap}/10"
+    finally:
+        idx.unpersist()
+
+
+def test_sharded_hnsw_distributed_queries(spark, catalog):
+    emb = catalog.embeddings
+    idx = ShardedHnswIndex.build_partitioned(emb, num_shards=3, preset="fast")
+    try:
+        queries = emb.select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ).limit(20)
+        rows = idx.search_distributed(queries, k=3).collect()
+        assert len(rows) == 60
+        top1 = {r.query_id: r.vec_id for r in rows if r.rank == 1}
+        hits = sum(1 for qid, vid in top1.items() if qid == vid)
+        assert hits >= 18
+    finally:
+        idx.unpersist()
 
 
 def test_hnsw_distributed_queries(spark, catalog):

@@ -57,6 +57,36 @@ def test_embedding_near_dup_symmetric_bound(catalog):
     assert r[1] <= 1.0 + 1e-9
 
 
+def test_embedding_near_dup_no_cartesian_product(catalog):
+    # exact mode must plan as the balanced block-grid equi-join —
+    # a CartesianProduct node here is the round-1 scale regression.
+    pairs = dedup.embedding_near_duplicates(catalog.embeddings, threshold=0.45)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_lsh_matches_exact_on_fixture(catalog):
+    # LSH candidates + exact verify: with 16×2-bit bands the miss
+    # probability at cosine 0.45 is ~1e-4 per pair; seeded planes make
+    # the result deterministic, so equality with exact is a stable test.
+    exact = {
+        (r.a, r.b)
+        for r in dedup.embedding_near_duplicates(
+            catalog.embeddings, threshold=0.45, exact=True
+        ).collect()
+    }
+    approx = {
+        (r.a, r.b)
+        for r in dedup.embedding_near_duplicates(
+            catalog.embeddings, threshold=0.45, exact=False,
+            n_bits=32, n_bands=16,
+        ).collect()
+    }
+    assert approx <= exact  # verify step admits no false positives
+    assert len(exact) > 0 and len(approx) >= 0.9 * len(exact)
+
+
 def test_token_stats_nonnegative(catalog):
     stats = textops.token_stats(catalog.documents).collect()
     assert all(r.n_ws_tokens > 0 and r.n_bpe_ish >= r.n_ws_tokens for r in stats)
