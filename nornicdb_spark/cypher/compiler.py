@@ -1032,8 +1032,10 @@ class Compiler:
     def _compile_merge(self, c: "A.MergeClause") -> None:
         self._require_store()
         elems = c.path.elements
-        if len(elems) != 1:
-            raise NotImplementedError("cypher: MERGE supports single-node patterns")
+        if len(elems) > 1:
+            if len(elems) % 2 != 1:
+                raise NotImplementedError("cypher: malformed MERGE pattern")
+            return self._merge_rel_chain(c, elems)
         node: A.NodePat = elems[0]
         if node.label is None or not node.props:
             raise NotImplementedError("cypher: MERGE needs (n:Label {props})")
@@ -1082,6 +1084,185 @@ class Compiler:
         first = ids.first()
         self._created[var] = first["_target_id"] if first else None
         self.bindings[var] = Binding("node", label=node.label)
+
+    # ---- MERGE on relationship patterns ---------------------------------
+
+    def _merge_endpoint_ids(self, pat: "A.NodePat"):
+        """Resolve one MERGE endpoint to an id frame (column ``id``).
+
+        Bound variables (MATCHed frame columns or CREATE/MERGE-created ids)
+        are used as-is; an unbound ``(n:Label {props})`` endpoint is
+        node-merged first (match by props, else create) — the reference's
+        per-row merge loop (merge.go mergeNodes) collapses to a set-level
+        match-else-create in batch."""
+        var = pat.var or self._fresh()
+        if (
+            self.frame is not None
+            and pat.var is not None
+            and f"{var}_id" in self.frame.columns
+        ):
+            return var, self.frame.select(F.col(f"{var}_id").alias("id")).distinct()
+        if var in self._created and self._created[var] is not None:
+            return var, self.cat.spark.createDataFrame(
+                [(self._created[var],)], "id string"
+            )
+        if pat.label is None or not pat.props:
+            raise NotImplementedError(
+                "cypher: MERGE endpoint must be bound or (n:Label {props})"
+            )
+        table, key, df = self.store.table_for(pat.label)
+        props = {k: self._py_value(v) for k, v in pat.props}
+
+        def match_cond(frame):
+            cond = None
+            for k, v in props.items():
+                c2 = (F.col(k) == F.lit(v)) if k in frame.columns else F.lit(False)
+                cond = c2 if cond is None else (cond & c2)
+            return cond
+
+        matched = df.filter(match_cond(df))
+        if (
+            any(k not in df.columns for k in props)
+            or matched.limit(1).count() == 0
+        ):
+            nid = self.store.create_node(pat.label, props)
+            self.stats.add(nodes_created=1)
+            self._created[var] = nid
+        fresh = self.store.tables[table]
+        ids = fresh.filter(match_cond(fresh)).select(
+            node_id(pat.label, key).alias("id")
+        )
+        self.bindings[var] = Binding("node", label=pat.label)
+        return var, ids
+
+    def _merge_rel_chain(self, c: "A.MergeClause", elems) -> None:
+        """MERGE over relationship patterns (reference merge.go:14-1847
+        mergeRelationships / merge chains).
+
+        Batch reformulation: for each hop, the candidate (src, dst) pair set
+        is derived from the bound frame / endpoint merges, existing edges of
+        the hop's type+props are matched set-wise, and only the missing
+        pairs are created — one anti-join + one union per hop instead of the
+        reference's per-row loop. ON CREATE SET applies to created edges'
+        endpoints/rels, ON MATCH SET to pre-existing ones (per-pair fates,
+        like Neo4j). Chains merge hop-by-hop left-to-right."""
+        created_pair_frames: list[tuple] = []
+        matched_pair_frames: list[tuple] = []
+        for i in range(1, len(elems), 2):
+            rel: A.RelPat = elems[i]
+            if not rel.types or len(rel.types) != 1:
+                raise NotImplementedError("cypher: MERGE relationship needs one type")
+            if rel.min_hops != 1 or rel.max_hops != 1:
+                raise NotImplementedError("cypher: MERGE relationship cannot be var-length")
+            if rel.direction == "both":
+                raise NotImplementedError("cypher: MERGE relationship needs a direction")
+            a_var, a_ids = self._merge_endpoint_ids(elems[i - 1])
+            b_var, b_ids = self._merge_endpoint_ids(elems[i + 1])
+            etype = rel.types[0]
+            eprops = {k: self._py_value(v) for k, v in rel.props}
+            rel_var = rel.var
+
+            if rel.direction == "in":
+                a_var, b_var = b_var, a_var
+                a_ids, b_ids = b_ids, a_ids
+            if (
+                self.frame is not None
+                and f"{a_var}_id" in self.frame.columns
+                and f"{b_var}_id" in self.frame.columns
+            ):
+                # both bound in the same frame: pair per frame row
+                pairs = self.frame.select(
+                    F.col(f"{a_var}_id").alias("src"),
+                    F.col(f"{b_var}_id").alias("dst"),
+                ).distinct()
+            else:
+                # endpoint sets resolved independently (either side is a
+                # singleton created/merged node or a bound id set)
+                pairs = (
+                    a_ids.select(F.col("id").alias("src"))
+                    .crossJoin(b_ids.select(F.col("id").alias("dst")))
+                    .distinct()
+                )
+
+            def edge_cond(edges):
+                cond = F.col("type") == F.lit(etype)
+                for k, v in eprops.items():
+                    cond = cond & (
+                        (F.col(k) == F.lit(v))
+                        if k in edges.columns
+                        else F.lit(False)
+                    )
+                return cond
+
+            existing_pairs = (
+                self.store.edges.filter(edge_cond(self.store.edges))
+                .select("src", "dst")
+                .join(pairs, ["src", "dst"])
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            missing = pairs.join(existing_pairs, ["src", "dst"], "left_anti")
+            n_new = self.store.create_edge(missing, etype, eprops)
+            self.stats.add(relationships_created=n_new)
+            if n_new:
+                created_pair_frames.append(
+                    (a_var, b_var, rel_var, etype, eprops, missing)
+                )
+            if not existing_pairs.isEmpty():
+                matched_pair_frames.append(
+                    (a_var, b_var, rel_var, etype, eprops, existing_pairs)
+                )
+
+        for sets, frames in ((c.on_create, created_pair_frames),
+                             (c.on_match, matched_pair_frames)):
+            if sets and frames:
+                self._apply_merge_sets(sets, frames)
+
+    def _apply_merge_sets(self, sets, pair_frames) -> None:
+        """ON CREATE SET / ON MATCH SET for relationship MERGE — targets may
+        be endpoint node vars or the relationship var; applied per fate
+        (created vs matched pair sets)."""
+        for target, expr in sets:
+            if not (isinstance(target, A.Prop) and isinstance(target.subject, A.Var)):
+                raise NotImplementedError("cypher: SET target must be var.prop")
+            tvar = target.subject.name
+            done = False
+            for a_var, b_var, rel_var, etype, eprops, pairs in pair_frames:
+                if tvar == rel_var:
+                    edges = self.store.edges
+                    cond = F.col("type") == F.lit(etype)
+                    for k, v in eprops.items():
+                        cond = cond & (
+                            (F.col(k) == F.lit(v))
+                            if k in edges.columns
+                            else F.lit(False)
+                        )
+                    edge_ids = (
+                        edges.filter(cond)
+                        .join(pairs, ["src", "dst"])
+                        .select(F.col("edge_id").alias("_edge_id"))
+                    )
+                    n = self.store.set_edge_props(
+                        edge_ids, {target.name: self._table_local_expr(expr, tvar)}
+                    )
+                    self.stats.add(properties_set=n)
+                    done = True
+                elif tvar in (a_var, b_var):
+                    binding = self.bindings.get(tvar)
+                    if binding is None or binding.label is None:
+                        raise NotImplementedError(
+                            "cypher: MERGE SET needs a labeled endpoint"
+                        )
+                    side = "src" if tvar == a_var else "dst"
+                    ids = pairs.select(F.col(side).alias("_target_id")).distinct()
+                    n = self.store.set_props(
+                        binding.label, ids,
+                        {target.name: self._table_local_expr(expr, tvar)},
+                    )
+                    self.stats.add(properties_set=n)
+                    done = True
+            if not done:
+                raise ValueError(f"cypher: MERGE SET target {tvar!r} is not bound")
 
     # ---- UNWIND ---------------------------------------------------------
 

@@ -119,8 +119,9 @@ class GraphStore:
         self.tables[table] = df.unionByName(new)
         return f"{label}:{props[key]}"
 
-    def create_edge(self, pairs: DataFrame, etype: str) -> int:
-        """One edge per row of ``pairs`` (columns src, dst).
+    def create_edge(self, pairs: DataFrame, etype: str, props: dict | None = None) -> int:
+        """One edge per row of ``pairs`` (columns src, dst), optionally with
+        literal relationship properties (MERGE/CREATE ``[:T {k: v}]``).
 
         edge_id is salted with a per-store batch counter plus a per-row id so
         parallel same-type edges (or re-running the same CREATE) never share
@@ -128,6 +129,7 @@ class GraphStore:
         distinct edge_ids. The union is checkpointed, so the generated ids
         are materialized once and stable thereafter.
         """
+        props = props or {}
         salt = self._edge_batch
         self._edge_batch += 1
         cols = [
@@ -139,10 +141,41 @@ class GraphStore:
         ]
         prop_cols = [c for c in self.edges.columns if c not in ("src", "dst", "type", "edge_id")]
         for c in prop_cols:
-            cols.append(F.lit(None).cast(self.edges.schema[c].dataType).alias(c))
+            if c in props:
+                cols.append(F.lit(props[c]).alias(c))
+            else:
+                cols.append(F.lit(None).cast(self.edges.schema[c].dataType).alias(c))
+        for c, v in props.items():
+            if c not in self.edges.columns:
+                # schema-free edge property — appears as a new column
+                cols.append(F.lit(v).alias(c))
         new = pairs.select(*cols)
         n = new.count()
-        self.edges = self.edges.unionByName(new).localCheckpoint(eager=True)
+        self.edges = self.edges.unionByName(
+            new, allowMissingColumns=True
+        ).localCheckpoint(eager=True)
+        return n
+
+    def set_edge_props(
+        self, edge_ids: DataFrame, assignments: dict[str, F.Column]
+    ) -> int:
+        """SET over the edges whose edge_id is in ``edge_ids`` (column
+        ``_edge_id``) — relationship twin of :meth:`set_props`. Expressions
+        see the edge table's own columns; new property columns are allowed."""
+        targets = edge_ids.select("_edge_id").distinct()
+        n = targets.count() * len(assignments)
+        tagged = self.edges.join(
+            targets, self.edges.edge_id == F.col("_edge_id"), "left_outer"
+        )
+        hit = F.col("_edge_id").isNotNull()
+        out = tagged
+        for c, expr in assignments.items():
+            prev = F.col(c) if c in self.edges.columns else F.lit(None)
+            out = out.withColumn(c, F.when(hit, expr).otherwise(prev))
+        keep = list(self.edges.columns) + [
+            c for c in assignments if c not in self.edges.columns
+        ]
+        self.edges = out.select(*keep).localCheckpoint(eager=True)
         return n
 
     def set_props(

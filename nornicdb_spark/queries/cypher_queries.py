@@ -296,3 +296,34 @@ def cypher_vector_spatial_functions(spark, sf_dir):
                   apoc.coll.indexOf([5,6,7], 6) AS idx""",
     )
     return df.withColumn("sub", F.to_json("sub"))
+
+
+@register(
+    "cypher_merge_rel",
+    oracle="""
+    SELECT r_name AS region, CAST(count(*) AS BIGINT) AS n
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def cypher_merge_rel(spark, sf_dir):
+    # SURVEY §2.7 MERGE on relationship patterns through the frontend
+    # (reference merge.go:14-1847 mergeRelationships): the first MERGE
+    # creates one LOCATED_IN edge per (nation, region) pair, the re-run
+    # matches all of them (idempotent, 0 created); ON CREATE / ON MATCH
+    # SET stamp the relationship per fate, and the final read filters on
+    # the ON MATCH value — so the result only matches the oracle if both
+    # fates fired correctly.
+    from nornicdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    merge = """MATCH (n:Nation), (r:Region) WHERE n.n_regionkey = r.r_regionkey
+               MERGE (n)-[l:LOCATED_IN]->(r)
+               ON CREATE SET l.via = 'created'
+               ON MATCH SET l.via = 'matched'"""
+    eng.cypher(merge).collect()
+    eng.cypher(merge).collect()
+    return eng.cypher(
+        """MATCH (n:Nation)-[l:LOCATED_IN {via: 'matched'}]->(r:Region)
+           RETURN r.r_name AS region, count(*) AS n"""
+    )

@@ -205,3 +205,61 @@ def test_call_subquery_with_write(eng):
         "CALL { CREATE (:Tmp {v: 1}) } CREATE (:Tmp {v: 2})"
     ))
     assert stats.nodes_created == 2
+
+
+def test_merge_relationship_create_then_match(eng):
+    q = """MATCH (a:Region {r_regionkey: 0}), (b:Region {r_regionkey: 1})
+           MERGE (a)-[r:BRIDGE]->(b)
+           ON CREATE SET r.status = 'new'
+           ON MATCH SET r.status = 'seen'"""
+    s1 = one(eng.cypher(q))
+    assert s1.relationships_created == 1
+    assert one(eng.cypher(
+        "MATCH (:Region {r_regionkey: 0})-[r:BRIDGE]->(:Region) RETURN r.status AS s"
+    )).s == "new"
+    s2 = one(eng.cypher(q))
+    assert s2.relationships_created == 0
+    assert one(eng.cypher(
+        "MATCH (:Region {r_regionkey: 0})-[r:BRIDGE]->(:Region) RETURN r.status AS s"
+    )).s == "seen"
+
+
+def test_merge_relationship_per_pair_fates(eng):
+    # one (nation 0 → region 0) NEAR edge pre-exists; merging all five
+    # nations of region 0 must create only the four missing edges
+    eng.cypher(
+        """MATCH (n:Nation {n_nationkey: 0}), (r:Region {r_regionkey: 0})
+           MERGE (n)-[:NEAR]->(r)"""
+    ).collect()
+    s = one(eng.cypher(
+        """MATCH (n:Nation)-[:IN]->(r:Region {r_regionkey: 0})
+           MERGE (n)-[:NEAR]->(r)"""
+    ))
+    assert s.relationships_created == 4
+    assert one(eng.cypher(
+        "MATCH (:Nation)-[:NEAR]->(:Region) RETURN count(*) AS n"
+    )).n == 5
+
+
+def test_merge_rel_unbound_endpoints_creates_pattern(eng):
+    s = one(eng.cypher("MERGE (a:Hub {hid: 1})-[:LINKS]->(b:Hub {hid: 2})"))
+    assert s.nodes_created == 2
+    assert s.relationships_created == 1
+    s2 = one(eng.cypher("MERGE (a:Hub {hid: 1})-[:LINKS]->(b:Hub {hid: 2})"))
+    assert s2.nodes_created == 0
+    assert s2.relationships_created == 0
+
+
+def test_merge_rel_chain_and_incoming_direction(eng):
+    s = one(eng.cypher(
+        "MERGE (a:Chn {x: 1})-[:N]->(b:Chn {x: 2})-[:N]->(c:Chn {x: 3})"
+    ))
+    assert s.nodes_created == 3
+    assert s.relationships_created == 2
+    # incoming direction: edge goes b → a
+    s2 = one(eng.cypher("MERGE (a:Chn {x: 1})<-[:REV]-(b:Chn {x: 2})"))
+    assert s2.nodes_created == 0
+    assert s2.relationships_created == 1
+    assert one(eng.cypher(
+        "MATCH (b:Chn {x: 2})-[:REV]->(a:Chn {x: 1}) RETURN count(*) AS n"
+    )).n == 1
