@@ -177,10 +177,37 @@ class Compiler:
             self._scalar_vars[c.var] = outer
 
     def _compile_call_subquery(self, c: "A.CallSubquery") -> None:
-        """CALL { subquery } — uncorrelated: compile independently, cross
-        join the result into the pipeline (reference
-        executor_subqueries.go:27-666; correlated import via WITH is not
-        yet supported)."""
+        """CALL { subquery } (reference executor_subqueries.go:27-666).
+
+        Uncorrelated: compile independently, cross join the result into
+        the pipeline. Correlated (``CALL { WITH x, y ... }``): the import
+        frame is the DISTINCT outer projection of the imported variables,
+        tagged with reserved ``_corr<i>`` key columns that the inner
+        compiler threads through every projection (extra group keys under
+        aggregation, window-partition keys for SKIP/LIMIT — so a
+        ``LIMIT 3`` inside the subquery is a per-outer-row top-3, one
+        shuffle, not a driver loop); the result joins back on the keys.
+        Aggregate-only subqueries join LEFT with Neo4j's empty-input
+        identities (count/sum → 0, collect → []) so outer rows without
+        inner matches survive."""
+        first = c.query.clauses[0] if c.query.clauses else None
+        if (
+            isinstance(first, A.WithClause)
+            and self.frame is not None
+            and first.items
+            and all(
+                isinstance(it.expr, A.Var)
+                and it.alias is None
+                and it.expr.name in self.bindings
+                for it in first.items
+            )
+            and not first.distinct
+            and first.where is None
+            and not first.order
+            and first.skip is None
+            and first.limit is None
+        ):
+            return self._compile_correlated_call(c, first)
         inner = Compiler(self.cat, self.params, store=self.store)
         result = inner._compile_single(c.query)
         self.stats.add(
@@ -199,6 +226,77 @@ class Compiler:
             self.frame = self.frame.crossJoin(result)
         for col in result.columns:
             self.bindings[col] = Binding("value", column=col)
+
+    def _compile_correlated_call(self, c: "A.CallSubquery", imp: "A.WithClause") -> None:
+        import_vars = [it.expr.name for it in imp.items]
+        key_cols: list[str] = []
+        import_cols: list[str] = []
+        for v in import_vars:
+            b = self.bindings[v]
+            if b.kind in ("node", "rel"):
+                key_cols.append(f"{v}_id")
+                import_cols.extend(
+                    col for col in self.frame.columns if col.startswith(f"{v}_")
+                )
+            else:
+                col = b.column or v
+                key_cols.append(col)
+                import_cols.append(col)
+        key_cols = list(dict.fromkeys(key_cols))
+        import_frame = self.frame.select(
+            *dict.fromkeys(import_cols)
+        ).distinct()
+        corr = {k: f"_corr{i}" for i, k in enumerate(key_cols)}
+        for k, tag in corr.items():
+            import_frame = import_frame.withColumn(tag, F.col(f"`{k}`"))
+
+        inner = Compiler(self.cat, self.params, store=self.store)
+        inner.frame = import_frame
+        inner.bindings = {v: self.bindings[v] for v in import_vars}
+        inner._carry = list(corr.values())
+        body = A.Query(clauses=tuple(c.query.clauses[1:]), unions=())
+        result = inner._compile_single(body)
+        self.stats.add(
+            nodes_created=inner.stats.nodes_created,
+            relationships_created=inner.stats.relationships_created,
+            properties_set=inner.stats.properties_set,
+            nodes_deleted=inner.stats.nodes_deleted,
+            relationships_deleted=inner.stats.relationships_deleted,
+        )
+        self._wrote = self._wrote or inner._wrote
+        last = c.query.clauses[-1]
+        if not isinstance(last, A.ReturnClause):
+            return  # unit subquery (writes only) — frame unchanged
+
+        outer = self.frame
+        for k, tag in corr.items():
+            outer = outer.withColumn(tag, F.col(f"`{k}`"))
+        agg_only = all(_contains_agg(it.expr) for it in last.items)
+        if agg_only:
+            # empty-input identities per Neo4j: count/sum → 0, collect → []
+            joined = outer.join(result, on=list(corr.values()), how="left")
+            for it in last.items:
+                name = it.alias or expr_name(it.expr)
+                e = it.expr
+                fn = e.name if isinstance(e, A.Func) else None
+                if isinstance(e, A.CountStar) or fn in ("count", "sum"):
+                    joined = joined.withColumn(
+                        name, F.coalesce(F.col(f"`{name}`"), F.lit(0))
+                    )
+                elif fn == "collect":
+                    joined = joined.withColumn(
+                        name,
+                        F.coalesce(
+                            F.col(f"`{name}`"),
+                            F.array().cast(joined.schema[name].dataType),
+                        ),
+                    )
+        else:
+            joined = outer.join(result, on=list(corr.values()), how="inner")
+        self.frame = joined.drop(*corr.values())
+        for col in result.columns:
+            if col not in corr.values():
+                self.bindings[col] = Binding("value", column=col)
 
     def _stats_frame(self) -> DataFrame:
         s = self.stats
@@ -652,9 +750,11 @@ class Compiler:
             "rels": f"_vl_{rel_var}_rels",
         }
         self._last_varlen = info
+        bound_dst = dst_var in self.bindings
+        end_alias = f"_vl_end_{rel_var}" if bound_dst else f"{dst_var}_id"
         cols = [
             F.col("start_id").alias(f"{src_var}_id"),
-            F.col("end_id").alias(f"{dst_var}_id"),
+            F.col("end_id").alias(end_alias),
             F.col("depth").alias(depth_col),
         ]
         if keep_path:
@@ -667,8 +767,14 @@ class Compiler:
             rel_types=rel.types, direction=rel.direction,
         ).select(*cols)
         self.frame = self.frame.join(paths, on=f"{src_var}_id", how="inner")
-        if dst_var in self.bindings:
-            raise NotImplementedError("cypher: var-length to a bound variable")
+        if bound_dst:
+            # var-length ending at an already-bound variable (reference
+            # traversal.go:1127-1237): keep only paths landing on it
+            self.frame = self.frame.filter(
+                F.col(end_alias) == F.col(f"{dst_var}_id")
+            ).drop(end_alias)
+            self._apply_node_props(dst_var, dst)
+            return dst_var
         if dst.label is not None:
             dn = self._node_frame(dst_var, dst.label)
             self.frame = self.frame.join(dn, on=f"{dst_var}_id", how="inner")
@@ -1337,6 +1443,13 @@ class Compiler:
         else:
             items = clause.items
         has_agg = any(_contains_agg(it.expr) for it in items)
+        # correlation carry columns (_corr<i> from CALL { WITH x ... }):
+        # reserved names threaded through every projection — extra group
+        # keys under aggregation, partition keys for SKIP/LIMIT
+        carry = [
+            c for c in getattr(self, "_carry", ())
+            if self.frame is not None and c in self.frame.columns
+        ]
 
         # ORDER BY may reference pattern variables that the projection
         # drops (Cypher allows `RETURN c.name ORDER BY c.acctbal`):
@@ -1379,11 +1492,11 @@ class Compiler:
                 name = it.alias or expr_name(it.expr)
                 aggs.append(self._expr(it.expr, agg=True).alias(name))
                 abind[name] = Binding("value", column=name)
-            if gcols:
+            if gcols or carry:
                 # compute group keys as columns first so expression keys
                 # (e.g. substring(...)) group correctly
                 tmp = self.frame
-                key_names = []
+                key_names = list(carry)
                 for c, k in zip(gcols, gkeys):
                     if k not in tmp.columns:
                         tmp = tmp.withColumn(k, c)
@@ -1400,6 +1513,7 @@ class Compiler:
             if self.frame is None:
                 self.frame = self.cat.spark.range(1)
             cols, nbind, _ = self._projection_columns(items)
+            cols = [F.col(c) for c in carry] + cols
             cols += [F.col(n) for n in presort.values()]
             self.frame = self.frame.select(*cols)
             self.bindings = nbind
@@ -1408,10 +1522,16 @@ class Compiler:
             self.frame = self.frame.distinct()
         if getattr(clause, "where", None) is not None:
             self.frame = self.frame.filter(self._expr(clause.where))
+        # per-key cut: inside a correlated CALL{}, SKIP/LIMIT apply per
+        # outer row (reference executor_subqueries.go) — a windowed rank
+        # partitioned by the carry keys, never a global limit
+        per_key_cut = bool(carry) and (
+            clause.skip is not None or clause.limit is not None
+        )
+        sort_cols: list = []
+        extra = list(presort.values())
         if clause.order:
             out_names = [it.alias or expr_name(it.expr) for it in items]
-            sort_cols = []
-            extra = list(presort.values())
             for n, s in enumerate(clause.order):
                 matched = next(
                     (nm for it, nm in zip(items, out_names) if it.expr == s.expr),
@@ -1429,16 +1549,28 @@ class Compiler:
                     extra.append(name)
                     c = F.col(name)
                 sort_cols.append(c.asc() if s.ascending else c.desc())
-            self.frame = self.frame.orderBy(*sort_cols)
-            for name in extra:
-                self.frame = self.frame.drop(name)
-        elif presort:
-            for name in presort.values():
-                self.frame = self.frame.drop(name)
-        if clause.skip is not None:
-            self.frame = self.frame.offset(int(self._lit_value(clause.skip)))
-        if clause.limit is not None:
-            self.frame = self.frame.limit(int(self._lit_value(clause.limit)))
+            if not per_key_cut:
+                self.frame = self.frame.orderBy(*sort_cols)
+        if per_key_cut:
+            from pyspark.sql import Window
+
+            order_cols = sort_cols or [F.monotonically_increasing_id().asc()]
+            w = Window.partitionBy(*[F.col(c) for c in carry]).orderBy(*order_cols)
+            self.frame = self.frame.withColumn("_corr_rk", F.row_number().over(w))
+            lo = int(self._lit_value(clause.skip)) if clause.skip is not None else 0
+            cond = F.col("_corr_rk") > F.lit(lo)
+            if clause.limit is not None:
+                cond = cond & (
+                    F.col("_corr_rk") <= F.lit(lo + int(self._lit_value(clause.limit)))
+                )
+            self.frame = self.frame.filter(cond).drop("_corr_rk")
+        for name in extra:
+            self.frame = self.frame.drop(name)
+        if not per_key_cut:
+            if clause.skip is not None:
+                self.frame = self.frame.offset(int(self._lit_value(clause.skip)))
+            if clause.limit is not None:
+                self.frame = self.frame.limit(int(self._lit_value(clause.limit)))
         return self.frame
 
     def _lit_value(self, e):

@@ -327,3 +327,52 @@ def cypher_merge_rel(spark, sf_dir):
         """MATCH (n:Nation)-[l:LOCATED_IN {via: 'matched'}]->(r:Region)
            RETURN r.r_name AS region, count(*) AS n"""
     )
+
+
+@register(
+    "cypher_correlated_call",
+    oracle="""
+    SELECT nation, cust, bal FROM (
+      SELECT n_name AS nation, c_name AS cust, c_acctbal AS bal,
+             row_number() OVER (PARTITION BY n_nationkey
+                                ORDER BY c_acctbal DESC, c_name) AS rk
+      FROM nation JOIN customer ON c_nationkey = n_nationkey
+    ) WHERE rk <= 2
+    """,
+)
+def cypher_correlated_call(spark, sf_dir):
+    # SURVEY §2.7 correlated CALL { WITH n ... } (reference
+    # executor_subqueries.go:27-666): per-nation top-2 customers by
+    # balance — the inner ORDER BY + LIMIT compiles to a windowed rank
+    # partitioned by the correlation key (one shuffle), not a driver loop
+    # or a global limit.
+    return _run(
+        spark, sf_dir,
+        """MATCH (n:Nation)
+           CALL { WITH n MATCH (c:Customer)-[:FROM]->(n)
+                  RETURN c.c_name AS cust, c.c_acctbal AS bal
+                  ORDER BY c.c_acctbal DESC, c.c_name LIMIT 2 }
+           RETURN n.n_name AS nation, cust, bal""",
+    )
+
+
+@register(
+    "cypher_varlen_bound_endpoint",
+    oracle="""
+    SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE n_regionkey = 0
+    GROUP BY c_mktsegment
+    """,
+)
+def cypher_varlen_bound_endpoint(spark, sf_dir):
+    # SURVEY §2.3 var-length pattern ending at a bound variable
+    # (reference traversal.go:1127-1237): the only 2-hop out-path from a
+    # Customer to a Region is FROM→IN, so the path count equals the
+    # relational join.
+    return _run(
+        spark, sf_dir,
+        """MATCH (c:Customer), (r:Region {r_regionkey: 0})
+           MATCH (c)-[*2..2]->(r)
+           RETURN c.c_mktsegment AS segment, count(*) AS n""",
+    )

@@ -809,3 +809,93 @@ def test_call_fastrp_procedure(eng):
         "CALL gds.fastRP.stream(8) YIELD nodeId, embedding RETURN nodeId, embedding LIMIT 3"
     ).collect()
     assert len(rows) == 3 and all(len(r.embedding) == 8 for r in rows)
+
+
+# ---- correlated CALL {} subqueries --------------------------------------
+
+def test_call_subquery_correlated_agg(eng, duck):
+    # per-region nation count via WITH-import; left-join identities keep
+    # regions without matches (none here, but count() must be per-key)
+    check(
+        eng, duck,
+        """MATCH (r:Region)
+           CALL { WITH r MATCH (r)<-[:IN]-(n:Nation) RETURN count(*) AS n }
+           RETURN r.r_name AS region, n ORDER BY region""",
+        """SELECT r_name AS region,
+                  CAST((SELECT count(*) FROM nation WHERE n_regionkey = r_regionkey)
+                       AS BIGINT) AS n
+           FROM region ORDER BY region""",
+    )
+
+
+def test_call_subquery_correlated_rows_multiply(eng, duck):
+    check(
+        eng, duck,
+        """MATCH (r:Region) WHERE r.r_regionkey < 2
+           CALL { WITH r MATCH (r)<-[:IN]-(n:Nation) RETURN n.n_name AS nation }
+           RETURN r.r_name AS region, nation ORDER BY region, nation""",
+        """SELECT r_name AS region, n_name AS nation
+           FROM region JOIN nation ON n_regionkey = r_regionkey
+           WHERE r_regionkey < 2 ORDER BY region, nation""",
+    )
+
+
+def test_call_subquery_correlated_per_row_limit(eng, duck):
+    # LIMIT inside the correlated subquery is per OUTER row (top-2 nations
+    # per region by name) — the windowed cut, not a global limit
+    check(
+        eng, duck,
+        """MATCH (r:Region)
+           CALL { WITH r MATCH (r)<-[:IN]-(n:Nation)
+                  RETURN n.n_name AS nation ORDER BY n.n_name LIMIT 2 }
+           RETURN r.r_name AS region, nation ORDER BY region, nation""",
+        """SELECT region, nation FROM (
+             SELECT r_name AS region, n_name AS nation,
+                    row_number() OVER (PARTITION BY r_regionkey ORDER BY n_name) AS rk
+             FROM region JOIN nation ON n_regionkey = r_regionkey
+           ) WHERE rk <= 2 ORDER BY region, nation""",
+    )
+
+
+def test_call_subquery_correlated_value_import(eng, duck):
+    # import of a VALUE variable (not a node) through WITH
+    check(
+        eng, duck,
+        """MATCH (r:Region) WITH r.r_regionkey AS k
+           CALL { WITH k MATCH (n:Nation) WHERE n.n_regionkey = k
+                  RETURN sum(n.n_nationkey) AS s }
+           RETURN k, s ORDER BY k""",
+        """SELECT r_regionkey AS k,
+                  (SELECT CAST(sum(n_nationkey) AS BIGINT) FROM nation
+                   WHERE n_regionkey = r_regionkey) AS s
+           FROM region ORDER BY k""",
+    )
+
+
+def test_call_subquery_correlated_empty_input_identities(eng):
+    # a key with no inner matches must survive with count 0 / collect []
+    rows = eng.cypher(
+        """MATCH (c:Customer) WHERE c.c_custkey <= 2
+           CALL { WITH c MATCH (c)-[:PLACED]->(o:Order)
+                  WHERE o.o_totalprice < 0
+                  RETURN count(*) AS n, collect(o.o_orderkey) AS ks }
+           RETURN c.c_custkey AS k, n, ks ORDER BY k"""
+    ).collect()
+    assert [r.k for r in rows] == [0, 1, 2]
+    assert all(r.n == 0 and r.ks == [] for r in rows)
+
+
+def test_var_length_to_bound_endpoint(eng, duck):
+    # MATCH (a),(b) then var-length between the two bound vars
+    # (reference traversal.go:1127-1237)
+    check(
+        eng, duck,
+        """MATCH (c:Customer {c_custkey: 1}), (r:Region)
+           MATCH (c)-[*2..2]->(r)
+           RETURN r.r_name AS region, count(*) AS n""",
+        """SELECT r_name AS region, CAST(count(*) AS BIGINT) AS n
+           FROM customer JOIN nation ON c_nationkey = n_nationkey
+                         JOIN region ON n_regionkey = r_regionkey
+           WHERE c_custkey = 1
+           GROUP BY r_name""",
+    )
