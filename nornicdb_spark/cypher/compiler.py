@@ -126,7 +126,8 @@ class Compiler:
             else:
                 self._compile_clause(clause)
         if out is None and isinstance(q.clauses[-1], A.CallClause):
-            out = self.frame  # standalone CALL: implicit yield-all
+            if not getattr(self, "_last_call_void", False):
+                out = self.frame  # standalone CALL: implicit yield-all
         if out is None and self._wrote:
             out = self._stats_frame()  # write query: Neo4j-style summary
         assert out is not None, "query must end with RETURN"
@@ -864,36 +865,130 @@ class Compiler:
             F.col("id").alias("nodeId"), F.col("embedding")
         )
 
+    # label → (table, id column) for index sources beyond the graph specs
+    INDEX_SOURCES = {
+        "Embedding": ("embeddings", "vec_id"),
+        "Document": ("documents", "doc_id"),
+    }
+
+    def _index_source(self, label: str) -> tuple[DataFrame, str]:
+        if label in self.INDEX_SOURCES:
+            table, key = self.INDEX_SOURCES[label]
+            return self.cat.table(table), key
+        if label in LABEL_TABLES:
+            table, key = LABEL_TABLES[label]
+            return self.cat.table(table), key
+        raise ValueError(f"cypher: no table for index label {label!r}")
+
     def _proc_vector_query(self, args, rels: bool = False) -> DataFrame:
         """CALL db.index.vector.queryNodes(index, k, vector)
-        (reference call_vector.go:35-280): exact cosine top-k over the
-        embeddings table — brute force is the oracle path; HNSW/k-means
-        pruned variants live in nornicdb_spark.search for scale."""
+        (reference call_vector.go:35-280): the index NAME resolves through
+        the IndexCatalog (db.index.vector.createNodeIndex registers it) to
+        a (table, id, property) source; exact cosine top-k is the oracle
+        path; HNSW/k-means pruned variants live in nornicdb_spark.search
+        for scale."""
+        from nornicdb_spark.procedures import index_catalog
         from nornicdb_spark.search.vector import cosine_topk
 
         vals = [self._py_value(a) for a in args]
-        _index, k, vec = vals[0], int(vals[1]), vals[2]
-        return cosine_topk(self.cat.embeddings, vec, k=k).select(
-            F.col("vec_id").alias("node"), F.col("score")
+        index, k, vec = vals[0], int(vals[1]), vals[2]
+        ic = index_catalog(self.cat)
+        if index in ic._defs and ic._defs[index]["kind"] == "VECTOR":
+            d = ic._defs[index]
+            src, id_col = self._index_source(d["label"])
+            vec_col = d["properties"][0]
+        else:
+            # unknown name → default embedding scan, matching the
+            # reference's leniency (call_vector.go:150-162 falls back to
+            # all nodes with embeddings when the index is unregistered)
+            src, id_col, vec_col = self.cat.embeddings, "vec_id", "embedding"
+        return cosine_topk(src, vec, k=k, id_col=id_col, vec_col=vec_col).select(
+            F.col(id_col).alias("node"), F.col("score")
         )
 
     def _proc_fulltext_query(self, args) -> DataFrame:
         """CALL db.index.fulltext.queryNodes(index, query[, k])
         (reference call_fulltext.go; BM25 scoring
-        fulltext_index.go:123-199). The posting index is memoized on the
-        catalog — build once, query many."""
+        fulltext_index.go:123-199). The index name resolves through the
+        IndexCatalog; the posting structure is built on first query and
+        memoized per index name."""
+        from nornicdb_spark.procedures import index_catalog
         from nornicdb_spark.search.bm25 import BM25Index
 
         vals = [self._py_value(a) for a in args]
-        qtext = vals[1]
+        index, qtext = vals[0], vals[1]
         k = int(vals[2]) if len(vals) > 2 else 10
-        idx = getattr(self.cat, "_bm25_index", None)
+        ic = index_catalog(self.cat)
+        if index in ic._defs and ic._defs[index]["kind"] == "FULLTEXT":
+            d = ic._defs[index]
+        else:
+            # unknown name → the default documents index (reference
+            # leniency, call_fulltext.go)
+            d, index = ic._defs["documents_fulltext"], "documents_fulltext"
+        idx = ic._impls.get(index)
         if idx is None:
-            idx = BM25Index.build(self.cat.documents)
-            self.cat._bm25_index = idx
+            src, id_col = self._index_source(d["label"])
+            idx = BM25Index.build(
+                src, id_col=id_col, text_col=d["properties"][0]
+            )
+            ic._impls[index] = idx
         return idx.search(qtext, k=k).select(
             F.col("doc_id").alias("node"), F.col("score")
         )
+
+    def _proc_index_create(self, args, kind: str) -> DataFrame:
+        """db.index.vector.createNodeIndex(name, label, prop, dim[, sim]) /
+        db.index.fulltext.createNodeIndex(name, [labels], [props])
+        (reference call.go:728-748, call_index_mgmt.go)."""
+        from nornicdb_spark.procedures import index_catalog
+
+        vals = [self._py_value(a) for a in args]
+        name = vals[0]
+        if kind == "VECTOR":
+            label, prop = vals[1], vals[2]
+            opts = {}
+            if len(vals) > 3:
+                opts["dimensions"] = int(vals[3])
+            if len(vals) > 4:
+                opts["similarity"] = vals[4]
+            index_catalog(self.cat).create(name, kind, label, [prop], **opts)
+        else:
+            labels = vals[1] if isinstance(vals[1], list) else [vals[1]]
+            props = vals[2] if isinstance(vals[2], list) else [vals[2]]
+            index_catalog(self.cat).create(name, kind, labels[0], props)
+        return self.cat.spark.createDataFrame(
+            [(name, kind, "ONLINE")], "name string, type string, state string"
+        )
+
+    def _proc_index_drop(self, args) -> DataFrame:
+        from nornicdb_spark.procedures import index_catalog
+
+        name = self._py_value(args[0])
+        index_catalog(self.cat).drop(name)
+        return self.cat.spark.createDataFrame(
+            [(name, "DROPPED")], "name string, state string"
+        )
+
+    def _proc_set_node_vector(self, args) -> None:
+        """db.create.setNodeVectorProperty(n, key, vector) (reference
+        call.go:728-748): a table rewrite through the store — void
+        procedure, mutates the bound node rows."""
+        self._require_store()
+        var_arg, key, vec = args[0], self._py_value(args[1]), self._py_value(args[2])
+        if not isinstance(var_arg, A.Var) or var_arg.name not in self.bindings:
+            raise ValueError(
+                "cypher: setNodeVectorProperty needs a bound node variable"
+            )
+        var = var_arg.name
+        label = self.bindings[var].label
+        if label is None:
+            raise NotImplementedError(
+                "cypher: setNodeVectorProperty needs a labeled node"
+            )
+        vec_col = F.array(*[F.lit(float(x)) for x in vec])
+        n = self.store.set_props(label, self._target_ids(var), {key: vec_col})
+        self.stats.add(properties_set=n)
+        return None
 
     PROCEDURES = {
         "db.labels": lambda self, args: __import__(
@@ -932,6 +1027,20 @@ class Compiler:
         "db.index.fulltext.querynodes": lambda self, args: (
             self._proc_fulltext_query(args)
         ),
+        "db.index.vector.createnodeindex": lambda self, args: (
+            self._proc_index_create(args, "VECTOR")
+        ),
+        "db.index.vector.drop": lambda self, args: self._proc_index_drop(args),
+        "db.index.fulltext.createnodeindex": lambda self, args: (
+            self._proc_index_create(args, "FULLTEXT")
+        ),
+        "db.index.fulltext.drop": lambda self, args: self._proc_index_drop(args),
+        "db.index.fulltext.listavailableanalyzers": lambda self, args: __import__(
+            "nornicdb_spark.procedures", fromlist=["x"]
+        ).fulltext_analyzers(self.cat),
+        "db.create.setnodevectorproperty": lambda self, args: (
+            self._proc_set_node_vector(args)
+        ),
         "apoc.algo.pagerank": lambda self, args: self._proc_pagerank(args),
         "apoc.algo.wcc": lambda self, args: self._proc_wcc(args),
         "apoc.algo.labelpropagation": lambda self, args: (
@@ -949,6 +1058,10 @@ class Compiler:
         if c.proc not in self.PROCEDURES:
             raise NotImplementedError(f"cypher: procedure {c.proc}()")
         result = self.PROCEDURES[c.proc](self, c.args)
+        self._last_call_void = result is None
+        if result is None:  # void procedure (e.g. setNodeVectorProperty)
+            self._wrote = True
+            return
         if c.yields:
             missing = [y for y in c.yields if y not in result.columns]
             if missing:
@@ -2099,6 +2212,21 @@ class Compiler:
             from nornicdb_spark.functions import spatial
 
             return spatial.within_distance(cols[0], cols[1], cols[2])
+        if name in ("polygon", "linestring"):
+            from nornicdb_spark.functions import spatial
+
+            fn = spatial.polygon if name == "polygon" else spatial.line_string
+            if len(args) == 1 and isinstance(args[0], A.ListLit):
+                return fn(F.array(*[self._expr(a) for a in args[0].items]))
+            return fn(cols[0])
+        if name == "point.intersects":
+            from nornicdb_spark.functions import spatial
+
+            return spatial.point_in_polygon(cols[0], cols[1])
+        if name == "point.contains":
+            from nornicdb_spark.functions import spatial
+
+            return spatial.point_in_polygon(cols[1], cols[0])
 
         # APOC passthroughs to our function library
         from nornicdb_spark.functions import apoc as apoc_fns

@@ -181,12 +181,37 @@ class Parser:
 
     # ---- clauses --------------------------------------------------------
 
+    _HINT_STOP = (
+        "USING", "WHERE", "MATCH", "OPTIONAL", "WITH", "RETURN", "CREATE",
+        "MERGE", "SET", "REMOVE", "DELETE", "DETACH", "UNWIND", "CALL",
+        "FOREACH", "ORDER", "SKIP", "LIMIT", "UNION",
+    )
+
+    def _at_using(self) -> bool:
+        t = self.peek()  # USING is not a reserved word in this lexer
+        return t.kind in ("NAME", "KEYWORD") and t.value.upper() == "USING"
+
+    def _skip_index_hints(self) -> None:
+        """USING INDEX / USING SCAN / USING JOIN hints (reference
+        index_hints.go:107-160) — parsed and IGNORED: Catalyst owns access
+        path selection here, but hinted queries must still run."""
+        while self._at_using():
+            self.take()
+            while not (
+                self.at("EOF")
+                or self.at("OP", ";")
+                or self._at_using()
+                or any(self.at_kw(k) for k in self._HINT_STOP)
+            ):
+                self.take()
+
     def parse_match(self, optional: bool, consumed: bool = False) -> A.MatchClause:
         if not consumed:
             self.expect("KEYWORD", "MATCH")
         paths = [self.parse_match_path()]
         while self.accept("OP", ","):
             paths.append(self.parse_match_path())
+        self._skip_index_hints()
         where = None
         if self.at_kw("WHERE"):
             self.take()

@@ -21,8 +21,12 @@ class Engine:
     """
 
     def __init__(self, spark: SparkSession, sf_dir: str):
+        from nornicdb_spark.catalog import shared_catalog
+
         self.spark = spark
-        self.catalog = Catalog(spark, sf_dir)
+        # shared read-only catalog: plans and the materialized adjacency
+        # are reused across Engines; writes live in this Engine's store
+        self.catalog = shared_catalog(spark, sf_dir)
         self._store = None
 
     @property

@@ -70,3 +70,40 @@ def within_bbox(p: Column, min_x, min_y, max_x, max_y) -> Column:
 def within_distance(p1: Column, p2: Column, meters) -> Column:
     """point.withinDistance — haversine threshold predicate."""
     return point_distance(p1, p2) <= meters
+
+
+def polygon(points: Column) -> Column:
+    """polygon(points :: LIST<POINT>) — the vertex array IS the geometry
+    (reference executor_show.go:144; closed implicitly, like the
+    reference's ray caster which wraps the last vertex to the first)."""
+    return points
+
+
+def line_string(points: Column) -> Column:
+    """lineString(points :: LIST<POINT>) (reference executor_show.go:145)."""
+    return points
+
+
+def point_in_polygon(p: Column, poly: Column) -> Column:
+    """point.contains(polygon, point) / point.intersects(point, polygon)
+    — ray casting, as the reference (helpers.go:188-230 pointInPolygon):
+    cast a ray in +x; odd crossing count = inside; <3 vertices = false.
+
+    Pure Column expression: the crossing count is an ``aggregate`` over
+    the vertex-index sequence — JVM-side, codegen'd, scales as a plain
+    projection (no Python in the row path)."""
+    n = F.size(poly)
+
+    def step(acc: Column, i: Column) -> Column:
+        vi = F.element_at(poly, i + 1)                     # 1-based
+        vj = F.element_at(poly, F.when(i == 0, n).otherwise(i))
+        crosses = (vi["y"] > p["y"]) != (vj["y"] > p["y"])
+        x_int = (
+            (vj["x"] - vi["x"]) * (p["y"] - vi["y"]) / (vj["y"] - vi["y"])
+            + vi["x"]
+        )
+        hit = F.coalesce(crosses & (p["x"] < x_int), F.lit(False))
+        return acc + F.when(hit, F.lit(1)).otherwise(F.lit(0))
+
+    crossings = F.aggregate(F.sequence(F.lit(0), n - 1), F.lit(0), step)
+    return F.when(n < 3, F.lit(False)).otherwise(crossings % 2 == 1)

@@ -49,11 +49,18 @@ def pagerank(
     Returns (id, pagerank). Scale: ranks/edges are hash-partitioned on id;
     each iteration is one shuffle (join + agg); lineage cut per iteration.
     """
-    # static across iterations — scan once, pre-hashed on the join key so
-    # each round shuffles only the (much smaller) rank vector
-    edges = (graph.edges_by_type(*rel_types) if rel_types else graph.edges).select(
-        "src", "dst"
-    ).repartition("src").localCheckpoint(eager=True)
+    # static across iterations. Untyped: the shared materialized
+    # adjacency (graph.adj() — scanned once per graph instance, pre-hashed
+    # on the join key). Typed: a lazy per-call plan keeps the type filter
+    # and column pruning at the parquet scans, then materializes the
+    # (small) filtered set.
+    if rel_types:
+        edges = (
+            graph.edges_by_type(*rel_types).select("src", "dst")
+            .repartition("src").localCheckpoint(eager=True)
+        )
+    else:
+        edges = graph.adj().select("src", "dst")
     nodes = graph.nodes.select("id")
     n = nodes.count()
     if n == 0:
@@ -114,10 +121,11 @@ def connected_components(graph, max_iterations: int = 30) -> DataFrame:
     Iterative min-label propagation over the undirected edge set until
     fixpoint — O(diameter) shuffles.
     """
+    adj = graph.adj()  # shared materialized adjacency — no parquet rescan
     und = (
-        graph.edges.select("src", "dst")
+        adj.select("src", "dst")
         .unionByName(
-            graph.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            adj.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
     ).repartition("src").localCheckpoint(eager=True)  # static across iterations
@@ -157,8 +165,9 @@ def label_propagation(graph, max_iterations: int = 10) -> DataFrame:
     apoc_community.go:225-329). Deterministic variant: each node adopts
     the most frequent neighbor label, ties broken by min label.
     Returns (id, community)."""
-    und = graph.edges.select("src", "dst").unionByName(
-        graph.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    adj = graph.adj()
+    und = adj.select("src", "dst").unionByName(
+        adj.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).repartition("src").localCheckpoint(eager=True)  # static across iterations
     labels = graph.nodes.select("id", F.col("id").alias("community"))
     labels = labels.localCheckpoint(eager=True)
@@ -197,12 +206,14 @@ def common_neighbors(
     min_common: int = 1,
 ) -> DataFrame:
     """gds.linkPrediction.commonNeighbors / jaccard / adamicAdar /
-    preferentialAttachment scores for node pairs sharing ≥min_common
-    out-neighbors (reference linkprediction.go:162-340).
+    resourceAllocation / preferentialAttachment scores for node pairs
+    sharing ≥min_common out-neighbors (reference linkprediction.go:162-340;
+    resource allocation Σ 1/|N(z)| per linkpredict/topology.go:550-577,
+    Zhou et al. 2009).
 
     Neighborhood = out-neighbors over ``rel_types``. Returns
-    (a, b, common, jaccard, adamic_adar, preferential_attachment)
-    for a < b. Self-join on the shared-neighbor key — the standard
+    (a, b, common, jaccard, adamic_adar, resource_allocation,
+    preferential_attachment) for a < b. Self-join on the shared-neighbor key — the standard
     distributed formulation (shuffle on neighbor id, skew-prone on hub
     nodes; cap hub fan-out upstream if needed).
     """
@@ -222,6 +233,7 @@ def common_neighbors(
         .agg(
             F.count(F.lit(1)).alias("common"),
             F.sum(1.0 / F.log(F.col("nbr_in_deg"))).alias("adamic_adar"),
+            F.sum(1.0 / F.col("nbr_in_deg")).alias("resource_allocation"),
         )
         .filter(F.col("common") >= min_common)
     )
@@ -236,7 +248,8 @@ def common_neighbors(
             "preferential_attachment", (F.col("deg_a") * F.col("deg_b")).cast("long")
         )
         .select(
-            "a", "b", "common", "jaccard", "adamic_adar", "preferential_attachment"
+            "a", "b", "common", "jaccard", "adamic_adar",
+            "resource_allocation", "preferential_attachment"
         )
     )
 
@@ -289,7 +302,7 @@ def weighted_shortest_paths(
     from nornicdb_spark.operators.paths import _oriented_edges
 
     e = _oriented_edges(graph, rel_types, direction)
-    full = graph.edges_by_type(*rel_types) if rel_types else graph.edges
+    full = graph.edges_by_type(*rel_types) if rel_types else graph.adj()
     if weight_col:
         # re-attach the weight property to the (possibly flipped) edge rows
         e = e.join(full.select("edge_id", weight_col), "edge_id")
@@ -369,7 +382,7 @@ def astar_shortest_path(
     from nornicdb_spark.operators.paths import _oriented_edges
 
     e = _oriented_edges(graph, rel_types, "out")
-    full = graph.edges_by_type(*rel_types) if rel_types else graph.edges
+    full = graph.edges_by_type(*rel_types) if rel_types else graph.adj()
     if weight_col:
         e = e.join(full.select("edge_id", weight_col), "edge_id")
         e = e.select(
@@ -432,7 +445,7 @@ def _induced_subgraph(graph, label: str | None):
     (apoc_community.go / apoc_algorithms.go init dist only for label
     nodes, so BFS never leaves the label set)."""
     nodes = (graph.nodes_by_label(label) if label else graph.nodes).select("id")
-    e = graph.edges.select("src", "dst")
+    e = graph.adj().select("src", "dst")
     e = e.join(nodes.select(F.col("id").alias("src")), "src").join(
         nodes.select(F.col("id").alias("dst")), "dst"
     )
@@ -606,9 +619,11 @@ def louvain_communities(
         und.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
     )
     und = und.localCheckpoint(eager=True)  # static across rounds
-    two_m = und.agg(F.sum("w")).collect()[0][0] or 0.0
-    if two_m == 0:
+    if und.isEmpty():
         return nodes.select("id", F.col("id").alias("community"))
+    # 2m as a broadcast 1-row aggregate — same pattern as pagerank's
+    # dangling mass; no mid-pipeline driver collect
+    two_m_df = F.broadcast(und.agg(F.sum("w").alias("_two_m")))
 
     k = und.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("k")).localCheckpoint(eager=True)
     comm = nodes.select("id", F.col("id").alias("community")).localCheckpoint(eager=True)
@@ -636,10 +651,12 @@ def louvain_communities(
                 F.when(F.col("c") == F.col("community"), F.col("sigma_tot") - F.col("k"))
                 .otherwise(F.col("sigma_tot")),
             )
+            .crossJoin(two_m_df)
             .withColumn(
                 "gain",
-                F.col("k_in") / F.lit(two_m)
-                - F.col("k") * F.col("adj_tot") / (F.lit(two_m) * F.lit(two_m) / 2.0),
+                F.col("k_in") / F.col("_two_m")
+                - F.col("k") * F.col("adj_tot")
+                / (F.col("_two_m") * F.col("_two_m") / 2.0),
             )
         )
         best = (
@@ -700,9 +717,9 @@ def fastrp_embeddings(
     join + groupBy(dst, d) — pure shuffle ops that scale to 100 TB, no
     per-row Python.
     """
-    und = (graph.edges_by_type(*rel_types) if rel_types else graph.edges).select(
-        "src", "dst"
-    )
+    und = (
+        graph.edges_by_type(*rel_types) if rel_types else graph.adj()
+    ).select("src", "dst")
     und = und.unionByName(
         und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)  # static across layers

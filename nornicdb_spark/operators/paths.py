@@ -27,7 +27,10 @@ from nornicdb_spark.operators.expand import OUT, IN
 
 
 def _oriented_edges(graph, rel_types: tuple[str, ...], direction: str) -> DataFrame:
-    e = graph.edges_by_type(*rel_types) if rel_types else graph.edges
+    # untyped: shared materialized adjacency (one checkpoint per graph
+    # instance); typed: lazy plan so the type filter and column pruning
+    # reach the parquet scans
+    e = graph.adj() if not rel_types else graph.edges_by_type(*rel_types)
     e = e.select("src", "dst", "type", "edge_id")
     if direction == OUT:
         return e

@@ -65,11 +65,12 @@ def db_ping(cat: Catalog) -> DataFrame:
 
 def db_indexes(cat: Catalog) -> DataFrame:
     """CALL db.indexes / SHOW INDEXES (reference executor_show.go:16-32).
-    In this engine Catalyst pushdown subsumes property/range/composite
-    indexes; the materialized structures are the search-side ones."""
+    Catalyst pushdown subsumes property/range/composite indexes; the
+    rows come from the IndexCatalog registry (db.index.*.createNodeIndex
+    adds to it, drop removes)."""
     rows = [
-        ("embeddings_cosine", "VECTOR", "Embedding", ["embedding"], "ONLINE"),
-        ("documents_fulltext", "FULLTEXT", "Document", ["text"], "ONLINE"),
+        (d["name"], d["kind"], d["label"], d["properties"], "ONLINE")
+        for d in index_catalog(cat).defs()
     ]
     return cat.spark.createDataFrame(
         rows,
@@ -99,3 +100,66 @@ def dbms_components(cat: Catalog) -> DataFrame:
         [("nornicdb-spark", [pyspark.__version__], "community")],
         "name string, versions array<string>, edition string",
     )
+
+
+# ---- index management (reference call.go:728-748, call_index_mgmt.go) ----
+
+class IndexCatalog:
+    """Catalog-backed vector/fulltext index registry — the state behind
+    db.index.*.createNodeIndex/drop so search is driven by DDL rather
+    than ad-hoc calls (reference call_index_mgmt.go; hnsw_config.go for
+    the vector options surface). Batch engine: an index *definition* is
+    metadata; the physical structure (BM25 postings, HNSW shards) is
+    built lazily on first query and memoized per index name."""
+
+    def __init__(self):
+        self._defs: dict[str, dict] = {}
+        self._impls: dict[str, object] = {}  # memoized physical structures
+
+    def create(self, name: str, kind: str, label: str, properties, **options):
+        if name in self._defs:
+            raise ValueError(f"index {name!r} already exists")
+        self._defs[name] = {
+            "name": name, "kind": kind, "label": label,
+            "properties": list(properties), "options": options,
+        }
+
+    def drop(self, name: str) -> None:
+        if name not in self._defs:
+            raise ValueError(f"no such index {name!r}")
+        del self._defs[name]
+        self._impls.pop(name, None)
+
+    def get(self, name: str, kind: str | None = None) -> dict:
+        d = self._defs.get(name)
+        if d is None or (kind is not None and d["kind"] != kind):
+            raise ValueError(f"no such {kind or 'index'} index {name!r}")
+        return d
+
+    def defs(self):
+        return list(self._defs.values())
+
+
+def index_catalog(cat: Catalog) -> IndexCatalog:
+    """Per-catalog IndexCatalog, seeded with the fixture's two default
+    indexes (the names db.indexes always advertised)."""
+    ic = getattr(cat, "_index_catalog", None)
+    if ic is None:
+        ic = IndexCatalog()
+        ic.create("embeddings_cosine", "VECTOR", "Embedding",
+                  ["embedding"], dimensions=64, similarity="cosine")
+        ic.create("documents_fulltext", "FULLTEXT", "Document", ["text"])
+        cat._index_catalog = ic
+    return ic
+
+
+def fulltext_analyzers(cat: Catalog) -> DataFrame:
+    """CALL db.index.fulltext.listAvailableAnalyzers (reference
+    call_index_mgmt.go): the reference ships one standard analyzer
+    (lowercase + stopwords, fulltext_index.go); exposed under its
+    Lucene-compatible names."""
+    rows = [("standard", "lowercase, English stopwords (the reference's "
+             "fulltext_index.go tokenizer)"),
+            ("whitespace", "whitespace split, no stopword removal"),
+            ("keyword", "no tokenization — exact value")]
+    return cat.spark.createDataFrame(rows, "analyzer string, description string")

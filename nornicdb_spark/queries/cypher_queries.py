@@ -376,3 +376,45 @@ def cypher_varlen_bound_endpoint(spark, sf_dir):
            MATCH (c)-[*2..2]->(r)
            RETURN c.c_mktsegment AS segment, count(*) AS n""",
     )
+
+
+@register(
+    "cypher_index_mgmt",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 7
+    )
+    SELECT vec_id,
+           list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+             / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(qv, qv))) AS score
+    FROM embeddings, q
+    ORDER BY score DESC, vec_id LIMIT 5
+    """,
+)
+def cypher_index_mgmt(spark, sf_dir):
+    # SURVEY §2.8 index management (reference call.go:728-748,
+    # call_index_mgmt.go): createNodeIndex registers catalog state, the
+    # query resolves the index BY NAME through that state, drop removes
+    # it — search driven by DDL, not ad-hoc calls.
+    from nornicdb_spark.catalog import Catalog
+    from nornicdb_spark.engine import Engine
+    from pyspark.sql import functions as F
+
+    eng = Engine(spark, sf_dir)
+    eng.catalog._index_catalog = None  # fresh registry for the demo
+    eng.cypher(
+        """CALL db.index.vector.createNodeIndex(
+             'mgmt_demo', 'Embedding', 'embedding', 64, 'cosine')"""
+    ).collect()
+    emb = Catalog(spark, sf_dir).embeddings
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 7).select("embedding").collect()[0][0]]
+    out = eng.cypher(
+        """CALL db.index.vector.queryNodes('mgmt_demo', 5, $qv)
+           YIELD node, score RETURN node AS vec_id, score""",
+        {"qv": qv},
+    )
+    eng.cypher("CALL db.index.vector.drop('mgmt_demo')").collect()
+    return out

@@ -57,6 +57,45 @@ def spatial_haversine_distance(spark, sf_dir):
 
 
 @register(
+    "spatial_polygon_contains",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey,
+             (c_custkey % 120) - 60 + 0.25  AS y,
+             (c_custkey % 300) - 150 + 0.5  AS x
+      FROM customer
+    )
+    SELECT c_custkey AS c_key,
+           -- the diamond |x|+|y| <= 50 (vertices at (±50,0),(0,±50));
+           -- boundary-exact points are excluded like the ray caster
+           CASE WHEN abs(x) + abs(y) < 50 THEN TRUE
+                WHEN abs(x) + abs(y) = 50 AND x < 0 AND y = 0 THEN TRUE
+                ELSE FALSE END AS inside
+    FROM pts
+    """,
+)
+def spatial_polygon_contains(spark, sf_dir):
+    # polygon() + point.contains via ray casting as a native column
+    # expression (reference executor_show.go:144-147, helpers.go:188-230).
+    # The diamond polygon makes the SQL oracle a closed-form |x|+|y| test
+    # (with the ray caster's half-open boundary convention).
+    c = _cat(spark, sf_dir).customer
+    y = (F.col("c_custkey") % 120 - 60 + 0.25).cast("double")
+    x = (F.col("c_custkey") % 300 - 150 + 0.5).cast("double")
+    p = spatial.point(x, y, srid=7203)
+    diamond = F.array(
+        spatial.point(F.lit(50.0), F.lit(0.0), srid=7203),
+        spatial.point(F.lit(0.0), F.lit(50.0), srid=7203),
+        spatial.point(F.lit(-50.0), F.lit(0.0), srid=7203),
+        spatial.point(F.lit(0.0), F.lit(-50.0), srid=7203),
+    )
+    return c.select(
+        F.col("c_custkey").alias("c_key"),
+        spatial.point_in_polygon(p, spatial.polygon(diamond)).alias("inside"),
+    )
+
+
+@register(
     "duration_customer_order_span",
     oracle="""
     WITH span AS (

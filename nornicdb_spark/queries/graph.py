@@ -21,7 +21,11 @@ from nornicdb_spark.queries import register
 
 
 def _graph(spark, sf_dir):
-    return Catalog(spark, sf_dir).graph
+    # shared instance → the materialized adjacency (PropertyGraph.adj) is
+    # built once per process and reused by every iterative graph query
+    from nornicdb_spark.catalog import shared_catalog
+
+    return shared_catalog(spark, sf_dir).graph
 
 
 @register(
@@ -208,7 +212,8 @@ def graph_undirected_nation_neighbors(spark, sf_dir):
       -- pair orientation matches the engine: lexicographic on node id
       SELECT a.s AS a, b.s AS b,
              CAST(count(*) AS BIGINT) AS common,
-             sum(1.0 / ln(pd)) AS adamic_adar
+             sum(1.0 / ln(pd)) AS adamic_adar,
+             sum(1.0 / pd) AS resource_allocation
       FROM supplies a JOIN supplies b ON a.p = b.p AND a.s < b.s
       JOIN part_deg ON part_deg.p = a.p
       GROUP BY a.s, b.s HAVING count(*) >= 3
@@ -216,18 +221,21 @@ def graph_undirected_nation_neighbors(spark, sf_dir):
     SELECT a, b, common,
            common / (da.d + db.d - common) AS jaccard,
            adamic_adar,
+           resource_allocation,
            CAST(da.d * db.d AS BIGINT) AS preferential_attachment
     FROM pairs JOIN deg da ON da.s = pairs.a JOIN deg db ON db.s = pairs.b
     """,
 )
 def graph_link_prediction_suppliers(spark, sf_dir):
     # gds.linkPrediction.{commonNeighbors,jaccard,adamicAdar,
-    # preferentialAttachment} over SUPPLIES out-neighborhoods
-    # (reference linkprediction.go:162-340).
+    # resourceAllocation,preferentialAttachment} over SUPPLIES
+    # out-neighborhoods (reference linkprediction.go:162-340;
+    # linkpredict/topology.go:550-577).
     g = _graph(spark, sf_dir)
     scores = algorithms.common_neighbors(g, rel_types=("SUPPLIES",), min_common=3)
     return scores.select(
-        "a", "b", "common", "jaccard", "adamic_adar", "preferential_attachment"
+        "a", "b", "common", "jaccard", "adamic_adar",
+        "resource_allocation", "preferential_attachment"
     )
 
 

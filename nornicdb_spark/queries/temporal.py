@@ -235,3 +235,11 @@ def stream_session_stats(spark, sf_dir):
     return df.select(
         "user_id", "session_start", "session_end", "n_events", "total_value"
     )
+
+
+@register("kalman_adaptive")  # sequential recursion — rows-only; unit-tested
+def kalman_adaptive(spark, sf_dir):
+    # kalman.adaptive.process auto-switching filter
+    # (kalman_functions.go:841-905).
+    ev = Catalog(spark, sf_dir).events
+    return kalman.kalman_adaptive(ev.filter(F.col("user_id") < 8))

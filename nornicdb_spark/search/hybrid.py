@@ -17,13 +17,33 @@ from pyspark.sql import Window as W
 RRF_K = 60
 
 
-def rank_by(df: DataFrame, score_col: str, id_col: str, ascending: bool = False) -> DataFrame:
-    """Attach a deterministic 1-indexed ``rank`` (ties broken by id)."""
+def rank_by(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+    ascending: bool = False,
+    partition_by: tuple[str, ...] = (),
+) -> DataFrame:
+    """Attach a deterministic 1-indexed ``rank`` (ties broken by id).
+
+    ``partition_by``: rank within each key group (e.g. a query id for
+    batched multi-query search) — the scalable path, one shuffle keyed by
+    the partition columns. Without it, ranking is GLOBAL: the caller's
+    contract is a bounded top-k list (every in-tree caller LIMITs
+    upstream); the constant partition key makes the single-partition
+    execution explicit rather than an accidental WindowExec fallback."""
     order = [
         F.asc(score_col) if ascending else F.desc(score_col),
         F.asc(id_col),
     ]
-    return df.withColumn("rank", F.row_number().over(W.orderBy(*order)))
+    if partition_by:
+        spec = W.partitionBy(*partition_by)
+    else:
+        # single-bucket hash of the id: semantically one partition, but an
+        # explicit partition spec (a plain lit folds back to the
+        # unpartitioned-window fallback WindowExec warns about)
+        spec = W.partitionBy(F.pmod(F.xxhash64(F.col(id_col)), F.lit(1)))
+    return df.withColumn("rank", F.row_number().over(spec.orderBy(*order)))
 
 
 def rrf_fuse(

@@ -114,3 +114,89 @@ def kalman_velocity(
 
     return df.select(kc, tc, vc, *(["event_id"] if "event_id" in df.columns else [])) \
         .groupBy(kc).applyInPandas(per_key, schema=schema)
+
+
+def kalman_adaptive(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    trend_threshold: float = 0.1,
+    stability_threshold: float = 0.02,
+    hysteresis: int = 10,
+) -> DataFrame:
+    """kalman.adaptive.process chain per key — the auto-switching filter
+    (reference kalman_functions.go:841-905 kalmanAdaptiveProcess, defaults
+    at 234-250): runs the basic filter until the trend score exceeds
+    ``trend_threshold``, switches to the velocity filter, and falls back
+    when the trend magnitude drops under ``stability_threshold``; switches
+    are rate-limited by the ``hysteresis`` observation count and states
+    are synced across the switch exactly as the reference does.
+
+    Returns (key, ts, value, filtered, mode)."""
+    schema = (
+        f"{key_col} long, {ts_col} timestamp, {value_col} double, "
+        "filtered double, mode string"
+    )
+    kc, tc, vc = key_col, ts_col, value_col
+    tt, st, hy = float(trend_threshold), float(stability_threshold), int(hysteresis)
+
+    def per_key(pdf):
+        pdf = pdf.sort_values([tc, "event_id"] if "event_id" in pdf else tc)
+        # basic filter state (defaults kalman_functions.go:206-218)
+        bx = b_last = 0.0
+        bp = 30.0
+        bq, br = 0.0001, 88.0
+        # velocity filter state (defaults kalman_functions.go:221-232)
+        pos = vel = 0.0
+        p00, p01, p10, p11 = 100.0, 0.0, 0.0, 10.0
+        qp, qv, vr, dt = 0.1, 0.01, 1.0, 1.0
+        mode, since_switch, trend = "basic", 0, 0.0
+        out_val, out_mode = [], []
+        for z in pdf[vc].astype("float64"):
+            if mode == "velocity":
+                pred_pos = pos + vel * dt
+                pred_vel = vel
+                n00 = p00 + dt * p10 + dt * p01 + dt * dt * p11 + qp
+                n01 = p01 + dt * p11
+                n10 = p10 + dt * p11
+                n11 = p11 + qv
+                s = n00 + vr
+                k0, k1 = n00 / s, n10 / s
+                innov = z - pred_pos
+                pos = pred_pos + k0 * innov
+                vel = pred_vel + k1 * innov
+                p00 = (1 - k0) * n00
+                p01 = (1 - k0) * n01
+                p10 = n10 - k1 * n00
+                p11 = n11 - k1 * n01
+                filtered = pos
+                trend = vel
+            else:
+                velocity = bx - b_last
+                bx += velocity
+                b_last = bx
+                bp = bp + bq * 1.0
+                k = bp / (bp + br)
+                bx += k * (z - bx)
+                bp = (1.0 - k) * bp
+                filtered = bx
+                trend = bx - b_last
+            since_switch += 1
+            if since_switch >= hy:
+                mag = abs(trend)
+                if mode == "basic" and mag > tt:
+                    mode, since_switch = "velocity", 0
+                    pos, vel = bx, trend          # sync (ref :887-888)
+                elif mode == "velocity" and mag < st:
+                    mode, since_switch = "basic", 0
+                    bx, b_last = pos, pos - vel   # sync (ref :894-895)
+            out_val.append(filtered)
+            out_mode.append(mode)
+        res = pdf[[kc, tc, vc]].copy()
+        res["filtered"] = out_val
+        res["mode"] = out_mode
+        return res
+
+    return df.select(kc, tc, vc, *(["event_id"] if "event_id" in df.columns else [])) \
+        .groupBy(kc).applyInPandas(per_key, schema=schema)

@@ -899,3 +899,23 @@ def test_var_length_to_bound_endpoint(eng, duck):
            WHERE c_custkey = 1
            GROUP BY r_name""",
     )
+
+
+def test_using_index_hints_parsed_and_ignored(eng, duck):
+    # reference index_hints.go:107-160 — hinted queries must run; Catalyst
+    # owns access-path selection so hints parse as no-ops
+    check(
+        eng, duck,
+        """MATCH (c:Customer) USING INDEX c:Customer(c_custkey)
+           WHERE c.c_custkey < 5 RETURN count(*) AS n""",
+        "SELECT CAST(count(*) AS BIGINT) AS n FROM customer WHERE c_custkey < 5",
+    )
+    check(
+        eng, duck,
+        """MATCH (n:Nation) USING SCAN n:Nation USING JOIN ON n
+           MATCH (n)-[:IN]->(r:Region)
+           RETURN r.r_regionkey AS k, count(*) AS n ORDER BY k""",
+        """SELECT r_regionkey AS k, CAST(count(*) AS BIGINT) AS n
+           FROM nation JOIN region ON n_regionkey = r_regionkey
+           GROUP BY 1 ORDER BY 1""",
+    )

@@ -1,0 +1,98 @@
+"""Index-management procedure surface — SURVEY §2.8 (reference
+call.go:728-748, call_index_mgmt.go): catalog-backed create/drop for
+vector + fulltext indexes, setNodeVectorProperty as a table rewrite."""
+
+from __future__ import annotations
+
+import pytest
+
+from nornicdb_spark.engine import Engine
+
+
+@pytest.fixture()
+def eng(spark, sf_dir):
+    e = Engine(spark, sf_dir)
+    # index defs live on the shared catalog — isolate per test
+    e.catalog._index_catalog = None
+    return e
+
+
+def one(df):
+    rows = df.collect()
+    assert len(rows) == 1
+    return rows[0]
+
+
+def test_vector_index_create_query_drop_cycle(eng):
+    r = one(eng.cypher(
+        """CALL db.index.vector.createNodeIndex(
+             'emb_test', 'Embedding', 'embedding', 64, 'cosine')"""
+    ))
+    assert (r.name, r.state) == ("emb_test", "ONLINE")
+    names = {x.name for x in eng.cypher("CALL db.indexes").collect()}
+    assert "emb_test" in names
+    # the new index resolves by NAME to the same (table, id, prop) source
+    hits = eng.cypher(
+        """CALL db.index.vector.queryNodes('emb_test', 5, $qv)
+           YIELD node, score RETURN node, score""",
+        {"qv": [float((i * 7) % 13) / 13.0 for i in range(64)]},
+    ).collect()
+    assert len(hits) == 5
+    assert all(hits[i].score >= hits[i + 1].score for i in range(4))
+    one(eng.cypher("CALL db.index.vector.drop('emb_test')"))
+    names = {x.name for x in eng.cypher("CALL db.indexes").collect()}
+    assert "emb_test" not in names
+    # after the drop the name is unregistered: the query falls back to
+    # the default embedding scan (reference call_vector.go:150-162
+    # leniency) instead of failing
+    fallback = eng.cypher(
+        "CALL db.index.vector.queryNodes('emb_test', 5, $qv)",
+        {"qv": [float((i * 7) % 13) / 13.0 for i in range(64)]},
+    ).collect()
+    assert len(fallback) == 5
+
+
+def test_fulltext_index_on_custom_column(eng):
+    one(eng.cypher(
+        """CALL db.index.fulltext.createNodeIndex(
+             'doc_lang', ['Document'], ['lang'])"""
+    ))
+    # postings built over the lang column: querying a language code hits
+    # docs whose lang equals it
+    hits = eng.cypher(
+        "CALL db.index.fulltext.queryNodes('doc_lang', 'en', 3)"
+    ).collect()
+    assert 0 < len(hits) <= 3
+    one(eng.cypher("CALL db.index.fulltext.drop('doc_lang')"))
+
+
+def test_duplicate_index_name_rejected(eng):
+    one(eng.cypher(
+        "CALL db.index.vector.createNodeIndex('dup_ix', 'Embedding', 'embedding', 64)"
+    ))
+    with pytest.raises(Exception):
+        eng.cypher(
+            "CALL db.index.vector.createNodeIndex('dup_ix', 'Embedding', 'embedding', 64)"
+        )
+    one(eng.cypher("CALL db.index.vector.drop('dup_ix')"))
+
+
+def test_list_available_analyzers(eng):
+    rows = eng.cypher(
+        "CALL db.index.fulltext.listAvailableAnalyzers"
+    ).collect()
+    assert {r.analyzer for r in rows} >= {"standard", "whitespace", "keyword"}
+
+
+def test_set_node_vector_property(eng):
+    s = one(eng.cypher(
+        """MATCH (r:Region) WHERE r.r_regionkey < 2
+           CALL db.create.setNodeVectorProperty(r, 'emb', [1.0, 2.0, 3.0])"""
+    ))
+    assert s.properties_set == 2
+    rows = eng.cypher(
+        """MATCH (r:Region) WHERE r.emb IS NOT NULL
+           RETURN r.r_regionkey AS k, r.emb AS emb ORDER BY k"""
+    ).collect()
+    assert [r.k for r in rows] == [0, 1]
+    assert all(list(r.emb) == [1.0, 2.0, 3.0] for r in rows)

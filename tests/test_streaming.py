@@ -73,3 +73,29 @@ def test_kalman_velocity_tracks_trend(spark):
     out = kalman.kalman_velocity(df).orderBy("ts").collect()
     assert out[-1].vel == pytest.approx(2.0, abs=0.2)
     assert out[-1].pos == pytest.approx(58.0, abs=1.0)
+
+
+def test_kalman_adaptive_switches_modes(spark):
+    # flat → steep ramp → flat: the filter must start in basic mode,
+    # switch to velocity during the ramp (|trend| > 0.1 after the
+    # 10-obs hysteresis), and the filtered trace must track the ramp
+    # (reference kalman_functions.go:841-905 switching rules).
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    vals = [5.0] * 15 + [5.0 + 3.0 * i for i in range(1, 26)] + [80.0] * 15
+    rows = [
+        (1, i, base + dt.timedelta(minutes=i), v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    out = kalman.kalman_adaptive(df).orderBy("ts").collect()
+    modes = [r.mode for r in out]
+    assert modes[0] == "basic"
+    assert "velocity" in modes  # the ramp triggers the switch
+    # during the late ramp the velocity filter tracks closely
+    ramp_tail = [r for r in out if 30 <= out.index(r) < 40]
+    for r in ramp_tail:
+        assert abs(r.filtered - r.value) < 15.0
+    assert len(out) == len(vals)
