@@ -1041,6 +1041,11 @@ class Compiler:
         "db.create.setnodevectorproperty": lambda self, args: (
             self._proc_set_node_vector(args)
         ),
+        "apoc.cypher.run": lambda self, args: self._proc_apoc_run(args),
+        "apoc.cypher.runmany": lambda self, args: self._proc_apoc_run_many(args),
+        "apoc.periodic.iterate": lambda self, args: (
+            self._proc_apoc_periodic_iterate(args)
+        ),
         "apoc.algo.pagerank": lambda self, args: self._proc_pagerank(args),
         "apoc.algo.wcc": lambda self, args: self._proc_wcc(args),
         "apoc.algo.labelpropagation": lambda self, args: (
@@ -1050,6 +1055,99 @@ class Compiler:
         "apoc.neighbors.tohop": lambda self, args: self._proc_khop(args),
         "gds.fastrp.stream": lambda self, args: self._proc_fastrp(args),
     }
+
+    def _proc_apoc_run(self, args) -> DataFrame:
+        """CALL apoc.cypher.run(statement, params) YIELD value (reference
+        call_apoc_dynamic.go:14-75): re-entrant execution; each inner row
+        becomes a column-name→value map under ``value`` — serialized as
+        JSON here (a typed struct can't hold heterogeneous rows)."""
+        stmt = self._py_value(args[0])
+        params = self._py_value(args[1]) if len(args) > 1 else {}
+        inner = Compiler(
+            self.cat, {**self.params, **(params or {})}, store=self.store
+        )
+        result = inner._compile_single(parse(stmt))
+        self.stats.add(
+            nodes_created=inner.stats.nodes_created,
+            relationships_created=inner.stats.relationships_created,
+            properties_set=inner.stats.properties_set,
+            nodes_deleted=inner.stats.nodes_deleted,
+            relationships_deleted=inner.stats.relationships_deleted,
+        )
+        self._wrote = self._wrote or inner._wrote
+        return result.select(
+            F.to_json(F.struct(*result.columns)).alias("value")
+        )
+
+    def _proc_apoc_run_many(self, args) -> DataFrame:
+        """CALL apoc.cypher.runMany(statements, params) YIELD row, result
+        (reference call_apoc_dynamic.go:77-111): ';'-separated statements
+        executed in order (writes apply eagerly); per-statement row counts
+        come back as the JSON ``result``."""
+        stmts = [
+            s.strip() for s in self._py_value(args[0]).split(";") if s.strip()
+        ]
+        params = self._py_value(args[1]) if len(args) > 1 else {}
+        out = []
+        for i, stmt in enumerate(stmts):
+            inner = Compiler(
+                self.cat, {**self.params, **(params or {})}, store=self.store
+            )
+            df = inner._compile_single(parse(stmt))
+            n = df.count()
+            self.stats.add(
+                nodes_created=inner.stats.nodes_created,
+                relationships_created=inner.stats.relationships_created,
+                properties_set=inner.stats.properties_set,
+                nodes_deleted=inner.stats.nodes_deleted,
+                relationships_deleted=inner.stats.relationships_deleted,
+            )
+            self._wrote = self._wrote or inner._wrote
+            out.append((i, f'{{"rowCount": {n}}}'))
+        return self.cat.spark.createDataFrame(out, "row long, result string")
+
+    def _proc_apoc_periodic_iterate(self, args) -> DataFrame:
+        """CALL apoc.periodic.iterate(iterate, action, config) (reference
+        call_apoc_periodic.go:63-115): the driver-side batch orchestrator —
+        the OUTER row set is collected and the action re-executed with each
+        row bound as parameters, exactly as the reference's in-process
+        loop. This is the one deliberately driver-looped operator: its
+        purpose is chunked transactional writes, not a dataflow; at scale
+        the outer query must be a bounded batch (as with APOC itself)."""
+        self._require_store()
+        iterate_q = self._py_value(args[0])
+        action_q = self._py_value(args[1])
+        config = self._py_value(args[2]) if len(args) > 2 else {}
+        batch_size = int((config or {}).get("batchSize", 1000)) or 1
+        outer = Compiler(self.cat, self.params, store=self.store)
+        rows = outer._compile_single(parse(iterate_q)).collect()
+        total, failed = len(rows), 0
+        batches = (total + batch_size - 1) // batch_size
+        for row in rows:
+            params = {**self.params, **row.asDict()}
+            try:
+                inner = Compiler(self.cat, params, store=self.store)
+                df = inner._compile_single(parse(action_q))
+                if inner._wrote:
+                    self._wrote = True
+                    self.stats.add(
+                        nodes_created=inner.stats.nodes_created,
+                        relationships_created=inner.stats.relationships_created,
+                        properties_set=inner.stats.properties_set,
+                        nodes_deleted=inner.stats.nodes_deleted,
+                        relationships_deleted=inner.stats.relationships_deleted,
+                    )
+                else:
+                    df.count()
+            except Exception:
+                failed += 1
+        committed = total - failed
+        return self.cat.spark.createDataFrame(
+            [(batches, total, 0, committed, failed, 0, 0, "")],
+            "batches long, total long, timeTaken long, committedOperations long, "
+            "failedOperations long, failedBatches long, retries long, "
+            "errorMessages string",
+        )
 
     def _compile_call(self, c: "A.CallClause") -> None:
         """CALL db.* (reference call.go:596-803) — the procedure's frame
@@ -1086,6 +1184,8 @@ class Compiler:
             return e.value
         if isinstance(e, A.Param):
             return self.params[e.name]
+        if isinstance(e, A.MapLit):
+            return {k: self._py_value(v) for k, v in e.items}
         if isinstance(e, A.Var) and e.name in self._scalar_vars:
             return self._scalar_vars[e.name]
         if isinstance(e, A.ListLit):

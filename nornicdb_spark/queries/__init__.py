@@ -46,10 +46,25 @@ from nornicdb_spark.queries import cypher_queries  # noqa: E402,F401
 from nornicdb_spark.queries import relational  # noqa: E402,F401
 from nornicdb_spark.queries import graph  # noqa: E402,F401
 
-# Within the order above, oracle-backed queries register ahead of rows-only
-# ones (stable sort) so hash-comparable entries fill the driver's verification
-# window first.
-_ordered = sorted(QUERIES, key=lambda n: n not in ORACLES)
+# Driver-window priority: (1) entries that failed or were first added this
+# round (need a fresh driver hash-stamp), (2) other oracle-backed queries,
+# (3) rows-only queries. Stable within each tier, family order above.
+_PRIORITY = (
+    "decay_scores", "sessionization", "co_access_pairs", "event_window_agg",
+    "json_props_extract", "stream_windowed_counts", "stream_session_stats",
+    "cypher_vector_spatial_functions", "cypher_merge_rel",
+    "cypher_correlated_call", "cypher_varlen_bound_endpoint",
+    "cypher_index_mgmt", "spatial_polygon_contains", "cypher_apoc_run",
+)
+
+
+def _tier(n: str) -> int:
+    if n in _PRIORITY:
+        return 0
+    return 1 if n in ORACLES else 2
+
+
+_ordered = sorted(QUERIES, key=_tier)
 _reordered = {n: QUERIES[n] for n in _ordered}
 QUERIES.clear()
 QUERIES.update(_reordered)

@@ -418,3 +418,22 @@ def cypher_index_mgmt(spark, sf_dir):
     )
     eng.cypher("CALL db.index.vector.drop('mgmt_demo')").collect()
     return out
+
+
+@register(
+    "cypher_apoc_run",
+    oracle="""
+    SELECT '{"name":"' || n_name || '","rk":' || n_regionkey || '}' AS value
+    FROM nation
+    """,
+)
+def cypher_apoc_run(spark, sf_dir):
+    # CALL apoc.cypher.run — re-entrant dynamic Cypher (reference
+    # call_apoc_dynamic.go:14-75): every inner row surfaces as the JSON
+    # `value` map, so the oracle rebuilds the exact serialization.
+    return _run(
+        spark, sf_dir,
+        """CALL apoc.cypher.run(
+             'MATCH (n:Nation) RETURN n.n_name AS name, n.n_regionkey AS rk',
+             {})""",
+    )

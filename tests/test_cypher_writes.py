@@ -263,3 +263,33 @@ def test_merge_rel_chain_and_incoming_direction(eng):
     assert one(eng.cypher(
         "MATCH (b:Chn {x: 2})-[:REV]->(a:Chn {x: 1}) RETURN count(*) AS n"
     )).n == 1
+
+
+def test_apoc_cypher_run_yields_json_value(eng):
+    rows = eng.cypher(
+        """CALL apoc.cypher.run(
+             'MATCH (r:Region) RETURN r.r_regionkey AS k ORDER BY k LIMIT 2', {})"""
+    ).collect()
+    assert [r.value for r in rows] == ['{"k":0}', '{"k":1}']
+
+
+def test_apoc_cypher_run_many_executes_writes(eng):
+    rows = eng.cypher(
+        """CALL apoc.cypher.runMany(
+             'CREATE (:Batch {v: 1}); CREATE (:Batch {v: 2})', {})"""
+    ).collect()
+    assert len(rows) == 2
+    assert one(eng.cypher("MATCH (b:Batch) RETURN count(*) AS n")).n == 2
+
+
+def test_apoc_periodic_iterate_batched_writes(eng):
+    r = one(eng.cypher(
+        """CALL apoc.periodic.iterate(
+             'MATCH (n:Nation) WHERE n.n_nationkey < 6 RETURN n.n_nationkey AS key',
+             'MATCH (n:Nation {n_nationkey: $key}) SET n.batched = true',
+             {batchSize: 2})"""
+    ))
+    assert (r.batches, r.total, r.committedOperations, r.failedOperations) == (3, 6, 6, 0)
+    assert one(eng.cypher(
+        "MATCH (n:Nation) WHERE n.batched = true RETURN count(*) AS n"
+    )).n == 6
