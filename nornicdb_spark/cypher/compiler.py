@@ -1041,6 +1041,36 @@ class Compiler:
         "db.create.setnodevectorproperty": lambda self, args: (
             self._proc_set_node_vector(args)
         ),
+        "db.schema.nodetypeproperties": lambda self, args: __import__(
+            "nornicdb_spark.procedures", fromlist=["x"]
+        ).db_schema_node_type_properties(self.cat),
+        "db.schema.reltypeproperties": lambda self, args: __import__(
+            "nornicdb_spark.procedures", fromlist=["x"]
+        ).db_schema_rel_type_properties(self.cat),
+        "dbms.info": lambda self, args: __import__(
+            "nornicdb_spark.procedures", fromlist=["x"]
+        ).dbms_info(self.cat),
+        "dbms.listconfig": lambda self, args: __import__(
+            "nornicdb_spark.procedures", fromlist=["x"]
+        ).dbms_list_config(self.cat),
+        "dbms.procedures": lambda self, args: __import__(
+            "nornicdb_spark.procedures", fromlist=["x"]
+        ).dbms_procedures(self.cat, list(self.PROCEDURES)),
+        "db.awaitindex": lambda self, args: __import__(
+            "nornicdb_spark.procedures", fromlist=["x"]
+        ).db_await_index(self.cat, self._py_value(args[0]) if args else None),
+        "db.awaitindexes": lambda self, args: __import__(
+            "nornicdb_spark.procedures", fromlist=["x"]
+        ).db_await_index(self.cat),
+        "db.resampleindex": lambda self, args: __import__(
+            "nornicdb_spark.procedures", fromlist=["x"]
+        ).db_await_index(self.cat, self._py_value(args[0]) if args else None),
+        "db.clearquerycaches": lambda self, args: __import__(
+            "nornicdb_spark.procedures", fromlist=["x"]
+        ).db_await_index(self.cat),
+        "db.index.stats": lambda self, args: __import__(
+            "nornicdb_spark.procedures", fromlist=["x"]
+        ).db_index_stats(self.cat),
         "apoc.cypher.run": lambda self, args: self._proc_apoc_run(args),
         "apoc.cypher.runmany": lambda self, args: self._proc_apoc_run_many(args),
         "apoc.periodic.iterate": lambda self, args: (
@@ -2102,6 +2132,35 @@ class Compiler:
             v = args[0]
             if isinstance(v, A.Var):
                 return F.col(f"{v.name}_type")
+        if name in ("startnode", "endnode"):
+            # returns the endpoint's graph id (batch stand-in for the
+            # entity; reference fn/builtins_core.go startNode/endNode)
+            v = args[0]
+            if isinstance(v, A.Var):
+                side = "src" if name == "startnode" else "dst"
+                return F.col(f"{v.name}_{side}")
+        if name == "haslabels" and args and isinstance(args[0], A.Var):
+            b = self.bindings.get(args[0].name)
+            want = self._py_value(args[1])
+            want = want if isinstance(want, list) else [want]
+            if b is not None and b.label is not None:
+                return F.lit(all(w == b.label for w in want))
+            lbl = F.col(f"{args[0].name}_label")
+            out = F.lit(True)
+            for w in want:
+                out = out & (lbl == F.lit(w))
+            return out
+        if name in ("point.x", "point.y", "point.srid", "point.latitude",
+                    "point.longitude", "point.z", "point.height", "point.crs"):
+            p = self._expr(args[0])
+            field = name.split(".", 1)[1]
+            if field in ("z", "height"):
+                return F.lit(None).cast("double")  # 2-D points only
+            if field == "crs":
+                return F.when(
+                    p["srid"] == F.lit(7203), F.lit("cartesian")
+                ).otherwise(F.lit("wgs-84"))
+            return p[{"latitude": "y", "longitude": "x"}.get(field, field)]
         if name in ("properties", "keys") and args and isinstance(args[0], A.Var):
             var = args[0].name
             b = self.bindings.get(var)
@@ -2117,6 +2176,24 @@ class Compiler:
                 return F.struct(
                     *[F.col(f"{prefix}{p}").alias(p) for p in props]
                 )
+        if name.startswith("kalman."):
+            from nornicdb_spark.functions import kalman_scalar as KS
+
+            if name == "kalman.init":
+                cfg = self._py_value(args[0]) if args else None
+                return KS.kalman_init(cfg)
+            if name == "kalman.process":
+                tgt = self._expr(args[2]) if len(args) > 2 else None
+                return KS.kalman_process(
+                    self._expr(args[0]), self._expr(args[1]), tgt
+                )
+            if name == "kalman.predict":
+                return KS.kalman_predict(self._expr(args[0]), self._expr(args[1]))
+            if name == "kalman.state":
+                return KS.kalman_state_value(self._expr(args[0]))
+            if name == "kalman.reset":
+                return KS.kalman_reset(self._expr(args[0]))
+
         if name.startswith("duration"):
             from nornicdb_spark.functions import temporal as T
 

@@ -163,3 +163,82 @@ def fulltext_analyzers(cat: Catalog) -> DataFrame:
             ("whitespace", "whitespace split, no stopword removal"),
             ("keyword", "no tokenization — exact value")]
     return cat.spark.createDataFrame(rows, "analyzer string, description string")
+
+
+# ---- introspection tail (reference call.go:610-784, executor_show.go) ----
+
+def db_schema_node_type_properties(cat: Catalog) -> DataFrame:
+    """CALL db.schema.nodeTypeProperties (reference call.go:700s) — one
+    row per (label, property, spark type); parquet FOOTER read only."""
+    rows = []
+    for label, table, _key in NODE_SPECS:
+        for f in cat.table(table).schema.fields:
+            rows.append((f":`{label}`", label, f.name, f.dataType.simpleString(), True))
+    return cat.spark.createDataFrame(
+        rows,
+        "nodeType string, nodeLabels string, propertyName string, "
+        "propertyTypes string, mandatory boolean",
+    )
+
+
+def db_schema_rel_type_properties(cat: Catalog) -> DataFrame:
+    """CALL db.schema.relTypeProperties — relationship property surface
+    from the edge projection."""
+    edges = cat.graph.edges
+    prop_cols = [
+        f for f in edges.schema.fields
+        if f.name not in ("src", "dst", "type", "edge_id")
+    ]
+    types = [r[0] for r in edges.select("type").distinct().collect()]
+    rows = []
+    for t in sorted(types):
+        for f in prop_cols:
+            rows.append((f":`{t}`", t, f.name, f.dataType.simpleString(), False))
+    return cat.spark.createDataFrame(
+        rows,
+        "relType string, relationshipType string, propertyName string, "
+        "propertyTypes string, mandatory boolean",
+    )
+
+
+def dbms_info(cat: Catalog) -> DataFrame:
+    return db_info(cat)
+
+
+def dbms_list_config(cat: Catalog) -> DataFrame:
+    """CALL dbms.listConfig — the Spark session confs that shape this
+    engine's execution (the batch analogue of server config)."""
+    keys = [
+        "spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled",
+        "spark.sql.session.timeZone", "spark.sql.autoBroadcastJoinThreshold",
+    ]
+    rows = [(k, cat.spark.conf.get(k, None)) for k in keys]
+    return cat.spark.createDataFrame(rows, "name string, value string")
+
+
+def dbms_procedures(cat: Catalog, procedures: list[str]) -> DataFrame:
+    """CALL dbms.procedures — every CALL target this engine routes."""
+    return cat.spark.createDataFrame(
+        [(p,) for p in sorted(procedures)], "name string"
+    )
+
+
+def db_await_index(cat: Catalog, name: str | None = None) -> DataFrame:
+    """db.awaitIndex(es)/resampleIndex/clearQueryCaches — synchronous
+    no-ops in a batch engine (indexes are built on first use); returns an
+    ok row so scripts that call them keep working."""
+    return cat.spark.createDataFrame(
+        [(name or "*", "ONLINE")], "name string, state string"
+    )
+
+
+def db_index_stats(cat: Catalog) -> DataFrame:
+    """CALL db.index.stats — row counts behind each registered index."""
+    rows = []
+    for d in index_catalog(cat).defs():
+        table = {"Embedding": "embeddings", "Document": "documents"}.get(d["label"])
+        n = cat.table(table).count() if table else 0
+        rows.append((d["name"], d["kind"], n))
+    return cat.spark.createDataFrame(
+        rows, "name string, type string, entries long"
+    )

@@ -275,3 +275,23 @@ def proc_db_schema_visualization(spark, sf_dir):
     # CALL db.schema.visualization (reference executor_show.go): the
     # graph's label/type shape.
     return procedures.db_schema_visualization(_cat(spark, sf_dir).graph)
+
+
+@register(
+    "proc_db_index_stats",
+    oracle="""
+    SELECT 'embeddings_cosine' AS name, 'VECTOR' AS type,
+           (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS entries
+    UNION ALL
+    SELECT 'documents_fulltext', 'FULLTEXT',
+           (SELECT CAST(count(*) AS BIGINT) FROM documents)
+    """,
+)
+def proc_db_index_stats(spark, sf_dir):
+    # CALL db.index.stats — registered-index cardinalities from the
+    # IndexCatalog (reference call.go introspection family).
+    from nornicdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.catalog._index_catalog = None  # default registry
+    return eng.cypher("CALL db.index.stats")

@@ -919,3 +919,46 @@ def test_using_index_hints_parsed_and_ignored(eng, duck):
            FROM nation JOIN region ON n_regionkey = r_regionkey
            GROUP BY 1 ORDER BY 1""",
     )
+
+
+def test_kalman_scalar_function_surface(eng):
+    # kalman.init/process/predict/state/reset as JSON-state scalar
+    # functions (reference kalman_functions.go:290-470, 933)
+    import json
+
+    r = eng.cypher(
+        """WITH kalman.init({measurementNoise: 10.0}) AS s0
+           WITH kalman.process(5.0, s0) AS r1
+           RETURN r1.value AS v1, kalman.state(r1.state) AS cur,
+                  kalman.predict(r1.state, 2) AS pred,
+                  kalman.reset(r1.state) AS fresh"""
+    ).collect()[0]
+    p1 = 30.0001
+    k = p1 / (p1 + 10.0)
+    assert abs(r.v1 - k * 5.0) < 1e-9
+    assert r.cur == r.v1
+    st = json.loads(r.fresh)
+    assert st == {"x": 0.0, "lx": 0.0, "p": 30.0, "k": 0.0, "e": 1.0,
+                  "q": 0.0001, "r": 88.0, "vs": 10.0, "n": 0}
+
+
+def test_entity_and_point_accessor_functions(eng):
+    r = eng.cypher(
+        """MATCH (a:Nation {n_nationkey: 0})-[e:IN]->(b)
+           RETURN startNode(e) AS s, endNode(e) AS t,
+                  hasLabels(a, ['Nation']) AS hl,
+                  point.x(point({x: 3.0, y: 4.0})) AS px,
+                  point.crs(point({x: 1.0, y: 2.0})) AS crs,
+                  point.latitude(point({longitude: 1.0, latitude: 2.0})) AS lat"""
+    ).collect()[0]
+    assert (r.s, r.t, r.hl) == ("Nation:0", "Region:0", True)
+    assert (r.px, r.crs, r.lat) == (3.0, "cartesian", 2.0)
+
+
+def test_introspection_procedure_tail(eng):
+    assert eng.cypher("CALL db.schema.nodeTypeProperties").count() > 20
+    assert eng.cypher("CALL db.schema.relTypeProperties").count() > 10
+    assert eng.cypher("CALL dbms.listConfig").count() == 4
+    procs = {r.name for r in eng.cypher("CALL dbms.procedures").collect()}
+    assert "db.index.vector.createnodeindex" in procs
+    assert eng.cypher("CALL db.awaitIndexes").collect()[0].state == "ONLINE"
