@@ -158,6 +158,19 @@ class PropertyGraph:
             self._adj = self.edges.repartition("src").localCheckpoint(eager=True)
         return self._adj
 
+    def adj_pairs(self) -> DataFrame:
+        """Lean (src, dst) projection of the materialized adjacency,
+        checkpointed separately — iterative pair-consumers (pagerank, wcc,
+        lpa, fastRP) re-scan their edge set every round, and a 2-column
+        scan is ~2× cheaper than projecting the full-width adjacency each
+        time. Derived FROM adj() (one cheap scan), so the parquet union
+        still materializes only once."""
+        if getattr(self, "_adj_pairs", None) is None:
+            self._adj_pairs = (
+                self.adj().select("src", "dst").localCheckpoint(eager=True)
+            )
+        return self._adj_pairs
+
     def adj_by_type(self, *types: str) -> DataFrame:
         """Type-filtered view of the materialized adjacency — a cheap
         filter over the checkpoint, not a new parquet scan."""

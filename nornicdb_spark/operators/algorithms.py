@@ -60,7 +60,7 @@ def pagerank(
             .repartition("src").localCheckpoint(eager=True)
         )
     else:
-        edges = graph.adj().select("src", "dst")
+        edges = graph.adj_pairs()
     nodes = graph.nodes.select("id")
     n = nodes.count()
     if n == 0:
@@ -121,10 +121,9 @@ def connected_components(graph, max_iterations: int = 30) -> DataFrame:
     Iterative min-label propagation over the undirected edge set until
     fixpoint — O(diameter) shuffles.
     """
-    adj = graph.adj()  # shared materialized adjacency — no parquet rescan
+    adj = graph.adj_pairs()  # shared lean adjacency — no parquet rescan
     und = (
-        adj.select("src", "dst")
-        .unionByName(
+        adj.unionByName(
             adj.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
@@ -165,8 +164,8 @@ def label_propagation(graph, max_iterations: int = 10) -> DataFrame:
     apoc_community.go:225-329). Deterministic variant: each node adopts
     the most frequent neighbor label, ties broken by min label.
     Returns (id, community)."""
-    adj = graph.adj()
-    und = adj.select("src", "dst").unionByName(
+    adj = graph.adj_pairs()
+    und = adj.unionByName(
         adj.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).repartition("src").localCheckpoint(eager=True)  # static across iterations
     labels = graph.nodes.select("id", F.col("id").alias("community"))
@@ -299,19 +298,7 @@ def weighted_shortest_paths(
     the difference between shuffling (pair, double) and (pair, array)
     rows at 100 TB.
     """
-    from nornicdb_spark.operators.paths import _oriented_edges
-
-    e = _oriented_edges(graph, rel_types, direction)
-    full = graph.edges_by_type(*rel_types) if rel_types else graph.adj()
-    if weight_col:
-        # re-attach the weight property to the (possibly flipped) edge rows
-        e = e.join(full.select("edge_id", weight_col), "edge_id")
-        e = e.select(
-            "src", "dst", F.coalesce(F.col(weight_col).cast("double"), F.lit(1.0)).alias("w")
-        )
-    else:
-        e = e.select("src", "dst", F.lit(1.0).alias("w"))
-    e = e.localCheckpoint(eager=True)  # static across relaxation rounds
+    e = _weighted_oriented_edges(graph, rel_types, direction, weight_col)
 
     state = [F.lit(0.0).alias("cost")]
     if with_paths:
@@ -379,18 +366,7 @@ def astar_shortest_path(
     ``heuristic``: DataFrame (id, h) — admissible lower bound on
     remaining cost to any target. Returns (start_id, end_id, cost).
     """
-    from nornicdb_spark.operators.paths import _oriented_edges
-
-    e = _oriented_edges(graph, rel_types, "out")
-    full = graph.edges_by_type(*rel_types) if rel_types else graph.adj()
-    if weight_col:
-        e = e.join(full.select("edge_id", weight_col), "edge_id")
-        e = e.select(
-            "src", "dst", F.coalesce(F.col(weight_col).cast("double"), F.lit(1.0)).alias("w")
-        )
-    else:
-        e = e.select("src", "dst", F.lit(1.0).alias("w"))
-    e = e.localCheckpoint(eager=True)  # static across relaxation rounds
+    e = _weighted_oriented_edges(graph, rel_types, "out", weight_col)
     h = heuristic.select(F.col("id").alias("end_id"), F.col("h").alias("h"))
     targets = target.select(F.col("id").alias("end_id")).distinct()
 
@@ -440,12 +416,36 @@ def astar_shortest_path(
     return best.join(targets, "end_id", "left_semi").select("start_id", "end_id", "cost")
 
 
+def _weighted_oriented_edges(graph, rel_types, direction, weight_col):
+    """(src, dst, w) in the requested orientation, weight defaulting to
+    1.0 — one pass over the edge source (untyped → the shared
+    materialized adjacency; typed → lazy plan with scan-level pruning),
+    no edge_id self-join, checkpointed for the relaxation loop."""
+    base = (
+        graph.adj_by_type(*rel_types)
+        if not rel_types
+        else graph.edges_by_type(*rel_types)
+    )
+    w = (
+        F.coalesce(F.col(weight_col).cast("double"), F.lit(1.0))
+        if weight_col
+        else F.lit(1.0)
+    ).alias("w")
+    e = base.select("src", "dst", w)
+    flipped = base.select(F.col("dst").alias("src"), F.col("src").alias("dst"), w)
+    if direction == "in":
+        e = flipped
+    elif direction == "both":
+        e = e.unionByName(flipped)
+    return e.localCheckpoint(eager=True)  # static across relaxation rounds
+
+
 def _induced_subgraph(graph, label: str | None):
     """Label-induced subgraph, matching the reference's dist-map trick
     (apoc_community.go / apoc_algorithms.go init dist only for label
     nodes, so BFS never leaves the label set)."""
     nodes = (graph.nodes_by_label(label) if label else graph.nodes).select("id")
-    e = graph.adj().select("src", "dst")
+    e = graph.adj_pairs()
     e = e.join(nodes.select(F.col("id").alias("src")), "src").join(
         nodes.select(F.col("id").alias("dst")), "dst"
     )
@@ -718,8 +718,10 @@ def fastrp_embeddings(
     per-row Python.
     """
     und = (
-        graph.edges_by_type(*rel_types) if rel_types else graph.adj()
-    ).select("src", "dst")
+        graph.edges_by_type(*rel_types).select("src", "dst")
+        if rel_types
+        else graph.adj_pairs()
+    )
     und = und.unionByName(
         und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)  # static across layers
