@@ -55,6 +55,7 @@ _PRIORITY = (
     "cypher_vector_spatial_functions", "cypher_merge_rel",
     "cypher_correlated_call", "cypher_varlen_bound_endpoint",
     "cypher_index_mgmt", "spatial_polygon_contains", "cypher_apoc_run",
+    "proc_db_index_stats", "stream_access_tracker",
 )
 
 

@@ -243,3 +243,37 @@ def kalman_adaptive(spark, sf_dir):
     # (kalman_functions.go:841-905).
     ev = Catalog(spark, sf_dir).events
     return kalman.kalman_adaptive(ev.filter(F.col("user_id") < 8))
+
+
+@register(
+    "stream_access_tracker",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS access_count,
+           max(ts) AS last_access,
+           0.0 AS score_before,
+           LEAST(1.0, 0.4 + 0.3 * LEAST(ln(1 + count(*)) / ln(101), 1.0)
+                     + 0.3 * 0.6) AS score_after
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_access_tracker(spark, sf_dir):
+    # SURVEY §2.11 custom stateful operator: applyInPandasWithState
+    # keyed decay/reinforcement state (reference temporal tracker +
+    # decay.go Reinforce). One bounded batch → every user is fresh
+    # (score_before 0), post-reinforcement score is the closed-form
+    # decay formula the oracle restates.
+    from nornicdb_spark.streaming import structured
+
+    s = structured.read_events_stream(spark, sf_dir)
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    out = structured.stateful_access_tracker(s, tier="SEMANTIC")
+    q = (
+        out.writeStream.outputMode("update").format("memory")
+        .queryName(f"acc_{tag}").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM acc_{tag}")

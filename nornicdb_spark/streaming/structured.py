@@ -98,3 +98,72 @@ def run_to_completion(stream_df: DataFrame, query_name: str) -> DataFrame:
     finally:
         q.stop()
     return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
+
+
+def stateful_access_tracker(stream: DataFrame, tier: str = "SEMANTIC") -> DataFrame:
+    """Custom stateful operator: per-user access tracking with decay +
+    reinforcement across micro-batches via ``applyInPandasWithState`` —
+    the Structured-Streaming twin of the reference's temporal access
+    tracker + decay manager (pkg/temporal/tracker.go; decay.go:549-586
+    Reinforce = LastAccessed→now, AccessCount++; score formula
+    decay.go:503-545 = 0.4·recency + 0.3·frequency + 0.3·importance).
+
+    State per user = (access_count, last_access_us). Each batch emits one
+    row per active user: the score the memory had DECAYED TO just before
+    this batch's first access (shows the decay), and the post-
+    reinforcement score (recency = 1). At 100 TB this is the canonical
+    keyed-state shape: state lives in the state store partitioned by
+    user, each micro-batch touches only active keys."""
+    import math
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from nornicdb_spark.streaming.decay import (
+        FREQUENCY_W, HALF_LIFE_DAYS, IMPORTANCE_W, RECENCY_W, TIER_IMPORTANCE,
+    )
+
+    lam_us = math.log(2) / (HALF_LIFE_DAYS[tier] * 24.0 * 3600.0 * 1e6)
+    imp = TIER_IMPORTANCE[tier]
+    out_schema = (
+        "user_id long, access_count long, last_access timestamp, "
+        "score_before double, score_after double"
+    )
+    state_schema = "n long, last_us long"
+
+    def freq(n: int) -> float:
+        return min(math.log(1.0 + n) / math.log(101.0), 1.0)
+
+    def score(rec: float, n: int) -> float:
+        s = RECENCY_W * rec + FREQUENCY_W * freq(n) + IMPORTANCE_W * imp
+        return max(0.0, min(1.0, s))
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, last_us = state.get if state.exists else (0, 0)
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        first_us = int(rows["ts"].iloc[0].value // 1000)
+        if n > 0:
+            gap = max(0, first_us - last_us)
+            before = score(math.exp(-lam_us * gap), n)
+        else:
+            before = 0.0
+        n += len(rows)
+        last_us = int(rows["ts"].iloc[-1].value // 1000)
+        state.update((n, last_us))
+        yield pd.DataFrame([{
+            "user_id": key[0],
+            "access_count": n,
+            "last_access": pd.Timestamp(last_us * 1000),
+            "score_before": before,
+            "score_after": score(1.0, n),
+        }])
+
+    return (
+        stream.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -99,3 +99,42 @@ def test_kalman_adaptive_switches_modes(spark):
     for r in ramp_tail:
         assert abs(r.filtered - r.value) < 15.0
     assert len(out) == len(vals)
+
+
+def test_stateful_access_tracker_state_persists_across_batches(spark, tmp_path):
+    # applyInPandasWithState keyed state: two files = two micro-batches;
+    # the second batch must see the first's (count, last_access) state —
+    # access_count accumulates and score_before shows the decayed value
+    # (reference temporal tracker + decay Reinforce semantics).
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    b1 = [(1, base + dt.timedelta(hours=i)) for i in range(3)]
+    b2 = [(1, base + dt.timedelta(days=30))]  # 30-day gap → visible decay
+    src = str(tmp_path / "events_src")
+    spark.createDataFrame(b1, "user_id long, ts timestamp").coalesce(1) \
+        .write.parquet(src + "/f1.parquet")
+    spark.createDataFrame(b2, "user_id long, ts timestamp").coalesce(1) \
+        .write.parquet(src + "/f2.parquet")
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1).parquet(src + "/*")
+    )
+    out = structured.stateful_access_tracker(stream, tier="SEMANTIC")
+    q = (
+        out.writeStream.outputMode("update").format("memory")
+        .queryName("acc_tracker").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql(
+        "SELECT * FROM acc_tracker ORDER BY access_count"
+    ).collect()
+    assert [r.access_count for r in rows] == [3, 4]  # state carried over
+    final = rows[-1]
+    # decayed recency after 30d (half-life 69d) < 1 → before < after
+    assert final.score_before < final.score_after
+    assert 0.0 < final.score_before < 1.0
