@@ -1071,6 +1071,18 @@ class Compiler:
         "db.index.stats": lambda self, args: __import__(
             "nornicdb_spark.procedures", fromlist=["x"]
         ).db_index_stats(self.cat),
+        "show.functions": lambda self, args: __import__(
+            "nornicdb_spark.procedures", fromlist=["x"]
+        ).show_functions(self.cat),
+        "show.databases": lambda self, args: __import__(
+            "nornicdb_spark.procedures", fromlist=["x"]
+        ).show_databases(self.cat),
+        "show.aliases": lambda self, args: __import__(
+            "nornicdb_spark.procedures", fromlist=["x"]
+        ).show_aliases(self.cat),
+        "show.limits": lambda self, args: __import__(
+            "nornicdb_spark.procedures", fromlist=["x"]
+        ).show_limits(self.cat),
         "apoc.cypher.run": lambda self, args: self._proc_apoc_run(args),
         "apoc.cypher.runmany": lambda self, args: self._proc_apoc_run_many(args),
         "apoc.periodic.iterate": lambda self, args: (

@@ -84,9 +84,46 @@ class Parser:
         self.expect("EOF")
         return A.Query(clauses=q.clauses, unions=tuple(unions))
 
+    _SHOW_MAP = {
+        "INDEXES": "db.indexes", "INDEX": "db.indexes",
+        "CONSTRAINTS": "db.constraints", "CONSTRAINT": "db.constraints",
+        "PROCEDURES": "dbms.procedures", "FUNCTIONS": "show.functions",
+        "DATABASES": "show.databases", "DATABASE": "show.databases",
+        "ALIASES": "show.aliases", "LIMITS": "show.limits",
+        "SETTINGS": "dbms.listconfig",
+    }
+
+    def _parse_show(self) -> A.CallClause:
+        """SHOW INDEXES/CONSTRAINTS/PROCEDURES/FUNCTIONS/DATABASE(S)/
+        ALIASES/LIMITS/SETTINGS (reference executor_show.go) — routed to
+        the matching procedure frame."""
+        self.take()  # SHOW
+        t = self.peek()
+        word = t.value.upper() if t.kind in ("NAME", "KEYWORD") else None
+        if word not in self._SHOW_MAP:
+            raise SyntaxError(f"cypher: SHOW {t.value!r} not supported")
+        self.take()
+        # tolerate trailing qualifiers (e.g. SHOW ALL FUNCTIONS parsed as
+        # SHOW ALL → no; qualifier tail like 'SHOW INDEXES BRIEF')
+        while self.peek().kind == "NAME" and not self.at("EOF"):
+            self.take()
+        return A.CallClause(proc=self._SHOW_MAP[word])
+
     def parse_single_query(self) -> A.Query:
         clauses: list = []
         while True:
+            t0 = self.peek()
+            if (
+                not clauses
+                and t0.kind == "NAME"
+                and t0.value.upper() == "SHOW"
+                and self.peek(1).kind in ("NAME", "KEYWORD")
+                and self.peek(1).value.upper() in self._SHOW_MAP
+            ):
+                clauses.append(self._parse_show())
+                if self._at_query_end():
+                    break
+                continue
             if self.at_kw("MATCH"):
                 clauses.append(self.parse_match(optional=False))
             elif self.at_kw("OPTIONAL"):

@@ -48,6 +48,19 @@ class Engine:
         from nornicdb_spark.cypher.compiler import Compiler
         from nornicdb_spark.cypher.parser import parse as _parse
 
+        stripped = query.lstrip()
+        head = stripped.split(None, 1)[0].upper() if stripped else ""
+        if head == "EXPLAIN":
+            # Neo4j EXPLAIN: plan only, nothing executes (reference
+            # explain.go:37-63) — one row with the formatted Spark plan
+            body = stripped.split(None, 1)[1]
+            return self.spark.createDataFrame(
+                [(self.explain(body),)], "plan string"
+            )
+        if head == "PROFILE":
+            # PROFILE runs the query; per-operator runtime rows are a
+            # server-side concern — results come back like a plain run
+            query = stripped.split(None, 1)[1]
         return Compiler(self.catalog, params, store=self.store).compile(_parse(query))
 
     def explain(self, query: str, params: dict | None = None) -> str:

@@ -242,3 +242,70 @@ def db_index_stats(cat: Catalog) -> DataFrame:
     return cat.spark.createDataFrame(
         rows, "name string, type string, entries long"
     )
+
+
+# ---- SHOW command frames (reference executor_show.go) -------------------
+
+FUNCTION_SURFACE = {
+    "entity": ["id", "elementId", "labels", "type", "keys", "properties",
+               "startNode", "endNode", "hasLabels", "degree", "inDegree",
+               "outDegree"],
+    "null": ["coalesce", "nullIf"],
+    "list": ["head", "last", "tail", "size", "reverse", "range", "reduce",
+             "all", "any", "none", "single", "nodes", "relationships",
+             "length"],
+    "conversion": ["toString", "toInteger", "toFloat", "toBoolean",
+                   "toStringList", "toIntegerList", "toFloatList"],
+    "string": ["toLower", "toUpper", "trim", "ltrim", "rtrim", "replace",
+               "split", "substring", "left", "right", "lpad", "rpad"],
+    "math": ["abs", "ceil", "floor", "round", "sign", "sqrt", "sin", "cos",
+             "tan", "asin", "acos", "atan", "atan2", "log", "log10", "exp",
+             "pi", "e", "power", "degrees", "radians", "haversin", "isNaN",
+             "rand", "randomUUID"],
+    "temporal": ["timestamp", "date", "datetime", "duration",
+                 "duration.between", "duration.inDays", "duration.inMonths",
+                 "duration.inSeconds"],
+    "spatial": ["point", "distance", "point.distance", "polygon",
+                "lineString", "point.intersects", "point.contains",
+                "point.withinBBox", "point.withinDistance", "point.x",
+                "point.y", "point.latitude", "point.longitude", "point.srid",
+                "point.crs"],
+    "vector": ["vector.similarity.cosine", "vector.similarity.euclidean"],
+    "kalman": ["kalman.init", "kalman.process", "kalman.predict",
+               "kalman.state", "kalman.reset"],
+}
+
+
+def show_functions(cat: Catalog) -> DataFrame:
+    """SHOW FUNCTIONS (reference executor_show.go:72-160) — the scalar
+    surface this engine routes, one row per (name, category)."""
+    rows = [
+        (name, category)
+        for category, names in FUNCTION_SURFACE.items()
+        for name in names
+    ]
+    return cat.spark.createDataFrame(
+        sorted(rows), "name string, category string"
+    )
+
+
+def show_databases(cat: Catalog) -> DataFrame:
+    """SHOW DATABASE(S) (executor_show.go:171-237): single default
+    database in the batch engine; namespacing lives in multidb.py."""
+    return cat.spark.createDataFrame(
+        [("nornicdb", "standard", "online", True)],
+        "name string, type string, currentStatus string, default boolean",
+    )
+
+
+def show_aliases(cat: Catalog) -> DataFrame:
+    """SHOW ALIASES (executor_show.go:718-760) — none in batch."""
+    return cat.spark.createDataFrame([], "alias string, database string")
+
+
+def show_limits(cat: Catalog) -> DataFrame:
+    """SHOW LIMITS (executor_show.go:1036-1060) — unlimited batch engine."""
+    return cat.spark.createDataFrame(
+        [("node_count", -1), ("relationship_count", -1)],
+        "name string, value long",
+    )

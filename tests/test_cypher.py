@@ -962,3 +962,25 @@ def test_introspection_procedure_tail(eng):
     procs = {r.name for r in eng.cypher("CALL dbms.procedures").collect()}
     assert "db.index.vector.createnodeindex" in procs
     assert eng.cypher("CALL db.awaitIndexes").collect()[0].state == "ONLINE"
+
+
+def test_show_commands(eng):
+    # SHOW routing (reference executor_show.go) — each maps to the
+    # matching procedure frame
+    assert {r.name for r in eng.cypher("SHOW INDEXES").collect()} >= {
+        "embeddings_cosine", "documents_fulltext"
+    }
+    assert eng.cypher("SHOW CONSTRAINTS").count() == 6
+    fns = {r.name for r in eng.cypher("SHOW FUNCTIONS").collect()}
+    assert {"point.contains", "kalman.process", "vector.similarity.cosine"} <= fns
+    dbs = eng.cypher("SHOW DATABASES").collect()
+    assert len(dbs) == 1 and dbs[0].default
+    # SHOW must not shadow `show` as an identifier
+    assert eng.cypher("WITH 1 AS show RETURN show + 1 AS x").collect()[0].x == 2
+
+
+def test_explain_and_profile_prefixes(eng):
+    e = eng.cypher("EXPLAIN MATCH (r:Region) RETURN count(*) AS n").collect()
+    assert len(e) == 1 and "Physical plan" in e[0].plan
+    p = eng.cypher("PROFILE MATCH (r:Region) RETURN count(*) AS n").collect()
+    assert p[0].n == 5
