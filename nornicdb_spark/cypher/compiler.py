@@ -892,6 +892,18 @@ class Compiler:
 
         vals = [self._py_value(a) for a in args]
         index, k, vec = vals[0], int(vals[1]), vals[2]
+        if isinstance(vec, str):
+            # string query → server-side embedding (reference
+            # executor.go:309-323 QueryEmbedder hook)
+            from nornicdb_spark.search.embedder import get_query_embedder
+
+            emb = get_query_embedder(self.cat)
+            if emb is None:
+                raise ValueError(
+                    "cypher: string vector query needs an embedder — "
+                    "install one with search.embedder.set_query_embedder"
+                )
+            vec = emb(vec)
         ic = index_catalog(self.cat)
         if index in ic._defs and ic._defs[index]["kind"] == "VECTOR":
             d = ic._defs[index]
@@ -1029,6 +1041,12 @@ class Compiler:
         ),
         "db.index.vector.createnodeindex": lambda self, args: (
             self._proc_index_create(args, "VECTOR")
+        ),
+        "db.index.vector.createrelationshipindex": lambda self, args: (
+            self._proc_index_create(args, "VECTOR")
+        ),
+        "db.index.fulltext.createrelationshipindex": lambda self, args: (
+            self._proc_index_create(args, "FULLTEXT")
         ),
         "db.index.vector.drop": lambda self, args: self._proc_index_drop(args),
         "db.index.fulltext.createnodeindex": lambda self, args: (

@@ -96,3 +96,25 @@ def test_set_node_vector_property(eng):
     ).collect()
     assert [r.k for r in rows] == [0, 1]
     assert all(list(r.emb) == [1.0, 2.0, 3.0] for r in rows)
+
+
+def test_string_vector_query_via_embedder_hook(eng):
+    # reference QueryEmbedder hook (executor.go:309-323): a string query
+    # embeds server-side; without an embedder it errors helpfully
+    from nornicdb_spark.search.embedder import HashingEmbedder, set_query_embedder
+
+    eng.catalog._query_embedder = None
+    with pytest.raises(Exception, match="embedder"):
+        eng.cypher(
+            "CALL db.index.vector.queryNodes('embeddings_cosine', 5, 'spark shuffle')"
+        )
+    set_query_embedder(eng.catalog, HashingEmbedder(dim=64))
+    hits = eng.cypher(
+        "CALL db.index.vector.queryNodes('embeddings_cosine', 5, 'spark shuffle')"
+    ).collect()
+    assert len(hits) == 5
+    # deterministic: same text → same ranking
+    again = eng.cypher(
+        "CALL db.index.vector.queryNodes('embeddings_cosine', 5, 'spark shuffle')"
+    ).collect()
+    assert [h.node for h in hits] == [h.node for h in again]
