@@ -203,6 +203,7 @@ def common_neighbors(
     graph,
     rel_types: tuple[str, ...] = (),
     min_common: int = 1,
+    max_nbr_degree: int | None = None,
 ) -> DataFrame:
     """gds.linkPrediction.commonNeighbors / jaccard / adamicAdar /
     resourceAllocation / preferentialAttachment scores for node pairs
@@ -222,8 +223,20 @@ def common_neighbors(
     deg = e.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
     nbr_deg = e.groupBy("nbr").agg(F.count(F.lit(1)).alias("nbr_in_deg"))
 
-    a = e.select(F.col("node").alias("a"), "nbr")
-    b = e.select(F.col("node").alias("b"), "nbr")
+    # hub fan-out cap: a celebrity shared-neighbor z contributes
+    # in_deg(z)² candidate pairs — at 100× scale one hub explodes the
+    # self-join. With the cap, neighbors above the ceiling are dropped
+    # from the pair source (their AA/RA contribution is ~0 anyway:
+    # 1/log(deg), 1/deg); scores become "hub-capped" per the standard
+    # large-graph practice. None = exact.
+    pair_src = e
+    if max_nbr_degree is not None:
+        pair_src = e.join(
+            nbr_deg.filter(F.col("nbr_in_deg") <= max_nbr_degree).select("nbr"),
+            "nbr",
+        )
+    a = pair_src.select(F.col("node").alias("a"), "nbr")
+    b = pair_src.select(F.col("node").alias("b"), "nbr")
     pairs = (
         a.join(b, "nbr")
         .filter(F.col("a") < F.col("b"))

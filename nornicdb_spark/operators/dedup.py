@@ -280,14 +280,39 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.4,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle
     (no LSH approximation — the quadratic-safe exact variant: the
-    shared-shingle join prunes non-overlapping pairs)."""
+    shared-shingle join prunes non-overlapping pairs).
+
+    ``max_shingle_df``: hub-shingle cap for the CANDIDATE join — shingles
+    appearing in more than this many docs (stopword-like trigrams) are
+    excluded as join keys, bounding the worst pair fan-out to
+    df²·n_shingles instead of n_docs². The verify numerator still counts
+    every shingle, so scores are exact; only pairs whose ONLY overlap is
+    hub shingles can be missed — at the thresholds that matter (≥0.4)
+    such pairs score far below threshold anyway. None = no cap."""
     sh = shingles(docs, id_col, text_col, n)
+    cand_sh = sh
+    if max_shingle_df is not None:
+        df_counts = sh.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+        cand_sh = sh.join(
+            df_counts.filter(F.col("_df") <= max_shingle_df).select("h"), "h"
+        )
+    cand = (
+        cand_sh.select(F.col("doc_id").alias("a"), "h")
+        .join(cand_sh.select(F.col("doc_id").alias("b"), "h"), "h")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b").distinct()
+    )
+    a_sh = sh.select(F.col("doc_id").alias("a"), "h")
+    b_sh = sh.select(F.col("doc_id").alias("b"), "h")
     all_pairs = (
-        sh.select(F.col("doc_id").alias("a"), "h")
-        .join(sh.select(F.col("doc_id").alias("b"), "h"), "h")
+        (cand.join(a_sh, "a").join(b_sh, ["b", "h"])
+         if max_shingle_df is not None
+         else sh.select(F.col("doc_id").alias("a"), "h")
+         .join(sh.select(F.col("doc_id").alias("b"), "h"), "h"))
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n_inter"))

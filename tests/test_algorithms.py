@@ -157,3 +157,15 @@ def test_subgraph_nodes_min_level_and_spanning_tree(spark):
     assert reach == {"a": 0, "b": 1, "c": 1, "d": 2}
     tree = {r.id: (r.parent, r.level) for r in spanning_tree(g, start_df(spark, "a"), 3).collect()}
     assert tree == {"b": ("a", 1), "c": ("a", 1), "d": ("b", 2)}
+
+
+def test_link_prediction_hub_cap(graph):
+    from nornicdb_spark.operators import algorithms as alg
+
+    exact = alg.common_neighbors(graph, rel_types=("SUPPLIES",), min_common=3)
+    capped = alg.common_neighbors(
+        graph, rel_types=("SUPPLIES",), min_common=3, max_nbr_degree=3
+    )
+    n_exact, n_capped = exact.count(), capped.count()
+    # the cap prunes hub-mediated pairs — strictly fewer candidates
+    assert 0 <= n_capped < n_exact

@@ -125,3 +125,24 @@ def test_frame_plan_counts(catalog):
         F.col("n_frames") != (F.floor(F.col("dur") / 500) + 1)
     ).count()
     assert bad == 0
+
+
+def test_ngram_jaccard_df_cap_keeps_high_similarity_pairs(catalog):
+    # hub-shingle cap: candidate join excludes stopword-like trigrams but
+    # the verify numerator stays exact, so above-threshold pairs survive
+    exact = {
+        (r.a, r.b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            catalog.documents, threshold=0.4
+        ).collect()
+    }
+    capped = {
+        (r.a, r.b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            catalog.documents, threshold=0.4, max_shingle_df=100
+        ).collect()
+    }
+    assert set(capped) <= set(exact)
+    assert len(capped) >= 0.9 * len(exact)
+    for k, v in capped.items():
+        assert abs(v - exact[k]) < 1e-12  # scores exact, not approximated
