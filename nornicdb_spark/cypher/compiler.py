@@ -1106,6 +1106,12 @@ class Compiler:
         "apoc.periodic.iterate": lambda self, args: (
             self._proc_apoc_periodic_iterate(args)
         ),
+        "apoc.periodic.rock_n_roll": lambda self, args: (
+            self._proc_apoc_periodic_iterate(args)
+        ),
+        "apoc.periodic.commit": lambda self, args: (
+            self._proc_apoc_periodic_commit(args)
+        ),
         "apoc.algo.pagerank": lambda self, args: self._proc_pagerank(args),
         "apoc.algo.wcc": lambda self, args: self._proc_wcc(args),
         "apoc.algo.labelpropagation": lambda self, args: (
@@ -1207,6 +1213,46 @@ class Compiler:
             "batches long, total long, timeTaken long, committedOperations long, "
             "failedOperations long, failedBatches long, retries long, "
             "errorMessages string",
+        )
+
+    def _proc_apoc_periodic_commit(self, args) -> DataFrame:
+        """CALL apoc.periodic.commit(statement, params) YIELD updates,
+        executions, runtime, batches (reference
+        call_apoc_periodic.go:148-230): re-run the (LIMITed) write
+        statement until an execution makes 0 updates."""
+        self._require_store()
+        stmt = self._py_value(args[0])
+        params = dict(self._py_value(args[1])) if len(args) > 1 else {}
+        limit = int(params.get("limit", 10000))
+        if "limit" not in stmt.lower():
+            stmt = f"{stmt} LIMIT {limit}"
+        total, executions = 0, 0
+        for _ in range(10000):  # hard backstop, same spirit as the ref loop
+            inner = Compiler(
+                self.cat, {**self.params, **params}, store=self.store
+            )
+            inner._compile_single(parse(stmt))
+            executions += 1
+            s = inner.stats
+            updates = (
+                s.nodes_created + s.nodes_deleted + s.relationships_created
+                + s.relationships_deleted + s.properties_set
+            )
+            if updates:
+                self._wrote = True
+                self.stats.add(
+                    nodes_created=s.nodes_created,
+                    relationships_created=s.relationships_created,
+                    properties_set=s.properties_set,
+                    nodes_deleted=s.nodes_deleted,
+                    relationships_deleted=s.relationships_deleted,
+                )
+            total += updates
+            if updates == 0:
+                break
+        return self.cat.spark.createDataFrame(
+            [(total, executions, 0, executions)],
+            "updates long, executions long, runtime long, batches long",
         )
 
     def _compile_call(self, c: "A.CallClause") -> None:

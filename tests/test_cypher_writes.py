@@ -293,3 +293,19 @@ def test_apoc_periodic_iterate_batched_writes(eng):
     assert one(eng.cypher(
         "MATCH (n:Nation) WHERE n.batched = true RETURN count(*) AS n"
     )).n == 6
+
+
+def test_apoc_periodic_commit_loops_until_no_updates(eng):
+    # reference call_apoc_periodic.go:148-230 — re-run the LIMITed write
+    # until an execution updates 0 rows: delete the 5 nations of region 0
+    # two at a time → 3 deleting runs + 1 empty run
+    r = one(eng.cypher(
+        """CALL apoc.periodic.commit(
+             'MATCH (n:Nation) WHERE n.n_regionkey = 0 WITH n LIMIT 2 DETACH DELETE n',
+             {})"""
+    ))
+    assert r.updates >= 5          # 5 node deletions (+ cascaded edges)
+    assert r.executions == 4       # ceil(5/2) deleting runs + terminal empty
+    assert one(eng.cypher(
+        "MATCH (n:Nation) WHERE n.n_regionkey = 0 RETURN count(*) AS n"
+    )).n == 0
