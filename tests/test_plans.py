@@ -71,3 +71,52 @@ def test_cypher_frontend_prunes_scan(spark, sf_dir):
 def test_topk_uses_take_ordered(spark, sf_dir):
     plan = plan_of(spark, "top_acctbal_customers", sf_dir)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_typed_iterative_edges_keep_scan_pruning(spark, sf_dir):
+    # type-filtered iterative operators must NOT route through the
+    # materialized adjacency: the type filter has to reach the parquet
+    # scans (constant-folded union branches), not filter a checkpoint
+    from pyspark.sql import functions as F
+
+    from nornicdb_spark.catalog import Catalog
+
+    g = Catalog(spark, sf_dir).graph
+    # the lazy typed projection the operators materialize: the SUPPLIES
+    # type filter must constant-fold the union down to the lineitem branch
+    df = g.edges_by_type("SUPPLIES").select("src", "dst")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "lineitem" in plan
+    assert "orders" not in plan and "customer" not in plan
+
+
+def test_correlated_call_limit_is_windowed_per_key(spark, sf_dir):
+    # LIMIT inside a correlated CALL{} must compile to a window rank
+    # partitioned by the correlation key — not a GlobalLimit over the
+    # joined frame
+    from nornicdb_spark.engine import Engine
+
+    df = Engine(spark, sf_dir).cypher(
+        """MATCH (n:Nation)
+           CALL { WITH n MATCH (c:Customer)-[:FROM]->(n)
+                  RETURN c.c_name AS cust ORDER BY c.c_name LIMIT 2 }
+           RETURN n.n_name AS nation, cust"""
+    )
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "row_number" in plan
+    assert "_corr0" in plan  # partitioned by the correlation key
+
+
+def test_rrf_rank_window_has_partition_spec(spark, sf_dir):
+    from nornicdb_spark.queries import QUERIES
+
+    df = QUERIES["hybrid_rrf"](spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # every window in the fused plan must carry a partition spec
+    import re as _re
+
+    for m in _re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        assert spec.count(",") >= 2, f"unpartitioned window: {spec}"
