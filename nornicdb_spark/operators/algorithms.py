@@ -40,6 +40,7 @@ def pagerank(
     iterations: int = 10,
     damping: float = 0.85,
     rel_types: tuple[str, ...] = (),
+    checkpoint_interval: int = 3,
 ) -> DataFrame:
     """PageRank by power iteration (reference apoc.algo.pageRank,
     apoc_algorithms.go:252-307 — same formulation: rank = (1-d)/N +
@@ -47,7 +48,14 @@ def pagerank(
     uniformly so total rank stays 1).
 
     Returns (id, pagerank). Scale: ranks/edges are hash-partitioned on id;
-    each iteration is one shuffle (join + agg); lineage cut per iteration.
+    each iteration is one shuffle (join + agg). Dangling mass is derived
+    from mass conservation (Σ rank = 1 every iteration, so dangling mass
+    = 1 − Σ contribs) — the 1-row aggregate sits on the SAME groupBy
+    exchange as the contribs join branch, so Catalyst's ReuseExchange
+    computes the shuffle once and no second scan of ``ranks`` happens.
+    Lineage is cut every ``checkpoint_interval`` iterations rather than
+    every iteration: plan depth stays bounded while the whole loop runs
+    in a handful of jobs instead of 2 per iteration.
     """
     # static across iterations. Untyped: the shared materialized
     # adjacency (graph.adj() — scanned once per graph instance, pre-hashed
@@ -75,7 +83,7 @@ def pagerank(
     )
     ranks = ranks.repartition("id").localCheckpoint(eager=True)
 
-    for _ in range(iterations):
+    for i in range(iterations):
         contribs = (
             ranks.filter(F.col("out_degree").isNotNull())
             .join(edges, ranks.id == edges.src)
@@ -86,29 +94,32 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("contrib").alias("contrib"))
         )
-        # dangling mass as a broadcast 1-row aggregate (not a driver
-        # collect): keeps each iteration a single job — the scalar joins
-        # into the same stage instead of forcing an extra action.
-        dangling = F.broadcast(
-            ranks.filter(F.col("out_degree").isNull()).agg(
-                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling_mass")
+        # dangling mass = 1 − Σ contribs (mass conservation): Σ contribs
+        # equals the total rank of non-dangling nodes, and ranks sum to 1
+        # by induction. The aggregate reuses contribs' shuffle exchange
+        # (ReuseExchange) — no second pass over ranks, no driver collect.
+        contributed = F.broadcast(
+            contribs.agg(
+                F.coalesce(F.sum("contrib"), F.lit(0.0)).alias("contributed")
             )
         )
         ranks = (
             ranks.select("id", "out_degree")
             .join(contribs, "id", "left_outer")
-            .crossJoin(dangling)
+            .crossJoin(contributed)
             .withColumn(
                 "rank",
                 F.lit((1.0 - damping) / n)
                 + F.lit(damping)
                 * (
                     F.coalesce(F.col("contrib"), F.lit(0.0))
-                    + F.col("dangling_mass") / n
+                    + (F.lit(1.0) - F.col("contributed")) / n
                 ),
             )
-            .drop("contrib", "dangling_mass")
-        ).localCheckpoint(eager=True)
+            .drop("contrib", "contributed")
+        )
+        if (i + 1) % checkpoint_interval == 0 or i == iterations - 1:
+            ranks = ranks.localCheckpoint(eager=True)
 
     return ranks.select("id", F.col("rank").alias("pagerank"))
 

@@ -169,3 +169,34 @@ def test_link_prediction_hub_cap(graph):
     n_exact, n_capped = exact.count(), capped.count()
     # the cap prunes hub-mediated pairs — strictly fewer candidates
     assert 0 <= n_capped < n_exact
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    # Graph with a dangling node (d has no out-edges) — pins both the
+    # power-iteration formula and the mass-conservation dangling
+    # redistribution (dangling mass derived as 1 − Σ contribs).
+    edges = [("a", "b", 1), ("a", "c", 1), ("b", "c", 1), ("c", "d", 1)]
+    g = tiny_graph(spark, edges)
+    iters, d = 7, 0.85
+    got = {
+        r.id: r.pagerank
+        for r in algorithms.pagerank(g, iterations=iters, damping=d).collect()
+    }
+
+    import numpy as np
+
+    ids = ["a", "b", "c", "d"]
+    n = len(ids)
+    out = {i: [dst for s, dst, _ in edges if s == i] for i in ids}
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nxt = np.full(n, (1.0 - d) / n)
+        dangling = sum(r[ids.index(i)] for i in ids if not out[i])
+        nxt += d * dangling / n
+        for i in ids:
+            for dst in out[i]:
+                nxt[ids.index(dst)] += d * r[ids.index(i)] / len(out[i])
+        r = nxt
+    for k, i in enumerate(ids):
+        assert got[i] == pytest.approx(r[k], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
