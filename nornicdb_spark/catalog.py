@@ -159,15 +159,21 @@ class PropertyGraph:
         return self._adj
 
     def adj_pairs(self) -> DataFrame:
-        """Lean (src, dst) projection of the materialized adjacency,
-        checkpointed separately — iterative pair-consumers (pagerank, wcc,
-        lpa, fastRP) re-scan their edge set every round, and a 2-column
-        scan is ~2× cheaper than projecting the full-width adjacency each
-        time. Derived FROM adj() (one cheap scan), so the parquet union
-        still materializes only once."""
+        """Lean (src, dst) projection of the edge set, checkpointed —
+        iterative pair-consumers (pagerank, wcc, lpa, fastRP) re-scan
+        their edge set every round, and a 2-column scan is ~2× cheaper
+        than projecting the full-width adjacency each time. Built from
+        the LAZY edges plan, not from adj(): column pruning then reaches
+        the parquet scans, so a pairs-only algorithm never pays for
+        materializing the full-width adjacency (at sf0.1 that
+        materialization alone costs more than two pagerank iterations).
+        If adj() already exists it is reused — one cheap cached scan."""
         if getattr(self, "_adj_pairs", None) is None:
+            base = self._adj if self._adj is not None else self.edges
             self._adj_pairs = (
-                self.adj().select("src", "dst").localCheckpoint(eager=True)
+                base.select("src", "dst")
+                .repartition("src")
+                .localCheckpoint(eager=True)
             )
         return self._adj_pairs
 

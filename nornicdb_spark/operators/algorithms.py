@@ -40,32 +40,37 @@ def pagerank(
     iterations: int = 10,
     damping: float = 0.85,
     rel_types: tuple[str, ...] = (),
-    checkpoint_interval: int = 3,
+    broadcast_state_max_nodes: int = 50_000_000,
 ) -> DataFrame:
     """PageRank by power iteration (reference apoc.algo.pageRank,
     apoc_algorithms.go:252-307 — same formulation: rank = (1-d)/N +
     d * Σ rank(in)/outDeg(in); dangling nodes' mass redistributed
-    uniformly so total rank stays 1).
+    uniformly so total rank stays 1). Returns (id, pagerank).
 
-    Returns (id, pagerank). Scale: ranks/edges are hash-partitioned on id;
-    each iteration is one shuffle (join + agg). Dangling mass is derived
-    from mass conservation (Σ rank = 1 every iteration, so dangling mass
-    = 1 − Σ contribs) — the 1-row aggregate sits on the SAME groupBy
-    exchange as the contribs join branch, so Catalyst's ReuseExchange
-    computes the shuffle once and no second scan of ``ranks`` happens.
-    Lineage is cut every ``checkpoint_interval`` iterations rather than
-    every iteration: plan depth stays bounded while the whole loop runs
-    in a handful of jobs instead of 2 per iteration.
+    Execution shape ("contribs as state"): the per-iteration persisted
+    state is the AGGREGATED contribution table (≤ one row per node with
+    in-edges), not the joined rank table. Each iteration is then a single
+    pipelined pass — rebuild ranks from (static base ⋈ contribs), probe
+    the edge pairs, partial-aggregate map-side, one shuffle on dst — and
+    one small localCheckpoint. Rank-side joins are broadcast when the
+    node count is below ``broadcast_state_max_nodes`` (node state is tiny
+    relative to edges; at sf0.1 this halves iteration latency by keeping
+    the whole pass in one stage); above it they fall back to Catalyst's
+    shuffle join, because broadcasting O(V) state is exactly what does
+    not scale. Dangling mass is derived from mass conservation
+    (Σ rank = 1 every iteration ⇒ dangling mass = 1 − Σ contribs) as a
+    broadcast 1-row aggregate over the checkpointed state — no second
+    pass over ranks, no driver collect.
     """
-    # static across iterations. Untyped: the shared materialized
-    # adjacency (graph.adj() — scanned once per graph instance, pre-hashed
-    # on the join key). Typed: a lazy per-call plan keeps the type filter
+    # static across iterations. Untyped: the shared lean pair adjacency
+    # (graph.adj_pairs() — built once per graph instance from the pruned
+    # 2-column scan). Typed: a lazy per-call plan keeps the type filter
     # and column pruning at the parquet scans, then materializes the
     # (small) filtered set.
     if rel_types:
         edges = (
             graph.edges_by_type(*rel_types).select("src", "dst")
-            .repartition("src").localCheckpoint(eager=True)
+            .localCheckpoint(eager=True)
         )
     else:
         edges = graph.adj_pairs()
@@ -74,54 +79,56 @@ def pagerank(
     if n == 0:
         return nodes.withColumn("pagerank", F.lit(0.0))
 
+    maybe_bcast = F.broadcast if n <= broadcast_state_max_nodes else (lambda df: df)
+
     out_deg = edges.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("out_degree")
     )
-    # (id, out_degree) — out_degree null ⇒ dangling node
-    ranks = nodes.join(out_deg, "id", "left_outer").withColumn(
-        "rank", F.lit(1.0 / n)
-    )
-    ranks = ranks.repartition("id").localCheckpoint(eager=True)
+    # static (id, out_degree) — out_degree null ⇒ dangling node
+    base = nodes.join(out_deg, "id", "left_outer").localCheckpoint(eager=True)
+    emitters = base.filter(F.col("out_degree").isNotNull())
 
-    for i in range(iterations):
+    def rank_expr(contrib_col, s_col):
+        return F.lit((1.0 - damping) / n) + F.lit(damping) * (
+            F.coalesce(contrib_col, F.lit(0.0)) + (F.lit(1.0) - s_col) / n
+        )
+
+    def mass(contribs: DataFrame):
+        return F.broadcast(
+            contribs.agg(F.coalesce(F.sum("contrib"), F.lit(0.0)).alias("s"))
+        )
+
+    contribs: DataFrame | None = None
+    for _ in range(iterations):
+        if contribs is None:  # first iteration: uniform ranks, no join
+            ranks = emitters.withColumn("rank", F.lit(1.0 / n))
+        else:
+            ranks = (
+                emitters.join(maybe_bcast(contribs), "id", "left_outer")
+                .crossJoin(mass(contribs))
+                .withColumn("rank", rank_expr(F.col("contrib"), F.col("s")))
+                .select("id", "out_degree", "rank")
+            )
         contribs = (
-            ranks.filter(F.col("out_degree").isNotNull())
-            .join(edges, ranks.id == edges.src)
-            .select(
-                F.col("dst").alias("id"),
-                (F.col("rank") / F.col("out_degree")).alias("contrib"),
+            maybe_bcast(
+                ranks.select(
+                    "id", (F.col("rank") / F.col("out_degree")).alias("c")
+                )
             )
-            .groupBy("id")
-            .agg(F.sum("contrib").alias("contrib"))
+            .join(edges, F.col("id") == edges.src)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("c").alias("contrib"))
+            .localCheckpoint(eager=True)
         )
-        # dangling mass = 1 − Σ contribs (mass conservation): Σ contribs
-        # equals the total rank of non-dangling nodes, and ranks sum to 1
-        # by induction. The aggregate reuses contribs' shuffle exchange
-        # (ReuseExchange) — no second pass over ranks, no driver collect.
-        contributed = F.broadcast(
-            contribs.agg(
-                F.coalesce(F.sum("contrib"), F.lit(0.0)).alias("contributed")
-            )
-        )
-        ranks = (
-            ranks.select("id", "out_degree")
-            .join(contribs, "id", "left_outer")
-            .crossJoin(contributed)
-            .withColumn(
-                "rank",
-                F.lit((1.0 - damping) / n)
-                + F.lit(damping)
-                * (
-                    F.coalesce(F.col("contrib"), F.lit(0.0))
-                    + (F.lit(1.0) - F.col("contributed")) / n
-                ),
-            )
-            .drop("contrib", "contributed")
-        )
-        if (i + 1) % checkpoint_interval == 0 or i == iterations - 1:
-            ranks = ranks.localCheckpoint(eager=True)
 
-    return ranks.select("id", F.col("rank").alias("pagerank"))
+    if contribs is None:  # iterations == 0
+        return nodes.withColumn("pagerank", F.lit(1.0 / n))
+    return (
+        base.join(contribs, "id", "left_outer")
+        .crossJoin(mass(contribs))
+        .withColumn("pagerank", rank_expr(F.col("contrib"), F.col("s")))
+        .select("id", "pagerank")
+    )
 
 
 def connected_components(graph, max_iterations: int = 30) -> DataFrame:
