@@ -350,6 +350,16 @@ def weighted_shortest_paths(
 
     carry = ["start_id", "end_id", "cost"] + (["node_path"] if with_paths else [])
 
+    # Per round ONE shuffle round + ONE checkpoint: candidates and the
+    # settled table are combined with a single full-outer join on the
+    # pair key; the checkpointed merged frame then yields both the
+    # improved frontier (a filter) and the updated best (a projection
+    # taking the per-key min) without further shuffles — both sides of
+    # the join are already unique per (start, end).
+    old_cols = ["start_id", "end_id", F.col("cost").alias("old_cost")]
+    if with_paths:
+        old_cols.append(F.col("node_path").alias("old_path"))
+
     for _ in range(max_iterations):
         relax = [
             "start_id",
@@ -361,18 +371,30 @@ def weighted_shortest_paths(
                 F.array_append(F.col("node_path"), F.col("dst")).alias("node_path")
             )
         cand = min_agg(frontier.join(e, frontier.end_id == e.src).select(*relax))
-        improved = (
-            cand.join(
-                best.select("start_id", "end_id", F.col("cost").alias("old_cost")),
-                ["start_id", "end_id"],
-                "left_outer",
-            )
-            .filter(F.col("old_cost").isNull() | (F.col("cost") < F.col("old_cost")))
-            .select(*carry)
+        merged = cand.join(
+            best.select(*old_cols), ["start_id", "end_id"], "full_outer"
         ).localCheckpoint(eager=True)
+        is_better = F.col("old_cost").isNull() | (
+            F.col("cost") < F.col("old_cost")
+        )
+        improved = merged.filter(
+            F.col("cost").isNotNull() & is_better
+        ).select(*carry)
         if improved.isEmpty():
             break
-        best = min_agg(best.unionByName(improved)).localCheckpoint(eager=True)
+        keep_new = F.col("cost").isNotNull() & is_better
+        settle = [
+            "start_id",
+            "end_id",
+            F.when(keep_new, F.col("cost")).otherwise(F.col("old_cost")).alias("cost"),
+        ]
+        if with_paths:
+            settle.append(
+                F.when(keep_new, F.col("node_path"))
+                .otherwise(F.col("old_path"))
+                .alias("node_path")
+            )
+        best = merged.select(*settle)  # lazy over the checkpoint — no 2nd job
         frontier = improved
 
     return best.select(*carry)
