@@ -55,11 +55,24 @@ def words_col(text_col) -> F.Column:
     )
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Ensure at least session-default parallelism for a per-row-heavy
+    stage. Small-file corpora arrive as 1 parquet partition, serializing
+    the whole explode/hash pipeline onto one core; one cheap row-shuffle
+    fixes that. A corpus that already has enough partitions (any real
+    multi-file table) is returned untouched."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def shingles(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
     """Distinct word n-gram shingles per doc → (doc_id, shingle, h) where
     h = H(shingle) % P."""
+    docs = spread(docs)
     w = words_col(F.col(text_col))
     # guard: sequence(1, k) with k < 1 would generate a DESCENDING range
     # in Spark — short docs must yield zero shingles instead
@@ -98,21 +111,21 @@ def exact_duplicates(
 def minhash_signatures(
     sh: DataFrame, n_perms: int = N_PERMS, seed: int = 7
 ) -> DataFrame:
-    """(doc_id, i, sig): minhash value per permutation. ``sh`` from
-    :func:`shingles`."""
-    spark = sh.sparkSession
-    perms = F.broadcast(
-        spark.createDataFrame(minhash_params(n_perms, seed), "i int, a long, b long")
-    )
-    return (
-        sh.crossJoin(perms)
-        .select(
-            "doc_id",
-            "i",
-            ((F.col("a") * F.col("h") + F.col("b")) % MERSENNE_P).alias("hv"),
-        )
-        .groupBy("doc_id", "i")
-        .agg(F.min("hv").alias("sig"))
+    """(doc_id, sigs array<long>): the full minhash signature per doc.
+    ``sh`` from :func:`shingles`.
+
+    One pass, no row blowup: each of the ``n_perms`` permutations is its
+    own ``min()`` aggregate over a codegen'd expression of the shingle
+    hash, so the shuffle carries one narrow row per doc instead of the
+    |shingles| × n_perms exploded table the naive perms-cross-join emits
+    (at sf0.1 that is 5M×32 = 160M intermediate rows saved)."""
+    mins = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE_P).alias(f"s{i}")
+        for i, a, b in minhash_params(n_perms, seed)
+    ]
+    wide = sh.groupBy("doc_id").agg(*mins)
+    return wide.select(
+        "doc_id", F.array(*[F.col(f"s{i}") for i in range(n_perms)]).alias("sigs")
     )
 
 
@@ -120,17 +133,25 @@ def lsh_candidate_pairs(
     sigs: DataFrame, n_perms: int = N_PERMS, n_bands: int = N_BANDS
 ) -> DataFrame:
     """Banded LSH: docs whose signature agrees on all rows of ≥1 band.
-    Returns distinct (a, b) with a < b."""
+    ``sigs`` from :func:`minhash_signatures` (doc_id, sigs). Returns
+    distinct (a, b) with a < b. The bucket join shuffles on
+    (band, band_key), so only same-bucket docs ever meet — never an
+    all-pairs comparison."""
     rows_per_band = n_perms // n_bands
-    banded = sigs.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
-    keys = banded.groupBy("doc_id", "band").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "sig"))),
-                lambda s: s["sig"].cast("string"),
-            ),
-            "-",
-        ).alias("band_key")
+    keys = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[
+                F.array_join(
+                    F.transform(
+                        F.slice(F.col("sigs"), b * rows_per_band + 1, rows_per_band),
+                        lambda s: s.cast("string"),
+                    ),
+                    "-",
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("band", "band_key"),
     )
     left = keys.select(F.col("doc_id").alias("a"), "band", "band_key")
     right = keys.select(F.col("doc_id").alias("b"), "band", "band_key")
@@ -146,7 +167,21 @@ def jaccard_verify(
     pairs: DataFrame, sh: DataFrame, threshold: float = 0.5
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs; keeps pairs ≥
-    threshold. Returns (a, b, jaccard)."""
+    threshold. Returns (a, b, jaccard).
+
+    The shingle table is first semi-joined down to docs that appear in a
+    candidate pair (candidates are post-LSH, i.e. a small fraction of the
+    corpus) so the intersect join shuffles only candidate shingles, not
+    the full shingle table twice."""
+    cand_docs = (
+        pairs.select(F.col("a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    # unhinted: AQE broadcasts the (small) candidate list at runtime, but
+    # nothing forces a driver-side collect if a pathological corpus makes
+    # candidates large
+    sh = sh.join(cand_docs, "doc_id", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a_sh = sh.select(F.col("doc_id").alias("a"), F.col("h").alias("h"))
     b_sh = sh.select(F.col("doc_id").alias("b"), F.col("h").alias("h"))

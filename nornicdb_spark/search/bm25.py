@@ -69,6 +69,9 @@ class BM25Index:
 
     @classmethod
     def build(cls, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> "BM25Index":
+        from nornicdb_spark.operators.dedup import spread
+
+        docs = spread(docs)  # single-file corpora arrive as 1 partition
         toks = docs.select(
             F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("tokens")
         )
