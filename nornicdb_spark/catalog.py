@@ -187,6 +187,25 @@ class PropertyGraph:
             return e.filter(F.col("type") == types[0])
         return e.filter(F.col("type").isin(list(types)))
 
+    def pairs_by_type(self, *types: str) -> DataFrame:
+        """Distinct (src, dst) pairs for the given relationship types,
+        checkpointed and memoized per graph instance — the per-type twin
+        of :meth:`adj_pairs` for operators that consume a typed
+        neighborhood repeatedly (link prediction, typed traversals).
+        Built from the LAZY edge plan so the type filter folds the
+        union's other branches away and pruning reaches the parquet
+        scans."""
+        key = tuple(sorted(types))
+        cache = getattr(self, "_typed_pairs", None)
+        if cache is None:
+            cache = self._typed_pairs = {}
+        if key not in cache:
+            base = self.edges_by_type(*types) if types else self.edges
+            cache[key] = (
+                base.select("src", "dst").distinct().localCheckpoint(eager=True)
+            )
+        return cache[key]
+
     @classmethod
     def from_star_schema(cls, cat: Catalog) -> "PropertyGraph":
         parts = []

@@ -231,39 +231,53 @@ def common_neighbors(
 
     Neighborhood = out-neighbors over ``rel_types``. Returns
     (a, b, common, jaccard, adamic_adar, resource_allocation,
-    preferential_attachment) for a < b. Self-join on the shared-neighbor key — the standard
-    distributed formulation (shuffle on neighbor id, skew-prone on hub
-    nodes; cap hub fan-out upstream if needed).
-    """
-    e = (graph.edges_by_type(*rel_types) if rel_types else graph.edges).select(
-        F.col("src").alias("node"), F.col("dst").alias("nbr")
-    ).distinct().localCheckpoint(eager=True)  # read 4× below (deg, nbr_deg, both join sides)
-    deg = e.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
-    nbr_deg = e.groupBy("nbr").agg(F.count(F.lit(1)).alias("nbr_in_deg"))
+    preferential_attachment) for a < b.
 
+    Shape: group edges by the shared neighbor, emit the sorted in-
+    neighbor list once per neighbor, and generate the C(d,2) ordered
+    pairs map-side from the list — one shuffle (the groupBy) replaces the
+    classic self-join's two, the in-degree rides along as ``size(list)``
+    instead of a third join, and the (a,b) aggregation partial-combines
+    before its shuffle. Skew profile is identical to the self-join (a
+    hub's quadratic pair stream lands on its neighbor key either way) —
+    the hub cap below is the mitigation.
+    """
+    e = graph.pairs_by_type(*rel_types).select(
+        F.col("src").alias("node"), F.col("dst").alias("nbr")
+    )
+    deg = e.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+
+    nbrs = e.groupBy("nbr").agg(
+        F.array_sort(F.collect_set("node")).alias("ns")
+    ).select(F.size("ns").alias("d"), "ns")
     # hub fan-out cap: a celebrity shared-neighbor z contributes
     # in_deg(z)² candidate pairs — at 100× scale one hub explodes the
-    # self-join. With the cap, neighbors above the ceiling are dropped
+    # pair stream. With the cap, neighbors above the ceiling are dropped
     # from the pair source (their AA/RA contribution is ~0 anyway:
     # 1/log(deg), 1/deg); scores become "hub-capped" per the standard
     # large-graph practice. None = exact.
-    pair_src = e
     if max_nbr_degree is not None:
-        pair_src = e.join(
-            nbr_deg.filter(F.col("nbr_in_deg") <= max_nbr_degree).select("nbr"),
-            "nbr",
+        nbrs = nbrs.filter(F.col("d") <= max_nbr_degree)
+    # all (a, b) with a < b from the sorted list, generated in the
+    # neighbor's partition: flatten(transform(ns, (x,i) → slice-after-i
+    # paired with x))
+    combos = F.flatten(
+        F.transform(
+            F.col("ns"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ns"), i + 2, F.size(F.col("ns"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
         )
-    a = pair_src.select(F.col("node").alias("a"), "nbr")
-    b = pair_src.select(F.col("node").alias("b"), "nbr")
+    )
     pairs = (
-        a.join(b, "nbr")
-        .filter(F.col("a") < F.col("b"))
-        .join(nbr_deg, "nbr")
+        nbrs.select("d", F.explode(combos).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "d")
         .groupBy("a", "b")
         .agg(
             F.count(F.lit(1)).alias("common"),
-            F.sum(1.0 / F.log(F.col("nbr_in_deg"))).alias("adamic_adar"),
-            F.sum(1.0 / F.col("nbr_in_deg")).alias("resource_allocation"),
+            F.sum(1.0 / F.log(F.col("d"))).alias("adamic_adar"),
+            F.sum(1.0 / F.col("d")).alias("resource_allocation"),
         )
         .filter(F.col("common") >= min_common)
     )
