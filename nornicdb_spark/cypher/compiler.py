@@ -1089,6 +1089,32 @@ class Compiler:
         "db.index.stats": lambda self, args: __import__(
             "nornicdb_spark.procedures", fromlist=["x"]
         ).db_index_stats(self.cat),
+        "db.stats.retrieve": lambda self, args: __import__(
+            "nornicdb_spark.procedures", fromlist=["x"]
+        ).db_stats_retrieve(
+            self.cat, *( [self._py_value(args[0])] if args else [] )
+        ),
+        "db.stats.collect": lambda self, args: __import__(
+            "nornicdb_spark.procedures", fromlist=["x"]
+        ).db_stats_collect(self.cat, *([self._py_value(args[0])] if args else [])),
+        "db.stats.stop": lambda self, args: __import__(
+            "nornicdb_spark.procedures", fromlist=["x"]
+        ).db_stats_collect(self.cat, *([self._py_value(args[0])] if args else [])),
+        "db.stats.clear": lambda self, args: __import__(
+            "nornicdb_spark.procedures", fromlist=["x"]
+        ).db_stats_collect(self.cat, *([self._py_value(args[0])] if args else [])),
+        "dbms.functions": lambda self, args: __import__(
+            "nornicdb_spark.procedures", fromlist=["x"]
+        ).dbms_functions(self.cat),
+        "dbms.clientconfig": lambda self, args: __import__(
+            "nornicdb_spark.procedures", fromlist=["x"]
+        ).dbms_client_config(self.cat),
+        "dbms.listconnections": lambda self, args: __import__(
+            "nornicdb_spark.procedures", fromlist=["x"]
+        ).dbms_list_connections(self.cat),
+        "tx.setmetadata": lambda self, args: __import__(
+            "nornicdb_spark.procedures", fromlist=["x"]
+        ).tx_set_meta_data(self.cat),
         "show.functions": lambda self, args: __import__(
             "nornicdb_spark.procedures", fromlist=["x"]
         ).show_functions(self.cat),

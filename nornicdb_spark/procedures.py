@@ -309,3 +309,53 @@ def show_limits(cat: Catalog) -> DataFrame:
         [("node_count", -1), ("relationship_count", -1)],
         "name string, value long",
     )
+
+
+def db_stats_retrieve(cat: Catalog, section: str = "GRAPH COUNTS") -> DataFrame:
+    """CALL db.stats.retrieve(section) (reference call.go db.stats.* ) —
+    graph count statistics as (section, data) rows; the batch analogue of
+    the reference's stats collector snapshot."""
+    g = cat.graph
+    rows = [
+        (section, "nodes", g.nodes.count()),
+        (section, "relationships", g.edges.count()),
+    ]
+    return cat.spark.createDataFrame(rows, "section string, name string, value long")
+
+
+def db_stats_collect(cat: Catalog, section: str = "QUERIES") -> DataFrame:
+    """CALL db.stats.collect/stop/clear — stats collection is always-on
+    in a batch engine (plans are one-shot); report success."""
+    return cat.spark.createDataFrame(
+        [(section, True, "batch engine: stats are computed per query")],
+        "section string, success boolean, message string",
+    )
+
+
+def dbms_functions(cat: Catalog) -> DataFrame:
+    """CALL dbms.functions() — same registry as SHOW FUNCTIONS."""
+    return show_functions(cat)
+
+
+def dbms_client_config(cat: Catalog) -> DataFrame:
+    """CALL dbms.clientConfig — reference returns the subset of config
+    relevant to drivers; we surface none (no wire protocol)."""
+    return cat.spark.createDataFrame([], "name string, value string")
+
+
+def dbms_list_connections(cat: Catalog) -> DataFrame:
+    """CALL dbms.listConnections — a batch engine has no long-lived
+    client connections; empty result with the reference's shape."""
+    return cat.spark.createDataFrame(
+        [],
+        "connectionId string, connectTime string, connector string, "
+        "username string, userAgent string, serverAddress string, "
+        "clientAddress string",
+    )
+
+
+def tx_set_meta_data(cat: Catalog) -> DataFrame:
+    """CALL tx.setMetaData(map) — transaction metadata is meaningless for
+    one-shot batch plans; accept and acknowledge (parser-level
+    compatibility, reference call.go tx.setMetaData)."""
+    return cat.spark.createDataFrame([(True,)], "success boolean")

@@ -964,6 +964,22 @@ def test_introspection_procedure_tail(eng):
     assert eng.cypher("CALL db.awaitIndexes").collect()[0].state == "ONLINE"
 
 
+def test_stats_and_connection_procedure_tail(eng):
+    # db.stats.* / dbms.functions / clientConfig / listConnections /
+    # tx.setMetaData (reference call.go:610-784) — the no-op-ish batch
+    # analogues still answer with the reference's shapes
+    stats = {r.name: r.value for r in eng.cypher(
+        "CALL db.stats.retrieve('GRAPH COUNTS')").collect()}
+    assert stats["nodes"] > 0 and stats["relationships"] > 0
+    assert eng.cypher("CALL db.stats.collect").collect()[0].success
+    assert eng.cypher("CALL db.stats.stop").collect()[0].success
+    fns = {r.name for r in eng.cypher("CALL dbms.functions").collect()}
+    assert "vector.similarity.cosine" in fns
+    assert eng.cypher("CALL dbms.clientConfig").count() == 0
+    assert eng.cypher("CALL dbms.listConnections").count() == 0
+    assert eng.cypher("CALL tx.setMetaData({app: 'test'})").collect()[0].success
+
+
 def test_show_commands(eng):
     # SHOW routing (reference executor_show.go) — each maps to the
     # matching procedure frame
