@@ -46,16 +46,29 @@ from nornicdb_spark.queries import cypher_queries  # noqa: E402,F401
 from nornicdb_spark.queries import relational  # noqa: E402,F401
 from nornicdb_spark.queries import graph  # noqa: E402,F401
 
-# Driver-window priority: (1) entries that failed or were first added this
-# round (need a fresh driver hash-stamp), (2) other oracle-backed queries,
-# (3) rows-only queries. Stable within each tier, family order above.
+# Driver-window priority (the harness verifies the first 50 registry
+# entries): (1) entries that failed in CORRECTNESS_r02 — all since fixed —
+# or that no round has checked yet, oracle-backed first; (2) other
+# oracle-backed queries; (3) rows-only queries. Stable within each tier,
+# family order above.
 _PRIORITY = (
+    # r02 failures, fixed this round (events ts-schema, list-cell hashing)
     "decay_scores", "sessionization", "co_access_pairs", "event_window_agg",
     "json_props_extract", "stream_windowed_counts", "stream_session_stats",
-    "cypher_vector_spatial_functions", "cypher_merge_rel",
-    "cypher_correlated_call", "cypher_varlen_bound_endpoint",
-    "cypher_index_mgmt", "spatial_polygon_contains", "cypher_apoc_run",
-    "proc_db_index_stats", "stream_access_tracker",
+    "cypher_vector_spatial_functions",
+    # oracle-backed, never driver-stamped
+    "cypher_merge_rel", "cypher_correlated_call",
+    "cypher_varlen_bound_endpoint", "cypher_index_mgmt",
+    "spatial_polygon_contains", "cypher_apoc_run", "proc_db_index_stats",
+    "stream_access_tracker", "graph_all_simple_paths", "graph_subgraph_nodes",
+    "graph_spanning_tree",
+    # rows-only, never driver-stamped (weaker rows-check is still a stamp)
+    "ann_hnsw", "ann_kmeans_pruned", "ann_lsh", "bm25_prefix_topk",
+    "dedup_embedding_lsh", "dedup_simhash_pairs", "multimodal_features",
+    "kalman_smooth", "kalman_velocity", "kalman_adaptive",
+    "graph_connected_components", "graph_label_propagation",
+    "graph_pagerank", "graph_louvain_supplier_communities",
+    "graph_fastrp_embeddings",
 )
 
 
