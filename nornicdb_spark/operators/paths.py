@@ -62,8 +62,12 @@ def var_length_paths(
         raise ValueError("need 0 <= min_hops <= max_hops")
     # the static edge set is reused every iteration — materialize once
     # (GraphX caches edges for exactly this reason; without it each
-    # round re-derives the union-of-parquet-scans edge projection)
-    edges = _oriented_edges(graph, rel_types, direction).localCheckpoint(eager=True)
+    # round re-derives the union-of-parquet-scans edge projection).
+    # Untyped out-edges are already a projection of the materialized
+    # shared adjacency — re-checkpointing that would copy it.
+    edges = _oriented_edges(graph, rel_types, direction)
+    if rel_types or direction != OUT:
+        edges = edges.localCheckpoint(eager=True)
 
     frontier = start.select(
         F.col("id").alias("start_id"),
@@ -89,6 +93,13 @@ def var_length_paths(
                 ),
             )
         )
+        if depth == max_hops:
+            # final depth: nothing iterates over this frontier again —
+            # let it flow lazily into the result union (checkpointing the
+            # deepest, largest frontier would materialize it twice)
+            if depth >= min_hops:
+                out.append(nxt.withColumn("depth", F.lit(depth)))
+            break
         frontier = nxt.localCheckpoint(eager=True)
         if depth >= min_hops:
             out.append(frontier.withColumn("depth", F.lit(depth)))
