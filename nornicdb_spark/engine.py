@@ -12,6 +12,56 @@ from nornicdb_spark.catalog import Catalog
 from nornicdb_spark.cypher.compiler import compile_cypher
 from nornicdb_spark.cypher.parser import parse
 
+# Parse-tree memo (reference QueryPlanCache(500) + analyzer AST cache,
+# executor.go:188-199): the AST is immutable once built — the compiler
+# only reads it — so one parse per distinct query text per process.
+_AST_CACHE: dict = {}
+_AST_CACHE_CAP = 1000
+
+# CALL targets that mutate catalog/index state — their results must not
+# be served from the read cache, and their presence marks a query as
+# writing. apoc.cypher.run/runMany execute arbitrary inner queries.
+_MUTATING_CALLS = (
+    "db.index.vector.create", "db.index.fulltext.create", "db.index.vector.drop",
+    "db.index.fulltext.drop", "db.create.setnodevectorproperty",
+    "apoc.periodic.", "apoc.cypher.",
+)
+
+
+def _cached_parse(query: str):
+    ast = _AST_CACHE.get(query)
+    if ast is None:
+        ast = parse(query)
+        if len(_AST_CACHE) >= _AST_CACHE_CAP:
+            _AST_CACHE.pop(next(iter(_AST_CACHE)))
+        _AST_CACHE[query] = ast
+    return ast
+
+
+def _is_read_only(q) -> bool:
+    """True when no clause (at any nesting level) writes — the gate for
+    the result cache, mirroring the reference's IsReadOnly analyzer bit
+    (query_info.go)."""
+    from nornicdb_spark.cypher import ast as A
+
+    for clause in getattr(q, "clauses", ()):
+        if isinstance(
+            clause,
+            (A.CreateClause, A.MergeClause, A.SetClause, A.RemoveClause,
+             A.DeleteClause, A.ForeachClause),
+        ):
+            return False
+        if isinstance(clause, A.CallClause):
+            name = (clause.proc or "").lower()
+            if any(name.startswith(m) for m in _MUTATING_CALLS):
+                return False
+        if isinstance(clause, A.CallSubquery) and not _is_read_only(clause.query):
+            return False
+    for _all, sub in getattr(q, "unions", ()):
+        if not _is_read_only(sub):
+            return False
+    return True
+
 
 class Engine:
     """One graph database over a directory of parquet tables.
@@ -19,6 +69,8 @@ class Engine:
     >>> eng = Engine(spark, "/root/testdata/sf0.001")
     >>> eng.cypher("MATCH (c:Customer) RETURN count(*) AS n").show()
     """
+
+    RESULT_CACHE_CAP = 256
 
     def __init__(self, spark: SparkSession, sf_dir: str):
         from nornicdb_spark.catalog import shared_catalog
@@ -28,6 +80,16 @@ class Engine:
         # are reused across Engines; writes live in this Engine's store
         self.catalog = shared_catalog(spark, sf_dir)
         self._store = None
+        # read-query result cache (reference SmartQueryCache,
+        # cache.go:476-560 / executor.go:659-692): keyed on
+        # (query, params, store snapshot). The cached value is the lazy
+        # compiled DataFrame — immutable plan, so re-serving it is safe;
+        # what's saved is parse+compile latency, not execution (Spark
+        # decides recompute-vs-cache of the data itself). Any write
+        # changes the store snapshot key, which invalidates everything —
+        # coarser than the reference's per-label invalidation, never
+        # stale.
+        self._result_cache: dict = {}
 
     @property
     def store(self):
@@ -46,7 +108,6 @@ class Engine:
         queries (CREATE/MERGE/SET/REMOVE/DELETE) mutate this Engine's
         store eagerly and return a one-row stats summary."""
         from nornicdb_spark.cypher.compiler import Compiler
-        from nornicdb_spark.cypher.parser import parse as _parse
 
         stripped = query.lstrip()
         head = stripped.split(None, 1)[0].upper() if stripped else ""
@@ -61,7 +122,39 @@ class Engine:
             # PROFILE runs the query; per-operator runtime rows are a
             # server-side concern — results come back like a plain run
             query = stripped.split(None, 1)[1]
-        return Compiler(self.catalog, params, store=self.store).compile(_parse(query))
+
+        ast = _cached_parse(query)
+        cache_key = None
+        if _is_read_only(ast):
+            # repr-encode params: values may be unhashable (list-valued
+            # vector parameters), and repr is deterministic for the
+            # literal types Cypher parameters allow
+            pkey = repr(sorted((params or {}).items(), key=lambda kv: kv[0]))
+            cache_key = (query, pkey, self._store_snapshot())
+            hit = self._result_cache.get(cache_key)
+            if hit is not None:
+                return hit
+        df = Compiler(self.catalog, params, store=self.store).compile(ast)
+        if cache_key is not None:
+            if len(self._result_cache) >= self.RESULT_CACHE_CAP:
+                self._result_cache.pop(next(iter(self._result_cache)))
+            self._result_cache[cache_key] = df
+        return df
+
+    def _store_snapshot(self):
+        """Identity snapshot of the mutable store — every write swaps in
+        new DataFrames, so object identities change with any mutation.
+        A pristine Engine (no store yet) snapshots as None."""
+        ic = getattr(self.catalog, "_index_catalog", None)
+        ic_key = tuple(sorted(ic._defs)) if ic is not None else None
+        s = self.store  # instantiate: compile() will create it anyway
+        return (
+            tuple(sorted((k, id(v)) for k, v in s.tables.items())),
+            id(s.edges),
+            s._dyn_counter,
+            s._edge_batch,
+            ic_key,
+        )
 
     def explain(self, query: str, params: dict | None = None) -> str:
         """EXPLAIN (reference explain.go:37-63): parsed clause summary +

@@ -1000,3 +1000,30 @@ def test_explain_and_profile_prefixes(eng):
     assert len(e) == 1 and "Physical plan" in e[0].plan
     p = eng.cypher("PROFILE MATCH (r:Region) RETURN count(*) AS n").collect()
     assert p[0].n == 5
+
+
+def test_result_and_ast_caches(eng):
+    # result cache (reference SmartQueryCache, cache.go:476-560): repeated
+    # read-only query with identical params returns the SAME compiled
+    # DataFrame; a write invalidates it
+    q = "MATCH (c:Customer) WHERE c.c_acctbal > $x RETURN count(*) AS n"
+    a = eng.cypher(q, {"x": 100})
+    b = eng.cypher(q, {"x": 100})
+    assert a is b
+    assert eng.cypher(q, {"x": 500}) is not a  # params key the cache
+    n_before = a.collect()[0].n
+    eng.cypher("CREATE (c:Customer {c_custkey: 999999, c_acctbal: 101.0})")
+    c = eng.cypher(q, {"x": 100})
+    assert c is not a  # write → new store snapshot → miss
+    assert c.collect()[0].n == n_before + 1
+    # writes are never cached
+    w = "CREATE (t:Tag {name: 'x'})"
+    eng.cypher(w)
+    from nornicdb_spark.engine import _is_read_only, _cached_parse
+    assert not _is_read_only(_cached_parse(w))
+    # index DDL invalidates introspection reads
+    idx_before = eng.cypher("CALL db.indexes")
+    eng.cypher(
+        "CALL db.index.vector.createNodeIndex('cache_t', 'Embedding', 'embedding', 64)"
+    )
+    assert eng.cypher("CALL db.indexes") is not idx_before
