@@ -119,3 +119,66 @@ def fingerprints(
     return docs.select(
         F.col(id_col).alias("doc_id"), F.md5(normalized).alias("fingerprint")
     )
+
+
+def corpus_clean(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.45,
+    langs: tuple[str, ...] = ("en",),
+) -> DataFrame:
+    """End-to-end training-corpus cleaning: quality floor + language
+    allowlist + exact-duplicate removal (per content hash only the min-id
+    doc survives) — the standard first pass of an LLM data pipeline,
+    composed entirely of codegen'd column expressions (no Python in the
+    hot path). Returns (doc_id, lang_pred, quality) for survivors.
+
+    Scale: two narrow joins on doc_id plus one groupBy on the content
+    hash; every stage partial-aggregates before its shuffle.
+    """
+    qs = quality_scores(docs, id_col, text_col).select("doc_id", "quality")
+    li = language_id(docs, id_col, text_col).select("doc_id", "lang_pred")
+    keepers = (
+        docs.groupBy(F.md5(F.col(text_col)).alias("_h"))
+        .agg(F.min(id_col).alias("doc_id"))
+        .select("doc_id")
+    )
+    return (
+        qs.join(li, "doc_id")
+        .join(keepers, "doc_id", "left_semi")
+        .filter(
+            (F.col("quality") >= min_quality)
+            & F.col("lang_pred").isin(list(langs))
+        )
+        .select("doc_id", "lang_pred", "quality")
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, int] | None = None,
+    default_rate: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic stratified sampling by predicted language: keep a
+    doc iff ``h60(doc_id) % 100 < rate[lang]`` (rates in percent).
+    Hash-mod sampling instead of ``rand()`` so the sample is reproducible
+    run-to-run, oracle-checkable, and stable under repartitioning — the
+    properties a training-data pipeline needs from a sample. Returns
+    (doc_id, lang_pred, bucket).
+    """
+    from nornicdb_spark.operators.dedup import h60
+
+    rates = rates or {"en": 10}
+    li = language_id(docs, id_col, text_col).select("doc_id", "lang_pred")
+    bucket = h60(F.col("doc_id").cast("string")) % 100
+    rate = F.lit(default_rate)
+    for lang, r in sorted(rates.items()):
+        rate = F.when(F.col("lang_pred") == lang, F.lit(r)).otherwise(rate)
+    return (
+        li.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < rate)
+        .select("doc_id", "lang_pred", "bucket")
+    )

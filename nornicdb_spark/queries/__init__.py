@@ -56,7 +56,8 @@ _PRIORITY = (
     "decay_scores", "sessionization", "co_access_pairs", "event_window_agg",
     "json_props_extract", "stream_windowed_counts", "stream_session_stats",
     "cypher_vector_spatial_functions",
-    # oracle-backed, never driver-stamped
+    # oracle-backed, never driver-stamped (incl. queries new this round)
+    "corpus_quality_filter", "corpus_stratified_sample",
     "cypher_merge_rel", "cypher_correlated_call",
     "cypher_varlen_bound_endpoint", "cypher_index_mgmt",
     "spatial_polygon_contains", "cypher_apoc_run", "proc_db_index_stats",

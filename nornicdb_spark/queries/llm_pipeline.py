@@ -362,3 +362,81 @@ def multimodal_frame_plan(spark, sf_dir):
     docs = Catalog(spark, sf_dir).documents
     media = multimodal.synthesize_media(docs)
     return multimodal.frame_sample_plan(media, every_ms=1000)
+
+
+_QUALITY_LANG_SQL = rf"""
+base AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n,
+         CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+              AS DOUBLE) AS alpha,
+         CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))
+              AS DOUBLE) AS punct,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> length(x) > 0) AS w
+  FROM documents
+),
+quality AS (
+  SELECT doc_id,
+         0.5 * (alpha / n) + 0.3 * (1 - punct / n)
+           + 0.2 * least(CASE WHEN len(w) > 0
+                THEN CAST(len(list_filter(w, x -> x IN
+                     ('the','and','of','to','is','in','that','it','for','on')))
+                     AS DOUBLE) / len(w) ELSE 0.0 END * 5, 1.0) AS quality
+  FROM base
+),
+lang AS (
+  SELECT doc_id,
+         CASE WHEN s_de = greatest(s_de, s_en, s_es) THEN 'de'
+              WHEN s_en = greatest(s_de, s_en, s_es) THEN 'en'
+              ELSE 'es' END AS lang_pred
+  FROM (
+    SELECT doc_id,
+           {_lang_score_sql('de')} AS s_de,
+           {_lang_score_sql('en')} AS s_en,
+           {_lang_score_sql('es')} AS s_es
+    FROM base
+  )
+)
+"""
+
+
+@register(
+    "corpus_quality_filter",
+    oracle=f"""
+    WITH {_QUALITY_LANG_SQL},
+    keepers AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    )
+    SELECT q.doc_id, l.lang_pred, q.quality
+    FROM quality q JOIN lang l USING (doc_id)
+    JOIN keepers k USING (doc_id)
+    WHERE q.quality >= 0.45 AND l.lang_pred = 'en'
+    """,
+)
+def corpus_quality_filter(spark, sf_dir):
+    # End-to-end corpus cleaning: quality floor + language allowlist +
+    # exact-dup survivors only — the canonical LLM-pipeline first pass.
+    docs = Catalog(spark, sf_dir).documents
+    return textops.corpus_clean(docs, min_quality=0.45, langs=("en",))
+
+
+@register(
+    "corpus_stratified_sample",
+    oracle=f"""
+    WITH {_QUALITY_LANG_SQL},
+    bucketed AS (
+      SELECT doc_id, lang_pred,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 100 AS bucket
+      FROM lang
+    )
+    SELECT doc_id, lang_pred, bucket FROM bucketed
+    WHERE bucket < (CASE WHEN lang_pred = 'en' THEN 10 ELSE 20 END)
+    """,
+)
+def corpus_stratified_sample(spark, sf_dir):
+    # Deterministic hash-mod stratified sampling by language: 10% of 'en',
+    # 20% of everything else — reproducible (no rand()), oracle-checkable.
+    docs = Catalog(spark, sf_dir).documents
+    return textops.stratified_sample(docs, rates={"en": 10}, default_rate=20)
