@@ -2295,6 +2295,25 @@ class Compiler:
                 return KS.kalman_state_value(self._expr(args[0]))
             if name == "kalman.reset":
                 return KS.kalman_reset(self._expr(args[0]))
+            if name == "kalman.velocity.init":
+                pos = self._py_value(args[0]) if args else None
+                vel = self._py_value(args[1]) if len(args) > 1 else None
+                return KS.kalman_velocity_init(pos, vel)
+            if name == "kalman.velocity.process":
+                return KS.kalman_velocity_process(
+                    self._expr(args[0]), self._expr(args[1])
+                )
+            if name == "kalman.velocity.predict":
+                return KS.kalman_velocity_predict(
+                    self._expr(args[0]), self._expr(args[1])
+                )
+            if name == "kalman.adaptive.init":
+                cfg = self._py_value(args[0]) if args else None
+                return KS.kalman_adaptive_init(cfg)
+            if name == "kalman.adaptive.process":
+                return KS.kalman_adaptive_process(
+                    self._expr(args[0]), self._expr(args[1])
+                )
 
         if name.startswith("duration"):
             from nornicdb_spark.functions import temporal as T
@@ -2458,6 +2477,16 @@ class Compiler:
             return F.to_date(cols[0]) if cols else F.current_date()
         if name == "datetime":
             return F.to_timestamp(cols[0]) if cols else F.current_timestamp()
+        if name == "time":
+            # time-of-day as HH:mm:ss (reference executor_show.go:126
+            # time(); no TIME type in Spark — string form, like the
+            # reference's string-backed temporal values)
+            src_ts = F.to_timestamp(cols[0]) if cols else F.current_timestamp()
+            return F.date_format(src_ts, "HH:mm:ss")
+        if name == "exists" and cols:
+            # scalar exists(expr) — true iff not null (executor_show.go:136);
+            # pattern EXISTS{} is handled by the subquery path, not here
+            return cols[0].isNotNull()
 
         # vector similarity (reference executor_show.go:151-152,
         # call_vector.go:153-232 — euclidean similarity is 1/(1+d²))

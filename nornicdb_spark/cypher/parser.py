@@ -613,6 +613,16 @@ class Parser:
             if kw == "CASE":
                 return self.parse_case()
             if kw == "EXISTS":
+                if self.at("OP", "(", k=1):
+                    # scalar exists(expr) — not-null test (reference
+                    # executor_show.go:136); also exists((a)-[..]->(b))
+                    # legacy pattern form is NOT supported, matching the
+                    # modern EXISTS{} recommendation
+                    self.take()
+                    self.take()
+                    inner = self.parse_expr()
+                    self.expect("OP", ")")
+                    return A.Func("exists", (inner,))
                 self.take()
                 self.expect("OP", "{")
                 self.accept("KEYWORD", "MATCH")  # full-form tolerated

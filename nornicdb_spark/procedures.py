@@ -262,9 +262,12 @@ FUNCTION_SURFACE = {
              "tan", "asin", "acos", "atan", "atan2", "log", "log10", "exp",
              "pi", "e", "power", "degrees", "radians", "haversin", "isNaN",
              "rand", "randomUUID"],
-    "temporal": ["timestamp", "date", "datetime", "duration",
+    "temporal": ["timestamp", "date", "datetime", "time", "duration",
                  "duration.between", "duration.inDays", "duration.inMonths",
                  "duration.inSeconds"],
+    "aggregating": ["count", "sum", "avg", "min", "max", "collect",
+                    "stDev", "stDevP", "percentileCont", "percentileDisc"],
+    "predicate": ["exists", "isEmpty"],
     "spatial": ["point", "distance", "point.distance", "polygon",
                 "lineString", "point.intersects", "point.contains",
                 "point.withinBBox", "point.withinDistance", "point.x",
@@ -272,7 +275,9 @@ FUNCTION_SURFACE = {
                 "point.crs"],
     "vector": ["vector.similarity.cosine", "vector.similarity.euclidean"],
     "kalman": ["kalman.init", "kalman.process", "kalman.predict",
-               "kalman.state", "kalman.reset"],
+               "kalman.state", "kalman.reset", "kalman.velocity.init",
+               "kalman.velocity.process", "kalman.velocity.predict",
+               "kalman.adaptive.init", "kalman.adaptive.process"],
 }
 
 

@@ -1027,3 +1027,84 @@ def test_result_and_ast_caches(eng):
         "CALL db.index.vector.createNodeIndex('cache_t', 'Embedding', 'embedding', 64)"
     )
     assert eng.cypher("CALL db.indexes") is not idx_before
+
+
+# Every function name the reference advertises via SHOW FUNCTIONS
+# (executor_show.go:73-160) — the surface-parity contract.
+_REFERENCE_SHOW_FUNCTIONS = """
+id elementId labels type keys properties coalesce head last tail size length
+reverse range toString toInteger toFloat toBoolean toLower toUpper trim ltrim
+rtrim replace split substring left right abs ceil floor round sign sqrt rand
+randomUUID sin cos tan log log10 exp pi e timestamp datetime date time count
+sum avg min max collect exists isEmpty all any none single point distance
+polygon lineString point.intersects point.contains vector.similarity.cosine
+vector.similarity.euclidean kalman.init kalman.process kalman.predict
+kalman.state kalman.reset kalman.velocity.init kalman.velocity.process
+kalman.velocity.predict kalman.adaptive.init kalman.adaptive.process
+""".split()
+
+
+def test_function_surface_covers_reference(eng):
+    ours = {r.name for r in eng.cypher("SHOW FUNCTIONS").collect()}
+    missing = [f for f in _REFERENCE_SHOW_FUNCTIONS if f not in ours]
+    assert not missing, f"advertised surface missing: {missing}"
+
+
+def test_time_and_scalar_exists(eng):
+    r = eng.cypher(
+        "RETURN time('2024-03-05 13:45:09') AS t, exists(1) AS e1, "
+        "exists(null) AS e0"
+    ).collect()[0]
+    assert (r.t, r.e1, r.e0) == ("13:45:09", True, False)
+
+
+def test_kalman_velocity_scalar_chain(eng):
+    # two steps of a rising series: velocity must come out positive, and
+    # predict() must extrapolate beyond the current position
+    r = eng.cypher(
+        """WITH kalman.velocity.init() AS s0
+           WITH kalman.velocity.process(1.0, s0) AS r1
+           WITH r1, kalman.velocity.process(2.0, r1.state) AS r2
+           RETURN r2.value AS v, r2.velocity AS vel,
+                  kalman.velocity.predict(r2.state, 3) AS p3"""
+    ).collect()[0]
+    assert r.vel > 0
+    assert r.p3 > r.v
+    # cross-check the filter math against a plain-python replica of the
+    # reference's predict/update equations (kalman_functions.go:600-660)
+    def step(z, pos, vel, p, qp=0.1, qv=0.01, rr=1.0, dt=1.0):
+        pp = pos + vel * dt
+        p00, p01, p10, p11 = p
+        a = p00 + dt*p10 + dt*p01 + dt*dt*p11 + qp
+        b2 = p01 + dt*p11
+        c = p10 + dt*p11
+        d = p11 + qv
+        s = a + rr
+        k0, k1 = a/s, c/s
+        inn = z - pp
+        return (pp + k0*inn, vel + k1*inn,
+                [(1-k0)*a, (1-k0)*b2, c - k1*a, d - k1*b2])
+    pos, vel, p = 0.0, 0.0, [100.0, 0.0, 0.0, 10.0]
+    pos, vel, p = step(1.0, pos, vel, p)
+    pos, vel, p = step(2.0, pos, vel, p)
+    assert abs(r.v - pos) < 1e-9
+    assert abs(r.vel - vel) < 1e-9
+
+
+def test_kalman_adaptive_scalar_switches_mode(eng):
+    # hysteresis=1 and a strong trend: one step in basic mode computes a
+    # trend above the threshold and switches to velocity mode
+    r = eng.cypher(
+        """WITH kalman.adaptive.init({hysteresis: 1, trendThreshold: 0.001}) AS s0
+           WITH kalman.adaptive.process(5.0, s0) AS r1
+           WITH r1, kalman.adaptive.process(10.0, r1.state) AS r2
+           RETURN r1.mode AS m1, r2.mode AS m2"""
+    ).collect()[0]
+    assert r.m2 == "velocity"
+    # reset detects the filter family from the state JSON
+    r2 = eng.cypher(
+        """WITH kalman.velocity.init(3.0, 1.0) AS sv
+           RETURN kalman.state(kalman.reset(sv)) IS NOT NULL AS ok,
+                  kalman.velocity.predict(kalman.reset(sv), 5) AS p"""
+    ).collect()[0]
+    assert r2.p == 0.0  # reset → default zeroed velocity state
