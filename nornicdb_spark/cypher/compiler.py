@@ -2407,6 +2407,26 @@ class Compiler:
             return F.substr(
                 cols[0], F.length(cols[0]) - cols[1].cast("int") + 1, cols[1].cast("int")
             )
+        if name == "char_length":
+            return F.length(cols[0])
+        if name == "btrim":
+            return F.btrim(cols[0], cols[1]) if len(cols) > 1 else F.btrim(cols[0])
+        if name == "format":
+            return F.format_string(self._lit_value(args[0]), *cols[1:])
+        if name == "indexof":
+            # 0-based first occurrence, −1 when absent (apoc.text.indexOf
+            # semantics; the reference routes string indexOf there)
+            return F.instr(cols[0], cols[1]) - 1
+        if name == "normalize":
+            # Unicode NFC/NFD/NFKC/NFKD normalization — no JVM-native
+            # expression exists; Arrow-batched pandas UDF (the sanctioned
+            # Python path, SURVEY §2.12), not a row-at-a-time UDF
+            form = (
+                str(self._lit_value(args[1])).upper() if len(args) > 1 else "NFC"
+            )
+            from nornicdb_spark.functions.strings import unicode_normalize
+
+            return unicode_normalize(cols[0], form)
         if name == "lpad":
             return F.lpad(cols[0], int(self._lit_value(args[1])), self._lit_value(args[2]))
         if name == "rpad":
@@ -2414,11 +2434,48 @@ class Compiler:
         if name == "tostring":
             return cols[0].cast("string")
         if name in ("tointeger", "tointegerornull"):
-            return F.try_cast(cols[0].cast("string"), "long") if name.endswith("ornull") else cols[0].cast("long")
+            if name.endswith("ornull"):
+                return cols[0].cast("string").try_cast("long")
+            return cols[0].cast("long")
         if name in ("tofloat", "tofloatornull"):
+            if name.endswith("ornull"):
+                return cols[0].cast("string").try_cast("double")
             return cols[0].cast("double")
         if name == "toboolean":
             return cols[0].cast("boolean")
+        if name == "tostringornull":
+            return cols[0].try_cast("string")
+        if name == "tobooleanornull":
+            return cols[0].try_cast("boolean")
+        if name in (
+            "tostringlist", "tointegerlist", "tofloatlist", "tobooleanlist"
+        ):
+            target = {"tostringlist": "string", "tointegerlist": "long",
+                      "tofloatlist": "double", "tobooleanlist": "boolean"}[name]
+            # per-element try-cast: non-convertible entries become null,
+            # matching the reference's element-wise coercion
+            # (functions_eval_functions.go:952-1002)
+            return F.transform(cols[0], lambda x: x.try_cast(target))
+        if name == "valuetype":
+            # Cypher type name of the value (functions_eval_functions.go:
+            # 1004-1026); static — Spark columns are typed at plan time
+            t = self._dtype_ast(args[0])
+            base = (t or "").lower()
+            if base in ("bigint", "int", "long", "smallint", "tinyint"):
+                return F.lit("INTEGER")
+            if base in ("double", "float", "decimal"):
+                return F.lit("FLOAT")
+            if base == "string":
+                return F.lit("STRING")
+            if base == "boolean":
+                return F.lit("BOOLEAN")
+            if base.startswith("array"):
+                return F.lit("LIST")
+            if base.startswith("map") or base.startswith("struct"):
+                return F.lit("MAP")
+            if base in ("void", "null"):
+                return F.lit("NULL")
+            return F.lit("ANY")
         if name == "coalesce":
             return F.coalesce(*cols)
         if name == "nullif":
@@ -2439,6 +2496,15 @@ class Compiler:
             return F.sqrt(cols[0])
         if name in ("sin", "cos", "tan", "asin", "acos", "atan", "exp", "log10"):
             return getattr(F, name)(cols[0])
+        if name in ("sinh", "cosh", "tanh"):
+            return getattr(F, name)(cols[0])
+        if name == "cot":
+            return F.lit(1.0) / F.tan(cols[0])
+        if name == "coth":
+            return F.lit(1.0) / F.tanh(cols[0])
+        if name == "haversin":
+            # half versine = (1 − cos(x)) / 2 (functions_eval_math.go:178)
+            return (F.lit(1.0) - F.cos(cols[0])) / 2
         if name == "atan2":
             return F.atan2(cols[0], cols[1])
         if name == "log":

@@ -41,6 +41,25 @@ class Token:
     pos: int
 
 
+_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f",
+            "\\": "\\", "'": "'", '"': '"'}
+
+
+def _unescape(s: str) -> str:
+    r"""Cypher string-literal escapes (\n, \t, \u-hex, quotes). Processed
+    per-escape — NOT via the bytes/unicode_escape round-trip, which
+    latin-1-mangles any non-ASCII character in the literal."""
+    import re as _re
+
+    def sub(m):
+        g = m.group(1)
+        if g.startswith("u"):
+            return chr(int(g[1:], 16))
+        return _ESCAPES.get(g, g)
+
+    return _re.sub(r"\\(u[0-9a-fA-F]{4}|.)", sub, s)
+
+
 def tokenize(text: str) -> list[Token]:
     out: list[Token] = []
     i = 0
@@ -54,7 +73,7 @@ def tokenize(text: str) -> list[Token]:
         if kind == "WS":
             continue
         if kind == "STRING":
-            val = bytes(val[1:-1], "utf-8").decode("unicode_escape")
+            val = _unescape(val[1:-1])
         elif kind == "PARAM":
             val = val[1:]
         elif kind == "NAME":

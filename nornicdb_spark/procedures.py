@@ -255,11 +255,15 @@ FUNCTION_SURFACE = {
              "all", "any", "none", "single", "nodes", "relationships",
              "length"],
     "conversion": ["toString", "toInteger", "toFloat", "toBoolean",
-                   "toStringList", "toIntegerList", "toFloatList"],
-    "string": ["toLower", "toUpper", "trim", "ltrim", "rtrim", "replace",
-               "split", "substring", "left", "right", "lpad", "rpad"],
+                   "toStringList", "toIntegerList", "toFloatList",
+                   "toBooleanList", "toStringOrNull", "toIntegerOrNull",
+                   "toFloatOrNull", "toBooleanOrNull", "valueType"],
+    "string": ["toLower", "toUpper", "trim", "ltrim", "rtrim", "btrim",
+               "replace", "split", "substring", "left", "right", "lpad",
+               "rpad", "normalize", "char_length", "format", "indexOf"],
     "math": ["abs", "ceil", "floor", "round", "sign", "sqrt", "sin", "cos",
-             "tan", "asin", "acos", "atan", "atan2", "log", "log10", "exp",
+             "tan", "asin", "acos", "atan", "atan2", "sinh", "cosh", "tanh",
+             "cot", "coth", "log", "log10", "exp",
              "pi", "e", "power", "degrees", "radians", "haversin", "isNaN",
              "rand", "randomUUID"],
     "temporal": ["timestamp", "date", "datetime", "time", "duration",

@@ -1108,3 +1108,36 @@ def test_kalman_adaptive_scalar_switches_mode(eng):
                   kalman.velocity.predict(kalman.reset(sv), 5) AS p"""
     ).collect()[0]
     assert r2.p == 0.0  # reset → default zeroed velocity state
+
+
+def test_scalar_function_tail(eng):
+    import math
+
+    r = eng.cypher(
+        """RETURN sinh(1.0) AS sh, cot(1.0) AS ct, haversin(2.0) AS hv,
+                  toBooleanList(['true', 'x', 'false']) AS bl,
+                  toIntegerOrNull('abc') AS bad, toIntegerOrNull('7') AS ok,
+                  valueType(1) AS vt_i, valueType('s') AS vt_s,
+                  valueType([1]) AS vt_l,
+                  btrim('xxaxx', 'x') AS bt, char_length('abc') AS cl,
+                  format('%s-%d', 'a', 3) AS fm, indexOf('hello', 'll') AS ix,
+                  normalize('café') AS nn"""
+    ).collect()[0]
+    assert abs(r.sh - math.sinh(1.0)) < 1e-12
+    assert abs(r.ct - 1 / math.tan(1.0)) < 1e-12
+    assert abs(r.hv - (1 - math.cos(2.0)) / 2) < 1e-12
+    assert r.bl == [True, None, False]
+    assert r.bad is None and r.ok == 7
+    assert (r.vt_i, r.vt_s, r.vt_l) == ("INTEGER", "STRING", "LIST")
+    assert r.bt == "a" and r.cl == 3 and r.fm == "a-3" and r.ix == 2
+    assert r.nn == "café"  # NFC composes e + combining acute
+
+
+def test_unicode_string_literals_roundtrip(eng):
+    # regression: the lexer's bytes→unicode_escape round-trip latin-1-
+    # mangled any non-ASCII literal ('café' → 'cafÃ©')
+    r = eng.cypher(
+        "RETURN 'café' AS c, 'naïve—旅' AS u, 'a\\nb' AS esc, '\\u0041' AS hex"
+    ).collect()[0]
+    assert r.c == "café" and r.u == "naïve—旅"
+    assert r.esc == "a\nb" and r.hex == "A"
