@@ -201,6 +201,26 @@ class Parser:
                     self.take()
                     sub = self.parse_single_query()
                     self.expect("OP", "}")
+                    # CALL { } IN TRANSACTIONS [OF n ROWS] — batched
+                    # commit is a wire/OLTP concern (reference
+                    # executor_subqueries.go CALL..IN TRANSACTIONS); in a
+                    # batch engine the whole job is one snapshot, so the
+                    # suffix is accepted and ignored
+                    nxt = self.peek()
+                    if (
+                        nxt.value.upper() == "IN"
+                        and self.toks[self.i + 1].value.upper() == "TRANSACTIONS"
+                    ):
+                        self.take()
+                        self.take()
+                        if self.peek().value.upper() == "OF":
+                            self.take()
+                            self.take()  # row count
+                            if self.peek().value.upper() != "ROWS":
+                                raise SyntaxError(
+                                    "cypher: expected ROWS after OF <n>"
+                                )
+                            self.take()
                     clauses.append(A.CallSubquery(query=sub))
                     continue
                 clauses.append(self.parse_call())

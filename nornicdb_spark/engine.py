@@ -111,6 +111,26 @@ class Engine:
 
         stripped = query.lstrip()
         head = stripped.split(None, 1)[0].upper() if stripped else ""
+        if head in ("USE", ":USE"):
+            # `:USE db` / `USE db` prefix (reference executor.go:490-541
+            # database extraction). An Engine maps 1:1 to a catalog
+            # directory — the named database must be THIS one (or the
+            # Neo4j default alias); cross-database routing is done by
+            # holding one Engine per directory (see multidb.py for
+            # composite graph views).
+            parts = stripped.split(None, 2)
+            if len(parts) < 3:
+                raise ValueError("USE requires a database name and a query")
+            name = parts[1].strip("`;")
+            known = {"neo4j", "default", self.catalog.sf_dir.rsplit("/", 1)[-1]}
+            if name.lower() not in known:
+                raise ValueError(
+                    f"database {name!r} not attached to this engine "
+                    f"(attached: {sorted(known)})"
+                )
+            query = parts[2]
+            stripped = query.lstrip()
+            head = stripped.split(None, 1)[0].upper() if stripped else ""
         if head == "EXPLAIN":
             # Neo4j EXPLAIN: plan only, nothing executes (reference
             # explain.go:37-63) — one row with the formatted Spark plan

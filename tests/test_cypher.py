@@ -1141,3 +1141,17 @@ def test_unicode_string_literals_roundtrip(eng):
     ).collect()[0]
     assert r.c == "café" and r.u == "naïve—旅"
     assert r.esc == "a\nb" and r.hex == "A"
+
+
+def test_use_prefix_and_call_in_transactions(eng):
+    # :USE db prefix (reference executor.go:490-541) + CALL {} IN
+    # TRANSACTIONS batching suffix (a no-op in one-snapshot batch runs)
+    n1 = eng.cypher("USE neo4j MATCH (r:Region) RETURN count(*) AS n").collect()[0].n
+    n2 = eng.cypher(
+        """CALL { MATCH (r:Region) RETURN r.r_name AS name } IN TRANSACTIONS OF 100 ROWS
+           RETURN count(*) AS n"""
+    ).collect()[0].n
+    assert n1 == n2 == 5
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not attached"):
+        eng.cypher("USE otherdb MATCH (n) RETURN n")
