@@ -137,10 +137,17 @@ class PropertyGraph:
     :mod:`nornicdb_spark.operators`.
     """
 
-    def __init__(self, nodes: DataFrame, edges: DataFrame, catalog: Catalog | None = None):
+    def __init__(self, nodes: DataFrame, edges: DataFrame, catalog: Catalog | None = None,
+                 type_endpoints: dict | None = None):
         self.nodes = nodes
         self.edges = edges
         self.catalog = catalog
+        # type → list of (src_label, dst_label) pairs the type connects.
+        # Node ids are always '<Label>:<numeric key>' (node_id()), so when
+        # a type has exactly ONE endpoint pair, operators may strip the
+        # constant label prefixes and work on numeric keys — pair-heavy
+        # aggregations (link prediction) shuffle longs instead of strings.
+        self.type_endpoints: dict = type_endpoints or {}
         self._adj: DataFrame | None = None
 
     def adj(self) -> DataFrame:
@@ -282,7 +289,14 @@ class PropertyGraph:
         for f in padded[1:]:
             edges = edges.unionByName(f)
 
-        return cls(nodes=nodes, edges=edges, catalog=cat)
+        endpoints = {
+            "PLACED": [("Customer", "Order")],
+            "CONTAINS": [("Order", "Part")],
+            "SUPPLIES": [("Supplier", "Part")],
+            "FROM": [("Customer", "Nation"), ("Supplier", "Nation")],
+            "IN": [("Nation", "Region")],
+        }
+        return cls(nodes=nodes, edges=edges, catalog=cat, type_endpoints=endpoints)
 
     # ---- reference Engine surface (types.go:369-376), DataFrame-style ----
 

@@ -245,11 +245,38 @@ def common_neighbors(
     e = graph.pairs_by_type(*rel_types).select(
         F.col("src").alias("node"), F.col("dst").alias("nbr")
     )
+
+    # Numeric fast path: node ids are '<Label>:<key>'. When the (single)
+    # rel type connects exactly one (src,dst) label pair, the prefixes
+    # are constants — strip them and run the whole pair pipeline on
+    # longs (the quadratic pair stream then shuffles 16-byte keys, not
+    # ~25-byte strings; ~3× faster at sf0.1). Every score is symmetric
+    # in (a,b), so aggregating in numeric orientation and restoring the
+    # engine's lexicographic orientation at output is value-identical.
+    eps = graph.type_endpoints.get(rel_types[0]) if len(rel_types) == 1 else None
+    keyed = eps is not None and len(eps) == 1
+    if keyed:
+        src_label = eps[0][0]
+        e = e.select(
+            F.split("node", ":").getItem(1).cast("long").alias("node"),
+            F.split("nbr", ":").getItem(1).cast("long").alias("nbr"),
+        )
+
     deg = e.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
 
-    nbrs = e.groupBy("nbr").agg(
-        F.array_sort(F.collect_set("node")).alias("ns")
+    # Attach degree to the edge list BEFORE the neighbor-list groupBy and
+    # carry (node, deg) structs through the pair stream: one join on the
+    # ~|E| edge table replaces two joins on the ~|E|·d/2 pair table, and
+    # the post-agg plan is join-free. array_sort on structs orders by the
+    # leading field (node), so pair orientation is unchanged.
+    sc = e.sparkSession.sparkContext
+    nbrs = e.join(deg, "node").groupBy("nbr").agg(
+        F.array_sort(F.collect_set(F.struct("node", "deg"))).alias("ns")
     ).select(F.size("ns").alias("d"), "ns")
+    # The C(d,2) explosion below multiplies row count ~100×; without this
+    # AQE sizes the stage from the tiny pre-explode aggregate and runs
+    # the quadratic work on a handful of cores.
+    nbrs = nbrs.repartition(sc.defaultParallelism * 2)
     # hub fan-out cap: a celebrity shared-neighbor z contributes
     # in_deg(z)² candidate pairs — at 100× scale one hub explodes the
     # pair stream. With the cap, neighbors above the ceiling are dropped
@@ -272,8 +299,7 @@ def common_neighbors(
     )
     pairs = (
         nbrs.select("d", F.explode(combos).alias("p"))
-        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "d")
-        .groupBy("a", "b")
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .agg(
             F.count(F.lit(1)).alias("common"),
             F.sum(1.0 / F.log(F.col("d"))).alias("adamic_adar"),
@@ -281,20 +307,30 @@ def common_neighbors(
         )
         .filter(F.col("common") >= min_common)
     )
-    return (
-        pairs.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a")), "a")
-        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b")), "b")
-        .withColumn(
+    scored = (
+        pairs.withColumn(
             "jaccard",
-            F.col("common") / (F.col("deg_a") + F.col("deg_b") - F.col("common")),
+            F.col("common")
+            / (F.col("a.deg") + F.col("b.deg") - F.col("common")),
         )
         .withColumn(
-            "preferential_attachment", (F.col("deg_a") * F.col("deg_b")).cast("long")
+            "preferential_attachment",
+            (F.col("a.deg") * F.col("b.deg")).cast("long"),
         )
-        .select(
-            "a", "b", "common", "jaccard", "adamic_adar",
-            "resource_allocation", "preferential_attachment"
-        )
+        .withColumn("a", F.col("a.node"))
+        .withColumn("b", F.col("b.node"))
+    )
+    if keyed:
+        # restore string ids + lexicographic (a, b) orientation (numeric
+        # and string order disagree: 'X:10' < 'X:2' lexicographically)
+        sa = F.concat(F.lit(src_label + ":"), F.col("a").cast("string"))
+        sb = F.concat(F.lit(src_label + ":"), F.col("b").cast("string"))
+        scored = scored.withColumn("a_s", F.least(sa, sb)).withColumn(
+            "b_s", F.greatest(sa, sb)
+        ).drop("a", "b").withColumnRenamed("a_s", "a").withColumnRenamed("b_s", "b")
+    return scored.select(
+        "a", "b", "common", "jaccard", "adamic_adar",
+        "resource_allocation", "preferential_attachment"
     )
 
 
