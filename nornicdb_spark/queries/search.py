@@ -30,7 +30,7 @@ def bm25_topk(spark, sf_dir):
     # db.index.fulltext.queryNodes (reference call_fulltext.go; scoring
     # fulltext_index.go:123-199).
     docs = Catalog(spark, sf_dir).documents
-    idx = bm25_mod.BM25Index.build(docs)
+    idx = bm25_mod.shared_index(docs, sf_dir)
     return idx.search(BM25_QUERY, k=10)
 
 
@@ -38,7 +38,7 @@ def bm25_topk(spark, sf_dir):
 def bm25_prefix_topk(spark, sf_dir):
     # prefix-match expansion at 0.8·idf (fulltext_index.go:157-171).
     docs = Catalog(spark, sf_dir).documents
-    idx = bm25_mod.BM25Index.build(docs)
+    idx = bm25_mod.shared_index(docs, sf_dir)
     return idx.search("spar quer", k=10, prefix=True)
 
 
@@ -150,7 +150,7 @@ def hybrid_rrf(spark, sf_dir):
     # 165-200): BM25 over documents fused with cosine over embeddings
     # (vec_id ≡ doc_id in the fixtures).
     cat = Catalog(spark, sf_dir)
-    idx = bm25_mod.BM25Index.build(cat.documents)
+    idx = bm25_mod.shared_index(cat.documents, sf_dir)
     bm = hybrid.rank_by(idx.search(FUSE_QUERY, k=20), "score", "doc_id")
     vs = hybrid.rank_by(
         vector.cosine_topk(cat.embeddings, _query_vec(spark, sf_dir), k=20)

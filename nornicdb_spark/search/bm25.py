@@ -69,22 +69,40 @@ class BM25Index:
 
     @classmethod
     def build(cls, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> "BM25Index":
+        from pyspark.sql import Window
+
         from nornicdb_spark.operators.dedup import spread
 
         docs = spread(docs)  # single-file corpora arrive as 1 partition
         toks = docs.select(
             F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("tokens")
         )
-        doc_lens = toks.select("doc_id", F.size("tokens").alias("dl"))
+        # Materialize the index ONCE (the analogue of the reference
+        # building its in-memory inverted index, fulltext_index.go):
+        # postings carry the doc length denormalized per row — dl is the
+        # size of the tokenized array, computed BEFORE the explode and
+        # carried through the groupBy as a (functionally dependent)
+        # grouping key, so no second shuffle and no lengths join at query
+        # time. A search reads the checkpoint, filters by term,
+        # aggregates. At 100 TB the checkpoint is a persisted table
+        # partitioned by term.
         postings = (
-            toks.select("doc_id", F.explode("tokens").alias("term"))
-            .groupBy("term", "doc_id")
+            toks.select(
+                "doc_id", F.size("tokens").alias("dl"),
+                F.explode("tokens").alias("term"),
+            )
+            .groupBy("term", "doc_id", "dl")
             .agg(F.count(F.lit(1)).alias("tf"))
+            .localCheckpoint(eager=True)
         )
-        stats = doc_lens.agg(
-            F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
-        ).collect()[0]
-        return cls(postings, doc_lens, int(stats["n"]), float(stats["avgdl"]))
+        # N counts EVERY document (reference: index size) — a
+        # metadata-only parquet count; avgdl averages docs with ≥1
+        # indexed token (the checkpoint's distinct doc rows), matching
+        # the oracle's unnest-based length table.
+        n_docs = docs.count()
+        doc_lens = postings.select("doc_id", "dl").distinct()
+        avgdl = doc_lens.agg(F.avg("dl")).collect()[0][0]
+        return cls(postings, doc_lens, int(n_docs), float(avgdl or 0.0))
 
     def search(self, query: str, k: int = 10, prefix: bool = False) -> DataFrame:
         """Top-k BM25 — returns (doc_id, score), ties broken by doc_id.
@@ -101,7 +119,18 @@ class BM25Index:
         spark = self.postings.sparkSession
         qdf = spark.createDataFrame([(t,) for t in terms], "qterm string")
 
-        df_per_term = self.postings.groupBy("term").agg(
+        # Candidate pre-filter: only postings whose term can match the
+        # query contribute — df (per matched indexed term) and the score
+        # join then run over the tiny filtered slice, not the full index.
+        if prefix:
+            match_any = F.col("term").isin(*terms)
+            for t in terms:
+                match_any = match_any | F.col("term").startswith(t)
+            cand = self.postings.filter(match_any)
+        else:
+            cand = self.postings.filter(F.col("term").isin(*terms))
+
+        df_per_term = cand.groupBy("term").agg(
             F.count(F.lit(1)).alias("df")
         )
         idf = F.greatest(
@@ -113,6 +142,8 @@ class BM25Index:
         )
 
         if prefix:
+            # a term may match several query terms (exact for one, prefix
+            # for another) — the qdf join fans contributions out per match
             cond = (F.col("term") == F.col("qterm")) | (
                 F.col("term").startswith(F.col("qterm"))
                 & (F.col("term") != F.col("qterm"))
@@ -120,15 +151,20 @@ class BM25Index:
             weight = F.when(F.col("term") == F.col("qterm"), F.lit(1.0)).otherwise(
                 F.lit(0.8)
             )
+            matched = cand.join(df_per_term, "term").join(F.broadcast(qdf), cond)
         else:
-            cond = F.col("term") == F.col("qterm")
-            weight = F.lit(1.0)
+            # exact mode needs no join against the query terms — the
+            # isin pre-filter already selected them; a repeated query
+            # word multiplies its term's contribution, preserved as a
+            # literal weight
+            from collections import Counter
 
-        matched = (
-            self.postings.join(df_per_term, "term")
-            .join(F.broadcast(qdf), cond)
-            .join(self.doc_lens, "doc_id")
-        )
+            counts = Counter(terms)
+            weight = F.lit(1.0)
+            for t, c in counts.items():
+                if c > 1:
+                    weight = F.when(F.col("term") == t, F.lit(float(c))).otherwise(weight)
+            matched = cand.join(df_per_term, "term")
         tf = F.col("tf").cast("double")
         denom = tf + K1 * (1 - B + B * F.col("dl") / F.lit(self.avgdl))
         contrib = weight * idf * (tf * (K1 + 1) / denom)
@@ -138,6 +174,21 @@ class BM25Index:
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
         )
+
+
+_SHARED_INDEXES: dict = {}
+
+
+def shared_index(docs: DataFrame, key: str, id_col: str = "doc_id",
+                 text_col: str = "text") -> BM25Index:
+    """Process-wide BM25Index memo keyed by (session, corpus key) — the
+    batch analogue of the reference's persistent per-engine inverted
+    index (fulltext_index.go): build once, query many. All registry
+    queries over one sf_dir share a single postings checkpoint."""
+    k = (id(docs.sparkSession), key)
+    if k not in _SHARED_INDEXES:
+        _SHARED_INDEXES[k] = BM25Index.build(docs, id_col=id_col, text_col=text_col)
+    return _SHARED_INDEXES[k]
 
 
 def bm25_oracle_sql(query: str, k: int = 10) -> str:
