@@ -222,6 +222,54 @@ def minhash_near_duplicates(
     return jaccard_verify(pairs, sh, threshold)
 
 
+def duplicate_clusters(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Collapse near-duplicate PAIRS into clusters: connected components
+    over the pair graph by iterative min-id propagation, so each group of
+    transitively-linked duplicates elects one canonical document (the
+    minimum id) — the step that turns pairwise dedup output into an
+    actual keep/drop decision. Returns (doc_id, canonical_id) for every
+    doc that appears in at least one pair.
+
+    Scale: the pair graph is a tiny fraction of the corpus (only dups);
+    each round is one join + one groupBy on it, frontier-free WCC with a
+    lineage cut per round. Deterministic, so oracle-checkable against a
+    recursive-CTE closure."""
+    und = pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
+    und = und.unionByName(
+        und.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        und.select(F.col("s").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        nbr_min = (
+            labels.join(und, labels.id == und.s)
+            .groupBy(F.col("d").alias("id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = labels.join(nbr_min, "id", "left_outer").select(
+            "id",
+            "label",
+            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("next"),
+        )
+        n_changed = updated.filter(F.col("next") < F.col("label")).count()
+        labels = updated.select(
+            "id", F.col("next").alias("label")
+        ).localCheckpoint(eager=True)
+        if n_changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("canonical_id")
+    )
+
+
 def simhash_fingerprints(
     docs: DataFrame,
     id_col: str = "doc_id",

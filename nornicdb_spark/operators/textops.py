@@ -121,6 +121,145 @@ def fingerprints(
     )
 
 
+def repetition_ratios(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals, all codegen'd column expressions:
+    (doc_id, dup_word_ratio, dup_bigram_ratio, top_bigram_frac).
+
+    dup_*_ratio = 1 − |distinct|/|all|; top_bigram_frac = multiplicity of
+    the most frequent bigram / bigram count (run-length over the sorted
+    bigram array via ``aggregate`` — no explode, no shuffle)."""
+    bigrams = F.expr(
+        f"transform(slice({_W_SQL}, 1, greatest(size({_W_SQL}) - 1, 0)), "
+        f"(x, i) -> concat(x, ' ', element_at({_W_SQL}, i + 2)))"
+    )
+    docs = (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+        .withColumn("_w", _words(F.col("_t")))
+        .withColumn("_b", F.array_sort(bigrams))
+    )
+    nb = F.size("_b").cast("double")
+    # longest run in the sorted bigram array = top bigram multiplicity
+    run = F.aggregate(
+        F.col("_b"),
+        F.struct(
+            F.lit("").alias("cur"), F.lit(0).alias("n"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("cur"),
+            F.when(x == acc.cur, acc.n + 1).otherwise(F.lit(1)).alias("n"),
+            F.greatest(
+                acc.best, F.when(x == acc.cur, acc.n + 1).otherwise(F.lit(1))
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    return docs.select(
+        "doc_id",
+        F.when(F.size("_w") > 0, 1 - F.size(F.array_distinct("_w")) / F.size("_w").cast("double"))
+        .otherwise(0.0).alias("dup_word_ratio"),
+        F.when(nb > 0, 1 - F.size(F.array_distinct("_b")) / nb)
+        .otherwise(0.0).alias("dup_bigram_ratio"),
+        F.when(nb > 0, run / nb).otherwise(0.0).alias("top_bigram_frac"),
+    )
+
+
+# SQL-text twin of _words() for expressions that must reference the word
+# array more than once inside expr() lambdas
+_W_SQL = "filter(split(lower(_t), '\\\\s+'), x -> length(x) > 0)"
+
+
+def pii_scrub(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII redaction pass: replace emails / dashed phone numbers with
+    placeholders, report match counts. Patterns are deliberately
+    RE2-compatible so the DuckDB oracle applies the identical regexes.
+    Returns (doc_id, n_emails, n_phones, scrubbed)."""
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"[0-9]{3}-[0-9]{3,4}-[0-9]{4}"
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.regexp_extract_all(t, F.lit(email), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(phone), 0)).cast("long").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(t, email, "<EMAIL>"), phone, "<PHONE>"
+        ).alias("scrubbed"),
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 50,
+    stride: int = 25,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into overlapping word-window chunks — the
+    standard pre-embedding step of a training/RAG pipeline. Chunk i
+    covers words [i·stride, i·stride + chunk_tokens); the last window
+    starting before the end is kept even if short. Pure
+    transform+posexplode (narrow, no shuffle): at 100 TB this is a
+    map-only job. Returns (doc_id, chunk_no, n_tokens, chunk)."""
+    w = _words(F.col(text_col))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            (F.size(w) - 1) - ((F.size(w) - 1) % stride), F.lit(0)
+        ),
+        F.lit(stride),
+    )
+    chunks = F.transform(
+        starts, lambda s: F.slice(w, s + 1, chunk_tokens)
+    )
+    out = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(chunks).alias("chunk_no", "toks"),
+    )
+    return out.filter(F.size("toks") > 0).select(
+        "doc_id",
+        F.col("chunk_no").cast("long").alias("chunk_no"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.array_join("toks", " ").alias("chunk"),
+    )
+
+
+def contamination_overlap(
+    docs: DataFrame,
+    probe: DataFrame,
+    n: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-contamination check: for every corpus doc, the number of
+    distinct word n-grams it shares with a probe (evaluation) set — the
+    decontamination primitive of LLM training pipelines. Shape: distinct
+    (doc, gram) tables on both sides, equi-join on the gram, count — one
+    shuffle each side, no cross join; hub grams are naturally bounded by
+    the probe's size. Returns (doc_id, n_shared) for docs with ≥1 hit."""
+
+    def grams(d):
+        w = _words(F.col(text_col))
+        g = F.expr(
+            f"transform(slice({_W_SQL}, 1, greatest(size({_W_SQL}) - {n - 1}, 0)), "
+            f"(x, i) -> array_join(slice({_W_SQL}, i + 1, {n}), ' '))"
+        )
+        return (
+            d.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+            .select("doc_id", F.explode(g).alias("gram"))
+            .distinct()
+        )
+
+    return (
+        grams(docs)
+        .join(grams(probe).select("gram").distinct(), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+
+
 def corpus_clean(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -57,6 +57,11 @@ _PRIORITY = (
     "json_props_extract", "stream_windowed_counts", "stream_session_stats",
     "cypher_vector_spatial_functions",
     # oracle-backed, never driver-stamped (incl. queries new this round)
+    "dedup_cluster_canonical", "text_repetition_ratios", "text_pii_scrub",
+    "doc_chunking", "text_contamination", "embedding_centroid_stats",
+    "agg_rollup_region_nation", "agg_cube_status_priority",
+    "set_ops_customer_supplier_nations", "events_asof_purchase",
+    "stream_static_enrich", "graph_neighbors_byhop_customer",
     "corpus_quality_filter", "corpus_stratified_sample",
     "cypher_merge_rel", "cypher_correlated_call",
     "cypher_varlen_bound_endpoint", "cypher_index_mgmt",

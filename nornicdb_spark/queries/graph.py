@@ -582,3 +582,49 @@ def graph_label_propagation(spark, sf_dir):
             F.sum("size").alias("n_nodes"),
         )
     )
+
+
+@register(
+    "graph_neighbors_byhop_customer",
+    oracle="""
+    WITH h1 AS (
+      SELECT DISTINCT 'Customer:' || o_custkey AS start_id,
+             'Order:' || o_orderkey AS end_id
+      FROM orders WHERE o_custkey <= 100
+      UNION
+      SELECT 'Customer:' || c_custkey, 'Nation:' || c_nationkey
+      FROM customer WHERE c_custkey <= 100
+    ),
+    h2 AS (
+      SELECT DISTINCT 'Customer:' || o_custkey AS start_id,
+             'Part:' || l_partkey AS end_id
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE o_custkey <= 100
+      UNION
+      SELECT 'Customer:' || c_custkey, 'Region:' || n_regionkey
+      FROM customer JOIN nation ON n_nationkey = c_nationkey
+      WHERE c_custkey <= 100
+    )
+    SELECT start_id, CAST(1 AS BIGINT) AS hop,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM h1 GROUP BY start_id
+    UNION ALL
+    SELECT start_id, 2, count(*) FROM h2 GROUP BY start_id
+    """,
+)
+def graph_neighbors_byhop_customer(spark, sf_dir):
+    # apoc.neighbors.byhop (reference apoc_algorithms.go:448-551): nodes
+    # grouped by FIRST-SEEN depth per start — the per-ring breakdown of
+    # tohop. Reuses the frontier BFS; one extra groupBy. Customers and
+    # Orders/Parts share no ids, so hop rings never overlap here.
+    g = _graph(spark, sf_dir)
+    starts = (
+        g.nodes_by_label("Customer")
+        .filter(F.col("key") <= 100)
+        .select("id")
+    )
+    reach = algorithms.k_hop_neighborhood(g, starts, k=2)
+    return (
+        reach.groupBy("start_id", F.col("first_depth").cast("long").alias("hop"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    )

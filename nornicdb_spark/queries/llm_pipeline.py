@@ -76,10 +76,9 @@ def dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(corpus)
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"""
-    WITH {_SHINGLES},
+# MinHash-LSH pipeline CTEs (shingle → sign → band → verify), shared by
+# the pair oracle and the cluster-canonicalization oracle
+_MINHASH_CTES = f"""{_SHINGLES},
     perms(i, a, b) AS (VALUES {_perm_values()}),
     sigs AS (
       SELECT doc_id, i, min((a * h + b) % {P}) AS sig
@@ -102,7 +101,13 @@ def dedup_exact(spark, sf_dir):
       JOIN sh sa ON sa.doc_id = c.a
       JOIN sh sb ON sb.doc_id = c.b AND sb.h = sa.h
       GROUP BY c.a, c.b
-    )
+    )"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_MINHASH_CTES}
     SELECT a, b, CAST(n_inter AS DOUBLE) / (sx.n + sy.n - n_inter) AS jaccard
     FROM inter JOIN sizes sx ON sx.doc_id = a JOIN sizes sy ON sy.doc_id = b
     WHERE CAST(n_inter AS DOUBLE) / (sx.n + sy.n - n_inter) >= 0.5
@@ -440,3 +445,229 @@ def corpus_stratified_sample(spark, sf_dir):
     # 20% of everything else — reproducible (no rand()), oracle-checkable.
     docs = Catalog(spark, sf_dir).documents
     return textops.stratified_sample(docs, rates={"en": 10}, default_rate=20)
+
+
+@register(
+    "dedup_cluster_canonical",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    dup AS (
+      SELECT a, b FROM inter
+      JOIN sizes sx ON sx.doc_id = a JOIN sizes sy ON sy.doc_id = b
+      WHERE CAST(n_inter AS DOUBLE) / (sx.n + sy.n - n_inter) >= 0.5
+    ),
+    und AS (SELECT a AS s, b AS d FROM dup UNION SELECT b, a FROM dup),
+    reach(node, r) AS (
+      SELECT s, s FROM (SELECT DISTINCT s FROM und)
+      UNION
+      SELECT u.s, reach.r FROM und u JOIN reach ON reach.node = u.d
+    )
+    SELECT node AS doc_id, min(r) AS canonical_id FROM reach GROUP BY node
+    """,
+)
+def dedup_cluster_canonical(spark, sf_dir):
+    # near-dup PAIRS → transitive clusters → canonical (min-id) doc per
+    # cluster: the keep/drop decision step of a dedup pipeline. WCC by
+    # min-label propagation over the (tiny) dup-pair graph; the oracle is
+    # a recursive-CTE reachability closure over the same pairs.
+    docs = Catalog(spark, sf_dir).documents
+    pairs = dedup.minhash_near_duplicates(docs, threshold=0.5)
+    return dedup.duplicate_clusters(pairs.select("a", "b"))
+
+
+@register(
+    "text_repetition_ratios",
+    oracle="""
+    WITH ws AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> length(x) > 0) AS w
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, w,
+             list_transform(range(1, greatest(len(w), 1)),
+                            i -> w[i] || ' ' || w[i+1]) AS b
+      FROM ws
+    ),
+    top AS (
+      SELECT doc_id, max(cnt) AS top_n FROM (
+        SELECT doc_id, g, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(b) AS g FROM bg) GROUP BY doc_id, g
+      ) GROUP BY doc_id
+    )
+    SELECT bg.doc_id,
+           CASE WHEN len(w) > 0
+                THEN 1 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
+                ELSE 0 END AS dup_word_ratio,
+           CASE WHEN len(b) > 0
+                THEN 1 - CAST(len(list_distinct(b)) AS DOUBLE) / len(b)
+                ELSE 0 END AS dup_bigram_ratio,
+           CASE WHEN len(b) > 0
+                THEN CAST(top.top_n AS DOUBLE) / len(b) ELSE 0 END
+             AS top_bigram_frac
+    FROM bg LEFT JOIN top ON bg.doc_id = top.doc_id
+    """,
+)
+def text_repetition_ratios(spark, sf_dir):
+    # Gopher-style repetition signals (dup-word / dup-bigram fractions,
+    # top-bigram mass) — codegen'd column expressions, no shuffle.
+    docs = Catalog(spark, sf_dir).documents
+    return textops.repetition_ratios(docs)
+
+
+@register(
+    "text_pii_scrub",
+    oracle="""
+    WITH contact AS (
+      SELECT c_custkey AS doc_id,
+             c_name || ' reachable at ' ||
+             lower(replace(c_name, ' ', '.')) || '@example-' ||
+             CAST(c_nationkey AS VARCHAR) || '.com or 555-' ||
+             lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') || '-' ||
+             lpad(CAST((c_nationkey * 391) % 10000 AS VARCHAR), 4, '0') AS text
+      FROM customer
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text,
+             '[0-9]{3}-[0-9]{3,4}-[0-9]{4}')) AS BIGINT) AS n_phones,
+           regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '[0-9]{3}-[0-9]{3,4}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+    FROM contact
+    """,
+)
+def text_pii_scrub(spark, sf_dir):
+    # PII redaction (emails + dashed phone runs) with RE2-compatible
+    # patterns so the oracle applies the identical regexes. The fixture
+    # corpus has no contact strings, so the input is synthesized
+    # deterministically from customer fields.
+    cust = Catalog(spark, sf_dir).customer
+    contact = cust.select(
+        F.col("c_custkey").alias("doc_id"),
+        F.concat(
+            F.col("c_name"), F.lit(" reachable at "),
+            F.lower(F.replace(F.col("c_name"), F.lit(" "), F.lit("."))),
+            F.lit("@example-"), F.col("c_nationkey").cast("string"),
+            F.lit(".com or 555-"),
+            F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+            F.lit("-"),
+            F.lpad(((F.col("c_nationkey") * 391) % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return textops.pii_scrub(contact)
+
+
+@register(
+    "doc_chunking",
+    oracle="""
+    WITH ws AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> length(x) > 0) AS w
+      FROM documents
+    )
+    SELECT doc_id, CAST(i // 25 AS BIGINT) AS chunk_no,
+           CAST(len(w[i+1:i+50]) AS BIGINT) AS n_tokens,
+           array_to_string(w[i+1:i+50], ' ') AS chunk
+    FROM ws, unnest(range(0, greatest(len(w) - 1, 0) -
+                             (greatest(len(w) - 1, 0) % 25) + 1, 25)) t(i)
+    WHERE len(w[i+1:i+50]) > 0
+    """,
+)
+def doc_chunking(spark, sf_dir):
+    # overlapping word-window chunking (50-token windows, stride 25) —
+    # the pre-embedding step of a training/RAG pipeline; map-only.
+    docs = Catalog(spark, sf_dir).documents
+    return textops.chunk_documents(docs, chunk_tokens=50, stride=25)
+
+
+@register(
+    "text_contamination",
+    oracle="""
+    WITH ws AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> length(x) > 0) AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+3], ' ') AS gram
+      FROM ws, unnest(range(1, greatest(len(w) - 2, 1))) t(i)
+      WHERE len(w) >= 4
+    )
+    SELECT a.doc_id, CAST(count(DISTINCT a.gram) AS BIGINT) AS n_shared
+    FROM grams a
+    JOIN (SELECT DISTINCT gram FROM grams WHERE doc_id < 25) p
+      ON a.gram = p.gram
+    WHERE a.doc_id >= 25
+    GROUP BY a.doc_id
+    """,
+)
+def text_contamination(spark, sf_dir):
+    # benchmark-contamination check: distinct 4-gram collisions of each
+    # corpus doc against a probe (evaluation) set — the decontamination
+    # primitive of LLM data pipelines. doc_id < 25 plays the benchmark.
+    docs = Catalog(spark, sf_dir).documents
+    probe = docs.filter(F.col("doc_id") < 25)
+    corpus = docs.filter(F.col("doc_id") >= 25)
+    return textops.contamination_overlap(corpus, probe, n=4)
+
+
+@register(
+    "embedding_centroid_stats",
+    oracle="""
+    WITH ev AS (
+      SELECT d.lang, e.vec_id,
+             generate_subscripts(e.embedding, 1) - 1 AS j,
+             unnest(e.embedding) AS v
+      FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+    ),
+    cent AS (
+      SELECT lang, j, avg(v) AS c FROM ev GROUP BY lang, j
+    ),
+    norms AS (
+      SELECT lang, vec_id, sqrt(sum(v * v)) AS nrm
+      FROM ev GROUP BY lang, vec_id
+    )
+    SELECT n.lang, CAST(count(*) AS BIGINT) AS n_vecs,
+           avg(n.nrm) AS avg_norm, c.centroid_norm
+    FROM norms n JOIN (
+      SELECT lang, sqrt(sum(c * c)) AS centroid_norm FROM cent GROUP BY lang
+    ) c USING (lang)
+    GROUP BY n.lang, c.centroid_norm
+    """,
+)
+def embedding_centroid_stats(spark, sf_dir):
+    # per-group embedding diagnostics (count, mean vector norm, centroid
+    # norm) — the monitoring pass of an embedding pipeline. Element-wise
+    # centroid via posexplode + two-level agg: shuffles (group, dim) keyed
+    # rows, never collects vectors to the driver.
+    cat = Catalog(spark, sf_dir)
+    ev = (
+        cat.embeddings.join(
+            cat.documents.select(F.col("doc_id").alias("vec_id"), "lang"),
+            "vec_id",
+        )
+        .select("lang", "vec_id", F.posexplode("embedding").alias("j", "v"))
+    )
+    norms = ev.groupBy("lang", "vec_id").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm")
+    )
+    cent = (
+        ev.groupBy("lang", "j").agg(F.avg("v").alias("c"))
+        .groupBy("lang")
+        .agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("centroid_norm"))
+    )
+    return (
+        norms.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.avg("nrm").alias("avg_norm"),
+        )
+        .join(cent, "lang")
+        .select("lang", "n_vecs", "avg_norm", "centroid_norm")
+    )

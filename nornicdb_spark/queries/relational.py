@@ -754,3 +754,98 @@ def q3_top_unshipped_revenue(spark, sf_dir):
         .limit(10)
         .select("l_orderkey", "revenue", "o_orderdate")
     )
+
+
+@register(
+    "agg_rollup_region_nation",
+    oracle="""
+    SELECT coalesce(r_name, 'ALL') AS region,
+           coalesce(n_name, 'ALL') AS nation,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           sum(c_acctbal) AS total_acctbal
+    FROM customer
+    JOIN nation ON n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup_region_nation(spark, sf_dir):
+    # GROUP BY ROLLUP — hierarchical subtotals in one pass (an extension
+    # the reference lacks; SURVEY §2.4 "Spark has them for free").
+    # Subtotal rows surface as 'ALL' so null semantics can't differ
+    # between engines.
+    cat = _cat(spark, sf_dir)
+    return (
+        cat.customer
+        .join(cat.nation, F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(cat.region, F.col("r_regionkey") == F.col("n_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("c_acctbal").alias("total_acctbal"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "n_customers",
+            "total_acctbal",
+        )
+    )
+
+
+@register(
+    "agg_cube_status_priority",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           sum(o_totalprice) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube_status_priority(spark, sf_dir):
+    # GROUP BY CUBE — all grouping-set combinations in one shuffle.
+    cat = _cat(spark, sf_dir)
+    return (
+        cat.orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@register(
+    "set_ops_customer_supplier_nations",
+    oracle="""
+    SELECT 'both' AS which, n FROM (
+      SELECT c_nationkey AS n FROM customer
+      INTERSECT
+      SELECT s_nationkey FROM supplier
+    )
+    UNION ALL
+    SELECT 'customer_only', n FROM (
+      SELECT c_nationkey AS n FROM customer
+      EXCEPT
+      SELECT s_nationkey FROM supplier
+    )
+    """,
+)
+def set_ops_customer_supplier_nations(spark, sf_dir):
+    # INTERSECT / EXCEPT (SURVEY §2.5 "free if extended") — nations with
+    # both customers and suppliers vs customer-only nations.
+    cat = _cat(spark, sf_dir)
+    c = cat.customer.select(F.col("c_nationkey").alias("n"))
+    s = cat.supplier.select(F.col("s_nationkey").alias("n"))
+    both = c.intersect(s).select(F.lit("both").alias("which"), "n")
+    only = c.subtract(s).select(
+        F.lit("customer_only").alias("which"), "n"
+    )
+    return both.unionByName(only)

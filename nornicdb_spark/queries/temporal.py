@@ -277,3 +277,89 @@ def stream_access_tracker(spark, sf_dir):
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM acc_{tag}")
+
+
+@register(
+    "events_asof_purchase",
+    oracle="""
+    WITH c AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts, max(value) AS pvalue
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+    SELECT c.event_id, c.user_id,
+           p.ts AS purchase_ts, p.pvalue AS purchase_value,
+           CASE WHEN p.ts IS NULL THEN NULL
+                ELSE date_diff('second', p.ts, c.ts) END AS gap_seconds
+    FROM c ASOF LEFT JOIN p
+      ON c.user_id = p.user_id AND p.ts <= c.ts
+    """,
+)
+def events_asof_purchase(spark, sf_dir):
+    # As-of join (temporal extension; SURVEY §2.3 notes the reference has
+    # none): each click is enriched with the user's most recent
+    # at-or-before purchase — one sort-shuffle on the key via the
+    # union-window operator, no per-row subqueries. The purchase side is
+    # pre-aggregated per (user, ts) so ties are deterministic.
+    from nornicdb_spark.operators.asof import asof_join
+
+    ev = Catalog(spark, sf_dir).events
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))
+    )
+    out = asof_join(clicks, purchases, on="user_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("right_ts").alias("purchase_ts"),
+        F.col("right_pvalue").alias("purchase_value"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("right_ts"))
+        .cast("long")
+        .alias("gap_seconds"),
+    )
+
+
+@register(
+    "stream_static_enrich",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(value) AS total_value
+    FROM events JOIN customer ON c_custkey = user_id + 1
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_enrich(spark, sf_dir):
+    # stream-static join (Structured Streaming): the event stream is
+    # enriched against the static customer dimension inside the
+    # micro-batch, then windowed — the standard fact-stream + dim-table
+    # shape. The dim side is broadcast per micro-batch; no stream state
+    # beyond the window aggregation.
+    from nornicdb_spark.streaming import structured
+
+    s = structured.read_events_stream(spark, sf_dir)
+    dim = Catalog(spark, sf_dir).customer.select(
+        (F.col("c_custkey") - 1).alias("user_id"), "c_mktsegment"
+    )
+    enriched = s.join(F.broadcast(dim), "user_id")
+    agg = (
+        enriched.withWatermark("ts", "2 hours")
+        .groupBy(
+            F.window("ts", "1 hour"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            "segment",
+            F.col("window.start").alias("window_start"),
+            "n",
+            "total_value",
+        )
+    )
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    return structured.run_to_completion(agg, f"stream_enrich_{tag}")

@@ -1,0 +1,121 @@
+"""Edge-case unit tests for the round-3 pipeline operators: as-of join,
+duplicate-cluster canonicalization, chunking, repetition, contamination."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from nornicdb_spark.operators import dedup, textops
+from nornicdb_spark.operators.asof import asof_join
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_asof_backward_ties_and_misses(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 1, _ts("2024-01-01 10:00:00")),  # before any right row
+            (2, 1, _ts("2024-01-01 12:00:00")),  # tie with right at 12:00
+            (3, 1, _ts("2024-01-01 15:00:00")),  # after both right rows
+            (4, 2, _ts("2024-01-01 12:00:00")),  # key with no right rows
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 12:00:00"), 10.0),
+            (1, _ts("2024-01-01 13:00:00"), 20.0),
+        ],
+        "user_id long, ts timestamp, v double",
+    )
+    out = {
+        r["event_id"]: (r["right_ts"], r["right_v"])
+        for r in asof_join(left, right, on="user_id").collect()
+    }
+    assert out[1] == (None, None)            # nothing at-or-before
+    assert out[2] == (_ts("2024-01-01 12:00:00"), 10.0)  # tie matches
+    assert out[3] == (_ts("2024-01-01 13:00:00"), 20.0)  # latest prior
+    assert out[4] == (None, None)            # key absent on right
+
+
+def test_asof_tolerance_voids_stale_matches(spark):
+    left = spark.createDataFrame(
+        [(1, 1, _ts("2024-01-01 12:00:00"))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), 1.0)],
+        "user_id long, ts timestamp, v double",
+    )
+    ok = asof_join(left, right, on="user_id", tolerance_seconds=3 * 3600)
+    assert ok.collect()[0]["right_v"] == 1.0
+    stale = asof_join(left, right, on="user_id", tolerance_seconds=3600)
+    assert stale.collect()[0]["right_v"] is None
+
+
+def test_duplicate_clusters_transitive(spark):
+    # a-b, b-c chain plus isolated pair d-e: two components
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "a long, b long"
+    )
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in dedup.duplicate_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_chunking_windows_and_short_docs(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(60))),
+            (2, "one two"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = textops.chunk_documents(docs, chunk_tokens=50, stride=25).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_no"], r["n_tokens"]))
+    assert sorted(by_doc[1]) == [(0, 50), (1, 35), (2, 10)]
+    assert by_doc[2] == [(0, 2)]
+    assert 3 not in by_doc  # empty doc yields no chunks
+
+
+def test_repetition_ratios_known_values(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y z")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in textops.repetition_ratios(docs).collect()}
+    # doc 1: words [a,a,a,b] → dup_word 1-2/4; bigrams [a a, a a, a b]
+    # → dup_bigram 1-2/3, top run 2/3
+    assert abs(got[1]["dup_word_ratio"] - 0.5) < 1e-9
+    assert abs(got[1]["dup_bigram_ratio"] - (1 - 2 / 3)) < 1e-9
+    assert abs(got[1]["top_bigram_frac"] - 2 / 3) < 1e-9
+    assert got[2]["dup_word_ratio"] == 0.0
+    assert got[2]["top_bigram_frac"] == 0.5  # 2 distinct bigrams, runs of 1
+
+
+def test_contamination_counts_distinct_shared_grams(spark):
+    probe = spark.createDataFrame(
+        [(0, "p q r s t")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (100, "p q r s x p q r s"),  # shares 'p q r s' and 'q r s ?' no
+            (101, "a b c d"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_shared"]
+        for r in textops.contamination_overlap(docs, probe, n=4).collect()
+    }
+    # probe 4-grams: {p q r s, q r s t}; doc 100 grams include 'p q r s'
+    # (twice → counted once) and 'q r s x', 'r s x p', ... → 1 shared
+    assert got == {100: 1}
