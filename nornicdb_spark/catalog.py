@@ -148,6 +148,9 @@ class PropertyGraph:
         # constant label prefixes and work on numeric keys — pair-heavy
         # aggregations (link prediction) shuffle longs instead of strings.
         self.type_endpoints: dict = type_endpoints or {}
+        # True only for star-schema graphs whose node ids are
+        # '<Label>:<numeric key>' — gates the long-encoded fast paths
+        self.numeric_keys: bool = bool(type_endpoints)
         self._adj: DataFrame | None = None
 
     def adj(self) -> DataFrame:
@@ -164,6 +167,48 @@ class PropertyGraph:
         if self._adj is None:
             self._adj = self.edges.repartition("src").localCheckpoint(eager=True)
         return self._adj
+
+    # label order is fixed by NODE_SPECS; encoded id = label_idx·2^48 + key
+    _ENC_SHIFT = 48
+
+    def encode_id(self, col) -> F.Column:
+        """String node id '<Label>:<key>' → long (label index in the high
+        bits, numeric key in the low 48). Only valid when the graph was
+        built from the star schema (``numeric_keys``); iterative
+        operators use it to shuffle 8-byte longs instead of ~25-byte
+        strings."""
+        labels = [l for l, _, _ in NODE_SPECS]
+        prefix = F.split(col, ":").getItem(0)
+        key = F.split(col, ":").getItem(1).cast("long")
+        idx = F.lit(None).cast("long")
+        for i, lab in reversed(list(enumerate(labels))):
+            idx = F.when(prefix == lab, F.lit(i)).otherwise(idx)
+        return (idx * (1 << self._ENC_SHIFT) + key).cast("long")
+
+    def decode_id(self, col) -> F.Column:
+        """Inverse of :meth:`encode_id`."""
+        labels = [l for l, _, _ in NODE_SPECS]
+        idx = (col / (1 << self._ENC_SHIFT)).cast("long")
+        key = col % (1 << self._ENC_SHIFT)
+        lab = F.lit(None).cast("string")
+        for i, l in reversed(list(enumerate(labels))):
+            lab = F.when(idx == i, F.lit(l)).otherwise(lab)
+        return F.concat(lab, F.lit(":"), key.cast("string"))
+
+    def adj_pairs_encoded(self) -> DataFrame:
+        """Long-encoded twin of :meth:`adj_pairs` — the edge set iterative
+        algorithms actually shuffle. Memoized per graph instance."""
+        if getattr(self, "_adj_pairs_enc", None) is None:
+            base = self._adj if self._adj is not None else self.edges
+            self._adj_pairs_enc = (
+                base.select(
+                    self.encode_id(F.col("src")).alias("src"),
+                    self.encode_id(F.col("dst")).alias("dst"),
+                )
+                .repartition("src")
+                .localCheckpoint(eager=True)
+            )
+        return self._adj_pairs_enc
 
     def adj_pairs(self) -> DataFrame:
         """Lean (src, dst) projection of the edge set, checkpointed —

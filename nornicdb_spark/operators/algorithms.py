@@ -67,14 +67,29 @@ def pagerank(
     # 2-column scan). Typed: a lazy per-call plan keeps the type filter
     # and column pruning at the parquet scans, then materializes the
     # (small) filtered set.
+    # Long-encoded fast path (star-schema graphs): ranks are invariant
+    # under any 1:1 re-keying of node ids, so the whole iteration loop
+    # shuffles 8-byte longs and only the final projection decodes back to
+    # string ids.
+    encoded = graph.numeric_keys
     if rel_types:
-        edges = (
-            graph.edges_by_type(*rel_types).select("src", "dst")
-            .localCheckpoint(eager=True)
-        )
+        e = graph.edges_by_type(*rel_types)
+        if encoded:
+            e = e.select(
+                graph.encode_id(F.col("src")).alias("src"),
+                graph.encode_id(F.col("dst")).alias("dst"),
+            )
+        else:
+            e = e.select("src", "dst")
+        edges = e.localCheckpoint(eager=True)
+    elif encoded:
+        edges = graph.adj_pairs_encoded()
     else:
         edges = graph.adj_pairs()
-    nodes = graph.nodes.select("id")
+    if encoded:
+        nodes = graph.nodes.select(graph.encode_id(F.col("id")).alias("id"))
+    else:
+        nodes = graph.nodes.select("id")
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("pagerank", F.lit(0.0))
@@ -122,13 +137,17 @@ def pagerank(
         )
 
     if contribs is None:  # iterations == 0
-        return nodes.withColumn("pagerank", F.lit(1.0 / n))
-    return (
-        base.join(contribs, "id", "left_outer")
-        .crossJoin(mass(contribs))
-        .withColumn("pagerank", rank_expr(F.col("contrib"), F.col("s")))
-        .select("id", "pagerank")
-    )
+        out = nodes.withColumn("pagerank", F.lit(1.0 / n))
+    else:
+        out = (
+            base.join(contribs, "id", "left_outer")
+            .crossJoin(mass(contribs))
+            .withColumn("pagerank", rank_expr(F.col("contrib"), F.col("s")))
+            .select("id", "pagerank")
+        )
+    if encoded:
+        out = out.select(graph.decode_id(F.col("id")).alias("id"), "pagerank")
+    return out
 
 
 def connected_components(graph, max_iterations: int = 30) -> DataFrame:
@@ -381,6 +400,20 @@ def weighted_shortest_paths(
     """
     e = _weighted_oriented_edges(graph, rel_types, direction, weight_col)
 
+    # Long-encoded fast path: distances are invariant under 1:1 node
+    # re-keying, so the relaxation loop shuffles (long, long, double)
+    # rows; only the final projection decodes. Path mode stays on strings
+    # — its cost ties break by LEXICOGRAPHIC node_path, which encoding
+    # would reorder.
+    encoded = graph.numeric_keys and not with_paths
+    if encoded:
+        e = e.select(
+            graph.encode_id(F.col("src")).alias("src"),
+            graph.encode_id(F.col("dst")).alias("dst"),
+            "w",
+        )
+        start = start.select(graph.encode_id(F.col("id")).alias("id"))
+
     state = [F.lit(0.0).alias("cost")]
     if with_paths:
         state.append(F.array(F.col("id")).alias("node_path"))
@@ -447,7 +480,14 @@ def weighted_shortest_paths(
         best = merged.select(*settle)  # lazy over the checkpoint — no 2nd job
         frontier = improved
 
-    return best.select(*carry)
+    out = best.select(*carry)
+    if encoded:
+        out = out.select(
+            graph.decode_id(F.col("start_id")).alias("start_id"),
+            graph.decode_id(F.col("end_id")).alias("end_id"),
+            "cost",
+        )
+    return out
 
 
 def astar_shortest_path(
