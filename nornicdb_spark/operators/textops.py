@@ -260,6 +260,68 @@ def contamination_overlap(
     )
 
 
+def vocab_top_words(
+    docs: DataFrame, k: int = 100, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus vocabulary induction: the k most frequent words with
+    counts, ties by word — the seed step of tokenizer training. One
+    explode + map-side-combined groupBy, then a global top-k
+    (TakeOrderedAndProject). Returns (word, freq)."""
+    return (
+        docs.select(F.explode(_words(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(k)
+    )
+
+
+def unigram_logprob(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram model — the cheap perplexity proxy used to rank documents by
+    "typicality" before expensive model-based filtering. Two passes:
+    build the frequency table, then score (join on word + per-doc avg).
+    Returns (doc_id, n_tokens, mean_logprob)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(_words(F.col(text_col))).alias("word")
+    )
+    freq = toks.groupBy("word").agg(F.count(F.lit(1)).alias("wc"))
+    total = freq.agg(F.sum("wc").alias("total"))
+    return (
+        toks.join(freq, "word")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.avg(F.log(F.col("wc") / F.col("total"))).alias("mean_logprob"),
+        )
+    )
+
+
+def split_assign(
+    docs: DataFrame,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by salted id hash —
+    reproducible across runs and repartitionings (no rand()), disjoint
+    from the sampling hash via the salt. Returns (doc_id, bucket, split)."""
+    from nornicdb_spark.operators.dedup import h60
+
+    bucket = h60(F.concat(F.lit("split:"), F.col(id_col).cast("string"))) % 100
+    return docs.select(
+        F.col(id_col).alias("doc_id"), bucket.alias("bucket")
+    ).withColumn(
+        "split",
+        F.when(F.col("bucket") < train_pct, "train")
+        .when(F.col("bucket") < train_pct + val_pct, "val")
+        .otherwise("test"),
+    )
+
+
 def corpus_clean(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -62,6 +62,8 @@ _PRIORITY = (
     "agg_rollup_region_nation", "agg_cube_status_priority",
     "set_ops_customer_supplier_nations", "events_asof_purchase",
     "stream_static_enrich", "graph_neighbors_byhop_customer",
+    "stream_stream_join", "stream_dedup_events", "vocab_top_words",
+    "text_unigram_logprob", "corpus_split_assign",
     "corpus_quality_filter", "corpus_stratified_sample",
     "cypher_merge_rel", "cypher_correlated_call",
     "cypher_varlen_bound_endpoint", "cypher_index_mgmt",
@@ -78,10 +80,13 @@ _PRIORITY = (
 )
 
 
-def _tier(n: str) -> int:
+def _tier(n: str) -> tuple[int, int]:
+    # oracle-backed priority entries lead — the window is exactly the
+    # size of the priority set, and a rows-only entry that slips to the
+    # next round loses less (its driver check is weaker anyway)
     if n in _PRIORITY:
-        return 0
-    return 1 if n in ORACLES else 2
+        return (0, 0 if n in ORACLES else 1)
+    return (1, 0) if n in ORACLES else (2, 0)
 
 
 _ordered = sorted(QUERIES, key=_tier)

@@ -671,3 +671,67 @@ def embedding_centroid_stats(spark, sf_dir):
         .join(cent, "lang")
         .select("lang", "n_vecs", "avg_norm", "centroid_norm")
     )
+
+
+@register(
+    "vocab_top_words",
+    oracle="""
+    SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq
+    FROM (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> length(x) > 0)) AS tok
+      FROM documents
+    )
+    GROUP BY tok ORDER BY freq DESC, word LIMIT 100
+    """,
+)
+def vocab_top_words(spark, sf_dir):
+    # vocabulary induction: top-100 corpus words by frequency — the seed
+    # of tokenizer training; explode + combined groupBy + global top-k.
+    docs = Catalog(spark, sf_dir).documents
+    return textops.vocab_top_words(docs, k=100)
+
+
+@register(
+    "text_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> length(x) > 0)) AS word
+      FROM documents
+    ),
+    freq AS (SELECT word, count(*) AS wc FROM toks GROUP BY word),
+    total AS (SELECT CAST(sum(wc) AS DOUBLE) AS total FROM freq)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           avg(ln(wc / total)) AS mean_logprob
+    FROM toks JOIN freq USING (word), total
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark, sf_dir):
+    # mean unigram log-probability per doc under the corpus's own
+    # unigram model — the cheap perplexity proxy of quality filtering.
+    docs = Catalog(spark, sf_dir).documents
+    return textops.unigram_logprob(docs)
+
+
+@register(
+    "corpus_split_assign",
+    oracle="""
+    SELECT doc_id,
+           CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                AS BIGINT) % 100 AS bucket,
+           CASE WHEN CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                     AS BIGINT) % 100 < 80 THEN 'train'
+                WHEN CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                     AS BIGINT) % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def corpus_split_assign(spark, sf_dir):
+    # deterministic 80/10/10 train/val/test assignment by salted id hash
+    # — reproducible, repartition-stable, disjoint from the sample hash.
+    docs = Catalog(spark, sf_dir).documents
+    return textops.split_assign(docs)

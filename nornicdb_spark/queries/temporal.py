@@ -363,3 +363,72 @@ def stream_static_enrich(spark, sf_dir):
     )
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
     return structured.run_to_completion(agg, f"stream_enrich_{tag}")
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           CAST(date_diff('second', p.ts, c.ts) AS BIGINT) AS gap_seconds
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts BETWEEN c.ts - INTERVAL '1 hour' AND c.ts
+    """,
+)
+def stream_stream_join(spark, sf_dir):
+    # stream-stream inner join with event-time bounds (clicks matched to
+    # same-user purchases in the preceding hour), both sides watermarked
+    # — the canonical two-stream correlation; state is bounded by the
+    # watermark + range condition. Must equal the batch range join.
+    from nornicdb_spark.streaming import structured
+
+    s = structured.read_events_stream(spark, sf_dir)
+    clicks = (
+        s.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"), "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        s.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("purchase_ts") <= F.col("click_ts")),
+    ).select(
+        "click_id", "purchase_id", "user_id",
+        (F.unix_timestamp("click_ts") - F.unix_timestamp("purchase_ts"))
+        .cast("long").alias("gap_seconds"),
+    )
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    return structured.run_to_completion(joined, f"ss_join_{tag}", mode="append")
+
+
+@register(
+    "stream_dedup_events",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup_events(spark, sf_dir):
+    # streaming deduplication (dropDuplicates over the stream) — the
+    # Structured-Streaming twin of exact dedup; emits each key once,
+    # state keyed by the dedup columns. Keys only, so first-arrival
+    # nondeterminism can't leak into the comparison.
+    from nornicdb_spark.streaming import structured
+
+    s = structured.read_events_stream(spark, sf_dir)
+    dd = s.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    return structured.run_to_completion(dd, f"ss_dedup_{tag}", mode="append")

@@ -84,11 +84,15 @@ def session_window_stats(
     )
 
 
-def run_to_completion(stream_df: DataFrame, query_name: str) -> DataFrame:
+def run_to_completion(
+    stream_df: DataFrame, query_name: str, mode: str = "complete"
+) -> DataFrame:
     """Drive a bounded file stream to completion via the memory sink and
-    return the materialized result (test/bench harness helper)."""
+    return the materialized result (test/bench harness helper).
+    ``mode='append'`` for stream-stream joins / dropDuplicates, which
+    reject complete mode."""
     q = (
-        stream_df.writeStream.outputMode("complete")
+        stream_df.writeStream.outputMode(mode)
         .format("memory")
         .queryName(query_name)
         .start()
