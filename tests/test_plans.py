@@ -120,3 +120,51 @@ def test_rrf_rank_window_has_partition_spec(spark, sf_dir):
     for m in _re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
         spec = m.group(1)
         assert spec.count(",") >= 2, f"unpartitioned window: {spec}"
+
+
+def test_link_prediction_no_cartesian_and_no_post_agg_joins(spark, sf_dir):
+    # round-3 shape: degree rides the pair stream as structs — after the
+    # pair aggregation there are no joins left, and nothing is cartesian
+    plan = plan_of(spark, "graph_link_prediction_suppliers", sf_dir)
+    assert "CartesianProduct" not in plan
+    agg_pos = plan.rfind("HashAggregate")
+    assert agg_pos != -1
+    assert "SortMergeJoin" not in plan[agg_pos:]
+    assert "BroadcastHashJoin" not in plan[agg_pos:]
+
+
+def test_encoded_adjacency_is_longs(spark, sf_dir):
+    from nornicdb_spark.catalog import shared_catalog
+
+    g = shared_catalog(spark, sf_dir).graph
+    enc = g.adj_pairs_encoded()
+    assert [f.dataType.simpleString() for f in enc.schema.fields] == [
+        "bigint", "bigint"
+    ]
+
+
+def test_encode_decode_roundtrip_all_nodes(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from nornicdb_spark.catalog import shared_catalog
+
+    g = shared_catalog(spark, sf_dir).graph
+    bad = g.nodes.select(
+        F.col("id"), g.decode_id(g.encode_id(F.col("id"))).alias("rt")
+    ).filter(F.col("id") != F.col("rt"))
+    assert bad.count() == 0
+
+
+def test_bm25_search_never_rescans_corpus(spark, sf_dir):
+    # searches run against the materialized postings checkpoint — the
+    # documents parquet must not appear in a search plan
+    from nornicdb_spark.catalog import Catalog
+    from nornicdb_spark.search import bm25
+
+    idx = bm25.shared_index(Catalog(spark, sf_dir).documents, sf_dir)
+    df = idx.search("spark shuffle partition", k=10)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "documents" not in plan
+    assert "dl" in [f.name for f in idx.postings.schema.fields]
