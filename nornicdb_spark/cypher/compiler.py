@@ -918,12 +918,14 @@ class Compiler:
             F.col(id_col).alias("node"), F.col("score")
         )
 
-    def _proc_fulltext_query(self, args) -> DataFrame:
-        """CALL db.index.fulltext.queryNodes(index, query[, k])
-        (reference call_fulltext.go; BM25 scoring
+    def _proc_fulltext_query(self, args, rels: bool = False) -> DataFrame:
+        """CALL db.index.fulltext.queryNodes / queryRelationships
+        (index, query[, k]) (reference call_fulltext.go; BM25 scoring
         fulltext_index.go:123-199). The index name resolves through the
         IndexCatalog; the posting structure is built on first query and
-        memoized per index name."""
+        memoized per index name. The relationship variant indexes the
+        named string property of the current edge table (edge_id as the
+        document key)."""
         from nornicdb_spark.procedures import index_catalog
         from nornicdb_spark.search.bm25 import BM25Index
 
@@ -931,21 +933,40 @@ class Compiler:
         index, qtext = vals[0], vals[1]
         k = int(vals[2]) if len(vals) > 2 else 10
         ic = index_catalog(self.cat)
+        out_col = "relationship" if rels else "node"
         if index in ic._defs and ic._defs[index]["kind"] == "FULLTEXT":
             d = ic._defs[index]
+        elif rels:
+            # no registered rel index and no default — empty result, same
+            # shape (reference returns no rows for an unknown rel index)
+            return self.cat.spark.createDataFrame(
+                [], f"{out_col} string, score double"
+            )
         else:
             # unknown name → the default documents index (reference
             # leniency, call_fulltext.go)
             d, index = ic._defs["documents_fulltext"], "documents_fulltext"
         idx = ic._impls.get(index)
         if idx is None:
-            src, id_col = self._index_source(d["label"])
-            idx = BM25Index.build(
-                src, id_col=id_col, text_col=d["properties"][0]
-            )
+            if rels:
+                e = self._pgraph().edges
+                text_col = d["properties"][0]
+                if text_col not in e.columns:
+                    return self.cat.spark.createDataFrame(
+                        [], f"{out_col} string, score double"
+                    )
+                src = e.filter(F.col("type") == d["label"]) if d.get(
+                    "label"
+                ) else e
+                idx = BM25Index.build(src, id_col="edge_id", text_col=text_col)
+            else:
+                src, id_col = self._index_source(d["label"])
+                idx = BM25Index.build(
+                    src, id_col=id_col, text_col=d["properties"][0]
+                )
             ic._impls[index] = idx
         return idx.search(qtext, k=k).select(
-            F.col("doc_id").alias("node"), F.col("score")
+            F.col("doc_id").alias(out_col), F.col("score")
         )
 
     def _proc_index_create(self, args, kind: str) -> DataFrame:
@@ -1038,6 +1059,9 @@ class Compiler:
         ),
         "db.index.fulltext.querynodes": lambda self, args: (
             self._proc_fulltext_query(args)
+        ),
+        "db.index.fulltext.queryrelationships": lambda self, args: (
+            self._proc_fulltext_query(args, rels=True)
         ),
         "db.index.vector.createnodeindex": lambda self, args: (
             self._proc_index_create(args, "VECTOR")

@@ -118,3 +118,36 @@ def test_string_vector_query_via_embedder_hook(eng):
         "CALL db.index.vector.queryNodes('embeddings_cosine', 5, 'spark shuffle')"
     ).collect()
     assert [h.node for h in hits] == [h.node for h in again]
+
+
+def test_fulltext_rel_index_query(eng):
+    # reference call_fulltext.go queryRelationships: BM25 over a string
+    # property of typed edges, keyed by edge id
+    eng.cypher(
+        "CREATE (a:Doc {name: 'a'}), (b:Doc {name: 'b'}), "
+        "(c:Doc {name: 'c'})"
+    )
+    eng.cypher(
+        "MATCH (a:Doc {name: 'a'}), (b:Doc {name: 'b'}) "
+        "CREATE (a)-[:CITES {note: 'spark shuffle deep dive'}]->(b)"
+    )
+    eng.cypher(
+        "MATCH (a:Doc {name: 'a'}), (c:Doc {name: 'c'}) "
+        "CREATE (a)-[:CITES {note: 'unrelated gardening tips'}]->(c)"
+    )
+    eng.cypher(
+        """CALL db.index.fulltext.createRelationshipIndex(
+             'cites_ft', ['CITES'], ['note'])"""
+    )
+    hits = eng.cypher(
+        """CALL db.index.fulltext.queryRelationships('cites_ft',
+             'spark shuffle', 5)
+           YIELD relationship, score RETURN relationship, score"""
+    ).collect()
+    assert len(hits) == 1
+    assert hits[0].score > 0
+    # unknown rel index name → empty, not an error
+    none = eng.cypher(
+        "CALL db.index.fulltext.queryRelationships('nope', 'spark', 5)"
+    ).collect()
+    assert none == []
