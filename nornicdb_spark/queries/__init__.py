@@ -62,7 +62,8 @@ _PRIORITY = (
     "agg_rollup_region_nation", "agg_cube_status_priority",
     "set_ops_customer_supplier_nations", "events_asof_purchase",
     "stream_static_enrich", "graph_neighbors_byhop_customer",
-    "stream_stream_join", "stream_dedup_events", "vocab_top_words",
+    "stream_stream_join", "stream_dedup_events", "vector_filtered_topk",
+    "vocab_top_words",
     "text_unigram_logprob", "corpus_split_assign",
     "corpus_quality_filter", "corpus_stratified_sample",
     "cypher_merge_rel", "cypher_correlated_call",

@@ -198,3 +198,32 @@ def ann_hnsw(spark, sf_dir):
         "query_id"
     ).limit(25)
     return idx.search_distributed(queries, k=10)
+
+
+@register(
+    "vector_filtered_topk",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    )
+    SELECT vec_id,
+           list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+             / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(qv, qv))) AS score
+    FROM embeddings JOIN documents ON doc_id = vec_id, q
+    WHERE lang = 'en' AND n_chars >= 150
+    ORDER BY score DESC, vec_id LIMIT 10
+    """,
+)
+def vector_filtered_topk(spark, sf_dir):
+    # attribute-filtered vector search (the payload-filter shape of
+    # Qdrant-style APIs the reference serves over gRPC): the predicate
+    # prunes BEFORE scoring — at scale the metadata filter cuts the
+    # scanned vectors, and with a partitioned corpus it prunes files.
+    cat = Catalog(spark, sf_dir)
+    allowed = cat.documents.filter(
+        (F.col("lang") == "en") & (F.col("n_chars") >= 150)
+    ).select(F.col("doc_id").alias("vec_id"))
+    src = cat.embeddings.join(allowed, "vec_id", "left_semi")
+    return vector.cosine_topk(src, _query_vec(spark, sf_dir), k=10)
