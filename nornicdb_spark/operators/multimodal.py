@@ -109,6 +109,60 @@ def extract_features(media: DataFrame, use_real_decoders: bool | None = None) ->
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+def resize_plan(
+    media: DataFrame, max_w: int = 224, max_h: int = 224
+) -> DataFrame:
+    """Aspect-preserving resize *plan* for image rows: target dimensions
+    are pure column arithmetic over the metadata (scale = min(max_w/w,
+    max_h/h, 1), floored, ≥1) — the decode+resample itself is the stubbed
+    step behind ``extract_features``-style mapInPandas. Map-only; at
+    100 TB this is metadata bookkeeping ahead of the expensive decode,
+    letting the pipeline skip no-op resizes (scale = 1) before touching
+    bytes. Returns (doc_id, width, height, target_w, target_h, skip)."""
+    w = F.col("meta.width").cast("double")
+    h = F.col("meta.height").cast("double")
+    scale = F.least(F.lit(float(max_w)) / w, F.lit(float(max_h)) / h, F.lit(1.0))
+    tw = F.greatest(F.floor(w * scale), F.lit(1)).cast("long")
+    th = F.greatest(F.floor(h * scale), F.lit(1)).cast("long")
+    return (
+        media.filter(F.col("media_type") == "image")
+        .select(
+            "doc_id",
+            F.col("meta.width").cast("long").alias("width"),
+            F.col("meta.height").cast("long").alias("height"),
+            tw.alias("target_w"),
+            th.alias("target_h"),
+            (scale >= 1.0).alias("skip"),
+        )
+    )
+
+
+def audio_window_plan(
+    media: DataFrame, window_ms: int = 2000, stride_ms: int = 1000
+) -> DataFrame:
+    """Overlapping analysis windows per audio clip — the audio twin of
+    frame sampling (windows feed the stubbed decode/feature step).
+    Returns (doc_id, window_no, start_ms, end_ms)."""
+    dur = F.col("meta.duration_ms")
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(dur - 1 - ((dur - 1) % stride_ms), F.lit(0)),
+        F.lit(stride_ms),
+    )
+    return (
+        media.filter(F.col("media_type") == "audio")
+        .select("doc_id", dur.alias("dur"), F.posexplode(starts).alias("window_no", "start_ms"))
+        .select(
+            "doc_id",
+            F.col("window_no").cast("long").alias("window_no"),
+            F.col("start_ms").cast("long").alias("start_ms"),
+            F.least(F.col("start_ms") + window_ms, F.col("dur"))
+            .cast("long")
+            .alias("end_ms"),
+        )
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one row per frame timestamp (the
     decode itself is the stubbed step). Shows the explode-then-decode

@@ -63,6 +63,7 @@ _PRIORITY = (
     "set_ops_customer_supplier_nations", "events_asof_purchase",
     "stream_static_enrich", "graph_neighbors_byhop_customer",
     "stream_stream_join", "stream_dedup_events", "vector_filtered_topk",
+    "multimodal_resize_plan", "multimodal_audio_windows",
     "vocab_top_words",
     "text_unigram_logprob", "corpus_split_assign",
     "corpus_quality_filter", "corpus_stratified_sample",

@@ -735,3 +735,52 @@ def corpus_split_assign(spark, sf_dir):
     # — reproducible, repartition-stable, disjoint from the sample hash.
     docs = Catalog(spark, sf_dir).documents
     return textops.split_assign(docs)
+
+
+@register(
+    "multimodal_resize_plan",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id,
+             CAST(length(text) % 640 + 1 AS BIGINT) AS width,
+             CAST(length(text) % 480 + 1 AS BIGINT) AS height
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT doc_id, width, height,
+           CAST(greatest(floor(width * least(224.0 / width, 224.0 / height, 1.0)), 1)
+                AS BIGINT) AS target_w,
+           CAST(greatest(floor(height * least(224.0 / width, 224.0 / height, 1.0)), 1)
+                AS BIGINT) AS target_h,
+           least(224.0 / width, 224.0 / height, 1.0) >= 1.0 AS skip
+    FROM media
+    """,
+)
+def multimodal_resize_plan(spark, sf_dir):
+    # aspect-preserving resize planning over image metadata (the decode
+    # is the stubbed step) — metadata-only arithmetic that lets a 100 TB
+    # pipeline skip no-op resizes before touching bytes.
+    docs = Catalog(spark, sf_dir).documents
+    media = multimodal.synthesize_media(docs)
+    return multimodal.resize_plan(media, max_w=224, max_h=224)
+
+
+@register(
+    "multimodal_audio_windows",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id, CAST(length(text) * 10 AS BIGINT) AS dur
+      FROM documents WHERE doc_id % 3 = 1
+    )
+    SELECT doc_id, CAST(i // 1000 AS BIGINT) AS window_no,
+           CAST(i AS BIGINT) AS start_ms,
+           CAST(least(i + 2000, dur) AS BIGINT) AS end_ms
+    FROM media, unnest(range(0, greatest(dur - 1, 0) -
+                                ((dur - 1) % 1000) + 1, 1000)) t(i)
+    """,
+)
+def multimodal_audio_windows(spark, sf_dir):
+    # overlapping audio analysis windows (2 s window, 1 s stride) — the
+    # audio twin of frame sampling; map-only posexplode.
+    docs = Catalog(spark, sf_dir).documents
+    media = multimodal.synthesize_media(docs)
+    return multimodal.audio_window_plan(media, window_ms=2000, stride_ms=1000)
