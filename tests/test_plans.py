@@ -168,3 +168,43 @@ def test_bm25_search_never_rescans_corpus(spark, sf_dir):
     )
     assert "documents" not in plan
     assert "dl" in [f.name for f in idx.postings.schema.fields]
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir):
+    # the durable co-location story: both fact tables bucketed by the
+    # join key → the equi-join plans without any shuffle exchange
+    from pyspark.sql import functions as F
+
+    from nornicdb_spark.catalog import Catalog
+    from nornicdb_spark.sources.bucketing import bucketed_join, write_bucketed
+
+    import shutil
+
+    for t in ("bkt_orders", "bkt_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    cat = Catalog(spark, sf_dir)
+    write_bucketed(
+        cat.orders.select(F.col("o_orderkey").alias("k"), "o_totalprice"),
+        "bkt_orders", "k", num_buckets=4,
+    )
+    write_bucketed(
+        cat.lineitem.select(F.col("l_orderkey").alias("k"), "l_quantity"),
+        "bkt_lineitem", "k", num_buckets=4,
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the sort-merge path — a broadcast join would dodge the
+        # question this test asks (does bucketing kill the shuffle?)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = bucketed_join(spark, "bkt_orders", "bkt_lineitem", "k")
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert df.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    spark.sql("DROP TABLE IF EXISTS bkt_orders")
+    spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
