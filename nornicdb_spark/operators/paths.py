@@ -49,6 +49,7 @@ def var_length_paths(
     max_hops: int = 2,
     rel_types: tuple[str, ...] = (),
     direction: str = OUT,
+    with_node_path: bool = True,
 ) -> DataFrame:
     """Enumerate paths ``(start)-[*min..max]->(end)``.
 
@@ -57,6 +58,12 @@ def var_length_paths(
     edge_path array<long>)`` — the array columns back Cypher's
     ``nodes(p)`` / ``relationships(p)`` / ``length(p)`` accessors
     (reference traversal.go:1264-1275 PathResult).
+
+    ``with_node_path=False`` drops the node array from the loop state:
+    the per-round checkpoints are materialization barriers Catalyst
+    cannot prune columns through, so a caller that never reads
+    ``nodes(p)`` should say so (path COUNTS still honor relationship
+    uniqueness — ``edge_path`` always rides along).
     """
     if min_hops < 0 or max_hops < min_hops:
         raise ValueError("need 0 <= min_hops <= max_hops")
@@ -69,12 +76,14 @@ def var_length_paths(
     if rel_types or direction != OUT:
         edges = edges.localCheckpoint(eager=True)
 
-    frontier = start.select(
+    state = [
         F.col("id").alias("start_id"),
         F.col("id").alias("end_id"),
-        F.array(F.col("id")).alias("node_path"),
-        F.array().cast("array<long>").alias("edge_path"),
-    )
+    ]
+    if with_node_path:
+        state.append(F.array(F.col("id")).alias("node_path"))
+    state.append(F.array().cast("array<long>").alias("edge_path"))
+    frontier = start.select(*state)
     out: list[DataFrame] = []
     if min_hops == 0:
         out.append(frontier.withColumn("depth", F.lit(0)))
@@ -87,7 +96,11 @@ def var_length_paths(
             .select(
                 "start_id",
                 F.col("dst").alias("end_id"),
-                F.array_append(F.col("node_path"), F.col("dst")).alias("node_path"),
+                *(
+                    [F.array_append(F.col("node_path"), F.col("dst")).alias("node_path")]
+                    if with_node_path
+                    else []
+                ),
                 F.array_append(F.col("edge_path"), F.col("edge_id")).alias(
                     "edge_path"
                 ),

@@ -126,7 +126,7 @@ def graph_var_length_reach(spark, sf_dir):
     # lineitem), Region (one per customer).
     g = _graph(spark, sf_dir)
     starts = g.nodes_by_label("Customer").select("id")
-    paths = var_length_paths(g, starts, min_hops=1, max_hops=2)
+    paths = var_length_paths(g, starts, min_hops=1, max_hops=2, with_node_path=False)
     end_label = F.split(F.col("end_id"), ":").getItem(0)
     return paths.groupBy(end_label.alias("label")).agg(
         F.count(F.lit(1)).alias("n_paths")
