@@ -64,6 +64,8 @@ _PRIORITY = (
     "stream_static_enrich", "graph_neighbors_byhop_customer",
     "stream_stream_join", "stream_dedup_events", "vector_filtered_topk",
     "multimodal_resize_plan", "multimodal_audio_windows",
+    "temporal_cyclic_patterns", "inference_similarity_edges",
+    "inference_transitive_edges",
     "vocab_top_words",
     "text_unigram_logprob", "corpus_split_assign",
     "corpus_quality_filter", "corpus_stratified_sample",

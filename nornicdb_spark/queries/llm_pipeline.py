@@ -784,3 +784,83 @@ def multimodal_audio_windows(spark, sf_dir):
     docs = Catalog(spark, sf_dir).documents
     media = multimodal.synthesize_media(docs)
     return multimodal.audio_window_plan(media, window_ms=2000, stride_ms=1000)
+
+
+_SIM_EDGES_SQL = """
+    pairs AS (
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                              CAST(b.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(a.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[]))))
+               AS score
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ),
+    thresh AS (SELECT * FROM pairs WHERE score >= 0.55),
+    oriented AS (
+      SELECT a AS src, b AS dst, score FROM thresh
+      UNION ALL
+      SELECT b, a, score FROM thresh
+    ),
+    topk AS (
+      SELECT src, dst, score,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY score DESC, dst) AS r
+      FROM oriented
+    ),
+    sim_edges AS (
+      SELECT src, dst, 'RELATES_TO' AS rel_type, score,
+             CASE WHEN score >= 0.95 THEN 0.9
+                  WHEN score >= 0.90 THEN 0.7
+                  WHEN score >= 0.85 THEN 0.5
+                  ELSE 0.3 END AS confidence,
+             'similarity' AS method
+      FROM topk WHERE r <= 5
+    )
+"""
+
+
+@register(
+    "inference_similarity_edges",
+    oracle=f"""
+    WITH {_SIM_EDGES_SQL}
+    SELECT src, dst, rel_type, score, confidence, method FROM sim_edges
+    """,
+)
+def inference_similarity_edges(spark, sf_dir):
+    # similarity-based RELATES_TO suggestions (reference
+    # inference.go:505-525 + scoreToConfidence:784-797): block-grid pair
+    # generation, per-source top-5 ≥ 0.55 threshold (fixture embeddings
+    # are near-orthogonal, so the reference's 0.85 default finds nothing
+    # at sf0.01 — the mechanics are identical).
+    from nornicdb_spark.operators import inference
+
+    emb = Catalog(spark, sf_dir).embeddings
+    return inference.similarity_edges(emb, threshold=0.55, top_k=5)
+
+
+@register(
+    "inference_transitive_edges",
+    oracle=f"""
+    WITH {_SIM_EDGES_SQL}
+    SELECT e1.src, e2.dst, 'RELATES_TO' AS rel_type,
+           max(e1.confidence * e2.confidence) AS confidence,
+           CAST(count(*) AS BIGINT) AS n_paths,
+           'transitive' AS method
+    FROM sim_edges e1 JOIN sim_edges e2 ON e1.dst = e2.src
+    WHERE e1.src <> e2.dst
+      AND e1.confidence * e2.confidence >= 0.09
+    GROUP BY e1.src, e2.dst
+    """,
+)
+def inference_transitive_edges(spark, sf_dir):
+    # transitive inference A→B→C ⇒ A→C, conf = conf(AB)·conf(BC)
+    # (reference inference.go:740-772), aggregated to best-path
+    # confidence + path count per pair.
+    from nornicdb_spark.operators import inference
+
+    emb = Catalog(spark, sf_dir).embeddings
+    sim = inference.similarity_edges(emb, threshold=0.55, top_k=5)
+    return inference.transitive_edges(sim, min_confidence=0.09)

@@ -432,3 +432,52 @@ def stream_dedup_events(spark, sf_dir):
     )
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
     return structured.run_to_completion(dd, f"ss_dedup_{tag}", mode="append")
+
+
+@register(
+    "temporal_cyclic_patterns",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, hour(ts) AS bkt, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    daily AS (
+      SELECT user_id, sum(n) AS total, max(n) AS maxn,
+             min(bkt) FILTER (WHERE n = (SELECT max(n) FROM hourly h2
+                                         WHERE h2.user_id = hourly.user_id))
+               AS peak
+      FROM hourly GROUP BY user_id
+    ),
+    dow AS (
+      SELECT user_id, dayofweek(ts) AS bkt, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    weekly AS (
+      SELECT user_id, sum(n) AS total, max(n) AS maxn,
+             min(bkt) FILTER (WHERE n = (SELECT max(n) FROM dow d2
+                                         WHERE d2.user_id = dow.user_id))
+               AS peak
+      FROM dow GROUP BY user_id
+    )
+    SELECT user_id, 'daily' AS pattern_type, CAST(peak AS BIGINT) AS peak,
+           least(greatest((maxn / (total / 24.0) - 1.0) / 3.0, 0), 1.0)
+             AS confidence
+    FROM daily
+    WHERE total >= 10
+      AND least(greatest((maxn / (total / 24.0) - 1.0) / 3.0, 0), 1.0) >= 0.3
+    UNION ALL
+    SELECT user_id, 'weekly', CAST(peak AS BIGINT),
+           least(greatest((maxn / (total / 7.0) - 1.0) / 2.0, 0), 1.0)
+    FROM weekly
+    WHERE total >= 10
+      AND least(greatest((maxn / (total / 7.0) - 1.0) / 2.0, 0), 1.0) >= 0.4
+    """,
+)
+def temporal_cyclic_patterns(spark, sf_dir):
+    # cyclic access-pattern detection (reference
+    # pattern_detector.go:200-289): hour-of-day / day-of-week histogram
+    # concentration per user; exact reference confidence formulas.
+    from nornicdb_spark.streaming.patterns import cyclic_patterns
+
+    ev = Catalog(spark, sf_dir).events
+    return cyclic_patterns(ev)
