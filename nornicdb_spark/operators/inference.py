@@ -65,6 +65,102 @@ def similarity_edges(
     )
 
 
+# per-label evidence thresholds (reference evidence.go:74-105
+# DefaultThresholds; fallback DefaultEvidenceThreshold = relates_to)
+EVIDENCE_THRESHOLDS = {
+    "relates_to": (3, 0.5, 2, 24),
+    "similar_to": (2, 0.7, 1, 48),
+    "coaccess": (5, 0.3, 3, 12),
+    "topology": (2, 0.6, 1, 72),
+    "depends_on": (3, 0.6, 2, 168),
+}
+DEFAULT_EVIDENCE_THRESHOLD = (3, 0.5, 2, 24)
+
+
+def _secs(c) -> F.Column:
+    """Epoch seconds from TIMESTAMP or TIMESTAMP_NTZ (NTZ needs the
+    intermediate cast; values are preserved under the UTC session tz)."""
+    return c.cast("timestamp").cast("double")
+
+
+def accumulate_evidence(signals: DataFrame, now_col) -> DataFrame:
+    """Evidence buffering: aggregate raw inference SIGNALS per
+    (src, dst, label) and decide which accumulate enough proof to
+    materialize an edge (reference evidence.go:269-383 AddEvidence +
+    shouldMaterialize): count ≥ MinCount, avg score ≥ MinScore, distinct
+    sessions ≥ MinSessions, and the evidence is no older than MaxAge.
+    ``signals``: (src, dst, label, score, session_id, ts); ``now_col``:
+    the evaluation instant (a Column, so batch runs are deterministic).
+    One groupBy + a broadcast threshold lookup. Returns
+    (src, dst, label, n_signals, score_avg, n_sessions, first_ts,
+    last_ts, materialize)."""
+    spark = signals.sparkSession
+    th = spark.createDataFrame(
+        [(k, *v) for k, v in EVIDENCE_THRESHOLDS.items()],
+        "label string, min_count int, min_score double, "
+        "min_sessions int, max_age_hours int",
+    )
+    agg = signals.groupBy("src", "dst", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_signals"),
+        F.avg("score").alias("score_avg"),
+        F.count_distinct(
+            F.when(F.col("session_id") != "", F.col("session_id"))
+        ).cast("long").alias("n_sessions"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+    d = DEFAULT_EVIDENCE_THRESHOLD
+    joined = agg.join(F.broadcast(th), "label", "left_outer").select(
+        "src", "dst", "label", "n_signals", "score_avg", "n_sessions",
+        "first_ts", "last_ts",
+        F.coalesce("min_count", F.lit(d[0])).alias("_mc"),
+        F.coalesce("min_score", F.lit(d[1])).alias("_ms"),
+        F.coalesce("min_sessions", F.lit(d[2])).alias("_mn"),
+        F.coalesce("max_age_hours", F.lit(d[3])).alias("_ma"),
+    )
+    age_ok = (
+        _secs(now_col) - _secs(F.col("first_ts"))
+    ) <= F.col("_ma") * 3600.0
+    mat = (
+        age_ok
+        & (F.col("n_signals") >= F.col("_mc"))
+        & (F.col("score_avg") >= F.col("_ms"))
+        & (F.col("n_sessions") >= F.col("_mn"))
+    )
+    return joined.select(
+        "src", "dst", "label", "n_signals", "score_avg", "n_sessions",
+        "first_ts", "last_ts", mat.alias("materialize"),
+    )
+
+
+def decay_edges(
+    edges: DataFrame,
+    now_col,
+    decay_rate: float = 0.95,
+    min_confidence: float = 0.3,
+    grace_days: float = 7.0,
+    only_auto_generated: bool = True,
+) -> DataFrame:
+    """Edge-confidence decay sweep (reference edge_decay.go:8-110):
+    confidence' = confidence · rate^(days since last access), skipped
+    inside the creation grace period and (by default) for user-created
+    edges; edges decaying below ``min_confidence`` are marked deleted.
+    Pure column arithmetic — the 100 TB sweep is one projection.
+    ``edges``: (..., confidence, auto_generated, created_at,
+    last_accessed). Adds (new_confidence, deleted)."""
+    days_idle = (_secs(now_col) - _secs(F.col("last_accessed"))) / 86400.0
+    age_days = (_secs(now_col) - _secs(F.col("created_at"))) / 86400.0
+    eligible = F.lit(True) if not only_auto_generated else F.col("auto_generated")
+    decays = eligible & (age_days > grace_days)
+    new_conf = F.when(
+        decays,
+        F.col("confidence") * F.pow(F.lit(decay_rate), F.greatest(days_idle, F.lit(0.0))),
+    ).otherwise(F.col("confidence"))
+    return edges.withColumn("new_confidence", new_conf).withColumn(
+        "deleted", decays & (F.col("new_confidence") < min_confidence)
+    )
+
+
 def transitive_edges(
     edges: DataFrame,
     min_confidence: float = 0.3,

@@ -65,7 +65,8 @@ _PRIORITY = (
     "stream_stream_join", "stream_dedup_events", "vector_filtered_topk",
     "multimodal_resize_plan", "multimodal_audio_windows",
     "temporal_cyclic_patterns", "inference_similarity_edges",
-    "inference_transitive_edges",
+    "inference_transitive_edges", "inference_evidence_buffer",
+    "inference_edge_decay",
     "vocab_top_words",
     "text_unigram_logprob", "corpus_split_assign",
     "corpus_quality_filter", "corpus_stratified_sample",

@@ -481,3 +481,114 @@ def temporal_cyclic_patterns(spark, sf_dir):
 
     ev = Catalog(spark, sf_dir).events
     return cyclic_patterns(ev)
+
+
+@register(
+    "inference_evidence_buffer",
+    oracle="""
+    WITH signals AS (
+      SELECT 'User:' || user_id AS src,
+             'Type:' || event_type AS dst,
+             CASE WHEN event_type IN ('click', 'view') THEN 'coaccess'
+                  ELSE 'relates_to' END AS label,
+             least(abs(value) / 50.0, 1.0) AS score,
+             CAST(time_bucket(INTERVAL '30 minutes', ts) AS VARCHAR)
+               AS session_id,
+             ts
+      FROM events
+    ),
+    now_t AS (SELECT max(ts) AS now FROM events),
+    th(label, mc, ms, mn, ma) AS (VALUES
+      ('relates_to', 3, 0.5, 2, 24), ('similar_to', 2, 0.7, 1, 48),
+      ('coaccess', 5, 0.3, 3, 12), ('topology', 2, 0.6, 1, 72),
+      ('depends_on', 3, 0.6, 2, 168)),
+    agg AS (
+      SELECT src, dst, label,
+             CAST(count(*) AS BIGINT) AS n_signals,
+             avg(score) AS score_avg,
+             CAST(count(DISTINCT CASE WHEN session_id <> '' THEN session_id END)
+                  AS BIGINT) AS n_sessions,
+             min(ts) AS first_ts, max(ts) AS last_ts
+      FROM signals GROUP BY 1, 2, 3
+    )
+    SELECT src, dst, label, n_signals, score_avg, n_sessions,
+           first_ts, last_ts,
+           (date_diff('second', first_ts, now_t.now) <= ma * 3600.0
+            AND n_signals >= mc AND score_avg >= ms AND n_sessions >= mn)
+             AS materialize
+    FROM agg JOIN th USING (label), now_t
+    """,
+)
+def inference_evidence_buffer(spark, sf_dir):
+    # evidence buffering (reference evidence.go:269-383): signals derived
+    # deterministically from the event log accumulate per (src,dst,label)
+    # and materialize only past the per-label proof thresholds. The
+    # evaluation instant is max(ts) so the batch is reproducible.
+    from nornicdb_spark.operators import inference
+
+    ev = Catalog(spark, sf_dir).events
+    signals = ev.select(
+        F.concat(F.lit("User:"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("Type:"), F.col("event_type")).alias("dst"),
+        F.when(F.col("event_type").isin("click", "view"), "coaccess")
+        .otherwise("relates_to")
+        .alias("label"),
+        F.least(F.abs(F.col("value")) / 50.0, F.lit(1.0)).alias("score"),
+        F.date_trunc("hour", F.col("ts")).cast("string").alias("_h"),
+        F.col("ts"),
+    ).withColumn(
+        "session_id",
+        F.window("ts", "30 minutes").start.cast("string"),
+    ).drop("_h")
+    now = ev.agg(F.max("ts")).collect()[0][0]
+    return inference.accumulate_evidence(signals, F.lit(now))
+
+
+@register(
+    "inference_edge_decay",
+    oracle="""
+    WITH now_t AS (SELECT max(o_orderdate) + INTERVAL '30 days' AS now
+                   FROM orders),
+    edges AS (
+      SELECT o_orderkey AS edge_id,
+             0.5 + (o_orderkey % 50) / 100.0 AS confidence,
+             o_orderkey % 4 <> 0 AS auto_generated,
+             o_orderdate AS created_at,
+             o_orderdate + INTERVAL '10 days' AS last_accessed
+      FROM orders
+    )
+    SELECT edge_id, confidence, auto_generated,
+           CASE WHEN auto_generated
+                     AND date_diff('second', created_at, now_t.now) / 86400.0 > 7
+                THEN confidence * power(0.95, greatest(
+                       date_diff('second', last_accessed, now_t.now) / 86400.0, 0))
+                ELSE confidence END AS new_confidence,
+           (auto_generated
+            AND date_diff('second', created_at, now_t.now) / 86400.0 > 7
+            AND CASE WHEN auto_generated
+                          AND date_diff('second', created_at, now_t.now) / 86400.0 > 7
+                     THEN confidence * power(0.95, greatest(
+                            date_diff('second', last_accessed, now_t.now) / 86400.0, 0))
+                     ELSE confidence END < 0.3) AS deleted
+    FROM edges, now_t
+    """,
+)
+def inference_edge_decay(spark, sf_dir):
+    # edge-confidence decay sweep (reference edge_decay.go: 5%/day,
+    # delete < 0.3, 7-day grace, auto-generated only) over a
+    # deterministic synthetic edge table; 'now' = max date + 30 days.
+    from nornicdb_spark.operators import inference
+
+    o = Catalog(spark, sf_dir).orders
+    edges = o.select(
+        F.col("o_orderkey").alias("edge_id"),
+        (0.5 + (F.col("o_orderkey") % 50) / 100.0).alias("confidence"),
+        (F.col("o_orderkey") % 4 != 0).alias("auto_generated"),
+        F.col("o_orderdate").alias("created_at"),
+        F.date_add(F.col("o_orderdate"), 10).cast("timestamp").alias("last_accessed"),
+    )
+    now = o.agg(F.date_add(F.max("o_orderdate"), 30)).collect()[0][0]
+    out = inference.decay_edges(edges, F.lit(now).cast("timestamp"))
+    return out.select(
+        "edge_id", "confidence", "auto_generated", "new_confidence", "deleted"
+    )
