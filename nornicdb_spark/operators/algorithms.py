@@ -398,20 +398,16 @@ def weighted_shortest_paths(
     the difference between shuffling (pair, double) and (pair, array)
     rows at 100 TB.
     """
-    e = _weighted_oriented_edges(graph, rel_types, direction, weight_col)
-
     # Long-encoded fast path: distances are invariant under 1:1 node
     # re-keying, so the relaxation loop shuffles (long, long, double)
     # rows; only the final projection decodes. Path mode stays on strings
     # — its cost ties break by LEXICOGRAPHIC node_path, which encoding
     # would reorder.
     encoded = graph.numeric_keys and not with_paths
+    e = _weighted_oriented_edges(
+        graph, rel_types, direction, weight_col, encode=encoded
+    )
     if encoded:
-        e = e.select(
-            graph.encode_id(F.col("src")).alias("src"),
-            graph.encode_id(F.col("dst")).alias("dst"),
-            "w",
-        )
         start = start.select(graph.encode_id(F.col("id")).alias("id"))
 
     state = [F.lit(0.0).alias("cost")]
@@ -559,27 +555,41 @@ def astar_shortest_path(
     return best.join(targets, "end_id", "left_semi").select("start_id", "end_id", "cost")
 
 
-def _weighted_oriented_edges(graph, rel_types, direction, weight_col):
+def _weighted_oriented_edges(graph, rel_types, direction, weight_col,
+                             encode: bool = False):
     """(src, dst, w) in the requested orientation, weight defaulting to
-    1.0 — one pass over the edge source (untyped → the shared
-    materialized adjacency; typed → lazy plan with scan-level pruning),
-    no edge_id self-join, checkpointed for the relaxation loop."""
-    base = (
-        graph.adj_by_type(*rel_types)
-        if not rel_types
-        else graph.edges_by_type(*rel_types)
-    )
+    1.0, checkpointed for the relaxation loop. ``encode=True`` long-
+    encodes the endpoints BEFORE the checkpoint, built from the LAZY edge
+    plan so column pruning reaches the parquet scans and the loop never
+    re-splits strings per round (and never forces the full-width
+    adjacency materialization it doesn't need)."""
+    if encode:
+        base = graph.edges_by_type(*rel_types) if rel_types else graph.edges
+        src = graph.encode_id(F.col("src")).alias("src")
+        dst = graph.encode_id(F.col("dst")).alias("dst")
+    else:
+        base = (
+            graph.adj_by_type(*rel_types)
+            if not rel_types
+            else graph.edges_by_type(*rel_types)
+        )
+        src, dst = F.col("src").alias("src"), F.col("dst").alias("dst")
     w = (
         F.coalesce(F.col(weight_col).cast("double"), F.lit(1.0))
         if weight_col
         else F.lit(1.0)
     ).alias("w")
-    e = base.select("src", "dst", w)
-    flipped = base.select(F.col("dst").alias("src"), F.col("src").alias("dst"), w)
+    e = base.select(src, dst, w)
+    flipped = base.select(dst.alias("src"), src.alias("dst"), w)
     if direction == "in":
         e = flipped
     elif direction == "both":
         e = e.unionByName(flipped)
+    if encode:
+        # the lazy scan arrives with file-sized partitioning; hash it by
+        # src like the shared adjacency so relaxation joins co-locate and
+        # run at session parallelism
+        e = e.repartition("src")
     return e.localCheckpoint(eager=True)  # static across relaxation rounds
 
 
