@@ -865,6 +865,79 @@ class Compiler:
             F.col("id").alias("nodeId"), F.col("embedding")
         )
 
+    def _proc_fastrp_stats(self, args) -> DataFrame:
+        """CALL gds.fastRP.stats(graphName[, dim]) →
+        (nodeCount, embeddingDimension) (reference fastrp.go:395-421;
+        computeMillis omitted — wall time isn't a batch-deterministic
+        column)."""
+        from nornicdb_spark.projections import get_projection
+
+        vals = [self._py_value(a) for a in args]
+        name = vals[0] if vals else ""
+        dim = int(vals[1]) if len(vals) > 1 else 128
+        proj = get_projection(name)
+        if proj is None:
+            raise ValueError(f"cypher: graph {name!r} does not exist")
+        n = proj.nodes.count()
+        return self.cat.spark.createDataFrame(
+            [(n, dim)], "nodeCount long, embeddingDimension long"
+        )
+
+    def _proc_gds_version(self) -> DataFrame:
+        """CALL gds.version() (reference fastrp.go:83-90)."""
+        return self.cat.spark.createDataFrame(
+            [("2.6.0-nornicdb",)], "version string"
+        )
+
+    def _proc_graph_project(self, args) -> DataFrame:
+        """CALL gds.graph.project(name, nodeLabel|[labels], relType|
+        [types]) (reference fastrp.go:95-160): caches a named subgraph in
+        the process-wide projection catalog."""
+        from nornicdb_spark.projections import DEFAULT_CATALOG
+
+        vals = [self._py_value(a) for a in args]
+        name = vals[0]
+        labels = vals[1] if len(vals) > 1 else None
+        types = vals[2] if len(vals) > 2 else None
+        labels = [labels] if isinstance(labels, str) else labels
+        types = [types] if isinstance(types, str) else types
+        g = self._pgraph()
+        nodes = (
+            g.nodes.filter(F.col("label").isin(labels))
+            if labels and labels != ["*"]
+            else g.nodes
+        )
+        edges = (
+            g.edges.filter(F.col("type").isin(types))
+            if types and types != ["*"]
+            else g.edges
+        )
+        info = DEFAULT_CATALOG.project(name, nodes, edges)
+        return self.cat.spark.createDataFrame(
+            [(info.name, info.node_count, info.relationship_count)],
+            "graphName string, nodeCount long, relationshipCount long",
+        )
+
+    def _proc_graph_list(self) -> DataFrame:
+        from nornicdb_spark.projections import DEFAULT_CATALOG
+
+        rows = [
+            (i.name, i.node_count, i.relationship_count)
+            for i in DEFAULT_CATALOG.list()
+        ]
+        return self.cat.spark.createDataFrame(
+            rows, "graphName string, nodeCount long, relationshipCount long"
+        )
+
+    def _proc_graph_drop(self, args) -> DataFrame:
+        from nornicdb_spark.projections import DEFAULT_CATALOG
+
+        name = self._py_value(args[0])
+        DEFAULT_CATALOG.drop(name)
+        return self.cat.spark.createDataFrame(
+            [(name,)], "graphName string"
+        )
+
     # label → (table, id column) for index sources beyond the graph specs
     INDEX_SOURCES = {
         "Embedding": ("embeddings", "vec_id"),
@@ -1170,6 +1243,11 @@ class Compiler:
         "apoc.algo.dijkstra": lambda self, args: self._proc_dijkstra(args),
         "apoc.neighbors.tohop": lambda self, args: self._proc_khop(args),
         "gds.fastrp.stream": lambda self, args: self._proc_fastrp(args),
+        "gds.fastrp.stats": lambda self, args: self._proc_fastrp_stats(args),
+        "gds.version": lambda self, args: self._proc_gds_version(),
+        "gds.graph.project": lambda self, args: self._proc_graph_project(args),
+        "gds.graph.list": lambda self, args: self._proc_graph_list(),
+        "gds.graph.drop": lambda self, args: self._proc_graph_drop(args),
     }
 
     def _proc_apoc_run(self, args) -> DataFrame:

@@ -25,6 +25,9 @@ _MUTATING_CALLS = (
     "db.index.vector.create", "db.index.fulltext.create", "db.index.vector.drop",
     "db.index.fulltext.drop", "db.create.setnodevectorproperty",
     "apoc.periodic.", "apoc.cypher.",
+    # projection-catalog mutations — project/drop change what list/stats
+    # return, so they must bust the read cache
+    "gds.graph.project", "gds.graph.drop",
 )
 
 
@@ -165,6 +168,8 @@ class Engine:
         """Identity snapshot of the mutable store — every write swaps in
         new DataFrames, so object identities change with any mutation.
         A pristine Engine (no store yet) snapshots as None."""
+        from nornicdb_spark.projections import DEFAULT_CATALOG
+
         ic = getattr(self.catalog, "_index_catalog", None)
         ic_key = tuple(sorted(ic._defs)) if ic is not None else None
         s = self.store  # instantiate: compile() will create it anyway
@@ -174,6 +179,9 @@ class Engine:
             s._dyn_counter,
             s._edge_batch,
             ic_key,
+            # projection-catalog state: project/drop change what
+            # gds.graph.list / fastRP.stats return
+            tuple(sorted(DEFAULT_CATALOG._graphs)),
         )
 
     def explain(self, query: str, params: dict | None = None) -> str:

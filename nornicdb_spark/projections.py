@@ -61,3 +61,16 @@ class GraphCatalog:
         g = self._graphs.pop(name)
         g.nodes.unpersist()
         g.edges.unpersist()
+
+
+# process-wide default catalog — the frontend's gds.graph.* procedures
+# resolve names here (reference keeps a global projections map,
+# fastrp.go graphProjections)
+DEFAULT_CATALOG = GraphCatalog()
+
+
+def get_projection(name: str) -> PropertyGraph | None:
+    try:
+        return DEFAULT_CATALOG.get(name)
+    except KeyError:
+        return None

@@ -33,3 +33,24 @@ def test_project_list_drop_and_reuse(graph):
     cat.drop("geo")
     with pytest.raises(KeyError):
         cat.get("geo")
+
+
+def test_gds_graph_procedures_via_frontend(spark, sf_dir):
+    # gds.graph.project/list/drop + fastRP.stats + version through Cypher
+    # (reference fastrp.go:83-160, 314-421)
+    from nornicdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    r = eng.cypher(
+        "CALL gds.graph.project('supnet', 'Supplier', 'SUPPLIES')"
+    ).collect()[0]
+    assert r.graphName == "supnet" and r.nodeCount > 0
+    names = {x.graphName for x in eng.cypher("CALL gds.graph.list()").collect()}
+    assert "supnet" in names
+    st = eng.cypher("CALL gds.fastRP.stats('supnet', 64)").collect()[0]
+    assert (st.nodeCount, st.embeddingDimension) == (r.nodeCount, 64)
+    v = eng.cypher("CALL gds.version()").collect()[0]
+    assert v.version == "2.6.0-nornicdb"
+    eng.cypher("CALL gds.graph.drop('supnet')")
+    names = {x.graphName for x in eng.cypher("CALL gds.graph.list()").collect()}
+    assert "supnet" not in names
