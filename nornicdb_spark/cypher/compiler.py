@@ -2736,10 +2736,15 @@ class Compiler:
             "apoc.convert.fromjsonmap": apoc_fns.convert_from_json_map,
             "apoc.convert.fromjsonlist": apoc_fns.convert_from_json_list,
             "apoc.meta.type": lambda c: F.typeof(c),
+            "apoc.meta.istype": apoc_fns.meta_is_type,
+            "apoc.map.fromlists": apoc_fns.map_from_lists,
+            "apoc.coll.split": apoc_fns.coll_split,
             "apoc.create.uuid": lambda: F.expr("uuid()"),
         }
         if name in apoc_map:
             return apoc_map[name](*cols)
+        if name == "apoc.coll.sortnodes":
+            return apoc_fns.coll_sort_nodes(cols[0], str(self._lit_value(args[1])))
         if name == "apoc.coll.partition":
             return apoc_fns.coll_partition(cols[0], int(self._lit_value(args[1])))
         if name == "apoc.map.setkey":

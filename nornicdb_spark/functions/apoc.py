@@ -180,3 +180,75 @@ def convert_from_json_list(c: Column, element_type: str = "string") -> Column:
 def text_join(arr: Column, sep: str) -> Column:
     """apoc.text.join."""
     return F.array_join(arr, sep)
+
+
+def coll_split(arr: Column, value: Column) -> Column:
+    """apoc.coll.split(list, value) — sublists between occurrences of the
+    separator, empty segments dropped (reference
+    apoc_collections.go:683-721: [1,0,2,0,3] split by 0 → [[1],[2],[3]]).
+    Single aggregate over the array — no explode."""
+    init = F.struct(
+        F.array().cast("array<array<string>>").alias("parts"),
+        F.array().cast("array<string>").alias("cur"),
+    )
+
+    def step(acc, x):
+        xs = x.cast("string")
+        is_sep = xs.eqNullSafe(value.cast("string"))
+        flushed = F.when(
+            is_sep & (F.size(acc.cur) > 0), F.array_append(acc.parts, acc.cur)
+        ).otherwise(acc.parts)
+        nxt = F.when(is_sep, F.array().cast("array<string>")).otherwise(
+            F.array_append(acc.cur, xs)
+        )
+        return F.struct(flushed.alias("parts"), nxt.alias("cur"))
+
+    return F.aggregate(
+        F.transform(arr, lambda x: x.cast("string")),
+        init,
+        step,
+        lambda acc: F.when(
+            F.size(acc.cur) > 0, F.array_append(acc.parts, acc.cur)
+        ).otherwise(acc.parts),
+    )
+
+
+def coll_sort_nodes(arr: Column, prop: str) -> Column:
+    """apoc.coll.sortNodes(nodes, prop) — sort an array of node structs
+    ascending by the (numeric) property (reference
+    apoc_collections.go:339-359)."""
+    return F.array_sort(
+        arr,
+        lambda a, b: F.when(a[prop] < b[prop], -1)
+        .when(a[prop] > b[prop], 1)
+        .otherwise(0),
+    )
+
+
+def map_from_lists(keys: Column, values: Column) -> Column:
+    """apoc.map.fromLists(keys, values) (reference
+    apoc_collections.go:1009-1035)."""
+    return F.map_from_arrays(keys, values)
+
+
+def cypher_type_name(c: Column) -> Column:
+    """Spark type → the reference's Cypher type vocabulary
+    (apoc_collections.go:910-937 getCypherType)."""
+    t = F.typeof(c)
+    return (
+        F.when(c.isNull(), "NULL")
+        .when(t == "boolean", "BOOLEAN")
+        .when(t.isin("tinyint", "smallint", "int", "bigint"), "INTEGER")
+        .when(t.isin("float", "double") | t.startswith("decimal"), "FLOAT")
+        .when(t == "string", "STRING")
+        .when(t.startswith("array"), "LIST")
+        .when(t.startswith("map"), "MAP")
+        .when(t.startswith("interval"), "DURATION")
+        .otherwise("ANY")
+    )
+
+
+def meta_is_type(c: Column, type_name: Column) -> Column:
+    """apoc.meta.isType(value, name) — case-insensitive check against the
+    Cypher type name (reference functions_eval_functions.go:2156-2171)."""
+    return cypher_type_name(c) == F.upper(type_name.cast("string"))

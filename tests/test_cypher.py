@@ -1155,3 +1155,23 @@ def test_use_prefix_and_call_in_transactions(eng):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="not attached"):
         eng.cypher("USE otherdb MATCH (n) RETURN n")
+
+
+def test_apoc_surface_tail(eng):
+    # apoc.coll.split / sortNodes, apoc.map.fromLists, apoc.meta.isType
+    # (reference apoc_collections.go:339-359, 683-721, 1009-1035;
+    # functions_eval_functions.go:2156-2171)
+    r = eng.cypher(
+        """RETURN apoc.coll.split([1, 0, 2, 0, 3], 0) AS s,
+                  apoc.map.fromLists(['a', 'b'], [1, 2]) AS m,
+                  apoc.meta.isType(1, 'integer') AS t1,
+                  apoc.meta.isType('x', 'integer') AS t0"""
+    ).collect()[0]
+    assert r.s == [["1"], ["2"], ["3"]]
+    assert dict(r.m) == {"a": 1, "b": 2}
+    assert (r.t1, r.t0) == (True, False)
+    r2 = eng.cypher(
+        """WITH [{name: 'b', v: 3.0}, {name: 'a', v: 1.0}] AS ns
+           RETURN apoc.coll.sortNodes(ns, 'v') AS sorted"""
+    ).collect()[0]
+    assert [x["name"] for x in r2.sorted] == ["a", "b"]
