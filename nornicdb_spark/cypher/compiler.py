@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from nornicdb_spark.catalog import NODE_SPECS, Catalog, node_id
 from nornicdb_spark.cypher import ast as A
 from nornicdb_spark.cypher.parser import parse
+from nornicdb_spark.operators.expand import cartesian
 
 LABEL_TABLES = {label: (table, key) for label, table, key in NODE_SPECS}
 
@@ -224,7 +225,7 @@ class Compiler:
         if self.frame is None:
             self.frame = result
         else:
-            self.frame = self.frame.crossJoin(result)
+            self.frame = cartesian(self.frame, result)
         for col in result.columns:
             self.bindings[col] = Binding("value", column=col)
 
@@ -631,7 +632,7 @@ class Compiler:
         elif on:
             self.frame = self.frame.join(paths, on=on, how="inner")
         else:
-            self.frame = self.frame.crossJoin(paths)
+            self.frame = cartesian(self.frame, paths)
         for v, pat, bound in ((a_var, a, a_bound), (b_var, b, b_bound)):
             if not bound:
                 if pat.label is not None:
@@ -659,7 +660,7 @@ class Compiler:
         if self.frame is None:
             self.frame = scan
         else:
-            self.frame = self.frame.crossJoin(scan)
+            self.frame = cartesian(self.frame, scan)
         self._apply_node_props(var, node)
         return var
 
@@ -1402,7 +1403,7 @@ class Compiler:
         if self.frame is None:
             self.frame = result
         else:
-            self.frame = self.frame.crossJoin(result)
+            self.frame = cartesian(self.frame, result)
         for col in result.columns:
             self.bindings[col] = Binding("value", column=col)
 
@@ -1503,7 +1504,8 @@ class Compiler:
                 if rel.direction == "in":
                     a, b = b, a
                 pairs = self._endpoint_pairs(a, b)
-                n = self.store.create_edge(pairs, rel.types[0])
+                eprops = {k: self._py_value(v) for k, v in (rel.props or ())}
+                n = self.store.create_edge(pairs, rel.types[0], eprops)
                 self.stats.add(relationships_created=n)
 
     def _endpoint_pairs(self, a: str | None, b: str | None) -> DataFrame:

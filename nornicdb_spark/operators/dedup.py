@@ -56,13 +56,16 @@ def words_col(text_col) -> F.Column:
 
 
 def spread(df: DataFrame) -> DataFrame:
-    """Ensure at least session-default parallelism for a per-row-heavy
-    stage. Small-file corpora arrive as 1 parquet partition, serializing
-    the whole explode/hash pipeline onto one core; one cheap row-shuffle
-    fixes that. A corpus that already has enough partitions (any real
-    multi-file table) is returned untouched."""
+    """Normalize partitioning for a per-row-heavy stage. Small-file
+    corpora arrive as 1 parquet partition, serializing the whole
+    explode/hash pipeline onto one core; incrementally-built frames
+    (store unions of many tiny batches) arrive with thousands of
+    near-empty partitions whose per-task overhead dwarfs the work. Both
+    extremes get one cheap row-shuffle to session parallelism; anything
+    in a sane band is returned untouched."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    n = df.rdd.getNumPartitions()
+    if n < target or n > target * 4:
         return df.repartition(target)
     return df
 

@@ -128,5 +128,19 @@ def exists_pattern(
 
 def cartesian(frame_a: DataFrame, frame_b: DataFrame) -> DataFrame:
     """MATCH (a), (b) — disconnected patterns cross join
-    (reference match_multi.go:952-1133)."""
+    (reference match_multi.go:952-1133). CartesianProduct task count is
+    the PRODUCT of both sides' partition counts — two modest frames
+    (e.g. store unions of small batches) can silently plan thousands of
+    near-empty tasks, so the sides are coalesced until the product fits
+    a small multiple of session parallelism."""
+    sc = frame_a.sparkSession.sparkContext
+    cap = max(sc.defaultParallelism * 2, 1)
+    na = frame_a.rdd.getNumPartitions()
+    nb = frame_b.rdd.getNumPartitions()
+    if na * nb > cap:
+        tb = max(1, cap // max(na, 1))
+        if nb > tb:
+            frame_b, nb = frame_b.coalesce(tb), tb
+        if na * nb > cap:
+            frame_a = frame_a.coalesce(max(1, cap // nb))
     return frame_a.crossJoin(frame_b)
