@@ -321,8 +321,10 @@ def common_neighbors(
         .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .agg(
             F.count(F.lit(1)).alias("common"),
-            F.sum(1.0 / F.log(F.col("d"))).alias("adamic_adar"),
-            F.sum(1.0 / F.col("d")).alias("resource_allocation"),
+            # rounded to 9 decimals: these float sums are the only partition-
+            # order-sensitive outputs of the operator
+            F.round(F.sum(1.0 / F.log(F.col("d"))), 9).alias("adamic_adar"),
+            F.round(F.sum(1.0 / F.col("d")), 9).alias("resource_allocation"),
         )
         .filter(F.col("common") >= min_common)
     )

@@ -100,9 +100,13 @@ def accumulate_evidence(signals: DataFrame, now_col) -> DataFrame:
         "label string, min_count int, min_score double, "
         "min_sessions int, max_age_hours int",
     )
+    # score_avg is rounded to 9 decimals: float summation order varies
+    # with partitioning, so the raw avg is only reproducible to the last
+    # ULP — rounding makes both the output and the >= MinScore decision
+    # partition-order independent.
     agg = signals.groupBy("src", "dst", "label").agg(
         F.count(F.lit(1)).cast("long").alias("n_signals"),
-        F.avg("score").alias("score_avg"),
+        F.round(F.avg("score"), 9).alias("score_avg"),
         F.count_distinct(
             F.when(F.col("session_id") != "", F.col("session_id"))
         ).cast("long").alias("n_sessions"),

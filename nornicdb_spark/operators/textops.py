@@ -295,7 +295,10 @@ def unigram_logprob(
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.avg(F.log(F.col("wc") / F.col("total"))).alias("mean_logprob"),
+            # rounded: avg-of-logs is partition-order sensitive at the ULP
+            F.round(
+                F.avg(F.log(F.col("wc") / F.col("total"))), 9
+            ).alias("mean_logprob"),
         )
     )
 

@@ -634,7 +634,8 @@ def text_contamination(spark, sf_dir):
       FROM ev GROUP BY lang, vec_id
     )
     SELECT n.lang, CAST(count(*) AS BIGINT) AS n_vecs,
-           avg(n.nrm) AS avg_norm, c.centroid_norm
+           round(avg(n.nrm), 9) AS avg_norm,
+           round(c.centroid_norm, 9) AS centroid_norm
     FROM norms n JOIN (
       SELECT lang, sqrt(sum(c * c)) AS centroid_norm FROM cent GROUP BY lang
     ) c USING (lang)
@@ -666,10 +667,15 @@ def embedding_centroid_stats(spark, sf_dir):
         norms.groupBy("lang")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_vecs"),
-            F.avg("nrm").alias("avg_norm"),
+            # 9-decimal rounding: float-sum partition order is the only
+            # nondeterminism here; rounding makes the output stable
+            F.round(F.avg("nrm"), 9).alias("avg_norm"),
         )
         .join(cent, "lang")
-        .select("lang", "n_vecs", "avg_norm", "centroid_norm")
+        .select(
+            "lang", "n_vecs", "avg_norm",
+            F.round("centroid_norm", 9).alias("centroid_norm"),
+        )
     )
 
 
@@ -704,7 +710,7 @@ def vocab_top_words(spark, sf_dir):
     freq AS (SELECT word, count(*) AS wc FROM toks GROUP BY word),
     total AS (SELECT CAST(sum(wc) AS DOUBLE) AS total FROM freq)
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-           avg(ln(wc / total)) AS mean_logprob
+           round(avg(ln(wc / total)), 9) AS mean_logprob
     FROM toks JOIN freq USING (word), total
     GROUP BY doc_id
     """,

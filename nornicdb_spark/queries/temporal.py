@@ -83,7 +83,7 @@ def decay_scores(spark, sf_dir):
     )
     SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
            max(n_events) AS max_session_events,
-           avg(duration_s) AS avg_session_seconds
+           round(avg(duration_s), 6) AS avg_session_seconds
     FROM per_session GROUP BY user_id
     """,
 )
@@ -505,7 +505,7 @@ def temporal_cyclic_patterns(spark, sf_dir):
     agg AS (
       SELECT src, dst, label,
              CAST(count(*) AS BIGINT) AS n_signals,
-             avg(score) AS score_avg,
+             round(avg(score), 9) AS score_avg,
              CAST(count(DISTINCT CASE WHEN session_id <> '' THEN session_id END)
                   AS BIGINT) AS n_sessions,
              min(ts) AS first_ts, max(ts) AS last_ts

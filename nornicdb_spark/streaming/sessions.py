@@ -61,7 +61,9 @@ def session_stats(
     return per_session.groupBy(key_col).agg(
         F.count(F.lit(1)).alias("n_sessions"),
         F.max("n_events").alias("max_session_events"),
-        F.avg("duration_s").alias("avg_session_seconds"),
+        # rounded: float-avg of derived durations is partition-order
+        # sensitive at the ULP
+        F.round(F.avg("duration_s"), 6).alias("avg_session_seconds"),
     )
 
 
