@@ -239,13 +239,90 @@ def graph_link_prediction_suppliers(spark, sf_dir):
     )
 
 
-@register("graph_pagerank")  # iterative — no single SQL oracle; rows-only check
+def _pagerank_oracle(iterations: int = 5, d: float = 0.85, k: int = 50) -> str:
+    """Fixed-iteration PageRank as an unrolled CTE chain (no recursion
+    needed for a known iteration count): same formulation as the engine —
+    rank = (1-d)/N + d*(contrib + dangling_mass/N), dangling mass from
+    mass conservation (1 - Σ contribs), uniform init. The graph is the
+    star-schema projection (FIXTURES.md §A) spelled out as SQL edges."""
+    chain = [
+        """
+    edges AS (
+      SELECT 'Customer:' || o_custkey AS src, 'Order:' || o_orderkey AS dst
+      FROM orders
+      UNION ALL
+      SELECT 'Order:' || l_orderkey, 'Part:' || l_partkey FROM lineitem
+      UNION ALL
+      SELECT DISTINCT 'Supplier:' || l_suppkey, 'Part:' || l_partkey
+      FROM lineitem
+      UNION ALL
+      SELECT 'Customer:' || c_custkey, 'Nation:' || c_nationkey FROM customer
+      UNION ALL
+      SELECT 'Supplier:' || s_suppkey, 'Nation:' || s_nationkey FROM supplier
+      UNION ALL
+      SELECT 'Nation:' || n_nationkey, 'Region:' || n_regionkey FROM nation
+    ),
+    nodes AS (
+      SELECT 'Customer:' || c_custkey AS id FROM customer
+      UNION ALL SELECT 'Order:' || o_orderkey FROM orders
+      UNION ALL SELECT 'Part:' || p_partkey FROM part
+      UNION ALL SELECT 'Supplier:' || s_suppkey FROM supplier
+      UNION ALL SELECT 'Nation:' || n_nationkey FROM nation
+      UNION ALL SELECT 'Region:' || r_regionkey FROM region
+    ),
+    meta AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    outdeg AS (
+      SELECT src AS id, CAST(count(*) AS DOUBLE) AS od FROM edges GROUP BY src
+    ),
+    c1 AS (
+      SELECT e.dst AS id, sum((1.0 / meta.n) / o.od) AS contrib
+      FROM edges e JOIN outdeg o ON o.id = e.src, meta
+      GROUP BY e.dst
+    )"""
+    ]
+    for i in range(2, iterations + 1):
+        chain.append(f"""
+    s{i - 1} AS (SELECT sum(contrib) AS s FROM c{i - 1}),
+    r{i - 1} AS (
+      SELECT nodes.id,
+             {(1.0 - d)!r} / meta.n
+               + {d!r} * (coalesce(c.contrib, 0.0)
+                          + (1.0 - s{i - 1}.s) / meta.n) AS rank
+      FROM nodes LEFT JOIN c{i - 1} c ON c.id = nodes.id, meta, s{i - 1}
+    ),
+    c{i} AS (
+      SELECT e.dst AS id, sum(r.rank / o.od) AS contrib
+      FROM r{i - 1} r JOIN outdeg o ON o.id = r.id
+      JOIN edges e ON e.src = r.id
+      GROUP BY e.dst
+    )""")
+    last = iterations
+    return f"""
+    WITH {','.join(chain)},
+    sF AS (SELECT sum(contrib) AS s FROM c{last})
+    SELECT nodes.id,
+           round({(1.0 - d)!r} / meta.n
+                 + {d!r} * (coalesce(c.contrib, 0.0)
+                            + (1.0 - sF.s) / meta.n), 9) AS pagerank
+    FROM nodes LEFT JOIN c{last} c ON c.id = nodes.id, meta, sF
+    ORDER BY pagerank DESC, nodes.id ASC LIMIT {k}
+    """
+
+
+@register("graph_pagerank", oracle=_pagerank_oracle())
 def graph_pagerank(spark, sf_dir):
     # apoc.algo.pageRank (reference apoc_algorithms.go:252-307), power
     # iteration with dangling-mass redistribution, damping 0.85.
+    # pagerank is rounded to 9 decimals BEFORE the top-50 sort so the
+    # selected set and the hashed values are partition-order independent
+    # (ties broken by id on both sides).
     g = _graph(spark, sf_dir)
     pr = algorithms.pagerank(g, iterations=5)
-    return pr.orderBy(F.desc("pagerank"), F.asc("id")).limit(50)
+    return (
+        pr.withColumn("pagerank", F.round("pagerank", 9))
+        .orderBy(F.desc("pagerank"), F.asc("id"))
+        .limit(50)
+    )
 
 
 @register(
@@ -459,7 +536,79 @@ def graph_all_shortest_paths_customer_parts(spark, sf_dir):
     )
 
 
-@register("graph_connected_components")  # iterative fixpoint; rows-only check
+@register(
+    "graph_connected_components",
+    # WCC oracle by graph contraction: every non-Part node reaches its
+    # region through deterministic tree edges (Order→Customer→Nation→
+    # Region, Supplier→Nation→Region), so components of the full graph =
+    # components of the region-level quotient graph (regions bridged by
+    # parts whose lineitems touch several regions) + one singleton per
+    # part that appears in no lineitem. The recursive closure then runs
+    # over ≤5 region nodes instead of the full graph.
+    oracle="""
+    WITH RECURSIVE
+    li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk,
+                  l_suppkey AS sk FROM lineitem),
+    cust_reg AS (SELECT c_custkey AS ck, n_regionkey AS r
+                 FROM customer JOIN nation ON c_nationkey = n_nationkey),
+    ord_reg AS (SELECT o_orderkey AS ok, r
+                FROM orders JOIN cust_reg ON o_custkey = ck),
+    sup_reg AS (SELECT s_suppkey AS sk, n_regionkey AS r
+                FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+    part_reg AS (
+      SELECT DISTINCT pk, r FROM (
+        SELECT li.pk, o.r FROM li JOIN ord_reg o USING (ok)
+        UNION ALL
+        SELECT li.pk, s.r FROM li JOIN sup_reg s USING (sk)
+      )
+    ),
+    reg_edges AS (
+      SELECT DISTINCT least(r, m) AS a, greatest(r, m) AS b
+      FROM (SELECT pk, r, min(r) OVER (PARTITION BY pk) AS m FROM part_reg)
+      WHERE r <> m
+    ),
+    und AS (SELECT a AS s, b AS d FROM reg_edges
+            UNION SELECT b, a FROM reg_edges),
+    reach(node, lbl) AS (
+      SELECT r_regionkey, r_regionkey FROM region
+      UNION
+      SELECT u.d, reach.lbl FROM und u JOIN reach ON reach.node = u.s
+    ),
+    reg_comp AS (SELECT node AS r, min(lbl) AS comp FROM reach GROUP BY node),
+    comp_sizes AS (
+      SELECT comp, sum(cnt) AS size FROM (
+        SELECT comp, count(*) AS cnt FROM reg_comp GROUP BY comp
+        UNION ALL SELECT comp, count(*) FROM nation
+          JOIN reg_comp ON n_regionkey = r GROUP BY comp
+        UNION ALL SELECT comp, count(*) FROM cust_reg
+          JOIN reg_comp USING (r) GROUP BY comp
+        UNION ALL SELECT comp, count(*) FROM sup_reg
+          JOIN reg_comp USING (r) GROUP BY comp
+        UNION ALL SELECT comp, count(*) FROM ord_reg
+          JOIN reg_comp USING (r) GROUP BY comp
+        UNION ALL SELECT comp, count(*) FROM (
+          SELECT pk, min(comp) AS comp FROM part_reg
+          JOIN reg_comp USING (r) GROUP BY pk
+        ) GROUP BY comp
+      ) GROUP BY comp
+    ),
+    iso AS (SELECT count(*) AS n_iso FROM part
+            WHERE p_partkey NOT IN (SELECT pk FROM li)),
+    tot AS (SELECT (SELECT count(*) FROM customer)
+                 + (SELECT count(*) FROM orders)
+                 + (SELECT count(*) FROM part)
+                 + (SELECT count(*) FROM supplier)
+                 + (SELECT count(*) FROM nation)
+                 + (SELECT count(*) FROM region) AS n_nodes)
+    SELECT CAST((SELECT count(*) FROM comp_sizes) + iso.n_iso AS BIGINT)
+             AS n_components,
+           CAST(greatest((SELECT max(size) FROM comp_sizes),
+                         CASE WHEN iso.n_iso > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS largest,
+           CAST(tot.n_nodes AS BIGINT) AS n_nodes
+    FROM iso, tot
+    """,
+)
 def graph_connected_components(spark, sf_dir):
     # apoc.algo.wcc (reference apoc_community.go:332-429): component sizes
     # by label of the component representative.

@@ -34,12 +34,18 @@ def bm25_topk(spark, sf_dir):
     return idx.search(BM25_QUERY, k=10)
 
 
-@register("bm25_prefix_topk", oracle=None)  # prefix expansion: rows-only
+@register(
+    "bm25_prefix_topk",
+    oracle=bm25_mod.bm25_prefix_oracle_sql("spar quer", k=10),
+)
 def bm25_prefix_topk(spark, sf_dir):
     # prefix-match expansion at 0.8·idf (fulltext_index.go:157-171).
+    # Selection orders by the raw score (same as the oracle's inner
+    # LIMIT); the emitted score is rounded to 9 decimals on both sides.
     docs = Catalog(spark, sf_dir).documents
     idx = bm25_mod.shared_index(docs, sf_dir)
-    return idx.search("spar quer", k=10, prefix=True)
+    out = idx.search("spar quer", k=10, prefix=True)
+    return out.select("doc_id", F.round("score", 9).alias("score"))
 
 
 _COSINE_ORACLE = """

@@ -225,3 +225,56 @@ def bm25_oracle_sql(query: str, k: int = 10) -> str:
     GROUP BY doc_id
     ORDER BY score DESC, doc_id LIMIT {k}
     """
+
+
+def bm25_prefix_oracle_sql(query: str, k: int = 10) -> str:
+    """DuckDB SQL replicating BM25Index.search(query, k, prefix=True):
+    indexed terms strictly extending a query term contribute at 0.8·idf
+    alongside exact matches at 1.0·idf (reference
+    fulltext_index.go:157-171). df/idf are per matched INDEXED term; a
+    term matching several query terms contributes once per match. The
+    output score is rounded to 9 decimals on both sides (float-sum
+    partition-order determinism); ordering uses the raw score first so
+    the selected set matches the engine's TakeOrdered plan."""
+    terms = tokenize_query(query)
+    stoplist = ",".join(f"'{w}'" for w in STOPWORDS)
+    termlist = ",".join(f"('{t}')" for t in terms)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, t.tok AS term
+      FROM documents,
+           unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(tok)
+      WHERE length(t.tok) >= 2 AND t.tok NOT IN ({stoplist})
+    ),
+    doc_lens AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+                 FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+             (SELECT avg(dl) FROM doc_lens) AS avgdl
+    ),
+    postings AS (
+      SELECT term, doc_id, CAST(count(*) AS DOUBLE) AS tf
+      FROM toks GROUP BY term, doc_id
+    ),
+    dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+              FROM postings GROUP BY term),
+    q(qterm) AS (VALUES {termlist}),
+    matched AS (
+      SELECT p.term, p.doc_id, p.tf, p.df, doc_lens.dl,
+             CASE WHEN p.term = q.qterm THEN 1.0 ELSE 0.8 END AS w
+      FROM (SELECT postings.*, dfreq.df FROM postings
+            JOIN dfreq USING (term)) p
+      JOIN q ON p.term = q.qterm
+             OR (p.term LIKE q.qterm || '%' AND p.term <> q.qterm)
+      JOIN doc_lens USING (doc_id)
+    )
+    SELECT doc_id, round(score, 9) AS score FROM (
+      SELECT doc_id,
+             sum(w * greatest(ln(1 + (stats.n - df + 0.5)/(df + 0.5)), 0)
+                 * tf * ({K1} + 1)
+                 / (tf + {K1} * (1 - {B} + {B} * dl / stats.avgdl))) AS score
+      FROM matched, stats
+      GROUP BY doc_id
+      ORDER BY score DESC, doc_id LIMIT {k}
+    )
+    """
