@@ -855,6 +855,236 @@ class Compiler:
             F.col("end_id").alias("node"), F.col("first_depth").alias("depth")
         )
 
+    def _proc_byhop(self, args) -> DataFrame:
+        """CALL apoc.neighbors.byhop(nodeId, hops) → (nodes, depth):
+        distinct neighbors grouped per hop level (reference
+        apoc_algorithms.go:494-518 callApocNeighborsByhop)."""
+        from nornicdb_spark.operators.algorithms import k_hop_neighborhood
+
+        vals = [self._py_value(a) for a in args]
+        start_id, hops = vals[0], int(vals[1])
+        starts = self.cat.spark.createDataFrame([(start_id,)], "id string")
+        reach = k_hop_neighborhood(self._pgraph(), starts, hops)
+        return (
+            reach.groupBy(F.col("first_depth").alias("depth"))
+            .agg(F.array_sort(F.collect_list("end_id")).alias("nodes"))
+            .select("nodes", "depth")
+        )
+
+    def _proc_astar(self, args) -> DataFrame:
+        """CALL apoc.algo.aStar(startId, endId[, relType[, weightProp]])
+        → (start, end, cost) (reference apoc_algorithms.go:114-205). The
+        reference's lat/lon heuristic needs geo properties; without them
+        it degrades to h ≡ 0 (always admissible), which here is the
+        pruning-free batch A* — same answers as Dijkstra restricted to
+        the target."""
+        from nornicdb_spark.operators.algorithms import astar_shortest_path
+
+        vals = [self._py_value(a) for a in args]
+        start_id, end_id = vals[0], vals[1]
+        rel_type = vals[2] if len(vals) > 2 and vals[2] else None
+        weight = vals[3] if len(vals) > 3 and vals[3] else None
+        g = self._pgraph()
+        starts = self.cat.spark.createDataFrame([(start_id,)], "id string")
+        targets = self.cat.spark.createDataFrame([(end_id,)], "id string")
+        h = g.nodes.select("id", F.lit(0.0).alias("h"))
+        res = astar_shortest_path(
+            g, starts, targets, h, weight_col=weight,
+            rel_types=(rel_type,) if rel_type else (),
+        )
+        return res.select(
+            F.col("start_id").alias("start"),
+            F.col("end_id").alias("end"),
+            F.col("cost"),
+        )
+
+    def _proc_all_simple_paths(self, args) -> DataFrame:
+        """CALL apoc.algo.allSimplePaths(startId, endId[, relType[,
+        maxDepth]]) → (path, depth) (reference apoc_algorithms.go:206-251;
+        default maxDepth 10)."""
+        from nornicdb_spark.operators.paths import all_simple_paths
+
+        vals = [self._py_value(a) for a in args]
+        start_id, end_id = vals[0], vals[1]
+        rel_type = vals[2] if len(vals) > 2 and vals[2] else None
+        max_depth = int(vals[3]) if len(vals) > 3 else 10
+        starts = self.cat.spark.createDataFrame([(start_id,)], "id string")
+        targets = self.cat.spark.createDataFrame([(end_id,)], "id string")
+        paths = all_simple_paths(
+            self._pgraph(), starts, targets, max_hops=max_depth,
+            rel_types=(rel_type,) if rel_type else (),
+        )
+        return paths.select(
+            F.col("node_path").alias("path"), F.col("depth")
+        )
+
+    def _proc_betweenness(self, args) -> DataFrame:
+        """CALL apoc.algo.betweenness([label]) → (node, score)
+        (reference apoc_algorithms.go:307-387)."""
+        from nornicdb_spark.operators.algorithms import (
+            _induced_subgraph,
+            betweenness_centrality,
+        )
+
+        label = self._algo_label(args)
+        nodes, edges = _induced_subgraph(self._pgraph(), label)
+        return betweenness_centrality(nodes, edges).select(
+            F.col("id").alias("node"), F.col("score")
+        )
+
+    def _proc_closeness(self, args) -> DataFrame:
+        """CALL apoc.algo.closeness([label]) → (node, score)
+        (reference apoc_algorithms.go:388-446)."""
+        from nornicdb_spark.operators.algorithms import (
+            _induced_subgraph,
+            closeness_centrality,
+        )
+
+        label = self._algo_label(args)
+        nodes, edges = _induced_subgraph(self._pgraph(), label)
+        return closeness_centrality(nodes, edges).select(
+            F.col("id").alias("node"), F.col("score")
+        )
+
+    def _proc_louvain(self, args) -> DataFrame:
+        """CALL apoc.algo.louvain([label[, config]]) → (node, community)
+        (reference apoc_community.go:12-219; config.weightProperty)."""
+        from nornicdb_spark.operators.algorithms import (
+            _induced_subgraph,
+            louvain_communities,
+        )
+
+        label = self._algo_label(args)
+        config = self._py_value(args[1]) if len(args) > 1 else {}
+        weight = (config or {}).get("weightProperty")
+        nodes, edges = _induced_subgraph(self._pgraph(), label)
+        return louvain_communities(nodes, edges, weight_col=weight).select(
+            F.col("id").alias("node"), F.col("community")
+        )
+
+    def _algo_label(self, args):
+        """First arg of the apoc.algo community/centrality procs: a label
+        string or label list (reference extractLabelFromAlgoCall takes
+        ['Label']; multi-label lists induce over the union), or absent →
+        whole graph."""
+        if not args:
+            return None
+        v = self._py_value(args[0])
+        if isinstance(v, list):
+            return v or None
+        return v or None
+
+    def _path_config(self, args):
+        """(startId, {maxLevel, relationshipFilter}) of the apoc.path
+        procs → (start_id, max_level, rel_types)."""
+        vals = [self._py_value(a) for a in args]
+        start_id = vals[0]
+        config = vals[1] if len(vals) > 1 else {}
+        max_level = int((config or {}).get("maxLevel", 3))
+        rel_filter = (config or {}).get("relationshipFilter")
+        rel_types = tuple(
+            t.strip().lstrip("<>").rstrip("<>")
+            for t in rel_filter.split("|")
+        ) if rel_filter else ()
+        return start_id, max_level, rel_types
+
+    def _proc_subgraph_nodes(self, args) -> DataFrame:
+        """CALL apoc.path.subgraphNodes(startId, config) → (node)
+        (reference call_apoc_path.go:42-108; config: maxLevel,
+        relationshipFilter)."""
+        from nornicdb_spark.operators.paths import subgraph_nodes
+
+        start_id, max_level, rel_types = self._path_config(args)
+        starts = self.cat.spark.createDataFrame([(start_id,)], "id string")
+        res = subgraph_nodes(
+            self._pgraph(), starts, max_level=max_level, rel_types=rel_types
+        )
+        return res.select(F.col("id").alias("node"), F.col("level"))
+
+    def _proc_spanning_tree(self, args) -> DataFrame:
+        """CALL apoc.path.spanningTree(startId, config) → (path, level):
+        one 2-node path per BFS-tree edge (reference
+        call_apoc_path.go:697-765 emits the tree as paths)."""
+        from nornicdb_spark.operators.paths import spanning_tree
+
+        start_id, max_level, rel_types = self._path_config(args)
+        starts = self.cat.spark.createDataFrame([(start_id,)], "id string")
+        res = spanning_tree(
+            self._pgraph(), starts, max_level=max_level, rel_types=rel_types
+        )
+        return res.select(
+            F.array(F.col("parent"), F.col("id")).alias("path"),
+            F.col("level"),
+        )
+
+    def _proc_path_expand(self, args) -> DataFrame:
+        """CALL apoc.path.expand(startId, relationshipFilter, labelFilter,
+        minLevel, maxLevel) → (path) (reference call_apoc_path.go:380-430)."""
+        from nornicdb_spark.operators.paths import var_length_paths
+
+        vals = [self._py_value(a) for a in args]
+        start_id = vals[0]
+        rel_filter = vals[1] if len(vals) > 1 and vals[1] else None
+        label_filter = vals[2] if len(vals) > 2 and vals[2] else None
+        min_level = int(vals[3]) if len(vals) > 3 else 1
+        max_level = int(vals[4]) if len(vals) > 4 else 3
+        rel_types = tuple(
+            t.strip().lstrip("<>").rstrip("<>")
+            for t in rel_filter.split("|")
+        ) if rel_filter else ()
+        starts = self.cat.spark.createDataFrame([(start_id,)], "id string")
+        paths = var_length_paths(
+            self._pgraph(), starts, min_hops=max(min_level, 1),
+            max_hops=max_level, rel_types=rel_types, with_node_path=True,
+        )
+        if label_filter:
+            # +Label terminator filter (the common APOC filter form)
+            wanted = [
+                t.lstrip("+/") for t in label_filter.split("|") if t
+            ]
+            cond = F.split(F.col("end_id"), ":").getItem(0).isin(wanted)
+            paths = paths.filter(cond)
+        return paths.select(F.col("node_path").alias("path"))
+
+    def _proc_link_prediction(self, variant: str, args) -> DataFrame:
+        """CALL gds.linkPrediction.<variant>.stream({sourceNode, topK,
+        relationshipTypes}) → (node1, node2, score) (reference
+        linkprediction.go:74-340). Candidates share ≥1 neighbor (the
+        reference's 2-hop candidate generation)."""
+        from nornicdb_spark.operators.algorithms import common_neighbors
+
+        config = self._py_value(args[0]) if args else {}
+        source = (config or {}).get("sourceNode")
+        top_k = int((config or {}).get("topK", 10))
+        rels = tuple((config or {}).get("relationshipTypes", ()) or ())
+        score_col = {
+            "adamicadar": "adamic_adar",
+            "commonneighbors": "common",
+            "resourceallocation": "resource_allocation",
+            "preferentialattachment": "preferential_attachment",
+            "jaccard": "jaccard",
+        }[variant]
+        scores = common_neighbors(self._pgraph(), rel_types=rels, min_common=1)
+        if source is not None:
+            scores = scores.filter(
+                (F.col("a") == source) | (F.col("b") == source)
+            ).select(
+                F.lit(source).alias("node1"),
+                F.when(F.col("a") == source, F.col("b"))
+                .otherwise(F.col("a"))
+                .alias("node2"),
+                F.col(score_col).cast("double").alias("score"),
+            )
+        else:
+            scores = scores.select(
+                F.col("a").alias("node1"),
+                F.col("b").alias("node2"),
+                F.col(score_col).cast("double").alias("score"),
+            )
+        return scores.orderBy(
+            F.desc("score"), F.asc("node1"), F.asc("node2")
+        ).limit(top_k)
+
     def _proc_fastrp(self, args) -> DataFrame:
         """CALL gds.fastRP.stream([dim]) → (nodeId, embedding)
         (reference fastrp.go:28-802)."""
@@ -1225,6 +1455,20 @@ class Compiler:
         "show.limits": lambda self, args: __import__(
             "nornicdb_spark.procedures", fromlist=["x"]
         ).show_limits(self.cat),
+        "apoc.load.json": lambda self, args: self._proc_apoc_load_json(args),
+        "apoc.load.csv": lambda self, args: self._proc_apoc_load_csv(args),
+        "apoc.export.json.query": lambda self, args: (
+            self._proc_apoc_export_query(args, "json")
+        ),
+        "apoc.export.csv.query": lambda self, args: (
+            self._proc_apoc_export_query(args, "csv")
+        ),
+        "apoc.export.json.all": lambda self, args: (
+            self._proc_apoc_export_all(args, "json")
+        ),
+        "apoc.export.csv.all": lambda self, args: (
+            self._proc_apoc_export_all(args, "csv")
+        ),
         "apoc.cypher.run": lambda self, args: self._proc_apoc_run(args),
         "apoc.cypher.runmany": lambda self, args: self._proc_apoc_run_many(args),
         "apoc.periodic.iterate": lambda self, args: (
@@ -1242,7 +1486,37 @@ class Compiler:
             self._proc_label_propagation(args)
         ),
         "apoc.algo.dijkstra": lambda self, args: self._proc_dijkstra(args),
+        "apoc.algo.astar": lambda self, args: self._proc_astar(args),
+        "apoc.algo.allsimplepaths": lambda self, args: (
+            self._proc_all_simple_paths(args)
+        ),
+        "apoc.algo.betweenness": lambda self, args: self._proc_betweenness(args),
+        "apoc.algo.closeness": lambda self, args: self._proc_closeness(args),
+        "apoc.algo.louvain": lambda self, args: self._proc_louvain(args),
+        "apoc.path.subgraphnodes": lambda self, args: (
+            self._proc_subgraph_nodes(args)
+        ),
+        "apoc.path.spanningtree": lambda self, args: (
+            self._proc_spanning_tree(args)
+        ),
+        "apoc.path.expand": lambda self, args: self._proc_path_expand(args),
         "apoc.neighbors.tohop": lambda self, args: self._proc_khop(args),
+        "apoc.neighbors.byhop": lambda self, args: self._proc_byhop(args),
+        "gds.linkprediction.adamicadar.stream": lambda self, args: (
+            self._proc_link_prediction("adamicadar", args)
+        ),
+        "gds.linkprediction.commonneighbors.stream": lambda self, args: (
+            self._proc_link_prediction("commonneighbors", args)
+        ),
+        "gds.linkprediction.resourceallocation.stream": lambda self, args: (
+            self._proc_link_prediction("resourceallocation", args)
+        ),
+        "gds.linkprediction.preferentialattachment.stream": lambda self, args: (
+            self._proc_link_prediction("preferentialattachment", args)
+        ),
+        "gds.linkprediction.jaccard.stream": lambda self, args: (
+            self._proc_link_prediction("jaccard", args)
+        ),
         "gds.fastrp.stream": lambda self, args: self._proc_fastrp(args),
         "gds.fastrp.stats": lambda self, args: self._proc_fastrp_stats(args),
         "gds.version": lambda self, args: self._proc_gds_version(),
@@ -1250,6 +1524,93 @@ class Compiler:
         "gds.graph.list": lambda self, args: self._proc_graph_list(),
         "gds.graph.drop": lambda self, args: self._proc_graph_drop(args),
     }
+
+    def _proc_apoc_load_json(self, args) -> DataFrame:
+        """CALL apoc.load.json(path[, config]) YIELD value (reference
+        apoc_load_export.go:25-63): each record as a JSON map string —
+        same ``value`` serialization as apoc.cypher.run (a typed struct
+        can't hold heterogeneous records). Distributed JSON-lines scan."""
+        from nornicdb_spark.sources.loaders import load_json
+
+        path = self._py_value(args[0])
+        config = self._py_value(args[1]) if len(args) > 1 else {}
+        df = load_json(
+            self.cat.spark, path,
+            multiline=bool((config or {}).get("multiline", False)),
+        )
+        return df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+
+    def _proc_apoc_load_csv(self, args) -> DataFrame:
+        """CALL apoc.load.csv(path[, config]) YIELD lineNo, list, map
+        (reference apoc_load_export.go:108-211). lineNo is sequential in
+        file order — assigned by a bounded single-bucket window, valid
+        for the operator's compat contract (one input file); ``list`` is
+        the positional string row, ``map`` the header-keyed record."""
+        from pyspark.sql import Window as W
+
+        from nornicdb_spark.sources.loaders import load_csv
+
+        path = self._py_value(args[0])
+        config = self._py_value(args[1]) if len(args) > 1 else {}
+        header = bool((config or {}).get("header", True))
+        df = load_csv(self.cat.spark, path, header=header)
+        spec = W.partitionBy(F.lit(1)).orderBy(F.monotonically_increasing_id())
+        return df.select(
+            (F.row_number().over(spec) - 1).cast("long").alias("lineNo"),
+            F.array(*[F.col(c).cast("string") for c in df.columns]).alias(
+                "list"
+            ),
+            F.to_json(F.struct(*df.columns)).alias("map"),
+        )
+
+    def _proc_apoc_export_query(self, args, fmt: str) -> DataFrame:
+        """CALL apoc.export.{json,csv}.query(query, file[, config]) →
+        (file, rows, data) (reference apoc_load_export.go:262-310,
+        368-415). The result is written DISTRIBUTED (one part per task);
+        ``data`` stays empty — the reference inlines the file content,
+        which is exactly the driver-side materialization a batch engine
+        must not do."""
+        from nornicdb_spark.sources.loaders import export_csv, export_json
+
+        stmt = self._py_value(args[0])
+        path = self._py_value(args[1])
+        inner = Compiler(self.cat, self.params, store=self.store)
+        df = inner._compile_single(parse(stmt))
+        n = df.count()
+        (export_json if fmt == "json" else export_csv)(df, path)
+        return self.cat.spark.createDataFrame(
+            [(path, n, "")], "file string, rows long, data string"
+        )
+
+    def _proc_apoc_export_all(self, args, fmt: str) -> DataFrame:
+        """CALL apoc.export.{json,csv}.all(file[, config]) → (file,
+        nodes, relationships, properties) (reference
+        apoc_load_export.go:222-261, 311-367): dump the store's node and
+        edge sets (graph-JSON-ish rows) to ``file``."""
+        from nornicdb_spark.sources.loaders import export_csv, export_json
+
+        path = self._py_value(args[0])
+        g = self._pgraph()
+        nodes = g.nodes.select(
+            F.col("id"), F.lit("node").alias("kind"),
+            F.col("label"), F.lit(None).cast("string").alias("type"),
+            F.lit(None).cast("string").alias("src"),
+            F.lit(None).cast("string").alias("dst"),
+        )
+        edges = g.edges.select(
+            F.col("edge_id").cast("string").alias("id"),
+            F.lit("relationship").alias("kind"),
+            F.lit(None).cast("string").alias("label"),
+            F.col("type"), F.col("src"), F.col("dst"),
+        )
+        dump = nodes.unionByName(edges)
+        n_nodes = nodes.count()
+        n_edges = edges.count()
+        (export_json if fmt == "json" else export_csv)(dump, path)
+        return self.cat.spark.createDataFrame(
+            [(path, n_nodes, n_edges, 0)],
+            "file string, nodes long, relationships long, properties long",
+        )
 
     def _proc_apoc_run(self, args) -> DataFrame:
         """CALL apoc.cypher.run(statement, params) YIELD value (reference
@@ -1304,11 +1665,15 @@ class Compiler:
     def _proc_apoc_periodic_iterate(self, args) -> DataFrame:
         """CALL apoc.periodic.iterate(iterate, action, config) (reference
         call_apoc_periodic.go:63-115): the driver-side batch orchestrator —
-        the OUTER row set is collected and the action re-executed with each
-        row bound as parameters, exactly as the reference's in-process
-        loop. This is the one deliberately driver-looped operator: its
-        purpose is chunked transactional writes, not a dataflow; at scale
-        the outer query must be a bounded batch (as with APOC itself)."""
+        the OUTER row set is collected (the operator's documented
+        semantics: a bounded batch driving chunked writes) and then bound
+        ``batchSize`` rows per transaction, APOC-style: each chunk runs as
+        ONE statement — ``UNWIND $_batch AS _row <action>`` with the
+        action's ``$col`` references rewritten to ``_row.col`` — so the
+        job count is ⌈N/batchSize⌉, not N. A chunk that fails counts all
+        its rows failed (per-batch commit, matching APOC)."""
+        import re
+
         self._require_store()
         iterate_q = self._py_value(args[0])
         action_q = self._py_value(args[1])
@@ -1316,29 +1681,46 @@ class Compiler:
         batch_size = int((config or {}).get("batchSize", 1000)) or 1
         outer = Compiler(self.cat, self.params, store=self.store)
         rows = outer._compile_single(parse(iterate_q)).collect()
-        total, failed = len(rows), 0
+        total, failed, failed_batches = len(rows), 0, 0
         batches = (total + batch_size - 1) // batch_size
-        for row in rows:
-            params = {**self.params, **row.asDict()}
-            try:
-                inner = Compiler(self.cat, params, store=self.store)
-                df = inner._compile_single(parse(action_q))
-                if inner._wrote:
-                    self._wrote = True
-                    self.stats.add(
-                        nodes_created=inner.stats.nodes_created,
-                        relationships_created=inner.stats.relationships_created,
-                        properties_set=inner.stats.properties_set,
-                        nodes_deleted=inner.stats.nodes_deleted,
-                        relationships_deleted=inner.stats.relationships_deleted,
-                    )
-                else:
-                    df.count()
-            except Exception:
-                failed += 1
+        if rows:
+            cols = list(rows[0].asDict().keys())
+            pat = re.compile(
+                r"\$(" + "|".join(re.escape(c) for c in cols) + r")\b"
+            )
+            batched_q = "UNWIND $_batch AS _row " + pat.sub(
+                r"_row.\1", action_q
+            )
+            for i in range(0, total, batch_size):
+                chunk = rows[i:i + batch_size]
+                params = {
+                    **self.params,
+                    "_batch": [r.asDict(recursive=True) for r in chunk],
+                }
+                try:
+                    inner = Compiler(self.cat, params, store=self.store)
+                    df = inner._compile_single(parse(batched_q))
+                    if inner._wrote:
+                        self._wrote = True
+                        self.stats.add(
+                            nodes_created=inner.stats.nodes_created,
+                            relationships_created=(
+                                inner.stats.relationships_created
+                            ),
+                            properties_set=inner.stats.properties_set,
+                            nodes_deleted=inner.stats.nodes_deleted,
+                            relationships_deleted=(
+                                inner.stats.relationships_deleted
+                            ),
+                        )
+                    else:
+                        df.count()
+                except Exception:
+                    failed += len(chunk)
+                    failed_batches += 1
         committed = total - failed
         return self.cat.spark.createDataFrame(
-            [(batches, total, 0, committed, failed, 0, 0, "")],
+            [(batches, total, 0, committed, failed, failed_batches, 0, "")],
             "batches long, total long, timeTaken long, committedOperations long, "
             "failedOperations long, failedBatches long, retries long, "
             "errorMessages string",
@@ -1489,7 +1871,13 @@ class Compiler:
                     continue
                 if node.label is None:
                     raise NotImplementedError("cypher: CREATE needs a node label")
-                props = {k: self._py_value(v) for k, v in node.props}
+                try:
+                    props = {k: self._py_value(v) for k, v in node.props}
+                except NotImplementedError:
+                    # non-literal property expressions → per-row CREATE
+                    # over the current frame (one node per pipeline row)
+                    self._bulk_create_node(var, node)
+                    continue
                 nid = self.store.create_node(node.label, props)
                 self.stats.add(nodes_created=1)
                 if var:
@@ -1507,6 +1895,69 @@ class Compiler:
                 eprops = {k: self._py_value(v) for k, v in (rel.props or ())}
                 n = self.store.create_edge(pairs, rel.types[0], eprops)
                 self.stats.add(relationships_created=n)
+
+    def _bulk_create_node(self, var: str | None, node: "A.NodePat") -> None:
+        """Per-row CREATE: evaluate the property expressions against the
+        current frame and create one node per row (distributed — the
+        rows never visit the driver). Dynamic labels get generated keys
+        (store.bulk_key_base + monotonically_increasing_id), frozen by a
+        checkpoint BEFORE the table union and the variable binding read
+        them, so both see identical ids. The created variable binds like
+        any matched node (``{var}_id`` + property columns), so chained
+        relationship CREATEs are per-row too."""
+        if self.frame is None:
+            raise ValueError(
+                "cypher: CREATE with non-literal properties needs rows "
+                "in scope (MATCH/UNWIND first)"
+            )
+        label = node.label
+        table, key, _df = self.store.table_for(label)
+        names = []
+        aug = self.frame
+        for k, v in node.props:
+            aug = aug.withColumn(f"_cr_{k}", self._expr_on(aug, v))
+            names.append(k)
+        if key not in names:
+            if label in LABEL_TABLES:
+                raise ValueError(
+                    f"CREATE (:{label}) needs the key property {key}"
+                )
+            base = self.store.bulk_key_base()
+            aug = aug.withColumn(
+                f"_cr_{key}", F.lit(base) + F.monotonically_increasing_id()
+            )
+            names.append(key)
+        aug = aug.localCheckpoint(eager=True)
+        rows = aug.select(*[F.col(f"_cr_{k}").alias(k) for k in names])
+        n = self.store.create_nodes_bulk(label, rows)
+        self.stats.add(nodes_created=n)
+        if var:
+            renames = {f"_cr_{k}": f"{var}_{k}" for k in names}
+            out = aug.select(
+                *[c for c in aug.columns if not c.startswith("_cr_")],
+                *[F.col(old).alias(new) for old, new in renames.items()],
+            ).withColumn(
+                f"{var}_id",
+                F.concat(
+                    F.lit(label + ":"),
+                    F.col(f"{var}_{key}").cast("string"),
+                ),
+            )
+            self.frame = out
+            self.bindings[var] = Binding("node", label=label)
+        else:
+            self.frame = aug.select(
+                *[c for c in aug.columns if not c.startswith("_cr_")]
+            )
+
+    def _expr_on(self, frame: DataFrame, e) -> Column:
+        """Evaluate an expression against an explicit frame (the bulk
+        CREATE builds its frame incrementally)."""
+        saved, self.frame = self.frame, frame
+        try:
+            return self._expr(e)
+        finally:
+            self.frame = saved
 
     def _endpoint_pairs(self, a: str | None, b: str | None) -> DataFrame:
         spark = self.cat.spark
@@ -1822,6 +2273,25 @@ class Compiler:
     # ---- UNWIND ---------------------------------------------------------
 
     def _compile_unwind(self, u: A.UnwindClause) -> None:
+        # UNWIND $p over a list of maps: Spark has no heterogeneous-map
+        # literal, so the list becomes a one-struct-column DataFrame
+        # (createDataFrame infers the struct schema from the dicts) —
+        # field access then works through getField like any struct.
+        if isinstance(u.expr, A.Param):
+            v = self.params.get(u.expr.name)
+            if isinstance(v, list) and v and all(
+                isinstance(x, dict) for x in v
+            ):
+                rows = self.cat.spark.createDataFrame(v)
+                packed = rows.select(
+                    F.struct(*rows.columns).alias(u.var)
+                )
+                if self.frame is None:
+                    self.frame = packed
+                else:
+                    self.frame = cartesian(self.frame, packed)
+                self.bindings[u.var] = Binding("value", column=u.var)
+                return
         col = self._expr(u.expr)
         if self.frame is None:
             self.frame = self.cat.spark.range(1).select(

@@ -41,6 +41,7 @@ class GraphStore:
 
     _dyn_counter: int = 0
     _edge_batch: int = 0
+    _bulk_batch: int = 0
 
     def __post_init__(self):
         for _label, table, _key in NODE_SPECS:
@@ -118,6 +119,39 @@ class GraphStore:
         )
         self.tables[table] = df.unionByName(new)
         return f"{label}:{props[key]}"
+
+    def bulk_key_base(self) -> int:
+        """Reserve a key range for a distributed bulk CREATE of a
+        dynamic-label batch: ``base + monotonically_increasing_id()`` is
+        unique across batches (mono ids stay < 2^48 for any realistic
+        partition count) and never collides with the small scalar
+        ``_dyn_counter`` keys."""
+        self._bulk_batch += 1
+        return self._bulk_batch << 48
+
+    def create_nodes_bulk(self, label: str, rows: DataFrame) -> int:
+        """Per-row CREATE — one node per row of ``rows`` (one column per
+        property, expressions already evaluated): the distributed twin of
+        :meth:`create_node` behind ``MATCH/UNWIND … CREATE`` with
+        non-literal properties. ``rows`` must carry the key column (the
+        compiler generates dynamic keys itself so the ids are also
+        available for downstream variable binding). The union is
+        checkpointed so generated keys are frozen. Returns row count."""
+        table, key, df = self.table_for(label)
+        if key not in rows.columns:
+            raise ValueError(f"CREATE (:{label}) needs the key property {key}")
+        n = rows.count()
+        if label in LABEL_TABLES:
+            aligned = rows.select(*[
+                (F.col(c) if c in rows.columns else F.lit(None))
+                .cast(df.schema[c].dataType).alias(c)
+                for c in df.columns
+            ])
+            merged = df.unionByName(aligned)
+        else:
+            merged = df.unionByName(rows, allowMissingColumns=True)
+        self.tables[table] = merged.localCheckpoint(eager=True)
+        return n
 
     def create_edge(self, pairs: DataFrame, etype: str, props: dict | None = None) -> int:
         """One edge per row of ``pairs`` (columns src, dst), optionally with

@@ -595,11 +595,18 @@ def _weighted_oriented_edges(graph, rel_types, direction, weight_col,
     return e.localCheckpoint(eager=True)  # static across relaxation rounds
 
 
-def _induced_subgraph(graph, label: str | None):
+def _induced_subgraph(graph, label: str | list | None):
     """Label-induced subgraph, matching the reference's dist-map trick
     (apoc_community.go / apoc_algorithms.go init dist only for label
-    nodes, so BFS never leaves the label set)."""
-    nodes = (graph.nodes_by_label(label) if label else graph.nodes).select("id")
+    nodes, so BFS never leaves the label set). A list of labels induces
+    over the union (superset of the reference's single-label form)."""
+    if isinstance(label, (list, tuple)):
+        nodes = graph.nodes.filter(F.col("label").isin(list(label)))
+    elif label:
+        nodes = graph.nodes_by_label(label)
+    else:
+        nodes = graph.nodes
+    nodes = nodes.select("id")
     e = graph.adj_pairs()
     e = e.join(nodes.select(F.col("id").alias("src")), "src").join(
         nodes.select(F.col("id").alias("dst")), "dst"

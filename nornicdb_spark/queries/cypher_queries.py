@@ -437,3 +437,334 @@ def cypher_apoc_run(spark, sf_dir):
              'MATCH (n:Nation) RETURN n.n_name AS name, n.n_regionkey AS rk',
              {})""",
     )
+
+
+# ---- §2.9 tail routed through CALL (reference call.go:596-803 dispatch,
+# apoc_algorithms.go:114-447, apoc_community.go, call_apoc_path.go,
+# linkprediction.go:162-340) -------------------------------------------------
+
+
+@register(
+    "cypher_call_astar",
+    oracle="""
+    SELECT 'Customer:1' AS start, 'Region:4' AS "end", 2.0 AS cost
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_custkey = 1 AND n_regionkey = 4
+    """,
+)
+def cypher_call_astar(spark, sf_dir):
+    # CALL apoc.algo.aStar (reference apoc_algorithms.go:114-205): the
+    # only out-path from a Customer to a Region is FROM→IN at unit
+    # weights, so the cost is 2 iff the customer belongs to the region.
+    return _run(
+        spark, sf_dir,
+        """CALL apoc.algo.aStar('Customer:1', 'Region:4')
+           YIELD start, end, cost RETURN start, end, cost""",
+    )
+
+
+@register(
+    "cypher_call_simple_paths",
+    oracle="""
+    SELECT ['Customer:1', 'Nation:' || c_nationkey, 'Region:4'] AS path,
+           CAST(2 AS INT) AS depth
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_custkey = 1 AND n_regionkey = 4
+    """,
+)
+def cypher_call_simple_paths(spark, sf_dir):
+    # CALL apoc.algo.allSimplePaths (apoc_algorithms.go:206-251): within
+    # 3 hops the single Customer→Region simple path is FROM→IN.
+    return _run(
+        spark, sf_dir,
+        """CALL apoc.algo.allSimplePaths('Customer:1', 'Region:4', null, 3)
+           YIELD path, depth RETURN path, depth""",
+    )
+
+
+@register(
+    "cypher_call_betweenness",
+    oracle="""
+    WITH cnt AS (SELECT c_nationkey, count(*) AS k FROM customer
+                 GROUP BY c_nationkey),
+    tot AS (SELECT (SELECT count(*) FROM customer)
+                 + (SELECT count(*) FROM nation)
+                 + (SELECT count(*) FROM region) AS n)
+    SELECT node, round(score, 9) AS score FROM (
+      SELECT 'Nation:' || n_nationkey AS node,
+             coalesce(k, 0) * (2.0 / ((n - 1) * (n - 2))) AS score
+      FROM nation LEFT JOIN cnt ON c_nationkey = n_nationkey, tot
+      UNION ALL
+      SELECT 'Customer:' || c_custkey, 0.0 FROM customer
+      UNION ALL
+      SELECT 'Region:' || r_regionkey, 0.0 FROM region
+    )
+    """,
+)
+def cypher_call_betweenness(spark, sf_dir):
+    # CALL apoc.algo.betweenness (apoc_algorithms.go:307-387) on the
+    # Customer→Nation→Region membership chain: every customer's single
+    # path to its region runs through its nation, so betweenness(nation)
+    # = |customers| · 2/((N−1)(N−2)); customers and regions are never
+    # intermediates. Directed Brandes, label-restricted BFS.
+    df = _run(
+        spark, sf_dir,
+        """CALL apoc.algo.betweenness(['Customer', 'Nation', 'Region'])
+           YIELD node, score RETURN node, score""",
+    )
+    return df.select("node", F.round("score", 9).alias("score"))
+
+
+@register(
+    "cypher_call_closeness",
+    oracle="""
+    WITH cnt AS (SELECT n_regionkey, count(*) AS k FROM nation
+                 GROUP BY n_regionkey),
+    tot AS (SELECT (SELECT count(*) FROM nation)
+                 + (SELECT count(*) FROM region) AS n)
+    SELECT node, round(score, 9) AS score FROM (
+      SELECT 'Region:' || r_regionkey AS node,
+             CASE WHEN k > 0 THEN CAST(k AS DOUBLE) / (n - 1)
+                  ELSE 0.0 END AS score
+      FROM region LEFT JOIN cnt ON n_regionkey = r_regionkey, tot
+      UNION ALL
+      SELECT 'Nation:' || n_nationkey,
+             CAST(k * k AS DOUBLE) / ((2 * k - 1) * (n - 1))
+      FROM nation JOIN cnt USING (n_regionkey), tot
+    )
+    """,
+)
+def cypher_call_closeness(spark, sf_dir):
+    # CALL apoc.algo.closeness (apoc_algorithms.go:388-446) on the
+    # Nation–Region membership stars — the same closed form as
+    # graph_closeness_nation_region, now reached through CALL dispatch.
+    df = _run(
+        spark, sf_dir,
+        """CALL apoc.algo.closeness(['Nation', 'Region'])
+           YIELD node, score RETURN node, score""",
+    )
+    return df.select("node", F.round("score", 9).alias("score"))
+
+
+@register(
+    "cypher_call_louvain",
+    oracle="""
+    SELECT CAST((SELECT count(*) FROM region) AS BIGINT) AS n_communities,
+           CAST((SELECT count(*) FROM nation)
+                + (SELECT count(*) FROM region) AS BIGINT) AS n_nodes
+    """,
+)
+def cypher_call_louvain(spark, sf_dir):
+    # CALL apoc.algo.louvain (apoc_community.go:12-219) on the
+    # Nation–Region membership graph: disjoint stars, so modularity
+    # maximization must converge to exactly one community per region
+    # star regardless of move order — the community COUNT is
+    # deterministic even though the labels are not.
+    df = _run(
+        spark, sf_dir,
+        """CALL apoc.algo.louvain(['Nation', 'Region'])
+           YIELD node, community
+           RETURN count(DISTINCT community) AS n_communities,
+                  count(*) AS n_nodes""",
+    )
+    return df
+
+
+@register(
+    "cypher_call_subgraph_nodes",
+    oracle="""
+    SELECT 'Supplier:1' AS node
+    UNION
+    SELECT DISTINCT 'Part:' || l_partkey FROM lineitem WHERE l_suppkey = 1
+    UNION
+    SELECT 'Nation:' || s_nationkey FROM supplier WHERE s_suppkey = 1
+    UNION
+    SELECT 'Region:' || n_regionkey FROM nation
+    WHERE n_nationkey = (SELECT s_nationkey FROM supplier WHERE s_suppkey = 1)
+    """,
+)
+def cypher_call_subgraph_nodes(spark, sf_dir):
+    # CALL apoc.path.subgraphNodes (call_apoc_path.go:42-108): distinct
+    # reachable set from Supplier:1 within 2 hops = its parts, its
+    # nation, and the nation's region.
+    return _run(
+        spark, sf_dir,
+        """CALL apoc.path.subgraphNodes('Supplier:1', {maxLevel: 2})
+           YIELD node RETURN node""",
+    )
+
+
+@register(
+    "cypher_call_spanning_tree",
+    oracle="""
+    SELECT ['Supplier:1', 'Part:' || pk] AS path, CAST(1 AS INT) AS level
+    FROM (SELECT DISTINCT l_partkey AS pk FROM lineitem WHERE l_suppkey = 1)
+    UNION ALL
+    SELECT ['Supplier:1', 'Nation:' || s_nationkey], 1
+    FROM supplier WHERE s_suppkey = 1
+    UNION ALL
+    SELECT ['Nation:' || n_nationkey, 'Region:' || n_regionkey], 2
+    FROM nation
+    WHERE n_nationkey = (SELECT s_nationkey FROM supplier WHERE s_suppkey = 1)
+    """,
+)
+def cypher_call_spanning_tree(spark, sf_dir):
+    # CALL apoc.path.spanningTree (call_apoc_path.go:697-765): BFS tree
+    # edges as 2-node paths; from a Supplier the tree is exactly parts +
+    # nation at level 1 and the region (parent = nation) at level 2.
+    return _run(
+        spark, sf_dir,
+        """CALL apoc.path.spanningTree('Supplier:1', {maxLevel: 2})
+           YIELD path, level RETURN path, level""",
+    )
+
+
+@register(
+    "cypher_call_path_expand",
+    oracle="""
+    SELECT ['Customer:1', 'Order:' || o_orderkey,
+            'Part:' || l_partkey] AS path
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_custkey = 1
+    """,
+)
+def cypher_call_path_expand(spark, sf_dir):
+    # CALL apoc.path.expand (call_apoc_path.go:380-430) with a
+    # relationship filter: depth-exactly-2 PLACED→CONTAINS walks — one
+    # path per CONTAINS edge (parallel edges per l_linenumber each count,
+    # Cypher relationship-uniqueness).
+    return _run(
+        spark, sf_dir,
+        """CALL apoc.path.expand('Customer:1', 'PLACED|CONTAINS', null, 2, 2)
+           YIELD path RETURN path""",
+    )
+
+
+@register(
+    "cypher_call_byhop",
+    oracle="""
+    SELECT list_sort(list(DISTINCT nbr)) AS nodes, CAST(1 AS INT) AS depth
+    FROM (
+      SELECT 'Part:' || l_partkey AS nbr FROM lineitem WHERE l_suppkey = 1
+      UNION SELECT 'Nation:' || s_nationkey FROM supplier WHERE s_suppkey = 1
+    )
+    UNION ALL
+    SELECT ['Region:' || n_regionkey], 2
+    FROM nation
+    WHERE n_nationkey = (SELECT s_nationkey FROM supplier WHERE s_suppkey = 1)
+    """,
+)
+def cypher_call_byhop(spark, sf_dir):
+    # CALL apoc.neighbors.byhop (apoc_algorithms.go:494-518): neighbor
+    # ids grouped per minimum hop level, sorted for determinism.
+    return _run(
+        spark, sf_dir,
+        """CALL apoc.neighbors.byhop('Supplier:1', 2)
+           YIELD nodes, depth RETURN nodes, depth""",
+    )
+
+
+@register(
+    "cypher_call_link_prediction",
+    oracle="""
+    WITH supplies AS (
+      SELECT DISTINCT 'Supplier:' || l_suppkey AS s, l_partkey AS p
+      FROM lineitem
+    ),
+    deg AS (SELECT s, count(*) AS d FROM supplies GROUP BY s),
+    pairs AS (
+      SELECT a.s AS a, b.s AS b, CAST(count(*) AS BIGINT) AS common
+      FROM supplies a JOIN supplies b ON a.p = b.p AND a.s < b.s
+      GROUP BY a.s, b.s
+    ),
+    scored AS (
+      SELECT a, b, common / (da.d + db.d - common) AS jaccard
+      FROM pairs JOIN deg da ON da.s = pairs.a JOIN deg db ON db.s = pairs.b
+    )
+    SELECT 'Supplier:1' AS node1,
+           CASE WHEN a = 'Supplier:1' THEN b ELSE a END AS node2,
+           jaccard AS score
+    FROM scored WHERE a = 'Supplier:1' OR b = 'Supplier:1'
+    ORDER BY score DESC, node2 ASC LIMIT 5
+    """,
+)
+def cypher_call_link_prediction(spark, sf_dir):
+    # CALL gds.linkPrediction.jaccard.stream (linkprediction.go:162-340):
+    # config-map dispatch onto the shared common_neighbors operator —
+    # same scores as graph_link_prediction_suppliers, reached from Cypher.
+    return _run(
+        spark, sf_dir,
+        """CALL gds.linkPrediction.jaccard.stream(
+             {sourceNode: 'Supplier:1', topK: 5,
+              relationshipTypes: ['SUPPLIES']})
+           YIELD node1, node2, score RETURN node1, node2, score""",
+    )
+
+
+@register(
+    "cypher_apoc_load",
+    oracle="""
+    SELECT '{"name":"' || n_name || '","rk":' || n_regionkey || '}' AS value
+    FROM nation
+    """,
+)
+def cypher_apoc_load(spark, sf_dir):
+    # CALL apoc.export.json.query → CALL apoc.load.json round trip
+    # (reference apoc_load_export.go:25-63, 262-310): the export writes
+    # distributed JSON lines, the load re-reads them as `value` maps —
+    # content derives deterministically from the nation table so the
+    # oracle rebuilds the exact serialization.
+    import shutil
+
+    eng = Engine(spark, sf_dir)
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    path = f"spark-warehouse/exports/apoc_load_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    eng.cypher(
+        f"""CALL apoc.export.json.query(
+             'MATCH (n:Nation) RETURN n.n_name AS name, n.n_regionkey AS rk',
+             '{path}')"""
+    ).collect()
+    return _run(
+        spark, sf_dir,
+        f"CALL apoc.load.json('{path}') YIELD value RETURN value",
+    )
+
+
+@register(
+    "cypher_spatial_intersects",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey,
+             (c_custkey % 120) - 60 + 0.25  AS y,
+             (c_custkey % 300) - 150 + 0.5  AS x
+      FROM customer
+    )
+    SELECT c_custkey AS k,
+           CASE WHEN abs(x) + abs(y) < 50 THEN TRUE
+                WHEN abs(x) + abs(y) = 50 AND x < 0 AND y = 0 THEN TRUE
+                ELSE FALSE END AS hit,
+           CAST(2 AS INT) AS n_pts
+    FROM pts
+    """,
+)
+def cypher_spatial_intersects(spark, sf_dir):
+    # point.intersects + lineString through the FRONTEND (reference
+    # executor_show.go:141-148, functions_eval_math.go:1082-1160):
+    # intersects(point, polygon) is the same ray caster as
+    # point.contains with swapped argument order; lineString is the
+    # vertex-list constructor (size = vertex count). Diamond polygon →
+    # closed-form |x|+|y| oracle with the caster's half-open boundary.
+    return _run(
+        spark, sf_dir,
+        """MATCH (c:Customer)
+           WITH c.c_custkey AS k,
+                point({x: toFloat(c.c_custkey % 300) - 150 + 0.5,
+                       y: toFloat(c.c_custkey % 120) - 60 + 0.25}) AS p
+           RETURN k,
+                  point.intersects(p, polygon([
+                    point({x: 50.0, y: 0.0}), point({x: 0.0, y: 50.0}),
+                    point({x: -50.0, y: 0.0}), point({x: 0.0, y: -50.0})
+                  ])) AS hit,
+                  size(lineString([p, point({x: 0.0, y: 0.0})])) AS n_pts""",
+    )

@@ -233,3 +233,123 @@ def vector_filtered_topk(spark, sf_dir):
     ).select(F.col("doc_id").alias("vec_id"))
     src = cat.embeddings.join(allowed, "vec_id", "left_semi")
     return vector.cosine_topk(src, _query_vec(spark, sf_dir), k=10)
+
+
+ADAPT_QUERY = "merge window"  # 2 words → adaptive weights bm25=1.5, vector=0.5
+
+_ADAPTIVE_ORACLE = f"""
+WITH bm AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS bm_rank
+  FROM ({bm25_mod.bm25_oracle_sql(ADAPT_QUERY, k=20)})
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+vs AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (ORDER BY score DESC, vec_id) AS vec_rank
+  FROM (
+    SELECT vec_id,
+           list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+             / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(qv, qv))) AS score
+    FROM embeddings, q
+    ORDER BY score DESC, vec_id LIMIT 20
+  )
+)
+SELECT coalesce(bm.doc_id, vs.doc_id) AS doc_id,
+       coalesce(1.5 / (60 + bm_rank), 0) + coalesce(0.5 / (60 + vec_rank), 0)
+         AS rrf_score,
+       bm_rank, vec_rank
+FROM bm FULL OUTER JOIN vs ON bm.doc_id = vs.doc_id
+"""
+
+
+@register("hybrid_adaptive", oracle=_ADAPTIVE_ORACLE)
+def hybrid_adaptive(spark, sf_dir):
+    # query-adaptive RRF weights (reference search.go:2043-2104): the
+    # 2-word query selects bm25=1.5 / vector=0.5; the weighting is a
+    # deterministic function of the query, so the whole adaptive
+    # pipeline is oracle-checked.
+    cat = Catalog(spark, sf_dir)
+    idx = bm25_mod.shared_index(cat.documents, sf_dir)
+    w = hybrid.adaptive_rrf_weights(ADAPT_QUERY)
+    bm = hybrid.rank_by(idx.search(ADAPT_QUERY, k=20), "score", "doc_id")
+    vs = hybrid.rank_by(
+        vector.cosine_topk(cat.embeddings, _query_vec(spark, sf_dir), k=20)
+        .withColumnRenamed("vec_id", "doc_id"),
+        "score",
+        "doc_id",
+    )
+    fused = hybrid.rrf_fuse(
+        {"bm": bm, "vec": vs},
+        weights={"bm": w["bm25"], "vec": w["vector"]},
+        id_col="doc_id",
+    )
+    return fused.select(
+        "doc_id",
+        "rrf_score",
+        F.col("bm_rank").cast("long").alias("bm_rank"),
+        F.col("vec_rank").cast("long").alias("vec_rank"),
+    )
+
+
+_RERANK_ORACLE = f"""
+WITH fused AS ({_RRF_ORACLE}),
+toks AS (
+  SELECT doc_id,
+         list_distinct(list_filter(
+           string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
+           x -> length(x) >= 2)) AS dt
+  FROM documents
+)
+SELECT fused.doc_id,
+       rrf_score AS bi_score,
+       round(CAST(len(list_intersect(dt, ['batch', 'merge', 'window']))
+                  AS DOUBLE) / 3.0, 9) AS cross_score,
+       round(CAST(len(list_intersect(dt, ['batch', 'merge', 'window']))
+                  AS DOUBLE) / 3.0, 9) AS final_score
+FROM fused JOIN toks ON toks.doc_id = fused.doc_id
+"""
+
+
+@register("hybrid_rerank", oracle=_RERANK_ORACLE)
+def hybrid_rerank(spark, sf_dir):
+    # stage-2 rerank of the fused top-K (reference rerank.go): the
+    # cross-encoder scorer is an external API there; the batch default
+    # is the deterministic lexical-overlap cross score, so the rerank
+    # stage itself is oracle-checked end-to-end.
+    cat = Catalog(spark, sf_dir)
+    fused = hybrid_rrf(spark, sf_dir)
+    return hybrid.lexical_rerank(
+        fused, cat.documents, FUSE_QUERY, top_k=100
+    )
+
+
+@register("hybrid_mmr")  # greedy sequential selection — rows-only; unit-tested
+def hybrid_mmr(spark, sf_dir):
+    # MMR diversification of the fused list (reference search.go:
+    # 1510-1608): λ·relevance − (1−λ)·max-cosine-to-selected, greedy
+    # over the bounded top list as one Arrow batch.
+    cat = Catalog(spark, sf_dir)
+    fused = hybrid_rrf(spark, sf_dir)
+    return hybrid.mmr_diversify(
+        fused, cat.embeddings, limit=10, mmr_lambda=0.7
+    )
+
+
+@register(
+    "bm25_weighted",
+    oracle=bm25_mod.bm25_weighted_oracle_sql(
+        BM25_QUERY, {"text": 1.0, "source": 3.0}, k=10
+    ),
+)
+def bm25_weighted(spark, sf_dir):
+    # priority-property field weighting (reference search.go:96-110
+    # SearchableProperties): simple BM25F — weighted tf and doc length,
+    # idf over any-field matches; the source field carries 3× weight.
+    docs = Catalog(spark, sf_dir).documents
+    idx = bm25_mod.BM25Index.build_weighted(
+        docs, {"text": 1.0, "source": 3.0}
+    )
+    out = idx.search(BM25_QUERY, k=10)
+    return out.select("doc_id", F.round("score", 9).alias("score"))

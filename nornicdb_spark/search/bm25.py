@@ -104,6 +104,51 @@ class BM25Index:
         avgdl = doc_lens.agg(F.avg("dl")).collect()[0][0]
         return cls(postings, doc_lens, int(n_docs), float(avgdl or 0.0))
 
+    @classmethod
+    def build_weighted(
+        cls,
+        docs: DataFrame,
+        fields: dict[str, float],
+        id_col: str = "doc_id",
+    ) -> "BM25Index":
+        """Field-weighted index — the batch re-expression of the
+        reference's priority-property ranking (search.go:96-110
+        SearchableProperties: priority fields are indexed first so they
+        rank higher). Simple BM25F (Robertson): per-term weighted tf =
+        Σ_f w_f·tf_f, doc length = Σ_f w_f·len_f, idf over docs matching
+        in ANY field. The resulting postings have the same (term, doc_id,
+        dl, tf) shape, so exact and prefix search run unchanged."""
+        from nornicdb_spark.operators.dedup import spread
+
+        docs = spread(docs)
+        per_field = None
+        dl_expr = None
+        for fcol, w in fields.items():
+            toks = docs.select(
+                F.col(id_col).alias("doc_id"),
+                F.explode(
+                    tokens_col(F.coalesce(F.col(fcol), F.lit("")))
+                ).alias("term"),
+                F.lit(float(w)).alias("w"),
+            )
+            per_field = toks if per_field is None else per_field.unionByName(toks)
+            fl = F.size(tokens_col(F.coalesce(F.col(fcol), F.lit("")))) * float(w)
+            dl_expr = fl if dl_expr is None else dl_expr + fl
+        dls = docs.select(
+            F.col(id_col).alias("doc_id"), dl_expr.alias("dl")
+        )
+        postings = (
+            per_field.groupBy("term", "doc_id")
+            .agg(F.sum("w").alias("tf"))
+            .join(dls, "doc_id")
+            .select("term", "doc_id", "dl", "tf")
+            .localCheckpoint(eager=True)
+        )
+        n_docs = docs.count()
+        doc_lens = postings.select("doc_id", "dl").distinct()
+        avgdl = doc_lens.agg(F.avg("dl")).collect()[0][0]
+        return cls(postings, doc_lens, int(n_docs), float(avgdl or 0.0))
+
     def search(self, query: str, k: int = 10, prefix: bool = False) -> DataFrame:
         """Top-k BM25 — returns (doc_id, score), ties broken by doc_id.
 
@@ -274,6 +319,58 @@ def bm25_prefix_oracle_sql(query: str, k: int = 10) -> str:
                  * tf * ({K1} + 1)
                  / (tf + {K1} * (1 - {B} + {B} * dl / stats.avgdl))) AS score
       FROM matched, stats
+      GROUP BY doc_id
+      ORDER BY score DESC, doc_id LIMIT {k}
+    )
+    """
+
+
+def bm25_weighted_oracle_sql(
+    query: str, fields: dict[str, float], k: int = 10
+) -> str:
+    """DuckDB SQL replicating BM25Index.build_weighted + search — the
+    field-weighted (priority-property) ranking oracle. Score rounded to
+    9 decimals on both sides."""
+    terms = tokenize_query(query)
+    stoplist = ",".join(f"'{w}'" for w in STOPWORDS)
+    termlist = ",".join(f"('{t}')" for t in terms)
+
+    def ftoks(col: str) -> str:
+        return (
+            f"list_filter(string_split_regex(lower(coalesce({col}, '')), "
+            f"'[^a-z0-9]+'), x -> length(x) >= 2 AND x NOT IN ({stoplist}))"
+        )
+
+    tok_parts = " UNION ALL ".join(
+        f"SELECT doc_id, t.tok AS term, {w!r} AS w "
+        f"FROM documents, unnest({ftoks(col)}) AS t(tok)"
+        for col, w in fields.items()
+    )
+    dl_expr = " + ".join(
+        f"len({ftoks(col)}) * {w!r}" for col, w in fields.items()
+    )
+    return f"""
+    WITH toks AS ({tok_parts}),
+    lens AS (SELECT doc_id, {dl_expr} AS dl FROM documents),
+    postings AS (
+      SELECT term, doc_id, sum(w) AS tf FROM toks GROUP BY term, doc_id
+    ),
+    stats AS (
+      SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+             (SELECT avg(dl) FROM lens WHERE dl > 0) AS avgdl
+    ),
+    dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+              FROM postings GROUP BY term),
+    q(qterm) AS (VALUES {termlist})
+    SELECT doc_id, round(score, 9) AS score FROM (
+      SELECT doc_id,
+             sum(greatest(ln(1 + (stats.n - df + 0.5)/(df + 0.5)), 0)
+                 * tf * ({K1} + 1)
+                 / (tf + {K1} * (1 - {B} + {B} * dl / stats.avgdl))) AS score
+      FROM postings
+      JOIN dfreq USING (term)
+      JOIN q ON postings.term = q.qterm
+      JOIN lens USING (doc_id), stats
       GROUP BY doc_id
       ORDER BY score DESC, doc_id LIMIT {k}
     )

@@ -79,3 +79,148 @@ def rrf_fuse(
         F.desc("rrf_score"), F.asc(id_col)
     )
     return out.limit(limit) if limit else out
+
+
+def adaptive_rrf_weights(query: str) -> dict[str, float]:
+    """Query-adaptive RRF weights (reference search.go:2043-2104
+    GetAdaptiveRRFConfig): short queries (≤2 words) favor keyword
+    matching (vector 0.5 / bm25 1.5), long queries (≥6) favor semantics
+    (1.5 / 0.5), medium stay balanced. Deterministic in the query, so the
+    full adaptive pipeline stays oracle-checkable."""
+    n = len(query.split())
+    if n <= 2:
+        return {"vector": 0.5, "bm25": 1.5}
+    if n >= 6:
+        return {"vector": 1.5, "bm25": 0.5}
+    return {"vector": 1.0, "bm25": 1.0}
+
+
+def lexical_rerank(
+    candidates: DataFrame,
+    docs: DataFrame,
+    query: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_col: str = "rrf_score",
+    top_k: int = 100,
+    min_score: float = 0.0,
+) -> DataFrame:
+    """Stage-2 rerank of the fused top-K (reference rerank.go: the
+    cross-encoder re-scores RerankTopK candidates; FinalScore = cross
+    score, sorted descending). The reference's scorer is an external
+    cross-encoder API (rerank.go:206-300) — unavailable in batch, so the
+    default scorer is a deterministic lexical-overlap cross score
+    (|query terms ∩ doc terms| / |query terms|), computed as JVM columns
+    over an equi-join: no model call, no UDF, same pipeline shape.
+    Returns (id, bi_score, cross_score, final_score) ordered by final
+    score desc, bi score desc, id."""
+    from nornicdb_spark.search.bm25 import tokenize_query
+
+    terms = sorted(set(tokenize_query(query)))
+    if not terms:
+        raise ValueError("rerank: empty query after tokenization")
+    top = candidates.orderBy(F.desc(score_col), F.asc(id_col)).limit(top_k)
+    joined = top.join(
+        docs.select(F.col(id_col), F.col(text_col)), id_col, "left"
+    )
+    doc_toks = F.array_distinct(
+        F.filter(
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                    "[^a-z0-9]+"),
+            lambda t: F.length(t) >= 2,
+        )
+    )
+    qarr = F.array(*[F.lit(t) for t in terms])
+    cross = (
+        F.size(F.array_intersect(doc_toks, qarr)).cast("double")
+        / F.lit(float(len(terms)))
+    )
+    out = (
+        joined.withColumn("cross_score", F.round(cross, 9))
+        .filter(F.col("cross_score") >= min_score)
+        .select(
+            F.col(id_col),
+            F.col(score_col).alias("bi_score"),
+            "cross_score",
+            F.col("cross_score").alias("final_score"),
+        )
+    )
+    return out.orderBy(
+        F.desc("final_score"), F.desc("bi_score"), F.asc(id_col)
+    )
+
+
+def mmr_diversify(
+    candidates: DataFrame,
+    embeddings: DataFrame,
+    limit: int = 10,
+    mmr_lambda: float = 0.7,
+    id_col: str = "doc_id",
+    score_col: str = "rrf_score",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """MMR diversification (reference search.go:1510-1608 applyMMR):
+    greedily pick argmax of λ·relevance − (1−λ)·max-cosine-to-selected.
+    Inherently sequential, but over a BOUNDED candidate slice (the
+    reference likewise runs it on the fused top list), so it executes as
+    ONE Arrow batch via applyInPandas — the same bounded-top-k contract
+    as rank_by's single-partition window, not a driver collect.
+    Returns (id, mmr_rank, mmr_score)."""
+    import numpy as np
+    import pandas as pd
+
+    cand = candidates.select(F.col(id_col), F.col(score_col)).join(
+        embeddings.select(
+            F.col(vec_id_col).alias(id_col), F.col(vec_col).alias("_vec")
+        ),
+        id_col,
+        "left",
+    )
+
+    out_schema = f"{id_col} long, mmr_rank int, mmr_score double"
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [score_col, id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        vecs = []
+        for v in pdf["_vec"]:
+            if v is None or (isinstance(v, float) and pd.isna(v)):
+                vecs.append(None)
+            else:
+                a = np.asarray(v, dtype="float64")
+                nrm = np.linalg.norm(a)
+                vecs.append(a / nrm if nrm > 0 else None)
+        rel = pdf[score_col].to_numpy(dtype="float64")
+        n = len(pdf)
+        selected: list[int] = []
+        scores: list[float] = []
+        remaining = list(range(n))
+        while remaining and len(selected) < limit:
+            best_i, best_s = None, -np.inf
+            for i in remaining:
+                max_sim = 0.0
+                if vecs[i] is not None:
+                    for j in selected:
+                        if vecs[j] is not None:
+                            s = float(vecs[i] @ vecs[j])
+                            if s > max_sim:
+                                max_sim = s
+                mmr = mmr_lambda * rel[i] - (1.0 - mmr_lambda) * max_sim
+                if mmr > best_s:
+                    best_s, best_i = mmr, i
+            selected.append(best_i)
+            scores.append(best_s)
+            remaining.remove(best_i)
+        return pd.DataFrame({
+            id_col: pdf[id_col].iloc[selected].to_numpy(),
+            "mmr_rank": np.arange(1, len(selected) + 1, dtype="int32"),
+            "mmr_score": np.asarray(scores, dtype="float64"),
+        })
+
+    return (
+        cand.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(greedy, out_schema)
+    )

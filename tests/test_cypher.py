@@ -1175,3 +1175,94 @@ def test_apoc_surface_tail(eng):
            RETURN apoc.coll.sortNodes(ns, 'v') AS sorted"""
     ).collect()[0]
     assert [x["name"] for x in r2.sorted] == ["a", "b"]
+
+
+# ---- §2.9 tail CALL routing ---------------------------------------------
+
+def test_call_astar_procedure(eng, duck):
+    check(
+        eng, duck,
+        """CALL apoc.algo.aStar('Customer:1', 'Region:4')
+           YIELD start, end, cost RETURN start, end, cost""",
+        """SELECT 'Customer:1' AS start, 'Region:4' AS "end", 2.0 AS cost
+           FROM customer JOIN nation ON c_nationkey = n_nationkey
+           WHERE c_custkey = 1 AND n_regionkey = 4""",
+    )
+
+
+def test_call_all_simple_paths_procedure(eng, duck):
+    check(
+        eng, duck,
+        """CALL apoc.algo.allSimplePaths('Customer:1', 'Region:4', null, 3)
+           YIELD path, depth RETURN path, depth""",
+        """SELECT ['Customer:1', 'Nation:' || c_nationkey,
+                   'Region:4'] AS path, CAST(2 AS INT) AS depth
+           FROM customer JOIN nation ON c_nationkey = n_nationkey
+           WHERE c_custkey = 1 AND n_regionkey = 4""",
+    )
+
+
+def test_call_centrality_procedures(eng):
+    # isolated single-label subgraph (all edges cross labels) → 0 scores
+    rows = eng.cypher(
+        "CALL apoc.algo.betweenness('Nation') YIELD node, score RETURN node, score"
+    ).collect()
+    assert len(rows) == 25 and all(r.score == 0.0 for r in rows)
+    rows = eng.cypher(
+        "CALL apoc.algo.closeness(['Nation', 'Region']) YIELD node, score "
+        "RETURN count(*) AS n"
+    ).collect()
+    assert rows[0].n == 30
+
+
+def test_call_louvain_star_collapse(eng):
+    row = eng.cypher(
+        """CALL apoc.algo.louvain(['Nation', 'Region']) YIELD node, community
+           RETURN count(DISTINCT community) AS nc, count(*) AS nn"""
+    ).collect()[0]
+    assert row.nc == 5 and row.nn == 30
+
+
+def test_call_path_procs(eng, duck):
+    check(
+        eng, duck,
+        """CALL apoc.path.subgraphNodes('Supplier:1', {maxLevel: 2})
+           YIELD node RETURN node""",
+        """SELECT 'Supplier:1' AS node
+           UNION SELECT DISTINCT 'Part:' || l_partkey FROM lineitem
+                 WHERE l_suppkey = 1
+           UNION SELECT 'Nation:' || s_nationkey FROM supplier
+                 WHERE s_suppkey = 1
+           UNION SELECT 'Region:' || n_regionkey FROM nation
+                 WHERE n_nationkey = (SELECT s_nationkey FROM supplier
+                                      WHERE s_suppkey = 1)""",
+    )
+    n = eng.cypher(
+        """CALL apoc.path.expand('Customer:1', 'PLACED|CONTAINS', null, 2, 2)
+           YIELD path RETURN count(*) AS n"""
+    ).collect()[0].n
+    want = eng.catalog.lineitem.join(
+        eng.catalog.orders.filter("o_custkey = 1"),
+        eng.catalog.lineitem.l_orderkey == eng.catalog.orders.o_orderkey,
+    ).count()
+    assert n == want
+
+
+def test_call_byhop_procedure(eng):
+    rows = {r.depth: r.nodes for r in eng.cypher(
+        "CALL apoc.neighbors.byhop('Supplier:1', 2) YIELD nodes, depth "
+        "RETURN nodes, depth").collect()}
+    assert 1 in rows and 2 in rows
+    assert rows[1] == sorted(rows[1]) and len(rows[2]) == 1
+
+
+def test_call_link_prediction_stream(eng):
+    rows = eng.cypher(
+        """CALL gds.linkPrediction.adamicAdar.stream(
+             {sourceNode: 'Supplier:1', topK: 3,
+              relationshipTypes: ['SUPPLIES']})
+           YIELD node1, node2, score RETURN node1, node2, score"""
+    ).collect()
+    assert len(rows) == 3
+    assert all(r.node1 == 'Supplier:1' for r in rows)
+    assert rows[0].score >= rows[-1].score

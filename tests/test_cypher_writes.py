@@ -309,3 +309,56 @@ def test_apoc_periodic_commit_loops_until_no_updates(eng):
     assert one(eng.cypher(
         "MATCH (n:Nation) WHERE n.n_regionkey = 0 RETURN count(*) AS n"
     )).n == 0
+
+
+def test_apoc_periodic_iterate_one_statement_per_batch(eng, monkeypatch):
+    # APOC binds batchSize rows per transaction (call_apoc_periodic.go:
+    # 63-115): the action must compile/run once per CHUNK, not per outer
+    # row — 7 rows at batchSize 3 → 1 CALL + 1 iterate + 3 actions.
+    import nornicdb_spark.cypher.compiler as C
+
+    calls = []
+    orig = C.Compiler._compile_single
+
+    def spy(self, q):
+        calls.append(q)
+        return orig(self, q)
+
+    monkeypatch.setattr(C.Compiler, "_compile_single", spy)
+    r = one(eng.cypher(
+        """CALL apoc.periodic.iterate(
+             'UNWIND range(1, 7) AS key RETURN key',
+             'CREATE (:PBatch {k: $key})',
+             {batchSize: 3})"""
+    ))
+    assert (r.batches, r.total, r.committedOperations) == (3, 7, 7)
+    assert len(calls) == 5  # outer CALL + iterate + ceil(7/3) action runs
+    assert one(eng.cypher("MATCH (p:PBatch) RETURN count(*) AS n")).n == 7
+
+
+def test_create_per_row_with_expression_props(eng):
+    # per-row CREATE: one node per pipeline row, property expressions
+    # evaluated against the row (distributed bulk path, no driver loop)
+    eng.cypher("UNWIND [1, 2, 3] AS x CREATE (:XCopy {v: x * 10})")
+    rows = eng.cypher(
+        "MATCH (c:XCopy) RETURN c.v AS v ORDER BY v"
+    ).collect()
+    assert [r.v for r in rows] == [10, 20, 30]
+    eng.cypher("MATCH (r:Region) CREATE (:RegionCopy {rk: r.r_regionkey})")
+    assert one(eng.cypher(
+        "MATCH (c:RegionCopy) RETURN count(DISTINCT c.rk) AS n"
+    )).n == 5
+
+
+def test_create_per_row_binds_var_for_relationships(eng):
+    # the created var binds per-row → chained relationship CREATE links
+    # each new node to its source row's node
+    eng.cypher(
+        """MATCH (r:Region)
+           CREATE (m:Mirror {rk: r.r_regionkey})-[:OF]->(r)"""
+    )
+    rows = eng.cypher(
+        """MATCH (m:Mirror)-[:OF]->(r:Region)
+           WHERE m.rk = r.r_regionkey RETURN count(*) AS n"""
+    ).collect()
+    assert rows[0].n == 5

@@ -56,3 +56,31 @@ def test_knn_join_excludes_self(catalog):
     for r in res:
         by_q.setdefault(r.q_id, []).append(r.rank)
     assert all(sorted(v) == [1, 2, 3] for v in by_q.values())
+
+
+def test_mmr_diversify_penalizes_near_duplicates(spark):
+    # three candidates: A (top), B (near-identical to A), C (orthogonal,
+    # slightly lower relevance than B) — with λ=0.5, MMR must pick C
+    # before B once A is selected
+    from nornicdb_spark.search.hybrid import mmr_diversify
+
+    cand = spark.createDataFrame(
+        [(1, 1.0), (2, 0.9), (3, 0.8)], "doc_id long, rrf_score double"
+    )
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.999, 0.01]),
+            (3, [0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = mmr_diversify(cand, emb, limit=3, mmr_lambda=0.5).orderBy(
+        "mmr_rank"
+    ).collect()
+    assert [r.doc_id for r in rows] == [1, 3, 2]
+    # λ=1.0 → pure relevance order
+    rows = mmr_diversify(cand, emb, limit=3, mmr_lambda=1.0).orderBy(
+        "mmr_rank"
+    ).collect()
+    assert [r.doc_id for r in rows] == [1, 2, 3]
