@@ -1085,6 +1085,74 @@ class Compiler:
             F.desc("score"), F.asc("node1"), F.asc("node2")
         ).limit(top_k)
 
+    def _proc_link_prediction_predict(self, args) -> DataFrame:
+        """CALL gds.linkPrediction.predict.stream({sourceNode, topK,
+        algorithm, topologyWeight, semanticWeight, minThreshold}) →
+        (node1, node2, score, topology_score, semantic_score) — the
+        reference's hybrid scorer (linkprediction.go:36-43,
+        linkpredict/hybrid.go:222-277): topK·3 topology candidates,
+        min-max normalized over the slice (all-equal → 1.0), blended
+        with the semantic cosine. Graph nodes here carry no embedding
+        property, so the semantic term is 0.0 — exactly the reference's
+        behavior for nodes without ChunkEmbeddings (hybrid.go:246-249)."""
+        from nornicdb_spark.operators.algorithms import common_neighbors
+
+        config = self._py_value(args[0]) if args else {}
+        source = (config or {}).get("sourceNode")
+        if source is None:
+            raise ValueError("gds.linkPrediction.predict: sourceNode required")
+        top_k = int((config or {}).get("topK", 10))
+        algo = (config or {}).get("algorithm") or "adamic_adar"
+        w_t = float((config or {}).get("topologyWeight", 0.5))
+        w_s = float((config or {}).get("semanticWeight", 0.5))
+        thr = float((config or {}).get("minThreshold", 0.0))
+        rels = tuple((config or {}).get("relationshipTypes", ()) or ())
+        col = {
+            "adamic_adar": "adamic_adar",
+            "common_neighbors": "common",
+            "resource_allocation": "resource_allocation",
+            "preferential_attachment": "preferential_attachment",
+            "jaccard": "jaccard",
+        }.get(algo, "adamic_adar")
+        scores = common_neighbors(self._pgraph(), rel_types=rels, min_common=1)
+        cand = (
+            scores.filter((F.col("a") == source) | (F.col("b") == source))
+            .select(
+                F.lit(source).alias("node1"),
+                F.when(F.col("a") == source, F.col("b"))
+                .otherwise(F.col("a"))
+                .alias("node2"),
+                F.col(col).cast("double").alias("topo"),
+            )
+            .orderBy(F.desc("topo"), F.asc("node2"))
+            .limit(top_k * 3)
+        )
+        stats = F.broadcast(
+            cand.agg(F.min("topo").alias("_mn"), F.max("topo").alias("_mx"))
+        )
+        norm = F.when(F.col("_mx") == F.col("_mn"), F.lit(1.0)).otherwise(
+            (F.col("topo") - F.col("_mn")) / (F.col("_mx") - F.col("_mn"))
+        )
+        sem = F.lit(0.0)
+        out = (
+            cand.crossJoin(stats)
+            .withColumn("topology_score", F.round(norm, 9))
+            .withColumn("semantic_score", sem)
+            .withColumn(
+                "score",
+                F.round(
+                    F.lit(w_t) * F.col("topology_score")
+                    + F.lit(w_s) * F.col("semantic_score"),
+                    9,
+                ),
+            )
+            .filter(F.col("score") >= thr)
+            .select(
+                "node1", "node2", "score", "topology_score", "semantic_score"
+            )
+        )
+        return out.orderBy(F.desc("score"), F.asc("node2")).limit(top_k)
+
     def _proc_fastrp(self, args) -> DataFrame:
         """CALL gds.fastRP.stream([dim]) → (nodeId, embedding)
         (reference fastrp.go:28-802)."""
@@ -1516,6 +1584,9 @@ class Compiler:
         ),
         "gds.linkprediction.jaccard.stream": lambda self, args: (
             self._proc_link_prediction("jaccard", args)
+        ),
+        "gds.linkprediction.predict.stream": lambda self, args: (
+            self._proc_link_prediction_predict(args)
         ),
         "gds.fastrp.stream": lambda self, args: self._proc_fastrp(args),
         "gds.fastrp.stats": lambda self, args: self._proc_fastrp_stats(args),

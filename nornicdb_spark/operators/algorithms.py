@@ -452,16 +452,19 @@ def weighted_shortest_paths(
                 F.array_append(F.col("node_path"), F.col("dst")).alias("node_path")
             )
         cand = min_agg(frontier.join(e, frontier.end_id == e.src).select(*relax))
+        # lazy checkpoint + count = ONE job per round: the improved-count
+        # action both materializes the checkpoint and decides termination
+        # (an eager checkpoint followed by isEmpty would be two)
         merged = cand.join(
             best.select(*old_cols), ["start_id", "end_id"], "full_outer"
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         is_better = F.col("old_cost").isNull() | (
             F.col("cost") < F.col("old_cost")
         )
         improved = merged.filter(
             F.col("cost").isNotNull() & is_better
         ).select(*carry)
-        if improved.isEmpty():
+        if improved.count() == 0:
             break
         keep_new = F.col("cost").isNotNull() & is_better
         settle = [
@@ -544,8 +547,8 @@ def astar_shortest_path(
             )
             .filter(F.col("old_cost").isNull() | (F.col("cost") < F.col("old_cost")))
             .select("start_id", "end_id", "cost")
-        ).localCheckpoint(eager=True)
-        if improved.isEmpty():
+        ).localCheckpoint(eager=False)
+        if improved.count() == 0:  # materializes the checkpoint too
             break
         best = (
             best.unionByName(improved)
@@ -644,8 +647,8 @@ def closeness_centrality(
             .distinct()
             .join(visited.select("s", "v"), ["s", "v"], "left_anti")
             .withColumn("d", F.lit(depth))
-        ).localCheckpoint(eager=True)
-        if nxt.isEmpty():
+        ).localCheckpoint(eager=False)
+        if nxt.count() == 0:  # materializes the checkpoint too
             break
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
@@ -702,8 +705,8 @@ def betweenness_centrality(
             .join(visited, ["s", "v"], "left_anti")
             .groupBy("s", "v")
             .agg(F.sum("sigma").alias("sigma"))
-        ).localCheckpoint(eager=True)
-        if nxt.isEmpty():
+        ).localCheckpoint(eager=False)
+        if nxt.count() == 0:  # materializes the checkpoint too
             break
         visited = visited.unionByName(nxt.select("s", "v")).localCheckpoint(eager=True)
         levels.append(nxt)

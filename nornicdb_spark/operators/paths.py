@@ -113,10 +113,12 @@ def var_length_paths(
             if depth >= min_hops:
                 out.append(nxt.withColumn("depth", F.lit(depth)))
             break
-        frontier = nxt.localCheckpoint(eager=True)
+        # lazy checkpoint: the count that decides termination is the
+        # same job that materializes the frontier (one job per depth)
+        frontier = nxt.localCheckpoint(eager=False)
         if depth >= min_hops:
             out.append(frontier.withColumn("depth", F.lit(depth)))
-        if frontier.isEmpty():
+        if frontier.count() == 0:
             break
 
     if not out:
@@ -166,14 +168,15 @@ def all_simple_paths(
                 F.col("dst").alias("end_id"),
                 F.array_append(F.col("node_path"), F.col("dst")).alias("node_path"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         hits.append(
             frontier.join(targets, "end_id", "left_semi").withColumn(
                 "depth", F.lit(depth)
             )
         )
-        if frontier.isEmpty():
+        # count doubles as the checkpoint's materializing action
+        if frontier.count() == 0:
             break
 
     res = hits[0]
@@ -211,9 +214,9 @@ def subgraph_nodes(
             .select(F.col("dst").alias("id"))
             .distinct()
             .join(seen.select("id"), "id", "left_anti")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if frontier.isEmpty():
+        if frontier.count() == 0:  # materializes the checkpoint too
             break
         seen = seen.unionByName(
             frontier.withColumn("level", F.lit(level))
@@ -252,9 +255,9 @@ def spanning_tree(
                 "parent",
                 F.lit(level).alias("level"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if reached.isEmpty():
+        if reached.count() == 0:  # materializes the checkpoint too
             break
         out.append(reached)
         seen = seen.unionByName(reached.select("id")).localCheckpoint(eager=True)
@@ -305,8 +308,8 @@ def shortest_paths(
             .join(visited.select("start_id", "end_id"), ["start_id", "end_id"], "left_anti")
             .withColumn("distance", F.lit(depth))
         )
-        nxt = nxt.localCheckpoint(eager=True)
-        if nxt.isEmpty():
+        nxt = nxt.localCheckpoint(eager=False)
+        if nxt.count() == 0:  # materializes the checkpoint too
             break
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         results.append(nxt.join(targets, "end_id", "left_semi"))
@@ -358,8 +361,8 @@ def all_shortest_paths(
             .join(settled.select("start_id", "end_id"), ["start_id", "end_id"], "left_anti")
             .distinct()
         )
-        expanded = expanded.localCheckpoint(eager=True)
-        if expanded.isEmpty():
+        expanded = expanded.localCheckpoint(eager=False)
+        if expanded.count() == 0:  # materializes the checkpoint too
             break
         settled = (
             settled.unionByName(

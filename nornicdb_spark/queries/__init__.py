@@ -64,6 +64,7 @@ _PRIORITY = (
     "cypher_call_louvain", "cypher_call_subgraph_nodes",
     "cypher_call_spanning_tree", "cypher_call_path_expand",
     "cypher_call_byhop", "cypher_call_link_prediction",
+    "cypher_call_lp_predict",
     # CALL-routed load/export round trip + frontend spatial tail
     "cypher_apoc_load", "cypher_spatial_intersects",
     # hybrid adaptive weights / rerank / weighted BM25 (new)

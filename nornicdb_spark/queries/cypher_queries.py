@@ -768,3 +768,55 @@ def cypher_spatial_intersects(spark, sf_dir):
                   ])) AS hit,
                   size(lineString([p, point({x: 0.0, y: 0.0})])) AS n_pts""",
     )
+
+
+@register(
+    "cypher_call_lp_predict",
+    oracle="""
+    WITH supplies AS (
+      SELECT DISTINCT 'Supplier:' || l_suppkey AS s, l_partkey AS p
+      FROM lineitem
+    ),
+    part_deg AS (SELECT p, count(*) AS pd FROM supplies GROUP BY p),
+    pairs AS (
+      SELECT a.s AS a, b.s AS b,
+             round(sum(1.0 / ln(pd)), 9) AS aa
+      FROM supplies a JOIN supplies b ON a.p = b.p AND a.s < b.s
+      JOIN part_deg ON part_deg.p = a.p
+      GROUP BY a.s, b.s
+    ),
+    cand AS (
+      SELECT 'Supplier:1' AS node1,
+             CASE WHEN a = 'Supplier:1' THEN b ELSE a END AS node2,
+             aa AS topo
+      FROM pairs WHERE a = 'Supplier:1' OR b = 'Supplier:1'
+      ORDER BY topo DESC, node2 ASC LIMIT 15
+    ),
+    stats AS (SELECT min(topo) AS mn, max(topo) AS mx FROM cand)
+    SELECT node1, node2,
+           round(0.5 * ts + 0.5 * 0.0, 9) AS score,
+           ts AS topology_score,
+           0.0 AS semantic_score
+    FROM (
+      SELECT node1, node2,
+             round(CASE WHEN mx = mn THEN 1.0
+                        ELSE (topo - mn) / (mx - mn) END, 9) AS ts
+      FROM cand, stats
+    )
+    ORDER BY score DESC, node2 ASC LIMIT 5
+    """,
+)
+def cypher_call_lp_predict(spark, sf_dir):
+    # CALL gds.linkPrediction.predict.stream — the hybrid scorer
+    # (linkpredict/hybrid.go:222-277): topK·3 adamic-adar candidates,
+    # min-max normalized, blended 0.5/0.5 with the semantic cosine
+    # (0.0 here: graph nodes carry no embeddings, same as the
+    # reference's ChunkEmbeddings-absent path).
+    return _run(
+        spark, sf_dir,
+        """CALL gds.linkPrediction.predict.stream(
+             {sourceNode: 'Supplier:1', topK: 5,
+              relationshipTypes: ['SUPPLIES']})
+           YIELD node1, node2, score, topology_score, semantic_score
+           RETURN node1, node2, score, topology_score, semantic_score""",
+    )

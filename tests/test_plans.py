@@ -208,3 +208,19 @@ def test_bucketed_join_is_exchange_free(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     spark.sql("DROP TABLE IF EXISTS bkt_orders")
     spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+
+
+def test_bm25_weighted_search_never_rescans_corpus(spark, sf_dir):
+    # field-weighted index: search still runs against the checkpointed
+    # postings only — no documents parquet scan at query time
+    from nornicdb_spark.catalog import Catalog
+    from nornicdb_spark.search import bm25
+
+    idx = bm25.BM25Index.build_weighted(
+        Catalog(spark, sf_dir).documents, {"text": 1.0, "source": 3.0}
+    )
+    df = idx.search("spark shuffle partition", k=10)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "documents" not in plan
