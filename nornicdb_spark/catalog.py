@@ -152,6 +152,19 @@ class PropertyGraph:
         # '<Label>:<numeric key>' — gates the long-encoded fast paths
         self.numeric_keys: bool = bool(type_endpoints)
         self._adj: DataFrame | None = None
+        # generic per-graph memo for static derived frames (weighted
+        # oriented edge sets, pagerank degree bases, node counts …) —
+        # the same reuse story as adj()/adj_pairs(): iterative operators
+        # re-invoked over one graph instance must not rebuild their
+        # static inputs
+        self._memo: dict = {}
+
+    def memo(self, key, builder):
+        """Build-once cache for static per-graph artifacts. ``key`` must
+        capture every parameter the artifact depends on."""
+        if key not in self._memo:
+            self._memo[key] = builder()
+        return self._memo[key]
 
     def adj(self) -> DataFrame:
         """Materialized adjacency: the full edge set hash-partitioned by

@@ -1107,35 +1107,96 @@ class Compiler:
         w_s = float((config or {}).get("semanticWeight", 0.5))
         thr = float((config or {}).get("minThreshold", 0.0))
         rels = tuple((config or {}).get("relationshipTypes", ()) or ())
-        col = {
-            "adamic_adar": "adamic_adar",
-            "common_neighbors": "common",
-            "resource_allocation": "resource_allocation",
-            "preferential_attachment": "preferential_attachment",
-            "jaccard": "jaccard",
-        }.get(algo, "adamic_adar")
         scores = common_neighbors(self._pgraph(), rel_types=rels, min_common=1)
-        cand = (
-            scores.filter((F.col("a") == source) | (F.col("b") == source))
-            .select(
-                F.lit(source).alias("node1"),
-                F.when(F.col("a") == source, F.col("b"))
-                .otherwise(F.col("a"))
-                .alias("node2"),
-                F.col(col).cast("double").alias("topo"),
+        base = scores.filter(
+            (F.col("a") == source) | (F.col("b") == source)
+        ).select(
+            F.when(F.col("a") == source, F.col("b"))
+            .otherwise(F.col("a"))
+            .alias("node2"),
+            "common", "jaccard", "adamic_adar", "resource_allocation",
+            "preferential_attachment",
+        )
+
+        def norm_slice(df, metric):
+            sl = (
+                df.select(
+                    "node2", F.col(metric).cast("double").alias("topo")
+                )
+                .orderBy(F.desc("topo"), F.asc("node2"))
+                .limit(top_k * 3)
             )
-            .orderBy(F.desc("topo"), F.asc("node2"))
-            .limit(top_k * 3)
-        )
-        stats = F.broadcast(
-            cand.agg(F.min("topo").alias("_mn"), F.max("topo").alias("_mx"))
-        )
-        norm = F.when(F.col("_mx") == F.col("_mn"), F.lit(1.0)).otherwise(
-            (F.col("topo") - F.col("_mn")) / (F.col("_mx") - F.col("_mn"))
-        )
+            st = F.broadcast(
+                sl.agg(F.min("topo").alias("_mn"), F.max("topo").alias("_mx"))
+            )
+            nrm = F.when(
+                F.col("_mx") == F.col("_mn"), F.lit(1.0)
+            ).otherwise(
+                (F.col("topo") - F.col("_mn"))
+                / (F.col("_mx") - F.col("_mn"))
+            )
+            return sl.crossJoin(st).select("node2", nrm.alias("nt"))
+
+        if algo == "ensemble":
+            # ensemble of the 5 topology metrics, each min-max normalized
+            # over its own top slice, weighted-summed, then the aggregate
+            # normalized again (hybrid.go:280-340 ensembleTopology +
+            # Predict's second normalizeScores)
+            ens_w = {
+                "common": 0.1, "jaccard": 0.2, "adamic_adar": 0.3,
+                "resource_allocation": 0.25,
+                "preferential_attachment": 0.15,
+            }
+            parts = None
+            for metric, w in ens_w.items():
+                p = norm_slice(base, metric).select(
+                    "node2", (F.lit(w) * F.col("nt")).alias("c")
+                )
+                parts = p if parts is None else parts.unionByName(p)
+            agg = parts.groupBy("node2").agg(
+                F.round(F.sum("c"), 9).alias("topo")
+            )
+            cand = norm_slice(agg, "topo").select(
+                F.lit(source).alias("node1"), "node2",
+                F.col("nt").alias("topo"),
+            )
+            pre_normalized = True
+        else:
+            col = {
+                "adamic_adar": "adamic_adar",
+                "common_neighbors": "common",
+                "resource_allocation": "resource_allocation",
+                "preferential_attachment": "preferential_attachment",
+                "jaccard": "jaccard",
+            }.get(algo, "adamic_adar")
+            cand = (
+                base.select(
+                    F.lit(source).alias("node1"),
+                    "node2",
+                    F.col(col).cast("double").alias("topo"),
+                )
+                .orderBy(F.desc("topo"), F.asc("node2"))
+                .limit(top_k * 3)
+            )
+            pre_normalized = False
+        if pre_normalized:
+            stats = None
+            norm = F.col("topo")
+        else:
+            stats = F.broadcast(
+                cand.agg(
+                    F.min("topo").alias("_mn"), F.max("topo").alias("_mx")
+                )
+            )
+            norm = F.when(
+                F.col("_mx") == F.col("_mn"), F.lit(1.0)
+            ).otherwise(
+                (F.col("topo") - F.col("_mn"))
+                / (F.col("_mx") - F.col("_mn"))
+            )
         sem = F.lit(0.0)
         out = (
-            cand.crossJoin(stats)
+            (cand if stats is None else cand.crossJoin(stats))
             .withColumn("topology_score", F.round(norm, 9))
             .withColumn("semantic_score", sem)
             .withColumn(
@@ -1320,22 +1381,41 @@ class Compiler:
             d, index = ic._defs["documents_fulltext"], "documents_fulltext"
         idx = ic._impls.get(index)
         if idx is None:
+            props = list(d["properties"])
+
+            def build(src, id_col):
+                # multi-property indexes score over the combined bag —
+                # exactly the reference's extractSearchableText concat
+                # (search.go:1820-1861); BM25F with unit weights ≡ BM25
+                # over the concatenation (tf and dl both add). A
+                # ``weights`` map from the create call upgrades priority
+                # properties to >1× (search.go:96-110).
+                weights = (d.get("options") or {}).get("weights")
+                if len(props) == 1 and not weights:
+                    return BM25Index.build(
+                        src, id_col=id_col, text_col=props[0]
+                    )
+                w = weights or {}
+                return BM25Index.build_weighted(
+                    src, {p: float(w.get(p, 1.0)) for p in props},
+                    id_col=id_col,
+                )
+
             if rels:
                 e = self._pgraph().edges
-                text_col = d["properties"][0]
-                if text_col not in e.columns:
+                avail = [p for p in props if p in e.columns]
+                if not avail:
                     return self.cat.spark.createDataFrame(
                         [], f"{out_col} string, score double"
                     )
+                props = avail
                 src = e.filter(F.col("type") == d["label"]) if d.get(
                     "label"
                 ) else e
-                idx = BM25Index.build(src, id_col="edge_id", text_col=text_col)
+                idx = build(src, "edge_id")
             else:
                 src, id_col = self._index_source(d["label"])
-                idx = BM25Index.build(
-                    src, id_col=id_col, text_col=d["properties"][0]
-                )
+                idx = build(src, id_col)
             ic._impls[index] = idx
         return idx.search(qtext, k=k).select(
             F.col("doc_id").alias(out_col), F.col("score")
@@ -1360,7 +1440,16 @@ class Compiler:
         else:
             labels = vals[1] if isinstance(vals[1], list) else [vals[1]]
             props = vals[2] if isinstance(vals[2], list) else [vals[2]]
-            index_catalog(self.cat).create(name, kind, labels[0], props)
+            opts = {}
+            if len(vals) > 3 and isinstance(vals[3], dict):
+                # {weights: {prop: w}} — priority-property weighting
+                # (reference search.go:96-110 SearchableProperties)
+                w = vals[3].get("weights")
+                if w:
+                    opts["weights"] = dict(w)
+            index_catalog(self.cat).create(
+                name, kind, labels[0], props, **opts
+            )
         return self.cat.spark.createDataFrame(
             [(name, kind, "ONLINE")], "name string, type string, state string"
         )
@@ -1459,6 +1548,14 @@ class Compiler:
             "nornicdb_spark.procedures", fromlist=["x"]
         ).db_schema_node_type_properties(self.cat),
         "db.schema.reltypeproperties": lambda self, args: __import__(
+            "nornicdb_spark.procedures", fromlist=["x"]
+        ).db_schema_rel_type_properties(self.cat),
+        # short aliases listed by the reference's dbms.procedures
+        # (call.go:1167-1168)
+        "db.schema.nodeproperties": lambda self, args: __import__(
+            "nornicdb_spark.procedures", fromlist=["x"]
+        ).db_schema_node_type_properties(self.cat),
+        "db.schema.relproperties": lambda self, args: __import__(
             "nornicdb_spark.procedures", fromlist=["x"]
         ).db_schema_rel_type_properties(self.cat),
         "dbms.info": lambda self, args: __import__(

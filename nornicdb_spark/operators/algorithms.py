@@ -90,17 +90,26 @@ def pagerank(
         nodes = graph.nodes.select(graph.encode_id(F.col("id")).alias("id"))
     else:
         nodes = graph.nodes.select("id")
-    n = nodes.count()
+
+    def build_base():
+        n = nodes.count()
+        if n == 0:
+            return n, None
+        out_deg = edges.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("out_degree")
+        )
+        # static (id, out_degree) — out_degree null ⇒ dangling node
+        return n, nodes.join(out_deg, "id", "left_outer").localCheckpoint(
+            eager=True
+        )
+
+    # node count + degree base are static per (graph, rel_types) — memoized
+    # like the shared adjacency, so repeated pagerank calls skip the setup
+    n, base = graph.memo(("pr_base", tuple(rel_types), encoded), build_base)
     if n == 0:
         return nodes.withColumn("pagerank", F.lit(0.0))
 
     maybe_bcast = F.broadcast if n <= broadcast_state_max_nodes else (lambda df: df)
-
-    out_deg = edges.groupBy(F.col("src").alias("id")).agg(
-        F.count(F.lit(1)).alias("out_degree")
-    )
-    # static (id, out_degree) — out_degree null ⇒ dangling node
-    base = nodes.join(out_deg, "id", "left_outer").localCheckpoint(eager=True)
     emitters = base.filter(F.col("out_degree").isNotNull())
 
     def rank_expr(contrib_col, s_col):
@@ -567,7 +576,20 @@ def _weighted_oriented_edges(graph, rel_types, direction, weight_col,
     encodes the endpoints BEFORE the checkpoint, built from the LAZY edge
     plan so column pruning reaches the parquet scans and the loop never
     re-splits strings per round (and never forces the full-width
-    adjacency materialization it doesn't need)."""
+    adjacency materialization it doesn't need). Memoized per graph
+    instance — repeated shortest-path calls over the same graph reuse
+    one checkpoint (the reference keeps its adjacency resident too)."""
+    key = ("w_edges", tuple(rel_types), direction, weight_col, encode)
+    return graph.memo(
+        key,
+        lambda: _build_weighted_oriented_edges(
+            graph, rel_types, direction, weight_col, encode
+        ),
+    )
+
+
+def _build_weighted_oriented_edges(graph, rel_types, direction, weight_col,
+                                   encode: bool = False):
     if encode:
         base = graph.edges_by_type(*rel_types) if rel_types else graph.edges
         src = graph.encode_id(F.col("src")).alias("src")

@@ -386,3 +386,44 @@ def stratified_sample(
         .filter(F.col("bucket") < rate)
         .select("doc_id", "lang_pred", "bucket")
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    context_tokens: int = 2048,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence packing for training batches: assign documents, in
+    deterministic id order within each pack group, to consecutive
+    context-window bins — bin = ⌊running-token-total-before-doc / ctx⌋
+    (contiguous greedy fill; a doc that straddles a boundary belongs to
+    the bin it started in). Grouping by ``group_col`` (e.g. language)
+    keeps the running sum PARTITIONED — the window shuffles one group per
+    task, so the op scales with groups rather than forcing a global
+    total order. Returns per-bin stats:
+    (group, bin, n_docs, total_tokens, fill_ratio)."""
+    from pyspark.sql import Window as W
+
+    toks = docs.select(
+        F.col(group_col).alias("group"),
+        F.col(id_col).alias("doc_id"),
+        F.size(_words(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("group")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    binned = toks.withColumn(
+        "bin", F.floor(before / F.lit(context_tokens)).cast("long")
+    )
+    return binned.groupBy("group", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(
+            F.sum("n_tokens") / F.lit(float(context_tokens)), 9
+        ).alias("fill_ratio"),
+    )

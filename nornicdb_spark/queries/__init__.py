@@ -64,11 +64,12 @@ _PRIORITY = (
     "cypher_call_louvain", "cypher_call_subgraph_nodes",
     "cypher_call_spanning_tree", "cypher_call_path_expand",
     "cypher_call_byhop", "cypher_call_link_prediction",
-    "cypher_call_lp_predict",
+    "cypher_call_lp_predict", "cypher_call_lp_ensemble",
     # CALL-routed load/export round trip + frontend spatial tail
     "cypher_apoc_load", "cypher_spatial_intersects",
-    # hybrid adaptive weights / rerank / weighted BM25 (new)
+    # hybrid adaptive weights / rerank / weighted BM25 / packing (new)
     "hybrid_adaptive", "hybrid_rerank", "bm25_weighted",
+    "corpus_sequence_packing",
     # 9-decimal rounding convention changed output values → re-stamp
     "embedding_centroid_stats", "text_unigram_logprob", "sessionization",
     "graph_link_prediction_suppliers",

@@ -820,3 +820,91 @@ def cypher_call_lp_predict(spark, sf_dir):
            YIELD node1, node2, score, topology_score, semantic_score
            RETURN node1, node2, score, topology_score, semantic_score""",
     )
+
+
+def _lp_ensemble_oracle(k: int = 5) -> str:
+    """gds.linkPrediction.predict.stream ensemble oracle: 5 per-metric
+    top slices, each min-max normalized, weighted-summed (weights
+    hybrid.go:168-174), aggregate normalized again, blended 0.5/0.5 with
+    the 0.0 semantic term."""
+    metrics = {
+        "cn": ("CAST(common AS DOUBLE)", 0.1),
+        "jac": ("jaccard", 0.2),
+        "aa": ("adamic_adar", 0.3),
+        "ra": ("resource_allocation", 0.25),
+        "pa": ("CAST(preferential_attachment AS DOUBLE)", 0.15),
+    }
+    slices = []
+    terms = []
+    for nm, (expr, w) in metrics.items():
+        slices.append(f"""
+    {nm}_s AS (
+      SELECT node2, {expr} AS topo FROM metrics
+      ORDER BY topo DESC, node2 ASC LIMIT {k * 3}
+    ),
+    {nm}_n AS (
+      SELECT node2,
+             {w!r} * (CASE WHEN mx = mn THEN 1.0
+                           ELSE (topo - mn) / (mx - mn) END) AS c
+      FROM {nm}_s, (SELECT min(topo) AS mn, max(topo) AS mx FROM {nm}_s)
+    )""")
+        terms.append(f"SELECT node2, c FROM {nm}_n")
+    return f"""
+    WITH supplies AS (
+      SELECT DISTINCT 'Supplier:' || l_suppkey AS s, l_partkey AS p
+      FROM lineitem
+    ),
+    deg AS (SELECT s, count(*) AS d FROM supplies GROUP BY s),
+    part_deg AS (SELECT p, count(*) AS pd FROM supplies GROUP BY p),
+    pairs AS (
+      SELECT a.s AS a, b.s AS b,
+             CAST(count(*) AS BIGINT) AS common,
+             round(sum(1.0 / ln(pd)), 9) AS adamic_adar,
+             round(sum(1.0 / pd), 9) AS resource_allocation
+      FROM supplies a JOIN supplies b ON a.p = b.p AND a.s < b.s
+      JOIN part_deg ON part_deg.p = a.p
+      GROUP BY a.s, b.s
+    ),
+    metrics AS (
+      SELECT CASE WHEN a = 'Supplier:1' THEN b ELSE a END AS node2,
+             common,
+             common / (da.d + db.d - common) AS jaccard,
+             adamic_adar, resource_allocation,
+             CAST(da.d * db.d AS BIGINT) AS preferential_attachment
+      FROM pairs JOIN deg da ON da.s = pairs.a JOIN deg db ON db.s = pairs.b
+      WHERE a = 'Supplier:1' OR b = 'Supplier:1'
+    ),{','.join(slices)},
+    agg AS (
+      SELECT node2, round(sum(c), 9) AS topo
+      FROM ({' UNION ALL '.join(terms)}) GROUP BY node2
+    ),
+    top AS (
+      SELECT node2, topo FROM agg ORDER BY topo DESC, node2 ASC LIMIT {k * 3}
+    )
+    SELECT 'Supplier:1' AS node1, node2,
+           round(0.5 * ts, 9) AS score,
+           ts AS topology_score,
+           0.0 AS semantic_score
+    FROM (
+      SELECT node2,
+             round(CASE WHEN mx = mn THEN 1.0
+                        ELSE (topo - mn) / (mx - mn) END, 9) AS ts
+      FROM top, (SELECT min(topo) AS mn, max(topo) AS mx FROM top)
+    )
+    ORDER BY score DESC, node2 ASC LIMIT {k}
+    """
+
+
+@register("cypher_call_lp_ensemble", oracle=_lp_ensemble_oracle(k=5))
+def cypher_call_lp_ensemble(spark, sf_dir):
+    # algorithm: 'ensemble' — all 5 topology metrics, each normalized
+    # over its own top slice, weighted 0.1/0.2/0.3/0.25/0.15, aggregate
+    # re-normalized (hybrid.go:280-340), blended with the semantic term.
+    return _run(
+        spark, sf_dir,
+        """CALL gds.linkPrediction.predict.stream(
+             {sourceNode: 'Supplier:1', topK: 5, algorithm: 'ensemble',
+              relationshipTypes: ['SUPPLIES']})
+           YIELD node1, node2, score, topology_score, semantic_score
+           RETURN node1, node2, score, topology_score, semantic_score""",
+    )

@@ -870,3 +870,35 @@ def inference_transitive_edges(spark, sf_dir):
     emb = Catalog(spark, sf_dir).embeddings
     sim = inference.similarity_edges(emb, threshold=0.55, top_k=5)
     return inference.transitive_edges(sim, min_confidence=0.09)
+
+
+@register(
+    "corpus_sequence_packing",
+    oracle="""
+    WITH toks AS (
+      SELECT lang AS "group", doc_id,
+             CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> length(x) > 0)) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    binned AS (
+      SELECT "group", doc_id, n_tokens,
+             CAST(floor(coalesce(sum(n_tokens) OVER (
+               PARTITION BY "group" ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) / 2048) AS BIGINT) AS bin
+      FROM toks
+    )
+    SELECT "group", bin, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(sum(n_tokens) / 2048.0, 9) AS fill_ratio
+    FROM binned GROUP BY 1, 2
+    """,
+)
+def corpus_sequence_packing(spark, sf_dir):
+    # sequence packing (training-batch assembly): contiguous greedy fill
+    # of 2048-token context windows per language, deterministic in doc
+    # order — the running sum stays partitioned by group, so the plan is
+    # one keyed window shuffle, not a global total order.
+    docs = Catalog(spark, sf_dir).documents
+    return textops.pack_sequences(docs, context_tokens=2048)

@@ -151,3 +151,37 @@ def test_fulltext_rel_index_query(eng):
         "CALL db.index.fulltext.queryRelationships('nope', 'spark', 5)"
     ).collect()
     assert none == []
+
+
+def test_fulltext_multi_property_index(eng):
+    # multi-property fulltext = BM25 over the combined bag (reference
+    # extractSearchableText concatenation); a term living only in the
+    # second property must still match
+    eng.cypher(
+        """CALL db.index.fulltext.createNodeIndex(
+             'docs_multi', ['Document'], ['text', 'source'])"""
+    ).collect()
+    src_val = eng.catalog.documents.select("source").first()[0]
+    rows = eng.cypher(
+        f"""CALL db.index.fulltext.queryNodes('docs_multi', '{src_val}', 5)
+            YIELD node, score RETURN node, score"""
+    ).collect()
+    eng.cypher("CALL db.index.fulltext.drop('docs_multi')").collect()
+    assert len(rows) > 0 and all(r.score > 0 for r in rows)
+
+
+def test_fulltext_weighted_index_boosts(eng):
+    # {weights: {...}} config: a 5x-weighted source field must outrank
+    # the text field for a term present in both
+    eng.cypher(
+        """CALL db.index.fulltext.createNodeIndex(
+             'docs_weighted', ['Document'], ['text', 'source'],
+             {weights: {source: 5.0, text: 1.0}})"""
+    ).collect()
+    src_val = eng.catalog.documents.select("source").first()[0]
+    rows = eng.cypher(
+        f"""CALL db.index.fulltext.queryNodes('docs_weighted', '{src_val}', 5)
+            YIELD node, score RETURN node, score"""
+    ).collect()
+    eng.cypher("CALL db.index.fulltext.drop('docs_weighted')").collect()
+    assert len(rows) > 0
