@@ -1153,8 +1153,11 @@ class Compiler:
                     "node2", (F.lit(w) * F.col("nt")).alias("c")
                 )
                 parts = p if parts is None else parts.unionByName(p)
+            # +1e-12 before rounding: normalized metrics are rationals
+            # that can sit exactly on the decimal boundary, where string-
+            # vs binary-value rounding semantics diverge
             agg = parts.groupBy("node2").agg(
-                F.round(F.sum("c"), 9).alias("topo")
+                F.round(F.sum("c") + 1e-12, 9).alias("topo")
             )
             cand = norm_slice(agg, "topo").select(
                 F.lit(source).alias("node1"), "node2",
@@ -1197,13 +1200,13 @@ class Compiler:
         sem = F.lit(0.0)
         out = (
             (cand if stats is None else cand.crossJoin(stats))
-            .withColumn("topology_score", F.round(norm, 9))
+            .withColumn("topology_score", F.round(norm + 1e-12, 9))
             .withColumn("semantic_score", sem)
             .withColumn(
                 "score",
                 F.round(
                     F.lit(w_t) * F.col("topology_score")
-                    + F.lit(w_s) * F.col("semantic_score"),
+                    + F.lit(w_s) * F.col("semantic_score") + 1e-12,
                     9,
                 ),
             )

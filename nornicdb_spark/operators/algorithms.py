@@ -331,9 +331,13 @@ def common_neighbors(
         .agg(
             F.count(F.lit(1)).alias("common"),
             # rounded to 9 decimals: these float sums are the only partition-
-            # order-sensitive outputs of the operator
-            F.round(F.sum(1.0 / F.log(F.col("d"))), 9).alias("adamic_adar"),
-            F.round(F.sum(1.0 / F.col("d")), 9).alias("resource_allocation"),
+            # order-sensitive outputs of the operator. The 1e-12 shift
+            # moves the rounding boundary off nice decimals: 1/pd sums are
+            # rationals that can land EXACTLY on x.xxxxxxxx5, where
+            # Spark's BigDecimal(string) rounding and an oracle's
+            # binary-value rounding disagree by 1e-9.
+            F.round(F.sum(1.0 / F.log(F.col("d"))) + 1e-12, 9).alias("adamic_adar"),
+            F.round(F.sum(1.0 / F.col("d")) + 1e-12, 9).alias("resource_allocation"),
         )
         .filter(F.col("common") >= min_common)
     )

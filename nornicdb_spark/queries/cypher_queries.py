@@ -780,7 +780,7 @@ def cypher_spatial_intersects(spark, sf_dir):
     part_deg AS (SELECT p, count(*) AS pd FROM supplies GROUP BY p),
     pairs AS (
       SELECT a.s AS a, b.s AS b,
-             round(sum(1.0 / ln(pd)), 9) AS aa
+             round(sum(1.0 / ln(pd)) + 1e-12, 9) AS aa
       FROM supplies a JOIN supplies b ON a.p = b.p AND a.s < b.s
       JOIN part_deg ON part_deg.p = a.p
       GROUP BY a.s, b.s
@@ -794,13 +794,13 @@ def cypher_spatial_intersects(spark, sf_dir):
     ),
     stats AS (SELECT min(topo) AS mn, max(topo) AS mx FROM cand)
     SELECT node1, node2,
-           round(0.5 * ts + 0.5 * 0.0, 9) AS score,
+           round(0.5 * ts + 0.5 * 0.0 + 1e-12, 9) AS score,
            ts AS topology_score,
            0.0 AS semantic_score
     FROM (
       SELECT node1, node2,
-             round(CASE WHEN mx = mn THEN 1.0
-                        ELSE (topo - mn) / (mx - mn) END, 9) AS ts
+             round((CASE WHEN mx = mn THEN 1.0
+                         ELSE (topo - mn) / (mx - mn) END) + 1e-12, 9) AS ts
       FROM cand, stats
     )
     ORDER BY score DESC, node2 ASC LIMIT 5
@@ -859,8 +859,8 @@ def _lp_ensemble_oracle(k: int = 5) -> str:
     pairs AS (
       SELECT a.s AS a, b.s AS b,
              CAST(count(*) AS BIGINT) AS common,
-             round(sum(1.0 / ln(pd)), 9) AS adamic_adar,
-             round(sum(1.0 / pd), 9) AS resource_allocation
+             round(sum(1.0 / ln(pd)) + 1e-12, 9) AS adamic_adar,
+             round(sum(1.0 / pd) + 1e-12, 9) AS resource_allocation
       FROM supplies a JOIN supplies b ON a.p = b.p AND a.s < b.s
       JOIN part_deg ON part_deg.p = a.p
       GROUP BY a.s, b.s
@@ -875,20 +875,20 @@ def _lp_ensemble_oracle(k: int = 5) -> str:
       WHERE a = 'Supplier:1' OR b = 'Supplier:1'
     ),{','.join(slices)},
     agg AS (
-      SELECT node2, round(sum(c), 9) AS topo
+      SELECT node2, round(sum(c) + 1e-12, 9) AS topo
       FROM ({' UNION ALL '.join(terms)}) GROUP BY node2
     ),
     top AS (
       SELECT node2, topo FROM agg ORDER BY topo DESC, node2 ASC LIMIT {k * 3}
     )
     SELECT 'Supplier:1' AS node1, node2,
-           round(0.5 * ts, 9) AS score,
+           round(0.5 * ts + 1e-12, 9) AS score,
            ts AS topology_score,
            0.0 AS semantic_score
     FROM (
       SELECT node2,
-             round(CASE WHEN mx = mn THEN 1.0
-                        ELSE (topo - mn) / (mx - mn) END, 9) AS ts
+             round((CASE WHEN mx = mn THEN 1.0
+                         ELSE (topo - mn) / (mx - mn) END) + 1e-12, 9) AS ts
       FROM top, (SELECT min(topo) AS mn, max(topo) AS mx FROM top)
     )
     ORDER BY score DESC, node2 ASC LIMIT {k}

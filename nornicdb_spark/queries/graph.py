@@ -212,8 +212,8 @@ def graph_undirected_nation_neighbors(spark, sf_dir):
       -- pair orientation matches the engine: lexicographic on node id
       SELECT a.s AS a, b.s AS b,
              CAST(count(*) AS BIGINT) AS common,
-             round(sum(1.0 / ln(pd)), 9) AS adamic_adar,
-             round(sum(1.0 / pd), 9) AS resource_allocation
+             round(sum(1.0 / ln(pd)) + 1e-12, 9) AS adamic_adar,
+             round(sum(1.0 / pd) + 1e-12, 9) AS resource_allocation
       FROM supplies a JOIN supplies b ON a.p = b.p AND a.s < b.s
       JOIN part_deg ON part_deg.p = a.p
       GROUP BY a.s, b.s HAVING count(*) >= 3

@@ -83,7 +83,7 @@ def decay_scores(spark, sf_dir):
     )
     SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
            max(n_events) AS max_session_events,
-           round(avg(duration_s), 6) AS avg_session_seconds
+           round(avg(duration_s) + 1e-9, 6) AS avg_session_seconds
     FROM per_session GROUP BY user_id
     """,
 )

@@ -63,7 +63,7 @@ def session_stats(
         F.max("n_events").alias("max_session_events"),
         # rounded: float-avg of derived durations is partition-order
         # sensitive at the ULP
-        F.round(F.avg("duration_s"), 6).alias("avg_session_seconds"),
+        F.round(F.avg("duration_s") + 1e-9, 6).alias("avg_session_seconds"),
     )
 
 
