@@ -38,6 +38,84 @@ AGG_FUNCS = {
 }
 
 
+def _dicts_schema(rows: list) -> "object":
+    """Explicit schema for a list of dicts: inference fails when a column
+    is None in EVERY row (common for optional properties in batched
+    periodic.iterate chunks) — such columns fall back to string."""
+    from pyspark.sql import types as T
+
+    py_map = {bool: T.BooleanType(), int: T.LongType(),
+              float: T.DoubleType(), str: T.StringType(),
+              bytes: T.BinaryType()}
+    keys: list = []
+    for r in rows:
+        for k in r:
+            if k not in keys:
+                keys.append(k)
+    fields = []
+    for k in keys:
+        dt = None
+        for r in rows:
+            val = r.get(k)
+            if val is None:
+                continue
+            if isinstance(val, bool):
+                dt = T.BooleanType()
+            elif isinstance(val, int):
+                dt = T.LongType() if not isinstance(dt, T.DoubleType) else dt
+            elif isinstance(val, float):
+                dt = T.DoubleType()
+            elif isinstance(val, str):
+                dt = T.StringType()
+            elif isinstance(val, bytes):
+                dt = T.BinaryType()
+            elif isinstance(val, list):
+                inner = next((x for x in val if x is not None), None)
+                dt = T.ArrayType(py_map.get(type(inner), T.StringType()))
+            else:
+                import datetime
+
+                if isinstance(val, datetime.datetime):
+                    dt = T.TimestampType()
+                elif isinstance(val, datetime.date):
+                    dt = T.DateType()
+                else:
+                    dt = T.StringType()
+            if isinstance(dt, (T.DoubleType, T.StringType)):
+                break
+        fields.append(T.StructField(k, dt or T.StringType(), True))
+    return T.StructType(fields)
+
+
+def _sub_outside_strings(pat, repl: str, text: str) -> str:
+    """Apply a regex substitution only OUTSIDE quoted string literals —
+    the periodic.iterate $col rewrite must not corrupt literal text
+    containing a matching $name."""
+    out = []
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch in ("'", '"'):
+            j = i + 1
+            while j < n:
+                if text[j] == "\\":
+                    j += 2
+                    continue
+                if text[j] == ch:
+                    j += 1
+                    break
+                j += 1
+            out.append(text[i:j])
+            i = j
+        else:
+            j = i
+            while j < n and text[j] not in ("'", '"'):
+                j += 1
+            out.append(pat.sub(repl, text[i:j]))
+            i = j
+    return "".join(out)
+
+
 def _contains_agg(e) -> bool:
     if isinstance(e, A.CountStar):
         return True
@@ -907,7 +985,9 @@ class Compiler:
         vals = [self._py_value(a) for a in args]
         start_id, end_id = vals[0], vals[1]
         rel_type = vals[2] if len(vals) > 2 and vals[2] else None
-        max_depth = int(vals[3]) if len(vals) > 3 else 10
+        max_depth = (
+            int(vals[3]) if len(vals) > 3 and vals[3] is not None else 10
+        )
         starts = self.cat.spark.createDataFrame([(start_id,)], "id string")
         targets = self.cat.spark.createDataFrame([(end_id,)], "id string")
         paths = all_simple_paths(
@@ -970,8 +1050,6 @@ class Compiler:
         if not args:
             return None
         v = self._py_value(args[0])
-        if isinstance(v, list):
-            return v or None
         return v or None
 
     def _path_config(self, args):
@@ -980,7 +1058,7 @@ class Compiler:
         vals = [self._py_value(a) for a in args]
         start_id = vals[0]
         config = vals[1] if len(vals) > 1 else {}
-        max_level = int((config or {}).get("maxLevel", 3))
+        max_level = int((config or {}).get("maxLevel") or 3)
         rel_filter = (config or {}).get("relationshipFilter")
         rel_types = tuple(
             t.strip().lstrip("<>").rstrip("<>")
@@ -1026,8 +1104,12 @@ class Compiler:
         start_id = vals[0]
         rel_filter = vals[1] if len(vals) > 1 and vals[1] else None
         label_filter = vals[2] if len(vals) > 2 and vals[2] else None
-        min_level = int(vals[3]) if len(vals) > 3 else 1
-        max_level = int(vals[4]) if len(vals) > 4 else 3
+        min_level = (
+            int(vals[3]) if len(vals) > 3 and vals[3] is not None else 1
+        )
+        max_level = (
+            int(vals[4]) if len(vals) > 4 and vals[4] is not None else 3
+        )
         rel_types = tuple(
             t.strip().lstrip("<>").rstrip("<>")
             for t in rel_filter.split("|")
@@ -1038,12 +1120,21 @@ class Compiler:
             max_hops=max_level, rel_types=rel_types, with_node_path=True,
         )
         if label_filter:
-            # +Label terminator filter (the common APOC filter form)
-            wanted = [
-                t.lstrip("+/") for t in label_filter.split("|") if t
+            # APOC label-filter forms on the END node: '>Label'/'+Label'/
+            # bare = include, '-Label' = exclude (call_apoc_path.go
+            # parseApocPathConfig label handling)
+            include = [
+                t.lstrip(">+/") for t in label_filter.split("|")
+                if t and not t.startswith("-")
             ]
-            cond = F.split(F.col("end_id"), ":").getItem(0).isin(wanted)
-            paths = paths.filter(cond)
+            exclude = [
+                t[1:] for t in label_filter.split("|") if t.startswith("-")
+            ]
+            end_label = F.split(F.col("end_id"), ":").getItem(0)
+            if include:
+                paths = paths.filter(end_label.isin(include))
+            if exclude:
+                paths = paths.filter(~end_label.isin(exclude))
         return paths.select(F.col("node_path").alias("path"))
 
     def _proc_link_prediction(self, variant: str, args) -> DataFrame:
@@ -1746,7 +1837,9 @@ class Compiler:
         stmt = self._py_value(args[0])
         path = self._py_value(args[1])
         inner = Compiler(self.cat, self.params, store=self.store)
-        df = inner._compile_single(parse(stmt))
+        # checkpoint once: the count and the file write share one
+        # execution of the (possibly expensive) inner plan
+        df = inner._compile_single(parse(stmt)).localCheckpoint(eager=False)
         n = df.count()
         (export_json if fmt == "json" else export_csv)(df, path)
         return self.cat.spark.createDataFrame(
@@ -1859,8 +1952,8 @@ class Compiler:
             pat = re.compile(
                 r"\$(" + "|".join(re.escape(c) for c in cols) + r")\b"
             )
-            batched_q = "UNWIND $_batch AS _row " + pat.sub(
-                r"_row.\1", action_q
+            batched_q = "UNWIND $_batch AS _row " + _sub_outside_strings(
+                pat, r"_row.\1", action_q
             )
             for i in range(0, total, batch_size):
                 chunk = rows[i:i + batch_size]
@@ -2046,7 +2139,13 @@ class Compiler:
                     props = {k: self._py_value(v) for k, v in node.props}
                 except NotImplementedError:
                     # non-literal property expressions → per-row CREATE
-                    # over the current frame (one node per pipeline row)
+                    # over the current frame (one node per pipeline row).
+                    # Literal props stay on the scalar one-node path even
+                    # under a frame — a DELIBERATE divergence from
+                    # Neo4j's per-row CREATE: node identity here is
+                    # '<Label>:<key>', so N rows creating the same
+                    # literal key would collide into one id anyway;
+                    # row-dependent nodes need row-dependent properties.
                     self._bulk_create_node(var, node)
                     continue
                 nid = self.store.create_node(node.label, props)
@@ -2453,7 +2552,9 @@ class Compiler:
             if isinstance(v, list) and v and all(
                 isinstance(x, dict) for x in v
             ):
-                rows = self.cat.spark.createDataFrame(v)
+                rows = self.cat.spark.createDataFrame(
+                    v, schema=_dicts_schema(v)
+                )
                 packed = rows.select(
                     F.struct(*rows.columns).alias(u.var)
                 )

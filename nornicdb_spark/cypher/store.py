@@ -120,14 +120,17 @@ class GraphStore:
         self.tables[table] = df.unionByName(new)
         return f"{label}:{props[key]}"
 
+    BULK_KEY_STRIDE = 1 << 50  # fits 2^17 partitions x 2^33 rows per batch
+
     def bulk_key_base(self) -> int:
         """Reserve a key range for a distributed bulk CREATE of a
         dynamic-label batch: ``base + monotonically_increasing_id()`` is
-        unique across batches (mono ids stay < 2^48 for any realistic
-        partition count) and never collides with the small scalar
-        ``_dyn_counter`` keys."""
+        unique across batches (mono ids are partitionId·2^33 + row, so
+        they stay below the stride up to 131k partitions — and
+        :meth:`create_nodes_bulk` verifies the reservation held) and
+        never collides with the small scalar ``_dyn_counter`` keys."""
         self._bulk_batch += 1
-        return self._bulk_batch << 48
+        return self._bulk_batch * self.BULK_KEY_STRIDE
 
     def create_nodes_bulk(self, label: str, rows: DataFrame) -> int:
         """Per-row CREATE — one node per row of ``rows`` (one column per
@@ -140,7 +143,19 @@ class GraphStore:
         table, key, df = self.table_for(label)
         if key not in rows.columns:
             raise ValueError(f"CREATE (:{label}) needs the key property {key}")
-        n = rows.count()
+        if label in LABEL_TABLES:
+            n = rows.count()
+        else:
+            # one pass: row count + check the generated keys stayed inside
+            # their reserved stride (guards the >131k-partition edge)
+            n, mx = rows.agg(
+                F.count(F.lit(1)), F.max(F.col(key).cast("long"))
+            ).collect()[0]
+            if n and mx >= (self._bulk_batch + 1) * self.BULK_KEY_STRIDE:
+                raise ValueError(
+                    "bulk CREATE key range overflow: repartition the "
+                    "input below 2^17 partitions"
+                )
         if label in LABEL_TABLES:
             aligned = rows.select(*[
                 (F.col(c) if c in rows.columns else F.lit(None))

@@ -178,7 +178,8 @@ def mmr_diversify(
         "left",
     )
 
-    out_schema = f"{id_col} long, mmr_rank int, mmr_score double"
+    id_type = candidates.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, mmr_rank int, mmr_score double"
 
     def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(

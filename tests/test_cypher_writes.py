@@ -362,3 +362,46 @@ def test_create_per_row_binds_var_for_relationships(eng):
            WHERE m.rk = r.r_regionkey RETURN count(*) AS n"""
     ).collect()
     assert rows[0].n == 5
+
+
+def test_apoc_periodic_iterate_null_columns_and_string_literals(eng):
+    # (a) an outer column that is null in every row must not kill the
+    # chunk (explicit schema, not inference); (b) '$name' inside a string
+    # literal of the action must survive the _row rewrite untouched
+    r = one(eng.cypher(
+        """CALL apoc.periodic.iterate(
+             'UNWIND [1, 2] AS k RETURN k, null AS opt',
+             'CREATE (:NullProbe {k: $k, note: \\'cost $k USD\\'})',
+             {batchSize: 10})"""
+    ))
+    assert (r.total, r.committedOperations, r.failedOperations) == (2, 2, 0)
+    rows = eng.cypher(
+        "MATCH (p:NullProbe) RETURN p.note AS note, p.k AS k ORDER BY k"
+    ).collect()
+    assert [x.k for x in rows] == [1, 2]
+    assert all(x.note == "cost $k USD" for x in rows)
+
+
+def test_call_path_expand_label_filter_forms(eng):
+    # '>Label' includes end labels, '-Label' excludes them
+    n_inc = eng.cypher(
+        """CALL apoc.path.expand('Customer:1', 'PLACED|CONTAINS', '>Part', 1, 2)
+           YIELD path RETURN count(*) AS n"""
+    ).collect()[0].n
+    n_exc = eng.cypher(
+        """CALL apoc.path.expand('Customer:1', 'PLACED|CONTAINS', '-Part', 1, 2)
+           YIELD path RETURN count(*) AS n"""
+    ).collect()[0].n
+    n_all = eng.cypher(
+        """CALL apoc.path.expand('Customer:1', 'PLACED|CONTAINS', null, 1, 2)
+           YIELD path RETURN count(*) AS n"""
+    ).collect()[0].n
+    assert n_inc > 0 and n_exc > 0 and n_inc + n_exc == n_all
+
+
+def test_call_null_numeric_args_fall_back_to_defaults(eng):
+    rows = eng.cypher(
+        """CALL apoc.algo.allSimplePaths('Customer:1', 'Region:4', null, null)
+           YIELD path, depth RETURN count(*) AS n"""
+    ).collect()
+    assert rows[0].n >= 0  # no TypeError; default maxDepth applies
