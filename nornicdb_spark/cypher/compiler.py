@@ -1867,9 +1867,17 @@ class Compiler:
             F.lit(None).cast("string").alias("label"),
             F.col("type"), F.col("src"), F.col("dst"),
         )
-        dump = nodes.unionByName(edges)
-        n_nodes = nodes.count()
-        n_edges = edges.count()
+        # checkpoint the dump once: a single agg yields both counts and
+        # the write reuses the same materialization (three jobs -> two)
+        dump = nodes.unionByName(edges).localCheckpoint(eager=False)
+        counts = {
+            r["kind"]: r["n"]
+            for r in dump.groupBy("kind").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        n_nodes = int(counts.get("node", 0))
+        n_edges = int(counts.get("relationship", 0))
         (export_json if fmt == "json" else export_csv)(dump, path)
         return self.cat.spark.createDataFrame(
             [(path, n_nodes, n_edges, 0)],
