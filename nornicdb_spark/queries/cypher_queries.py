@@ -466,7 +466,8 @@ def cypher_call_astar(spark, sf_dir):
 @register(
     "cypher_call_simple_paths",
     oracle="""
-    SELECT ['Customer:1', 'Nation:' || c_nationkey, 'Region:4'] AS path,
+    SELECT 'Customer:1' || '→' || 'Nation:' || c_nationkey || '→'
+           || 'Region:4' AS path,
            CAST(2 AS INT) AS depth
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     WHERE c_custkey = 1 AND n_regionkey = 4
@@ -474,12 +475,16 @@ def cypher_call_astar(spark, sf_dir):
 )
 def cypher_call_simple_paths(spark, sf_dir):
     # CALL apoc.algo.allSimplePaths (apoc_algorithms.go:206-251): within
-    # 3 hops the single Customer→Region simple path is FROM→IN.
-    return _run(
+    # 3 hops the single Customer→Region simple path is FROM→IN. The CALL
+    # yields path as array<string> (the correct API shape); the registry
+    # projection stringifies it because the driver's pandas canonicalizer
+    # cannot hash list cells.
+    df = _run(
         spark, sf_dir,
         """CALL apoc.algo.allSimplePaths('Customer:1', 'Region:4', null, 3)
            YIELD path, depth RETURN path, depth""",
     )
+    return df.select(F.array_join("path", "→").alias("path"), "depth")
 
 
 @register(
@@ -597,13 +602,14 @@ def cypher_call_subgraph_nodes(spark, sf_dir):
 @register(
     "cypher_call_spanning_tree",
     oracle="""
-    SELECT ['Supplier:1', 'Part:' || pk] AS path, CAST(1 AS INT) AS level
+    SELECT 'Supplier:1' || '→' || 'Part:' || pk AS path,
+           CAST(1 AS INT) AS level
     FROM (SELECT DISTINCT l_partkey AS pk FROM lineitem WHERE l_suppkey = 1)
     UNION ALL
-    SELECT ['Supplier:1', 'Nation:' || s_nationkey], 1
+    SELECT 'Supplier:1' || '→' || 'Nation:' || s_nationkey, 1
     FROM supplier WHERE s_suppkey = 1
     UNION ALL
-    SELECT ['Nation:' || n_nationkey, 'Region:' || n_regionkey], 2
+    SELECT 'Nation:' || n_nationkey || '→' || 'Region:' || n_regionkey, 2
     FROM nation
     WHERE n_nationkey = (SELECT s_nationkey FROM supplier WHERE s_suppkey = 1)
     """,
@@ -612,18 +618,20 @@ def cypher_call_spanning_tree(spark, sf_dir):
     # CALL apoc.path.spanningTree (call_apoc_path.go:697-765): BFS tree
     # edges as 2-node paths; from a Supplier the tree is exactly parts +
     # nation at level 1 and the region (parent = nation) at level 2.
-    return _run(
+    # Stringified for the driver canonicalizer; the CALL keeps arrays.
+    df = _run(
         spark, sf_dir,
         """CALL apoc.path.spanningTree('Supplier:1', {maxLevel: 2})
            YIELD path, level RETURN path, level""",
     )
+    return df.select(F.array_join("path", "→").alias("path"), "level")
 
 
 @register(
     "cypher_call_path_expand",
     oracle="""
-    SELECT ['Customer:1', 'Order:' || o_orderkey,
-            'Part:' || l_partkey] AS path
+    SELECT 'Customer:1' || '→' || 'Order:' || o_orderkey || '→'
+           || 'Part:' || l_partkey AS path
     FROM orders JOIN lineitem ON l_orderkey = o_orderkey
     WHERE o_custkey = 1
     """,
@@ -632,24 +640,25 @@ def cypher_call_path_expand(spark, sf_dir):
     # CALL apoc.path.expand (call_apoc_path.go:380-430) with a
     # relationship filter: depth-exactly-2 PLACED→CONTAINS walks — one
     # path per CONTAINS edge (parallel edges per l_linenumber each count,
-    # Cypher relationship-uniqueness).
-    return _run(
+    # Cypher relationship-uniqueness). Stringified for the driver.
+    df = _run(
         spark, sf_dir,
         """CALL apoc.path.expand('Customer:1', 'PLACED|CONTAINS', null, 2, 2)
            YIELD path RETURN path""",
     )
+    return df.select(F.array_join("path", "→").alias("path"))
 
 
 @register(
     "cypher_call_byhop",
     oracle="""
-    SELECT list_sort(list(DISTINCT nbr)) AS nodes, CAST(1 AS INT) AS depth
+    SELECT string_agg(nbr, '→' ORDER BY nbr) AS nodes, CAST(1 AS INT) AS depth
     FROM (
       SELECT 'Part:' || l_partkey AS nbr FROM lineitem WHERE l_suppkey = 1
       UNION SELECT 'Nation:' || s_nationkey FROM supplier WHERE s_suppkey = 1
     )
     UNION ALL
-    SELECT ['Region:' || n_regionkey], 2
+    SELECT 'Region:' || n_regionkey, 2
     FROM nation
     WHERE n_nationkey = (SELECT s_nationkey FROM supplier WHERE s_suppkey = 1)
     """,
@@ -657,10 +666,14 @@ def cypher_call_path_expand(spark, sf_dir):
 def cypher_call_byhop(spark, sf_dir):
     # CALL apoc.neighbors.byhop (apoc_algorithms.go:494-518): neighbor
     # ids grouped per minimum hop level, sorted for determinism.
-    return _run(
+    # Stringified (sorted-join) for the driver canonicalizer.
+    df = _run(
         spark, sf_dir,
         """CALL apoc.neighbors.byhop('Supplier:1', 2)
            YIELD nodes, depth RETURN nodes, depth""",
+    )
+    return df.select(
+        F.array_join(F.array_sort("nodes"), "→").alias("nodes"), "depth"
     )
 
 
