@@ -1728,6 +1728,7 @@ class Compiler:
         "apoc.export.csv.all": lambda self, args: (
             self._proc_apoc_export_all(args, "csv")
         ),
+        "apoc.import.json": lambda self, args: self._proc_apoc_import_json(args),
         "apoc.cypher.run": lambda self, args: self._proc_apoc_run(args),
         "apoc.cypher.runmany": lambda self, args: self._proc_apoc_run_many(args),
         "apoc.periodic.iterate": lambda self, args: (
@@ -1881,6 +1882,39 @@ class Compiler:
         (export_json if fmt == "json" else export_csv)(dump, path)
         return self.cat.spark.createDataFrame(
             [(path, n_nodes, n_edges, 0)],
+            "file string, nodes long, relationships long, properties long",
+        )
+
+    def _proc_apoc_import_json(self, args) -> DataFrame:
+        """CALL apoc.import.json(file) → (file, nodes, relationships,
+        properties) (reference apoc_load_export.go:624): read a
+        Neo4j-export JSON-lines dataset (the format
+        sources/neo4j_json.py writes) back into a PropertyGraph and
+        report entity/property counts. Distributed read; one aggregate
+        pass over the node∪edge union — no per-entity driver loop."""
+        from nornicdb_spark.sources.neo4j_json import import_graph_json
+
+        path = self._py_value(args[0])
+        g = import_graph_json(self.cat.spark, path)
+        tagged = g.nodes.select(
+            F.lit("node").alias("kind"),
+            F.size("properties").alias("np"),
+        ).unionByName(
+            g.edges.select(
+                F.lit("relationship").alias("kind"),
+                F.size("properties").alias("np"),
+            )
+        )
+        counts = {
+            r["kind"]: (int(r["n"]), int(r["p"] or 0))
+            for r in tagged.groupBy("kind").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("np").alias("p")
+            ).collect()
+        }
+        n_nodes, p_nodes = counts.get("node", (0, 0))
+        n_edges, p_edges = counts.get("relationship", (0, 0))
+        return self.cat.spark.createDataFrame(
+            [(path, n_nodes, n_edges, p_nodes + p_edges)],
             "file string, nodes long, relationships long, properties long",
         )
 

@@ -325,8 +325,14 @@ def common_neighbors(
             ),
         )
     )
+    # per-neighbor AA/RA contributions are constant across that
+    # neighbor's C(d,2) pairs — compute the log/div ONCE per neighbor
+    # row, not once per exploded pair (the pair stream is ~d×/2 larger)
+    nbrs = nbrs.withColumn("_aa", 1.0 / F.log(F.col("d"))).withColumn(
+        "_ra", 1.0 / F.col("d")
+    )
     pairs = (
-        nbrs.select("d", F.explode(combos).alias("p"))
+        nbrs.select("_aa", "_ra", F.explode(combos).alias("p"))
         .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .agg(
             F.count(F.lit(1)).alias("common"),
@@ -336,8 +342,8 @@ def common_neighbors(
             # rationals that can land EXACTLY on x.xxxxxxxx5, where
             # Spark's BigDecimal(string) rounding and an oracle's
             # binary-value rounding disagree by 1e-9.
-            F.round(F.sum(1.0 / F.log(F.col("d"))) + 1e-12, 9).alias("adamic_adar"),
-            F.round(F.sum(1.0 / F.col("d")) + 1e-12, 9).alias("resource_allocation"),
+            F.round(F.sum("_aa") + 1e-12, 9).alias("adamic_adar"),
+            F.round(F.sum("_ra") + 1e-12, 9).alias("resource_allocation"),
         )
         .filter(F.col("common") >= min_common)
     )
@@ -821,11 +827,15 @@ def louvain_communities(
 
     stalled = 0
     for rnd in range(2 * max_iterations):
-        # total weighted degree per community
-        sigma_tot = (
+        # total weighted degree + member count per community (sizes feed
+        # the singleton-swap rule below)
+        stats = (
             comm.join(k, "id", "left_outer")
             .groupBy("community")
-            .agg(F.sum(F.coalesce(F.col("k"), F.lit(0.0))).alias("sigma_tot"))
+            .agg(
+                F.sum(F.coalesce(F.col("k"), F.lit(0.0))).alias("sigma_tot"),
+                F.count(F.lit(1)).alias("_sz"),
+            )
         )
         nbr_comm = (
             und.join(comm.select(F.col("id").alias("dst"), F.col("community").alias("c")), "dst")
@@ -834,8 +844,32 @@ def louvain_communities(
         )
         cand = (
             nbr_comm.join(k, "id")
-            .join(sigma_tot.select(F.col("community").alias("c"), "sigma_tot"), "c")
+            .join(
+                stats.select(
+                    F.col("community").alias("c"), "sigma_tot",
+                    F.col("_sz").alias("_tgt_sz"),
+                ),
+                "c",
+            )
             .join(comm, "id")
+            .join(
+                stats.select(
+                    F.col("community"), F.col("_sz").alias("_own_sz")
+                ),
+                "community",
+            )
+            # singleton-swap rule (parallel Louvain, Ghosh et al.): when
+            # both the node's community and the target are singletons,
+            # only the move toward the smaller community id is allowed —
+            # otherwise two same-parity adjacent singletons swap labels
+            # forever (a↔b each round) and stars never coalesce.
+            .filter(
+                ~(
+                    (F.col("_own_sz") == 1)
+                    & (F.col("_tgt_sz") == 1)
+                    & (F.col("c") > F.col("community"))
+                )
+            )
             # leaving own community: its sigma_tot includes self degree
             .withColumn(
                 "adj_tot",

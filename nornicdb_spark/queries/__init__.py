@@ -47,38 +47,28 @@ from nornicdb_spark.queries import relational  # noqa: E402,F401
 from nornicdb_spark.queries import graph  # noqa: E402,F401
 
 # Driver-window priority (the harness verifies the first 50 registry
-# entries), round 4: (1) the r03 mismatch, now fixed; (2) queries whose
-# oracle or output convention is NEW or CHANGED this round (CALL-routed
-# §2.9 tail, new oracles for pagerank/WCC/bm25-prefix, hybrid adaptive/
-# rerank, weighted BM25, spatial intersects, 9-decimal rounding
-# re-stamps); (3) rows-only queries no round has checked. Remaining
-# window slots fill with already-stamped oracle-backed entries (tier 1).
+# entries), round 5: (1) the 4 r04 err rows, now stringified; (2) queries
+# whose oracle, implementation, or output convention is NEW or CHANGED
+# this round (apoc.import.json CALL, LPA/louvain oracles, the louvain
+# singleton-swap convergence fix, ANN recall gates, MMR oracle + rounded
+# score, link-prediction contribution precompute). Remaining window
+# slots fill with already-stamped oracle-backed entries (tier 1).
 _PRIORITY = (
-    # the single r03 red row, fixed (ULP rounding)
-    "inference_evidence_buffer",
+    # the 4 r04 err rows — array outputs now stringified
+    "cypher_call_simple_paths", "cypher_call_spanning_tree",
+    "cypher_call_path_expand", "cypher_call_byhop",
+    # new CALL route + e2e roundtrip
+    "cypher_apoc_import",
     # formerly rows-only, now oracle-backed
-    "graph_pagerank", "graph_connected_components", "bm25_prefix_topk",
-    # §2.9 tail reached through CALL dispatch (new this round)
-    "cypher_call_astar", "cypher_call_simple_paths",
-    "cypher_call_betweenness", "cypher_call_closeness",
-    "cypher_call_louvain", "cypher_call_subgraph_nodes",
-    "cypher_call_spanning_tree", "cypher_call_path_expand",
-    "cypher_call_byhop", "cypher_call_link_prediction",
-    "cypher_call_lp_predict", "cypher_call_lp_ensemble",
-    # CALL-routed load/export round trip + frontend spatial tail
-    "cypher_apoc_load", "cypher_spatial_intersects",
-    # hybrid adaptive weights / rerank / weighted BM25 / packing (new)
-    "hybrid_adaptive", "hybrid_rerank", "bm25_weighted",
-    "corpus_sequence_packing",
-    # 9-decimal rounding convention changed output values → re-stamp
-    "embedding_centroid_stats", "text_unigram_logprob", "sessionization",
-    "graph_link_prediction_suppliers",
-    # rows-only never driver-stamped (weaker rows-check is still a stamp)
-    "hybrid_mmr",
-    "dedup_embedding_lsh", "dedup_simhash_pairs", "multimodal_features",
-    "kalman_smooth", "kalman_velocity", "kalman_adaptive",
     "graph_label_propagation", "graph_louvain_supplier_communities",
-    "graph_fastrp_embeddings",
+    "hybrid_mmr",
+    # new driver-visible ANN recall gates
+    "ann_kmeans_recall", "ann_lsh_recall", "ann_hnsw_recall",
+    # louvain convergence fix changed community outputs → re-stamp
+    "cypher_call_louvain",
+    # link-prediction per-neighbor contribution precompute → re-stamp
+    "graph_link_prediction_suppliers", "cypher_call_link_prediction",
+    "cypher_call_lp_predict", "cypher_call_lp_ensemble",
 )
 
 

@@ -745,6 +745,42 @@ def cypher_apoc_load(spark, sf_dir):
 
 
 @register(
+    "cypher_apoc_import",
+    oracle="""
+    SELECT CAST((SELECT count(*) FROM customer) + (SELECT count(*) FROM orders)
+         + (SELECT count(*) FROM part) + (SELECT count(*) FROM supplier)
+         + (SELECT count(*) FROM nation) + (SELECT count(*) FROM region)
+         AS BIGINT) AS nodes,
+           CAST((SELECT count(*) FROM orders)
+         + (SELECT count(*) FROM lineitem)
+         + (SELECT count(*) FROM
+              (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem))
+         + (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier)
+         + (SELECT count(*) FROM nation) AS BIGINT) AS relationships
+    """,
+)
+def cypher_apoc_import(spark, sf_dir):
+    # CALL apoc.import.json (reference apoc_load_export.go:624) closing
+    # the interchange loop: export the graph in Neo4j-export JSON lines
+    # (sources/neo4j_json.py), import through CALL dispatch, and check
+    # the reported entity counts against the base tables.
+    import shutil
+
+    from nornicdb_spark.catalog import Catalog
+    from nornicdb_spark.sources import export_graph_json
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    path = f"spark-warehouse/exports/apoc_import_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    export_graph_json(Catalog(spark, sf_dir).graph, path)
+    return _run(
+        spark, sf_dir,
+        f"""CALL apoc.import.json('{path}')
+           YIELD nodes, relationships RETURN nodes, relationships""",
+    )
+
+
+@register(
     "cypher_spatial_intersects",
     oracle="""
     WITH pts AS (

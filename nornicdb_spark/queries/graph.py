@@ -239,14 +239,9 @@ def graph_link_prediction_suppliers(spark, sf_dir):
     )
 
 
-def _pagerank_oracle(iterations: int = 5, d: float = 0.85, k: int = 50) -> str:
-    """Fixed-iteration PageRank as an unrolled CTE chain (no recursion
-    needed for a known iteration count): same formulation as the engine —
-    rank = (1-d)/N + d*(contrib + dangling_mass/N), dangling mass from
-    mass conservation (1 - Σ contribs), uniform init. The graph is the
-    star-schema projection (FIXTURES.md §A) spelled out as SQL edges."""
-    chain = [
-        """
+# The star-schema graph projection (FIXTURES.md §A) spelled out as SQL —
+# shared by every unrolled-iteration oracle (pagerank, label propagation).
+_GRAPH_SQL = """
     edges AS (
       SELECT 'Customer:' || o_custkey AS src, 'Order:' || o_orderkey AS dst
       FROM orders
@@ -269,7 +264,16 @@ def _pagerank_oracle(iterations: int = 5, d: float = 0.85, k: int = 50) -> str:
       UNION ALL SELECT 'Supplier:' || s_suppkey FROM supplier
       UNION ALL SELECT 'Nation:' || n_nationkey FROM nation
       UNION ALL SELECT 'Region:' || r_regionkey FROM region
-    ),
+    )"""
+
+
+def _pagerank_oracle(iterations: int = 5, d: float = 0.85, k: int = 50) -> str:
+    """Fixed-iteration PageRank as an unrolled CTE chain (no recursion
+    needed for a known iteration count): same formulation as the engine —
+    rank = (1-d)/N + d*(contrib + dangling_mass/N), dangling mass from
+    mass conservation (1 - Σ contribs), uniform init."""
+    chain = [
+        _GRAPH_SQL + """,
     meta AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
     outdeg AS (
       SELECT src AS id, CAST(count(*) AS DOUBLE) AS od FROM edges GROUP BY src
@@ -423,16 +427,33 @@ def graph_betweenness_nation_region(spark, sf_dir):
     return algorithms.betweenness_centrality(nodes, und)
 
 
-@register("graph_louvain_supplier_communities")  # modularity loop; rows-only
+@register(
+    "graph_louvain_supplier_communities",
+    oracle="""
+    WITH cnt AS (
+      SELECT s_nationkey AS nk, count(*) AS k FROM supplier GROUP BY s_nationkey
+    )
+    SELECT CAST((SELECT count(*) FROM nation) AS BIGINT) AS n_communities,
+           CAST((SELECT max(coalesce(k, 0) + 1)
+                 FROM nation LEFT JOIN cnt ON nk = n_nationkey)
+                AS BIGINT) AS largest,
+           CAST((SELECT count(*) FROM supplier)
+                + (SELECT count(*) FROM nation) AS BIGINT) AS n_nodes
+    """,
+)
 def graph_louvain_supplier_communities(spark, sf_dir):
     # apoc.algo.louvain (reference apoc_community.go:66-219) over the
-    # Supplier–Nation–Region membership graph; returns community-size
-    # distribution (stable aggregate of an iterative local-move loop).
+    # Supplier–Nation FROM membership stars. Disjoint stars make the
+    # modularity optimum provable (leaf gain 1/2m − 2k_star/(2m)² > 0
+    # whenever total edges exceed one star's degree, and cross-star
+    # k_in = 0 forbids merges), so community count = |Nation|, largest =
+    # max suppliers-per-nation + 1 — a closed form the oracle restates.
+    # Same argument as cypher_call_louvain's Nation–Region stars.
     g = _graph(spark, sf_dir)
-    keep = ("Supplier", "Nation", "Region")
+    keep = ("Supplier", "Nation")
     nodes = g.nodes.filter(F.col("label").isin(*keep)).select("id")
     edges = (
-        g.edges.filter(F.col("type").isin("FROM", "IN"))
+        g.edges.filter(F.col("type") == "FROM")
         .join(nodes.select(F.col("id").alias("src")), "src")
         .select("src", "dst")
     )
@@ -715,10 +736,54 @@ def graph_spanning_tree(spark, sf_dir):
     )
 
 
-@register("graph_label_propagation")  # iterative fixpoint; rows-only check
+def _lpa_oracle(iterations: int = 5) -> str:
+    """Synchronous LPA as an unrolled CTE chain — the exact update rule of
+    operators/algorithms.py:label_propagation (most-frequent neighbor
+    label with edge multiplicity, ties → min label, isolated nodes keep
+    their own). The engine's early stop at a fixpoint is equivalence-
+    preserving: a deterministic synchronous update applied to a fixpoint
+    reproduces it, so 5 unrolled rounds match max_iterations=5."""
+    chain = [
+        _GRAPH_SQL + """,
+    und AS (
+      SELECT src, dst FROM edges
+      UNION ALL SELECT dst AS src, src AS dst FROM edges
+    ),
+    l0 AS (SELECT id, id AS community FROM nodes)"""
+    ]
+    for i in range(1, iterations + 1):
+        chain.append(f"""
+    c{i} AS (
+      SELECT u.dst AS id, l.community, count(*) AS n
+      FROM l{i - 1} l JOIN und u ON u.src = l.id
+      GROUP BY u.dst, l.community
+    ),
+    b{i} AS (
+      SELECT id, min(community) AS best FROM (
+        SELECT *, max(n) OVER (PARTITION BY id) AS mx FROM c{i}
+      ) WHERE n = mx GROUP BY id
+    ),
+    l{i} AS (
+      SELECT l.id, coalesce(b.best, l.community) AS community
+      FROM l{i - 1} l LEFT JOIN b{i} b ON b.id = l.id
+    )""")
+    return f"""
+    WITH {','.join(chain)},
+    sizes AS (
+      SELECT community, count(*) AS size FROM l{iterations} GROUP BY community
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_communities,
+           CAST(max(size) AS BIGINT) AS largest,
+           CAST(sum(size) AS BIGINT) AS n_nodes
+    FROM sizes
+    """
+
+
+@register("graph_label_propagation", oracle=_lpa_oracle())
 def graph_label_propagation(spark, sf_dir):
     # apoc.algo.labelPropagation (reference apoc_community.go:225-329):
-    # community sizes summarized, deterministic min-label tie-break.
+    # community sizes summarized, deterministic min-label tie-break;
+    # oracle = the same 5 synchronous rounds unrolled as CTEs.
     g = _graph(spark, sf_dir)
     lp = algorithms.label_propagation(g, max_iterations=5)
     return (

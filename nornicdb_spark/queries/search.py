@@ -206,6 +206,86 @@ def ann_hnsw(spark, sf_dir):
     return idx.search_distributed(queries, k=10)
 
 
+# ---- driver-visible ANN recall gates ---------------------------------------
+# ANN results are approximate, so their row sets carry no SQL oracle — but
+# the RECALL against the exact scan is checkable (reference pattern:
+# hnsw_recall_test.go pins recall thresholds). Each gate emits one row
+# (ok=1) iff recall@10 clears the operator's threshold; the DuckDB oracle
+# states the expected constant, so a recall regression turns the driver
+# row red. Thresholds sit under measured recall with margin (kmeans
+# n_probe=3: 0.6-0.7 observed; LSH 24-bit/8-band: 0.9; sharded HNSW: 1.0).
+
+_OK_ORACLE = "SELECT CAST(1 AS BIGINT) AS ok"
+
+
+def _gate(exact_ids, approx_ids, min_hits: int):
+    # single-row (ok) aggregate: |exact ∩ approx| >= min_hits — all
+    # DataFrame-side, no driver compare
+    return (
+        exact_ids.join(approx_ids, "vec_id")
+        .agg((F.count(F.lit(1)) >= F.lit(min_hits)).cast("long").alias("ok"))
+    )
+
+
+@register("ann_kmeans_recall", oracle=_OK_ORACLE)
+def ann_kmeans_recall(spark, sf_dir):
+    # recall@10 of the k-means-pruned index (n_probe=3/8 clusters) vs the
+    # exact cosine scan; gate at >= 0.5 (measured 0.6-0.7).
+    emb = Catalog(spark, sf_dir).embeddings
+    qv = _query_vec(spark, sf_dir)
+    exact = vector.cosine_topk(emb, qv, k=10).select("vec_id")
+    idx = vector.KMeansPrunedIndex.build(emb, n_clusters=8)
+    approx = idx.search(qv, k=10, n_probe=3).select("vec_id")
+    return _gate(exact, approx, min_hits=5)
+
+
+@register("ann_lsh_recall", oracle=_OK_ORACLE)
+def ann_lsh_recall(spark, sf_dir):
+    # recall@10 of hyperplane-LSH (24 bits / 8 bands) vs the exact scan;
+    # gate at >= 0.7 (measured 0.9 at sf0.001 and sf0.01).
+    emb = Catalog(spark, sf_dir).embeddings
+    qv = _query_vec(spark, sf_dir)
+    exact = vector.cosine_topk(emb, qv, k=10).select("vec_id")
+    idx = vector.RandomHyperplaneLSH.build(len(qv), n_bits=24, n_bands=8)
+    approx = idx.search(emb, qv, k=10).select("vec_id")
+    return _gate(exact, approx, min_hits=7)
+
+
+@register("ann_hnsw_recall", oracle=_OK_ORACLE)
+def ann_hnsw_recall(spark, sf_dir):
+    # mean recall@10 of the sharded HNSW over 25 queries vs the exact
+    # per-query top-10 (self included, matching search_distributed);
+    # gate at >= 0.9 → >= 225 of 250 hits (measured 1.0).
+    from pyspark.sql import Window as W
+
+    from nornicdb_spark.search.hnsw import ShardedHnswIndex
+
+    emb = Catalog(spark, sf_dir).embeddings
+    idx = ShardedHnswIndex.build_partitioned(emb, num_shards=4, preset="balanced")
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding").orderBy(
+        "query_id"
+    ).limit(25)
+    approx = idx.search_distributed(queries, k=10).select("query_id", "vec_id")
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("_v"))
+    q = queries.select(
+        "query_id", F.col("embedding").cast("array<double>").alias("_q")
+    )
+    scored = e.crossJoin(F.broadcast(q)).select(
+        "query_id", "vec_id",
+        vector.cosine_sim(F.col("_v"), F.col("_q")).alias("score"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    exact = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id")
+    )
+    return (
+        exact.join(approx, ["query_id", "vec_id"])
+        .agg((F.count(F.lit(1)) >= F.lit(225)).cast("long").alias("ok"))
+    )
+
+
 @register(
     "vector_filtered_topk",
     oracle="""
@@ -325,15 +405,72 @@ def hybrid_rerank(spark, sf_dir):
     )
 
 
-@register("hybrid_mmr")  # greedy sequential selection — rows-only; unit-tested
+def _mmr_oracle(limit: int = 10, lam: float = 0.7) -> str:
+    """Greedy MMR as an unrolled selection chain: the argmax over the
+    bounded fused slice is deterministic (tie-break = relevance desc then
+    doc_id, mirroring mmr_diversify's first-wins scan over the sorted
+    candidates), so ``limit`` unrolled steps reproduce the greedy loop."""
+    steps = []
+    for k in range(2, limit + 1):
+        steps.append(f"""
+    s{k} AS MATERIALIZED (
+      SELECT n.doc_id, n.rel,
+             {lam!r} * n.rel - {(1.0 - lam)!r} * greatest(0.0, coalesce(
+               (SELECT max(sim.s) FROM sim JOIN sel{k - 1} sl
+                  ON sim.j = sl.doc_id
+                WHERE sim.i = n.doc_id), 0.0)) AS mmr
+      FROM norm n WHERE n.doc_id NOT IN (SELECT doc_id FROM sel{k - 1})
+    ),
+    p{k} AS MATERIALIZED (
+      SELECT doc_id, mmr, rel FROM s{k}
+      ORDER BY mmr DESC, rel DESC, doc_id LIMIT 1
+    ),
+    sel{k} AS MATERIALIZED (
+      SELECT * FROM sel{k - 1}
+      UNION ALL SELECT doc_id, {k} AS rank, mmr FROM p{k}
+    )""")
+    return f"""
+    WITH fused AS MATERIALIZED ({_RRF_ORACLE}),
+    cand AS MATERIALIZED (
+      SELECT f.doc_id, f.rrf_score AS rel, CAST(e.embedding AS DOUBLE[]) AS v
+      FROM fused f LEFT JOIN embeddings e ON e.vec_id = f.doc_id
+    ),
+    norm AS MATERIALIZED (
+      SELECT doc_id, rel,
+             CASE WHEN v IS NULL OR sqrt(list_dot_product(v, v)) = 0 THEN NULL
+                  ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+             END AS u
+      FROM cand
+    ),
+    sim AS MATERIALIZED (
+      SELECT a.doc_id AS i, b.doc_id AS j, list_dot_product(a.u, b.u) AS s
+      FROM norm a JOIN norm b
+        ON a.doc_id <> b.doc_id AND a.u IS NOT NULL AND b.u IS NOT NULL
+    ),
+    p1 AS MATERIALIZED (
+      SELECT doc_id, {lam!r} * rel AS mmr, rel FROM norm
+      ORDER BY mmr DESC, rel DESC, doc_id LIMIT 1
+    ),
+    sel1 AS MATERIALIZED (SELECT doc_id, 1 AS rank, mmr FROM p1),
+    {','.join(steps)}
+    SELECT doc_id, CAST(rank AS INT) AS mmr_rank, round(mmr, 9) AS mmr_score
+    FROM sel{limit}
+    """
+
+
+@register("hybrid_mmr", oracle=_mmr_oracle())
 def hybrid_mmr(spark, sf_dir):
     # MMR diversification of the fused list (reference search.go:
     # 1510-1608): λ·relevance − (1−λ)·max-cosine-to-selected, greedy
-    # over the bounded top list as one Arrow batch.
+    # over the bounded top list as one Arrow batch. Oracle = the greedy
+    # argmax chain unrolled (10 steps over the ≤40-row slice).
     cat = Catalog(spark, sf_dir)
     fused = hybrid_rrf(spark, sf_dir)
-    return hybrid.mmr_diversify(
+    out = hybrid.mmr_diversify(
         fused, cat.embeddings, limit=10, mmr_lambda=0.7
+    )
+    return out.select(
+        "doc_id", "mmr_rank", F.round("mmr_score", 9).alias("mmr_score")
     )
 
 

@@ -160,17 +160,21 @@ def json_props_extract(spark, sf_dir):
     )
 
 
-@register("kalman_smooth")  # sequential recursion — rows-only; unit-tested
+@register("kalman_smooth")  # sequential recursion — rows-only; golden-tested
 def kalman_smooth(spark, sf_dir):
     # kalman.process chain per user over the event value series
-    # (reference kalman_functions.go:360-408).
+    # (reference kalman_functions.go:360-408). No SQL oracle (stateful
+    # recursion); pinned to hand-unrolled constants in
+    # tests/test_streaming.py::test_kalman_smooth_golden.
     ev = Catalog(spark, sf_dir).events
     return kalman.kalman_smooth(ev.filter(F.col("user_id") < 8))
 
 
-@register("kalman_velocity")  # sequential recursion — rows-only; unit-tested
+@register("kalman_velocity")  # sequential recursion — rows-only; golden-tested
 def kalman_velocity(spark, sf_dir):
     # kalman.velocity.process 2-state filter (kalman_functions.go:599-655).
+    # Pinned to hand-unrolled constants in
+    # tests/test_streaming.py::test_kalman_velocity_golden.
     ev = Catalog(spark, sf_dir).events
     return kalman.kalman_velocity(ev.filter(F.col("user_id") < 8))
 
@@ -237,10 +241,11 @@ def stream_session_stats(spark, sf_dir):
     )
 
 
-@register("kalman_adaptive")  # sequential recursion — rows-only; unit-tested
+@register("kalman_adaptive")  # sequential recursion — rows-only; golden-tested
 def kalman_adaptive(spark, sf_dir):
     # kalman.adaptive.process auto-switching filter
-    # (kalman_functions.go:841-905).
+    # (kalman_functions.go:841-905). Pinned (values AND mode switches) in
+    # tests/test_streaming.py::test_kalman_adaptive_golden.
     ev = Catalog(spark, sf_dir).events
     return kalman.kalman_adaptive(ev.filter(F.col("user_id") < 8))
 

@@ -138,3 +138,72 @@ def test_stateful_access_tracker_state_persists_across_batches(spark, tmp_path):
     # decayed recency after 30d (half-life 69d) < 1 → before < after
     assert final.score_before < final.score_after
     assert 0.0 < final.score_before < 1.0
+
+
+# ---- golden-vector tests (VERDICT r4 #6) -----------------------------------
+# Hand-unrolled recurrences with the reference defaults
+# (kalman_functions.go:206-232 scalar, :221-232 velocity, :234-250
+# adaptive) over a short fixed series. The constants below are pinned —
+# NOT recomputed by a twin implementation — so an accidental formula edit
+# in streaming/kalman.py fails these even if a reimplementation would
+# drift along with it.
+
+_GOLD_SERIES = [1.0, 2.0, 3.0, 2.5, 4.0]
+_GOLD_SCALAR = [
+    0.254237920137, 0.810813495247, 1.431162331961,
+    1.857467279503, 2.222182557027,
+]
+_GOLD_VEL = [
+    (0.990999099910, 0.090009000900),
+    (1.919251578390, 0.832887938432),
+    (2.953338607798, 0.949140124713),
+    (2.915635136465, 0.536191389578),
+    (3.791925168090, 0.647806276939),
+]
+# adaptive on z = 1..12 with trend_threshold=0.1, stability=0.02,
+# hysteresis=3: basic for 2 steps, switches to velocity at step 3
+_GOLD_ADAPTIVE = [
+    (0.254237920137, "basic"), (0.810813495247, "basic"),
+    (1.431162331961, "velocity"), (3.979740535677, "velocity"),
+    (4.956097281418, "velocity"), (5.977523010764, "velocity"),
+    (6.987561713793, "velocity"), (7.992570152212, "velocity"),
+    (8.995340023860, "velocity"), (9.996998861755, "velocity"),
+    (10.998051030289, "velocity"), (11.998744698639, "velocity"),
+]
+
+
+def _series_df(spark, values):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, i, base + dt.timedelta(minutes=i), v) for i, v in enumerate(values)
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+
+
+def test_kalman_smooth_golden(spark):
+    out = kalman.kalman_smooth(_series_df(spark, _GOLD_SERIES)).orderBy("ts").collect()
+    assert [r.filtered for r in out] == pytest.approx(_GOLD_SCALAR, rel=1e-9)
+
+
+def test_kalman_velocity_golden(spark):
+    out = kalman.kalman_velocity(_series_df(spark, _GOLD_SERIES)).orderBy("ts").collect()
+    assert [r.pos for r in out] == pytest.approx([p for p, _ in _GOLD_VEL], rel=1e-9)
+    assert [r.vel for r in out] == pytest.approx([v for _, v in _GOLD_VEL], rel=1e-9)
+
+
+def test_kalman_adaptive_golden(spark):
+    out = (
+        kalman.kalman_adaptive(
+            _series_df(spark, [float(i) for i in range(1, 13)]), hysteresis=3
+        )
+        .orderBy("ts")
+        .collect()
+    )
+    assert [r.filtered for r in out] == pytest.approx(
+        [f for f, _ in _GOLD_ADAPTIVE], rel=1e-9
+    )
+    assert [r.mode for r in out] == [m for _, m in _GOLD_ADAPTIVE]
