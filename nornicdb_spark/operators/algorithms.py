@@ -890,6 +890,14 @@ def louvain_communities(
                 F.max(
                     F.struct(
                         F.col("gain"),
+                        # staying wins exact gain ties (classic Louvain:
+                        # move only on STRICT improvement) — without this
+                        # a hub with one attached leaf ties its own
+                        # community against a lone-leaf singleton and the
+                        # hash tie-break can pull it out of its star
+                        (F.col("c") == F.col("community"))
+                        .cast("int")
+                        .alias("_own"),
                         (-F.xxhash64("c")).alias("_t"),  # stable-ish pre-tiebreak
                         F.col("c"),
                     )

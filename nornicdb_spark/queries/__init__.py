@@ -64,6 +64,10 @@ _PRIORITY = (
     "hybrid_mmr",
     # new driver-visible ANN recall gates
     "ann_kmeans_recall", "ann_lsh_recall", "ann_hnsw_recall",
+    # formerly rows-only, now oracle-backed (simhash pair mining is
+    # md5-deterministic; Kalman recurrences as recursive CTEs)
+    "dedup_simhash_pairs", "dedup_embedding_lsh_recall",
+    "kalman_smooth", "kalman_velocity", "kalman_adaptive",
     # louvain convergence fix changed community outputs → re-stamp
     "cypher_call_louvain",
     # link-prediction per-neighbor contribution precompute → re-stamp

@@ -120,10 +120,9 @@ def dedup_minhash_lsh(spark, sf_dir):
     return dedup.minhash_near_duplicates(docs, threshold=0.5)
 
 
-@register(
-    "dedup_simhash",
-    oracle=f"""
-    WITH {_WORDS},
+# SimHash fingerprint pipeline as CTEs (md5 token hashes — deterministic
+# on both engines); shared by the fingerprint and pair-mining oracles.
+_SIMHASH_FP = f"""{_WORDS},
     toks AS (
       SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
       FROM (SELECT doc_id, unnest(w) AS tok FROM ws)
@@ -138,11 +137,20 @@ def dedup_minhash_lsh(spark, sf_dir):
       SELECT doc_id, j, sum(tf * (((h >> j) & 1) * 2 - 1)) AS s
       FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS j)
       GROUP BY doc_id, j
-    )
-    SELECT doc_id,
-           string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j)
-             AS fingerprint
-    FROM bits GROUP BY doc_id
+    ),
+    fp AS MATERIALIZED (
+      SELECT doc_id,
+             string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j)
+               AS fingerprint
+      FROM bits GROUP BY doc_id
+    )"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {_SIMHASH_FP}
+    SELECT doc_id, fingerprint FROM fp
     """,
 )
 def dedup_simhash(spark, sf_dir):
@@ -151,8 +159,33 @@ def dedup_simhash(spark, sf_dir):
     return dedup.simhash_fingerprints(docs)
 
 
-@register("dedup_simhash_pairs")  # pair mining over fingerprints; rows-only
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH {_SIMHASH_FP},
+    quarters AS (
+      SELECT doc_id, q, substr(fingerprint, 1 + q * 15, 15) AS qv
+      FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS q)
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM quarters x
+      JOIN quarters y ON x.q = y.q AND x.qv = y.qv AND x.doc_id < y.doc_id
+    )
+    SELECT a, b, hamming FROM (
+      SELECT c.a, c.b,
+             CAST(len(list_filter(range(1, 61),
+                      i -> fa.fingerprint[i] <> fb.fingerprint[i]))
+                  AS INT) AS hamming
+      FROM cand c
+      JOIN fp fa ON fa.doc_id = c.a
+      JOIN fp fb ON fb.doc_id = c.b
+    ) WHERE hamming <= 10
+    """,
+)
 def dedup_simhash_pairs(spark, sf_dir):
+    # pigeonhole quarter-bucket candidates + exact hamming verify — fully
+    # deterministic, so the whole pipeline carries a SQL oracle.
     docs = Catalog(spark, sf_dir).documents
     fp = dedup.simhash_fingerprints(docs)
     return dedup.simhash_near_duplicates(fp, max_hamming=10)
@@ -208,14 +241,43 @@ def dedup_embedding_cosine(spark, sf_dir):
     return dedup.embedding_near_duplicates(emb, threshold=0.45, exact=True)
 
 
-@register("dedup_embedding_lsh")  # approximate — rows-only; recall in tests
+@register("dedup_embedding_lsh")  # approximate — rows-only; recall-gated
 def dedup_embedding_lsh(spark, sf_dir):
     # LSH-bucketed near-dup candidates + exact verify — the sublinear
     # 100 TB path (band buckets as join keys; see
     # operators/dedup.py embedding_near_duplicates exact=False).
+    # Candidate generation is seeded-random → no row-set oracle; the
+    # driver-visible gate is dedup_embedding_lsh_recall below.
     emb = Catalog(spark, sf_dir).embeddings
     return dedup.embedding_near_duplicates(
         emb, threshold=0.45, exact=False, n_bits=32, n_bands=16
+    )
+
+
+@register("dedup_embedding_lsh_recall", oracle="SELECT CAST(1 AS BIGINT) AS ok")
+def dedup_embedding_lsh_recall(spark, sf_dir):
+    # recall + containment gate for the LSH near-dup path: the verify
+    # stage makes every emitted pair a true near-dup (containment must be
+    # exact) and the banded buckets must recover >= 80% of the exact
+    # pair set (same driver-gate pattern as ann_*_recall).
+    emb = Catalog(spark, sf_dir).embeddings
+    exact = dedup.embedding_near_duplicates(
+        emb, threshold=0.45, exact=True
+    ).select("a", "b").withColumn("_e", F.lit(1))
+    lsh = dedup.embedding_near_duplicates(
+        emb, threshold=0.45, exact=False, n_bits=32, n_bands=16
+    ).select("a", "b").withColumn("_l", F.lit(1))
+    m = exact.join(lsh, ["a", "b"], "full_outer").agg(
+        F.count("_e").alias("ne"),
+        F.count("_l").alias("nl"),
+        F.count(F.when(F.col("_e").isNotNull() & F.col("_l").isNotNull(), 1))
+        .alias("nb"),
+    )
+    return m.select(
+        (
+            (F.col("nb") * 10 >= F.col("ne") * 8)   # recall >= 0.8
+            & (F.col("nl") == F.col("nb"))          # containment (verified)
+        ).cast("long").alias("ok")
     )
 
 

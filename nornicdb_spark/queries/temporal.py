@@ -160,23 +160,186 @@ def json_props_extract(spark, sf_dir):
     )
 
 
-@register("kalman_smooth")  # sequential recursion — rows-only; golden-tested
+# The Kalman filters are deterministic recurrences over (ts, event_id)-
+# ordered series, so they DO carry SQL oracles: a recursive CTE advances
+# the filter state row by row with the exact same float-op order as the
+# Python loop (sub-ULP equal; both sides round at 9 decimals with the
+# repo's 1e-12 epsilon shift). Series are bounded (≤~100 rows/user), so
+# recursion depth is trivial for DuckDB.
+
+_KALMAN_EV = """
+    ev AS (
+      SELECT user_id, ts, value, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE user_id < 8
+    )"""
+
+# scalar filter (kalman_functions.go:360-408; defaults :206-218):
+# velocity-projection predict, then standard 1-D update
+_XP = "(f.x + (f.x - f.lx))"                       # x += (x - last_x)
+_K = "((f.p + 0.0001) / ((f.p + 0.0001) + 88.0))"  # p += q; k = p/(p+r)
+
+_KALMAN_SMOOTH_ORACLE = f"""
+    WITH RECURSIVE {_KALMAN_EV},
+    f AS (
+      SELECT user_id, CAST(NULL AS TIMESTAMP) AS ts,
+             CAST(0 AS DOUBLE) AS value,
+             CAST(0 AS BIGINT) AS rn, CAST(0 AS DOUBLE) AS x,
+             CAST(0 AS DOUBLE) AS lx, CAST(30 AS DOUBLE) AS p
+      FROM (SELECT DISTINCT user_id FROM ev)
+      UNION ALL
+      SELECT e.user_id, e.ts, e.value, e.rn,
+             {_XP} + {_K} * (e.value - {_XP}) AS x,
+             {_XP} AS lx,
+             (1.0 - {_K}) * (f.p + 0.0001) AS p
+      FROM f JOIN ev e ON e.user_id = f.user_id AND e.rn = f.rn + 1
+    )
+    SELECT user_id, ts, value, round(x + 1e-12, 9) AS filtered
+    FROM f WHERE rn >= 1
+    """
+
+
+@register("kalman_smooth", oracle=_KALMAN_SMOOTH_ORACLE)
 def kalman_smooth(spark, sf_dir):
     # kalman.process chain per user over the event value series
-    # (reference kalman_functions.go:360-408). No SQL oracle (stateful
-    # recursion); pinned to hand-unrolled constants in
+    # (reference kalman_functions.go:360-408). Oracle = the recurrence as
+    # a recursive CTE; also pinned to hand-unrolled constants in
     # tests/test_streaming.py::test_kalman_smooth_golden.
     ev = Catalog(spark, sf_dir).events
-    return kalman.kalman_smooth(ev.filter(F.col("user_id") < 8))
+    out = kalman.kalman_smooth(ev.filter(F.col("user_id") < 8))
+    return out.select(
+        "user_id", "ts", "value",
+        F.round(F.col("filtered") + 1e-12, 9).alias("filtered"),
+    )
 
 
-@register("kalman_velocity")  # sequential recursion — rows-only; golden-tested
+# constant-velocity filter (kalman_functions.go:599-655; defaults
+# :221-232, dt=1): 2-state predict/update, P as four scalars
+_N00 = "(f.p00 + f.p10 + f.p01 + f.p11 + 0.1)"
+_N01 = "(f.p01 + f.p11)"
+_N10 = "(f.p10 + f.p11)"
+_N11 = "(f.p11 + 0.01)"
+_S = f"({_N00} + 1.0)"
+_K0 = f"({_N00} / {_S})"
+_K1 = f"({_N10} / {_S})"
+_PP = "(f.pos + f.vel)"
+_INNOV = f"(e.value - {_PP})"
+
+_KALMAN_VELOCITY_ORACLE = f"""
+    WITH RECURSIVE {_KALMAN_EV},
+    f AS (
+      SELECT user_id, CAST(NULL AS TIMESTAMP) AS ts,
+             CAST(0 AS DOUBLE) AS value,
+             CAST(0 AS BIGINT) AS rn, CAST(0 AS DOUBLE) AS pos,
+             CAST(0 AS DOUBLE) AS vel, CAST(100 AS DOUBLE) AS p00,
+             CAST(0 AS DOUBLE) AS p01, CAST(0 AS DOUBLE) AS p10,
+             CAST(10 AS DOUBLE) AS p11
+      FROM (SELECT DISTINCT user_id FROM ev)
+      UNION ALL
+      SELECT e.user_id, e.ts, e.value, e.rn,
+             {_PP} + {_K0} * {_INNOV} AS pos,
+             f.vel + {_K1} * {_INNOV} AS vel,
+             (1.0 - {_K0}) * {_N00} AS p00,
+             (1.0 - {_K0}) * {_N01} AS p01,
+             {_N10} - {_K1} * {_N00} AS p10,
+             {_N11} - {_K1} * {_N01} AS p11
+      FROM f JOIN ev e ON e.user_id = f.user_id AND e.rn = f.rn + 1
+    )
+    SELECT user_id, ts, value,
+           round(pos + 1e-12, 9) AS pos, round(vel + 1e-12, 9) AS vel
+    FROM f WHERE rn >= 1
+    """
+
+
+@register("kalman_velocity", oracle=_KALMAN_VELOCITY_ORACLE)
 def kalman_velocity(spark, sf_dir):
     # kalman.velocity.process 2-state filter (kalman_functions.go:599-655).
-    # Pinned to hand-unrolled constants in
-    # tests/test_streaming.py::test_kalman_velocity_golden.
+    # Oracle = recursive-CTE recurrence; pinned to hand-unrolled constants
+    # in tests/test_streaming.py::test_kalman_velocity_golden.
     ev = Catalog(spark, sf_dir).events
-    return kalman.kalman_velocity(ev.filter(F.col("user_id") < 8))
+    out = kalman.kalman_velocity(ev.filter(F.col("user_id") < 8))
+    return out.select(
+        "user_id", "ts", "value",
+        F.round(F.col("pos") + 1e-12, 9).alias("pos"),
+        F.round(F.col("vel") + 1e-12, 9).alias("vel"),
+    )
+
+
+# adaptive filter (kalman_functions.go:841-905; defaults :234-250):
+# basic-branch fragments over the adaptive state names (bx/blast/bp)
+_BXP = "(f.bx + (f.bx - f.blast))"
+_BK = "((f.bp + 0.0001) / ((f.bp + 0.0001) + 88.0))"
+_BX1 = f"({_BXP} + {_BK} * (e.value - {_BXP}))"
+_BTREND = f"({_BX1} - {_BXP})"
+# stage-1 (post-filter, pre-switch) values per branch
+_FILT = f"(CASE WHEN f.mode = 'velocity' THEN {_PP} + {_K0} * {_INNOV} ELSE {_BX1} END)"
+_TR1 = f"(CASE WHEN f.mode = 'velocity' THEN f.vel + {_K1} * {_INNOV} ELSE {_BTREND} END)"
+_BX_1 = f"(CASE WHEN f.mode = 'velocity' THEN f.bx ELSE {_BX1} END)"
+_BLAST_1 = f"(CASE WHEN f.mode = 'velocity' THEN f.blast ELSE {_BXP} END)"
+_POS_1 = f"(CASE WHEN f.mode = 'velocity' THEN {_PP} + {_K0} * {_INNOV} ELSE f.pos END)"
+_VEL_1 = f"(CASE WHEN f.mode = 'velocity' THEN f.vel + {_K1} * {_INNOV} ELSE f.vel END)"
+# switch predicates (hysteresis 10, trend 0.1, stability 0.02)
+_TO_VEL = f"(f.since + 1 >= 10 AND f.mode = 'basic' AND abs({_TR1}) > 0.1)"
+_TO_BASIC = f"(f.since + 1 >= 10 AND f.mode = 'velocity' AND abs({_TR1}) < 0.02)"
+
+_KALMAN_ADAPTIVE_ORACLE = f"""
+    WITH RECURSIVE {_KALMAN_EV},
+    f AS (
+      SELECT user_id, CAST(NULL AS TIMESTAMP) AS ts,
+             CAST(0 AS DOUBLE) AS value, CAST(0 AS BIGINT) AS rn,
+             CAST(NULL AS DOUBLE) AS filtered, 'basic' AS mode,
+             CAST(0 AS BIGINT) AS since,
+             CAST(0 AS DOUBLE) AS bx, CAST(0 AS DOUBLE) AS blast,
+             CAST(30 AS DOUBLE) AS bp,
+             CAST(0 AS DOUBLE) AS pos, CAST(0 AS DOUBLE) AS vel,
+             CAST(100 AS DOUBLE) AS p00, CAST(0 AS DOUBLE) AS p01,
+             CAST(0 AS DOUBLE) AS p10, CAST(10 AS DOUBLE) AS p11
+      FROM (SELECT DISTINCT user_id FROM ev)
+      UNION ALL
+      SELECT e.user_id, e.ts, e.value, e.rn,
+             {_FILT} AS filtered,
+             CASE WHEN {_TO_VEL} THEN 'velocity'
+                  WHEN {_TO_BASIC} THEN 'basic' ELSE f.mode END AS mode,
+             CASE WHEN {_TO_VEL} OR {_TO_BASIC} THEN 0
+                  ELSE f.since + 1 END AS since,
+             CASE WHEN {_TO_BASIC} THEN {_POS_1} ELSE {_BX_1} END AS bx,
+             CASE WHEN {_TO_BASIC} THEN ({_POS_1} - {_VEL_1})
+                  ELSE {_BLAST_1} END AS blast,
+             CASE WHEN f.mode = 'velocity' THEN f.bp
+                  ELSE (1.0 - {_BK}) * (f.bp + 0.0001) END AS bp,
+             CASE WHEN {_TO_VEL} THEN {_BX_1} ELSE {_POS_1} END AS pos,
+             CASE WHEN {_TO_VEL} THEN {_TR1} ELSE {_VEL_1} END AS vel,
+             CASE WHEN f.mode = 'velocity' THEN (1.0 - {_K0}) * {_N00}
+                  ELSE f.p00 END AS p00,
+             CASE WHEN f.mode = 'velocity' THEN (1.0 - {_K0}) * {_N01}
+                  ELSE f.p01 END AS p01,
+             CASE WHEN f.mode = 'velocity' THEN {_N10} - {_K1} * {_N00}
+                  ELSE f.p10 END AS p10,
+             CASE WHEN f.mode = 'velocity' THEN {_N11} - {_K1} * {_N01}
+                  ELSE f.p11 END AS p11
+      FROM f JOIN ev e ON e.user_id = f.user_id AND e.rn = f.rn + 1
+    )
+    SELECT user_id, ts, value, round(filtered + 1e-12, 9) AS filtered, mode
+    FROM f WHERE rn >= 1
+    """
+
+
+@register("kalman_adaptive", oracle=_KALMAN_ADAPTIVE_ORACLE)
+def kalman_adaptive_oracle_backed(spark, sf_dir):
+    # kalman.adaptive.process auto-switching filter
+    # (kalman_functions.go:841-905): basic until |trend| > 0.1, velocity
+    # until |trend| < 0.02, 10-observation hysteresis, states synced at
+    # each switch. Oracle = the full branching recurrence as a recursive
+    # CTE (mode travels as a state column); also pinned in
+    # tests/test_streaming.py::test_kalman_adaptive_golden.
+    ev = Catalog(spark, sf_dir).events
+    out = kalman.kalman_adaptive(ev.filter(F.col("user_id") < 8))
+    return out.select(
+        "user_id", "ts", "value",
+        F.round(F.col("filtered") + 1e-12, 9).alias("filtered"),
+        "mode",
+    )
 
 
 @register(
@@ -239,15 +402,6 @@ def stream_session_stats(spark, sf_dir):
     return df.select(
         "user_id", "session_start", "session_end", "n_events", "total_value"
     )
-
-
-@register("kalman_adaptive")  # sequential recursion — rows-only; golden-tested
-def kalman_adaptive(spark, sf_dir):
-    # kalman.adaptive.process auto-switching filter
-    # (kalman_functions.go:841-905). Pinned (values AND mode switches) in
-    # tests/test_streaming.py::test_kalman_adaptive_golden.
-    ev = Catalog(spark, sf_dir).events
-    return kalman.kalman_adaptive(ev.filter(F.col("user_id") < 8))
 
 
 @register(
