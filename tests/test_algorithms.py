@@ -200,3 +200,53 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     for k, i in enumerate(ids):
         assert got[i] == pytest.approx(r[k], abs=1e-12)
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_louvain_star_forest_converges_whole_stars(spark):
+    # Disjoint hub-leaf stars with mixed fan-outs: parallel Louvain with
+    # the synchronous-move guards (parity scheduling, singleton-swap
+    # rule, stay-on-tie) must coalesce every star into exactly one
+    # community and keep the isolated hub a singleton — the failure mode
+    # this pins down is same-parity neighbors label-swapping forever / a
+    # hub being pulled into a lone-leaf singleton on an exact gain tie.
+    # Fan-outs are balanced (2k−1 < m for every star) so whole-star IS
+    # the modularity optimum; a single dominant star would legitimately
+    # split at the resolution limit (leaf gain 1/2m − 2·Σtot/(2m)² goes
+    # negative once Σtot > m), which is correct behavior, not a defect.
+    fanouts = {"h0": 0, "h3": 3, "h4": 4, "h5": 5, "h5b": 5, "h9": 9}
+    edges = [
+        (f"{hub}_leaf{i}", hub, 1)
+        for hub, k in fanouts.items()
+        for i in range(k)
+    ]
+    nodes = spark.createDataFrame(
+        [(n,) for n in sorted({e[0] for e in edges} | {e[1] for e in edges} | {"h0"})],
+        "id string",
+    )
+    edf = spark.createDataFrame(edges, "src string, dst string, w long")
+    comm = {
+        r.id: r.community
+        for r in algorithms.louvain_communities(
+            nodes, edf.select("src", "dst")
+        ).collect()
+    }
+    for hub, k in fanouts.items():
+        members = {c for i, c in comm.items() if i == hub or i.startswith(hub + "_")}
+        assert len(members) == 1, f"star {hub} split: {members}"
+    assert len(set(comm.values())) == len(fanouts)
+
+
+def test_louvain_deterministic_across_runs(spark):
+    edges = [("a", "b", 1), ("b", "c", 1), ("a", "c", 1), ("c", "d", 1),
+             ("d", "e", 1), ("e", "f", 1), ("d", "f", 1)]
+    g = tiny_graph(spark, edges)
+    runs = [
+        sorted(
+            (r.id, r.community)
+            for r in algorithms.louvain_communities(
+                g.nodes.select("id"), g.edges.select("src", "dst")
+            ).collect()
+        )
+        for _ in range(2)
+    ]
+    assert runs[0] == runs[1]
