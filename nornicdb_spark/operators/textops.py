@@ -427,3 +427,94 @@ def pack_sequences(
             F.sum("n_tokens") / F.lit(float(context_tokens)), 9
         ).alias("fill_ratio"),
     )
+
+
+def temperature_resample(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based source rebalancing — the multilingual/domain-mix
+    data recipe (sample source s with relative frequency ∝ n_s^alpha,
+    alpha<1 flattens the distribution toward small sources). Expressed as
+    downsampling-only per-source keep rates
+
+        rate_s = (n_min / n_s)^(1-alpha)
+
+    so kept_s ∝ n_s^alpha with the smallest source kept whole. The form
+    deliberately avoids a Σ n_s^alpha normalizer: min() of integers is
+    exact on any engine and any partition order, so the acceptance
+    boundary is bit-stable (a float sum would make floor(rate·10⁴) flip
+    on ULP noise). Acceptance is hash-mod (h60(doc_id) % 10⁴ < rate·10⁴)
+    — deterministic, repartition-stable, oracle-checkable, same contract
+    as :func:`stratified_sample`. Returns (source, n_docs, n_kept, rate).
+    """
+    from nornicdb_spark.operators.dedup import h60
+
+    counts = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    n_min = F.broadcast(counts.agg(F.min("n_docs").alias("n_min")))
+    rates = counts.crossJoin(n_min).withColumn(
+        "rate",
+        F.pow(F.col("n_min") / F.col("n_docs"), F.lit(1.0 - alpha)),
+    )
+    kept = (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(source_col).alias("source"))
+        .join(F.broadcast(rates.select("source", "rate")), "source")
+        .filter(
+            h60(F.col("doc_id").cast("string")) % 10000
+            < F.floor(F.col("rate") * 10000)
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "source", "left_outer")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            F.round(F.col("rate") + 1e-12, 9).alias("rate"),
+        )
+    )
+
+
+def mixture_plan(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Source mixing plan for a training run: per-source token counts,
+    temperature-flattened mixture weights w_s = n_tok_s^alpha / Σ n_tok^alpha,
+    and the implied epochs-per-source when the run consumes one full
+    corpus-size of tokens (epochs_s = w_s · T / n_tok_s > 1 means the
+    source is repeated, < 1 means subsampled — the standard data-recipe
+    summary). One narrow groupBy + a broadcast 1-row normalizer; scales
+    as a pure aggregate. Returns (source, n_docs, n_tokens, weight,
+    epochs), floats 9-rounded."""
+    toks = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(_words(F.col(text_col)))).cast("long").alias("n_tokens"),
+    )
+    z = F.broadcast(
+        toks.agg(
+            F.sum(F.pow(F.col("n_tokens"), F.lit(alpha))).alias("z"),
+            F.sum("n_tokens").alias("t_total"),
+        )
+    )
+    return (
+        toks.crossJoin(z)
+        .withColumn("weight", F.pow(F.col("n_tokens"), F.lit(alpha)) / F.col("z"))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("weight") + 1e-12, 9).alias("weight"),
+            F.round(
+                F.col("weight") * F.col("t_total") / F.col("n_tokens") + 1e-12, 9
+            ).alias("epochs"),
+        )
+    )

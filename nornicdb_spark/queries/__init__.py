@@ -68,6 +68,8 @@ _PRIORITY = (
     # md5-deterministic; Kalman recurrences as recursive CTEs)
     "dedup_simhash_pairs", "dedup_embedding_lsh_recall",
     "kalman_smooth", "kalman_velocity", "kalman_adaptive",
+    # new data-recipe operators (beyond-reference LLM-pipeline family)
+    "corpus_temperature_resample", "corpus_mixture_plan",
     # louvain convergence fix changed community outputs → re-stamp
     "cypher_call_louvain",
     # link-prediction per-neighbor contribution precompute → re-stamp

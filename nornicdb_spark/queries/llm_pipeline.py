@@ -964,3 +964,64 @@ def corpus_sequence_packing(spark, sf_dir):
     # one keyed window shuffle, not a global total order.
     docs = Catalog(spark, sf_dir).documents
     return textops.pack_sequences(docs, context_tokens=2048)
+
+
+@register(
+    "corpus_temperature_resample",
+    oracle="""
+    WITH counts AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    mn AS (SELECT min(n_docs) AS n_min FROM counts),
+    rates AS (
+      SELECT source, n_docs,
+             pow(CAST(n_min AS DOUBLE) / n_docs, 0.5) AS rate
+      FROM counts, mn
+    ),
+    kept AS (
+      SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept
+      FROM documents d JOIN rates USING (source)
+      WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) % 10000 < floor(rate * 10000)
+      GROUP BY d.source
+    )
+    SELECT r.source, r.n_docs,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+           round(rate + 1e-12, 9) AS rate
+    FROM rates r LEFT JOIN kept k ON k.source = r.source
+    """,
+)
+def corpus_temperature_resample(spark, sf_dir):
+    # temperature-based source rebalancing (kept_s ∝ n_s^0.5, smallest
+    # source kept whole) via deterministic hash-mod acceptance — the
+    # domain-mix downsampling step of a training-data recipe.
+    docs = Catalog(spark, sf_dir).documents
+    return textops.temperature_resample(docs, alpha=0.5)
+
+
+@register(
+    "corpus_mixture_plan",
+    oracle="""
+    WITH toks AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(list_filter(
+                    string_split_regex(lower(text), '\\s+'),
+                    x -> length(x) > 0))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    z AS (SELECT sum(pow(n_tokens, 0.5)) AS z, sum(n_tokens) AS t_total
+          FROM toks)
+    SELECT source, n_docs, n_tokens,
+           round(pow(n_tokens, 0.5) / z + 1e-12, 9) AS weight,
+           round(pow(n_tokens, 0.5) / z * t_total / n_tokens + 1e-12, 9)
+             AS epochs
+    FROM toks, z
+    """,
+)
+def corpus_mixture_plan(spark, sf_dir):
+    # per-source mixing plan: temperature-flattened token weights and the
+    # implied epochs-per-source for a one-corpus-size training run — the
+    # summary a data-recipe review reads before launching a mix.
+    docs = Catalog(spark, sf_dir).documents
+    return textops.mixture_plan(docs, alpha=0.5)

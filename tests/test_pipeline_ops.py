@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import datetime
 
+import pytest
 from pyspark.sql import functions as F
 
 from nornicdb_spark.operators import dedup, textops
@@ -119,3 +120,38 @@ def test_contamination_counts_distinct_shared_grams(spark):
     # probe 4-grams: {p q r s, q r s t}; doc 100 grams include 'p q r s'
     # (twice → counted once) and 'q r s x', 'r s x p', ... → 1 shared
     assert got == {100: 1}
+
+
+def test_temperature_resample_flattens_toward_small_sources(spark):
+    # 3 sources with 4/16/64 docs, alpha=0.5: keep rates 1, 1/2, 1/4 —
+    # kept counts ∝ n^0.5 (≈ 4/8/16 up to hash-acceptance noise), the
+    # smallest source kept whole, and every rate exactly (n_min/n_s)^0.5.
+    rows = [
+        (s_i * 1000 + i, f"s{s_i}", "doc text")
+        for s_i, n in enumerate([4, 16, 64])
+        for i in range(n)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r.source: r
+        for r in textops.temperature_resample(docs, alpha=0.5).collect()
+    }
+    assert got["s0"].rate == pytest.approx(1.0)
+    assert got["s1"].rate == pytest.approx(0.5)
+    assert got["s2"].rate == pytest.approx(0.25)
+    assert got["s0"].n_kept == 4          # rate 1 keeps everything
+    assert got["s1"].n_kept <= 16 and got["s2"].n_kept <= 64
+
+
+def test_mixture_plan_weights_sum_to_one(spark):
+    rows = [
+        (s_i * 1000 + i, f"s{s_i}", "w " * (10 * (s_i + 1)))
+        for s_i in range(3)
+        for i in range(5)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = textops.mixture_plan(docs, alpha=0.5).collect()
+    assert sum(r.weight for r in out) == pytest.approx(1.0, abs=1e-6)
+    # epochs > 1 for under-represented sources, < 1 for over-represented
+    by = {r.source: r for r in out}
+    assert by["s0"].epochs > 1.0 > by["s2"].epochs
