@@ -518,3 +518,29 @@ def mixture_plan(
             ).alias("epochs"),
         )
     )
+
+
+def split_contamination(
+    docs: DataFrame,
+    n: int = 4,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-split leakage gate: distinct word n-grams each TEST doc
+    shares with the TRAIN split under the deterministic
+    :func:`split_assign` partition — the held-out-integrity check a
+    pipeline runs before publishing a split (test docs leaking training
+    n-grams inflate eval scores). Pure composition: split hash + the
+    contamination equi-join; no new shuffle shapes. Returns
+    (doc_id, n_shared) for test docs with ≥1 shared n-gram."""
+    sp = split_assign(docs, train_pct, val_pct, id_col)
+    d = docs.join(sp.select(F.col("doc_id").alias(id_col), "split"), id_col)
+    return contamination_overlap(
+        d.filter(F.col("split") == "test"),
+        d.filter(F.col("split") == "train"),
+        n=n,
+        id_col=id_col,
+        text_col=text_col,
+    )

@@ -70,6 +70,7 @@ _PRIORITY = (
     "kalman_smooth", "kalman_velocity", "kalman_adaptive",
     # new data-recipe operators (beyond-reference LLM-pipeline family)
     "corpus_temperature_resample", "corpus_mixture_plan",
+    "corpus_split_contamination",
     # louvain convergence fix changed community outputs → re-stamp
     "cypher_call_louvain",
     # link-prediction per-neighbor contribution precompute → re-stamp

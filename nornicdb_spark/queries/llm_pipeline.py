@@ -1025,3 +1025,43 @@ def corpus_mixture_plan(spark, sf_dir):
     # summary a data-recipe review reads before launching a mix.
     docs = Catalog(spark, sf_dir).documents
     return textops.mixture_plan(docs, alpha=0.5)
+
+
+@register(
+    "corpus_split_contamination",
+    oracle="""
+    WITH sp AS (
+      SELECT doc_id,
+             CASE WHEN CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                       AS BIGINT) % 100 < 80 THEN 'train'
+                  WHEN CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                       AS BIGINT) % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    ws AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> length(x) > 0) AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+3], ' ') AS gram
+      FROM ws, unnest(range(1, greatest(len(w) - 2, 1))) t(i)
+      WHERE len(w) >= 4
+    )
+    SELECT g.doc_id, CAST(count(DISTINCT g.gram) AS BIGINT) AS n_shared
+    FROM grams g
+    JOIN sp ON sp.doc_id = g.doc_id AND sp.split = 'test'
+    JOIN (SELECT DISTINCT gram FROM grams JOIN sp USING (doc_id)
+          WHERE split = 'train') tr
+      ON g.gram = tr.gram
+    GROUP BY g.doc_id
+    """,
+)
+def corpus_split_contamination(spark, sf_dir):
+    # held-out-integrity gate: 4-gram leakage from the train split into
+    # each test doc under the deterministic hash split — run before
+    # publishing a train/val/test partition.
+    docs = Catalog(spark, sf_dir).documents
+    return textops.split_contamination(docs, n=4)

@@ -155,3 +155,23 @@ def test_mixture_plan_weights_sum_to_one(spark):
     # epochs > 1 for under-represented sources, < 1 for over-represented
     by = {r.source: r for r in out}
     assert by["s0"].epochs > 1.0 > by["s2"].epochs
+
+
+def test_split_contamination_detects_seeded_leak(spark):
+    # find a (train, test) doc-id pair under the deterministic split,
+    # give them identical text, and give every other doc disjoint vocab:
+    # exactly the leaked test doc must be reported.
+    from nornicdb_spark.operators.textops import split_assign
+
+    base = spark.createDataFrame([(i,) for i in range(60)], "doc_id long")
+    sp = {r.doc_id: r.split for r in split_assign(base).collect()}
+    train_id = next(i for i in range(60) if sp[i] == "train")
+    test_id = next(i for i in range(60) if sp[i] == "test")
+    leaked = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (i, leaked if i in (train_id, test_id) else f"tok{i}a tok{i}b tok{i}c tok{i}d tok{i}e")
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.n_shared for r in textops.split_contamination(docs, n=4).collect()}
+    assert got == {test_id: 3}  # 6 words → three 4-grams, all shared
