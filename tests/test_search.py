@@ -84,3 +84,21 @@ def test_mmr_diversify_penalizes_near_duplicates(spark):
         "mmr_rank"
     ).collect()
     assert [r.doc_id for r in rows] == [1, 2, 3]
+
+
+def test_pq_recall_with_refinement(catalog):
+    # PQ (m=16 subspaces × 32 codes) + top-8k exact refinement must
+    # recover most of the exact euclidean top-10 (ADC alone is coarse on
+    # near-random vectors; refinement is the standard ADC+R fix).
+    from pyspark.sql import functions as F
+
+    emb = catalog.embeddings
+    qv = _query_vec(catalog)
+    exact = {r.vec_id for r in vector.euclidean_topk(emb, qv, 10).collect()}
+    idx = vector.ProductQuantizerIndex.build(emb, m=16, k_codes=32)
+    approx = {r.vec_id for r in idx.search(qv, k=10, refine=8).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, f"pq recall {recall}"
+    # compressed representation really is m small codes
+    row = idx.codes.first()
+    assert len(row.codes) == 16 and all(0 <= c < 32 for c in row.codes)
