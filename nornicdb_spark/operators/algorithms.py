@@ -159,6 +159,114 @@ def pagerank(
     return out
 
 
+def personalized_pagerank(
+    graph,
+    sources: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    rel_types: tuple[str, ...] = (),
+    broadcast_state_max_nodes: int = 50_000_000,
+) -> DataFrame:
+    """Personalized PageRank (the GDS pageRank sourceNodes config):
+    teleport AND dangling mass go to the source distribution p
+    (p_i = 1/|S| on sources, 0 elsewhere) instead of uniformly —
+    rank = (1−d)·p + d·(Σ rank(in)/outDeg(in) + dangling_mass·p),
+    init rank = p. Same contribs-as-state execution shape as
+    :func:`pagerank` (one shuffle per iteration, dangling mass from mass
+    conservation as a broadcast 1-row aggregate); the per-node p column
+    rides in the static base, so personalization adds no per-iteration
+    joins. ``sources``: DataFrame with an ``id`` column.
+    Returns (id, pagerank)."""
+    encoded = graph.numeric_keys
+    if rel_types:
+        e = graph.edges_by_type(*rel_types)
+        if encoded:
+            e = e.select(
+                graph.encode_id(F.col("src")).alias("src"),
+                graph.encode_id(F.col("dst")).alias("dst"),
+            )
+        else:
+            e = e.select("src", "dst")
+        edges = e.localCheckpoint(eager=True)
+    elif encoded:
+        edges = graph.adj_pairs_encoded()
+    else:
+        edges = graph.adj_pairs()
+    nodes = graph.nodes.select("id")
+    src = sources.select("id").distinct()
+    if encoded:
+        nodes = nodes.select(graph.encode_id(F.col("id")).alias("id"))
+        src = src.select(graph.encode_id(F.col("id")).alias("id"))
+    n_src = src.count()
+    if n_src == 0:
+        return graph.nodes.select("id").withColumn("pagerank", F.lit(0.0))
+
+    out_deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+    base = (
+        nodes.join(out_deg, "id", "left_outer")
+        .join(src.withColumn("_s", F.lit(1)), "id", "left_outer")
+        .withColumn(
+            "p",
+            F.when(F.col("_s").isNotNull(), F.lit(1.0 / n_src)).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        .select("id", "out_degree", "p")
+        .localCheckpoint(eager=True)
+    )
+    n = graph.nodes.count()
+    maybe_bcast = F.broadcast if n <= broadcast_state_max_nodes else (lambda df: df)
+    emitters = base.filter(F.col("out_degree").isNotNull())
+
+    def rank_expr(contrib_col, s_col):
+        return F.lit(1.0 - damping) * F.col("p") + F.lit(damping) * (
+            F.coalesce(contrib_col, F.lit(0.0)) + (F.lit(1.0) - s_col) * F.col("p")
+        )
+
+    def mass(contribs: DataFrame):
+        return F.broadcast(
+            contribs.agg(F.coalesce(F.sum("contrib"), F.lit(0.0)).alias("s"))
+        )
+
+    contribs: DataFrame | None = None
+    for _ in range(iterations):
+        if contribs is None:  # first iteration: rank = p, no join
+            ranks = emitters.withColumn("rank", F.col("p"))
+        else:
+            ranks = (
+                emitters.join(maybe_bcast(contribs), "id", "left_outer")
+                .crossJoin(mass(contribs))
+                .withColumn("rank", rank_expr(F.col("contrib"), F.col("s")))
+                .select("id", "out_degree", "rank")
+            )
+        contribs = (
+            maybe_bcast(
+                ranks.select(
+                    "id", (F.col("rank") / F.col("out_degree")).alias("c")
+                )
+            )
+            .join(edges, F.col("id") == edges.src)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("c").alias("contrib"))
+            .localCheckpoint(eager=True)
+        )
+
+    if contribs is None:
+        out = base.select("id", F.col("p").alias("pagerank"))
+    else:
+        out = (
+            base.join(contribs, "id", "left_outer")
+            .crossJoin(mass(contribs))
+            .withColumn("pagerank", rank_expr(F.col("contrib"), F.col("s")))
+            .select("id", "pagerank")
+        )
+    if encoded:
+        out = out.select(graph.decode_id(F.col("id")).alias("id"), "pagerank")
+    return out
+
+
 def connected_components(graph, max_iterations: int = 30) -> DataFrame:
     """Weakly connected components (reference apoc.algo.wcc,
     apoc_community.go:332-429). Returns (id, component) where component =

@@ -73,6 +73,8 @@ _PRIORITY = (
     "corpus_split_contamination",
     # product-quantization ANN (compression path) + its gate
     "ann_pq_recall", "ann_pq",
+    # personalized PageRank (GDS sourceNodes config), unrolled-CTE oracle
+    "graph_pagerank_personalized",
     # louvain convergence fix changed community outputs → re-stamp
     "cypher_call_louvain",
     # link-prediction per-neighbor contribution precompute → re-stamp

@@ -313,6 +313,86 @@ def _pagerank_oracle(iterations: int = 5, d: float = 0.85, k: int = 50) -> str:
     """
 
 
+def _ppr_oracle(iterations: int = 5, d: float = 0.85, k: int = 50) -> str:
+    """Personalized PageRank unrolled — same chain as
+    :func:`_pagerank_oracle` but teleport/dangling mass go to the source
+    distribution p (customers of nation 1), init rank = p."""
+    chain = [
+        _GRAPH_SQL + """,
+    srcs AS (
+      SELECT 'Customer:' || c_custkey AS id FROM customer WHERE c_nationkey = 1
+    ),
+    meta AS (SELECT CAST(count(*) AS DOUBLE) AS s_n FROM srcs),
+    pnode AS (
+      SELECT nodes.id,
+             CASE WHEN srcs.id IS NOT NULL THEN 1.0 / meta.s_n
+                  ELSE 0.0 END AS p
+      FROM nodes LEFT JOIN srcs ON srcs.id = nodes.id, meta
+    ),
+    outdeg AS (
+      SELECT src AS id, CAST(count(*) AS DOUBLE) AS od FROM edges GROUP BY src
+    ),
+    c1 AS (
+      SELECT e.dst AS id, sum(p.p / o.od) AS contrib
+      FROM edges e JOIN outdeg o ON o.id = e.src
+      JOIN pnode p ON p.id = e.src
+      GROUP BY e.dst
+    )"""
+    ]
+    for i in range(2, iterations + 1):
+        chain.append(f"""
+    s{i - 1} AS (SELECT sum(contrib) AS s FROM c{i - 1}),
+    r{i - 1} AS (
+      SELECT pnode.id,
+             {(1.0 - d)!r} * pnode.p
+               + {d!r} * (coalesce(c.contrib, 0.0)
+                          + (1.0 - s{i - 1}.s) * pnode.p) AS rank
+      FROM pnode LEFT JOIN c{i - 1} c ON c.id = pnode.id, s{i - 1}
+    ),
+    c{i} AS (
+      SELECT e.dst AS id, sum(r.rank / o.od) AS contrib
+      FROM r{i - 1} r JOIN outdeg o ON o.id = r.id
+      JOIN edges e ON e.src = r.id
+      GROUP BY e.dst
+    )""")
+    last = iterations
+    return f"""
+    WITH {','.join(chain)},
+    sF AS (SELECT sum(contrib) AS s FROM c{last})
+    SELECT pnode.id,
+           round({(1.0 - d)!r} * pnode.p
+                 + {d!r} * (coalesce(c.contrib, 0.0)
+                            + (1.0 - sF.s) * pnode.p), 9) AS pagerank
+    FROM pnode LEFT JOIN c{last} c ON c.id = pnode.id, sF
+    ORDER BY pagerank DESC, pnode.id ASC LIMIT {k}
+    """
+
+
+@register("graph_pagerank_personalized", oracle=_ppr_oracle())
+def graph_pagerank_personalized(spark, sf_dir):
+    # personalized PageRank seeded at nation-1 customers (the GDS
+    # pageRank sourceNodes config; teleport + dangling mass restricted
+    # to the source distribution). Rounded-then-sorted like
+    # graph_pagerank so the top-50 set is partition-order independent.
+    g = _graph(spark, sf_dir)
+    sources = g.nodes_by_label("Customer").join(
+        Catalog(spark, sf_dir)
+        .table("customer")
+        .filter(F.col("c_nationkey") == 1)
+        .select(
+            F.concat(F.lit("Customer:"), F.col("c_custkey")).alias("id")
+        ),
+        "id",
+        "left_semi",
+    )
+    pr = algorithms.personalized_pagerank(g, sources, iterations=5)
+    return (
+        pr.withColumn("pagerank", F.round("pagerank", 9))
+        .orderBy(F.desc("pagerank"), F.asc("id"))
+        .limit(50)
+    )
+
+
 @register("graph_pagerank", oracle=_pagerank_oracle())
 def graph_pagerank(spark, sf_dir):
     # apoc.algo.pageRank (reference apoc_algorithms.go:252-307), power

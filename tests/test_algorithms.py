@@ -250,3 +250,19 @@ def test_louvain_deterministic_across_runs(spark):
         for _ in range(2)
     ]
     assert runs[0] == runs[1]
+
+
+def test_personalized_pagerank_concentrates_near_sources(spark):
+    # chain A→B→C plus D→E disconnected from the source: seeding at A
+    # must give A/B/C all the mass and leave D/E at exactly 0 (teleport
+    # AND dangling mass go to the source distribution, never uniform).
+    g = tiny_graph(spark, [("A", "B", 1), ("B", "C", 1), ("D", "E", 1)])
+    pr = {
+        r.id: r.pagerank
+        for r in algorithms.personalized_pagerank(
+            g, start_df(spark, "A"), iterations=20
+        ).collect()
+    }
+    assert pr["D"] == 0.0 and pr["E"] == 0.0
+    assert pr["A"] > pr["B"] > pr["C"] > 0
+    assert sum(pr.values()) == pytest.approx(1.0, abs=1e-9)
