@@ -75,6 +75,8 @@ _PRIORITY = (
     "ann_pq_recall", "ann_pq",
     # personalized PageRank (GDS sourceNodes config), unrolled-CTE oracle
     "graph_pagerank_personalized",
+    # triangle count + clustering coefficient (compact-forward)
+    "graph_triangle_count_suppliers",
     # louvain convergence fix changed community outputs → re-stamp
     "cypher_call_louvain",
     # link-prediction per-neighbor contribution precompute → re-stamp

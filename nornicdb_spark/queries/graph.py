@@ -550,6 +550,69 @@ def graph_louvain_supplier_communities(spark, sf_dir):
     )
 
 
+@register(
+    "graph_triangle_count_suppliers",
+    oracle="""
+    WITH supplies AS (
+      SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ),
+    pairs AS (
+      SELECT DISTINCT a.s AS a, b.s AS b
+      FROM supplies a JOIN supplies b ON a.p = b.p AND a.s < b.s
+    ),
+    und AS (
+      SELECT a AS u, b AS v FROM pairs
+      UNION SELECT b, a FROM pairs
+    ),
+    deg AS (SELECT u AS id, CAST(count(*) AS BIGINT) AS d
+            FROM und GROUP BY u),
+    o AS (
+      SELECT u AS src, v AS dst
+      FROM und JOIN deg du ON du.id = u JOIN deg dv ON dv.id = v
+      WHERE du.d < dv.d OR (du.d = dv.d AND u < v)
+    ),
+    tri AS (
+      SELECT ab.src AS x, ab.dst AS y, bc.dst AS z
+      FROM o ab
+      JOIN o bc ON bc.src = ab.dst
+      JOIN o ac ON ac.src = ab.src AND ac.dst = bc.dst
+    ),
+    per_node AS (
+      SELECT n AS id, CAST(count(*) AS BIGINT) AS t
+      FROM (SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri)
+      GROUP BY n
+    )
+    SELECT deg.id, CAST(coalesce(t, 0) AS BIGINT) AS triangles, d AS degree,
+           round(CASE WHEN d >= 2
+                      THEN 2.0 * coalesce(t, 0) / (d * (d - 1))
+                      ELSE 0.0 END, 9) AS clustering
+    FROM deg LEFT JOIN per_node ON per_node.id = deg.id
+    """,
+)
+def graph_triangle_count_suppliers(spark, sf_dir):
+    # triangle counting + local clustering coefficient on the supplier
+    # co-supply projection (suppliers sharing >= 1 part), compact-forward
+    # degree orientation so the two-hop join fan-out stays bounded on
+    # power-law graphs. Beyond-reference GDS-style analytics op.
+    li = Catalog(spark, sf_dir).table("lineitem")
+    supplies = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    pairs = (
+        supplies.alias("x")
+        .join(supplies.alias("y"), "p")
+        .filter(F.col("x.s") < F.col("y.s"))
+        .select(F.col("x.s").alias("a"), F.col("y.s").alias("b"))
+        .distinct()
+    )
+    out = algorithms.triangle_counts(pairs)
+    return out.select(
+        "id", "triangles", "degree",
+        F.round("clustering", 9).alias("clustering"),
+    )
+
+
 @register("graph_fastrp_embeddings")  # random-projection embeddings; rows-only
 def graph_fastrp_embeddings(spark, sf_dir):
     # gds.fastRP.stream (reference pkg/cypher/fastrp.go:28-802) on the

@@ -266,3 +266,17 @@ def test_personalized_pagerank_concentrates_near_sources(spark):
     assert pr["D"] == 0.0 and pr["E"] == 0.0
     assert pr["A"] > pr["B"] > pr["C"] > 0
     assert sum(pr.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_triangle_counts_square_with_diagonal(spark):
+    # square a-b-c-d-a plus diagonal a-c: triangles {a,b,c} and {a,c,d};
+    # a and c touch both, b and d one each; clustering: a,c have d=3 →
+    # 2·2/6 = 2/3, b,d have d=2 → 2·1/2 = 1.
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c")],
+        "a string, b string",
+    )
+    got = {r.id: r for r in algorithms.triangle_counts(pairs).collect()}
+    assert {i: got[i].triangles for i in "abcd"} == {"a": 2, "b": 1, "c": 2, "d": 1}
+    assert got["a"].clustering == pytest.approx(2 / 3)
+    assert got["b"].clustering == pytest.approx(1.0)
