@@ -884,6 +884,34 @@ class Compiler:
             self._pgraph(), iterations=iterations, damping=damping
         ).select(F.col("id").alias("node"), F.col("pagerank").alias("score"))
 
+    def _proc_gds_pagerank(self, args) -> DataFrame:
+        """CALL gds.pageRank.stream([config]) → (nodeId, score) — GDS-style
+        config-map dispatch over the shared pagerank operators; a
+        ``sourceNodes`` list routes to personalized PageRank (teleport +
+        dangling mass on the source distribution)."""
+        from nornicdb_spark.operators import algorithms
+
+        config = self._py_value(args[0]) if args else {}
+        config = config or {}
+        iterations = int(config.get("maxIterations", 10))
+        damping = float(config.get("dampingFactor", 0.85))
+        rel_types = tuple(config.get("relationshipTypes", ()) or ())
+        sources = config.get("sourceNodes")
+        g = self._pgraph()
+        if sources:
+            src = self.cat.spark.createDataFrame(
+                [(str(s),) for s in sources], "id string"
+            )
+            pr = algorithms.personalized_pagerank(
+                g, src, iterations=iterations, damping=damping,
+                rel_types=rel_types,
+            )
+        else:
+            pr = algorithms.pagerank(
+                g, iterations=iterations, damping=damping, rel_types=rel_types
+            )
+        return pr.select(F.col("id").alias("nodeId"), F.col("pagerank").alias("score"))
+
     def _proc_wcc(self, args) -> DataFrame:
         """CALL apoc.algo.wcc() → (node, component)
         (reference apoc_community.go:332-429)."""
@@ -1780,6 +1808,7 @@ class Compiler:
         "gds.linkprediction.predict.stream": lambda self, args: (
             self._proc_link_prediction_predict(args)
         ),
+        "gds.pagerank.stream": lambda self, args: self._proc_gds_pagerank(args),
         "gds.fastrp.stream": lambda self, args: self._proc_fastrp(args),
         "gds.fastrp.stats": lambda self, args: self._proc_fastrp_stats(args),
         "gds.version": lambda self, args: self._proc_gds_version(),

@@ -74,7 +74,7 @@ _PRIORITY = (
     # product-quantization ANN (compression path) + its gate
     "ann_pq_recall", "ann_pq",
     # personalized PageRank (GDS sourceNodes config), unrolled-CTE oracle
-    "graph_pagerank_personalized",
+    "graph_pagerank_personalized", "cypher_call_ppr",
     # triangle count + clustering coefficient (compact-forward)
     "graph_triangle_count_suppliers",
     # louvain convergence fix changed community outputs → re-stamp

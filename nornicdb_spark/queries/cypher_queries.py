@@ -715,6 +715,34 @@ def cypher_call_link_prediction(spark, sf_dir):
 
 
 @register(
+    "cypher_call_ppr",
+    oracle=__import__(
+        "nornicdb_spark.queries.graph", fromlist=["x"]
+    )._ppr_oracle(
+        iterations=5, k=25,
+        src_sql="SELECT 'Customer:' || c_custkey AS id FROM customer "
+                "WHERE c_custkey IN (1, 2, 3)",
+    ),
+)
+def cypher_call_ppr(spark, sf_dir):
+    # CALL gds.pageRank.stream with sourceNodes config → personalized
+    # PageRank through the frontend (GDS-style config-map dispatch);
+    # oracle = the unrolled-CTE chain seeded at the same three ids.
+    df = _run(
+        spark, sf_dir,
+        """CALL gds.pageRank.stream(
+             {sourceNodes: ['Customer:1', 'Customer:2', 'Customer:3'],
+              maxIterations: 5})
+           YIELD nodeId, score RETURN nodeId, score""",
+    )
+    return (
+        df.select(F.col("nodeId").alias("id"), F.round("score", 9).alias("pagerank"))
+        .orderBy(F.desc("pagerank"), F.asc("id"))
+        .limit(25)
+    )
+
+
+@register(
     "cypher_apoc_load",
     oracle="""
     SELECT '{"name":"' || n_name || '","rk":' || n_regionkey || '}' AS value

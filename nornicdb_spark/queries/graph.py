@@ -313,15 +313,21 @@ def _pagerank_oracle(iterations: int = 5, d: float = 0.85, k: int = 50) -> str:
     """
 
 
-def _ppr_oracle(iterations: int = 5, d: float = 0.85, k: int = 50) -> str:
+_PPR_DEFAULT_SRC = (
+    "SELECT 'Customer:' || c_custkey AS id FROM customer WHERE c_nationkey = 1"
+)
+
+
+def _ppr_oracle(
+    iterations: int = 5, d: float = 0.85, k: int = 50,
+    src_sql: str = _PPR_DEFAULT_SRC,
+) -> str:
     """Personalized PageRank unrolled — same chain as
     :func:`_pagerank_oracle` but teleport/dangling mass go to the source
-    distribution p (customers of nation 1), init rank = p."""
+    distribution p (``src_sql`` rows), init rank = p."""
     chain = [
-        _GRAPH_SQL + """,
-    srcs AS (
-      SELECT 'Customer:' || c_custkey AS id FROM customer WHERE c_nationkey = 1
-    ),
+        _GRAPH_SQL + f""",
+    srcs AS ({src_sql}),
     meta AS (SELECT CAST(count(*) AS DOUBLE) AS s_n FROM srcs),
     pnode AS (
       SELECT nodes.id,
