@@ -224,3 +224,30 @@ def test_bm25_weighted_search_never_rescans_corpus(spark, sf_dir):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "documents" not in plan
+
+
+def test_pq_adc_scan_is_shuffle_free_jvm_only(spark, sf_dir):
+    # The PQ ADC scan must stay a map-only JVM pass over the codes table:
+    # literal LUT + aggregate → TakeOrderedAndProject, with no Exchange
+    # and no Python evaluation node. A regression here turns the
+    # compressed-corpus scan into a shuffle or a UDF — invisible at test
+    # SF, fatal at 100 TB.
+    from pyspark.sql import functions as F
+
+    from nornicdb_spark.catalog import Catalog
+    from nornicdb_spark.search.vector import ProductQuantizerIndex
+
+    emb = Catalog(spark, sf_dir).embeddings
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    idx = ProductQuantizerIndex.build(emb, m=8, k_codes=16)
+    plan = (
+        idx.codes.select("vec_id", idx._adc_col(qv).alias("adc"))
+        .orderBy(F.asc("adc"), F.asc("vec_id"))
+        .limit(10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
