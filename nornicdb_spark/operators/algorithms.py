@@ -1175,3 +1175,36 @@ def triangle_counts(pairs: DataFrame) -> DataFrame:
             .alias("clustering"),
         )
     )
+
+
+def k_core(pairs: DataFrame, k: int = 3, max_rounds: int = 12) -> DataFrame:
+    """k-core membership: iteratively peel nodes of degree < k from the
+    undirected graph given as (a, b) pairs until fixpoint (Seidman 1983
+    cores; the GDS kCore shape). Each round is one degree aggregate + two
+    semi-joins on the surviving edge set — O(rounds) shuffles, edge set
+    only shrinks, checkpoint per round cuts lineage. Deterministic
+    (synchronous peeling), and a fixpoint is preserved by further rounds,
+    so a fixed-round unrolled SQL oracle reproduces the early-stopping
+    loop exactly. Returns (id, core_degree) for nodes in the k-core."""
+    und = pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    und = (
+        und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges = und
+    for _ in range(max_rounds):
+        deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= k).select("u")
+        pruned = (
+            edges.join(keep, "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            .select("u", "v")
+        )
+        n_before = edges.count()
+        edges = pruned.localCheckpoint(eager=True)
+        if edges.count() == n_before:
+            break
+    return edges.groupBy(F.col("u").alias("id")).agg(
+        F.count(F.lit(1)).alias("core_degree")
+    ).filter(F.col("core_degree") >= k)

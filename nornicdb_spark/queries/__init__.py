@@ -75,8 +75,8 @@ _PRIORITY = (
     "ann_pq_recall", "ann_pq",
     # personalized PageRank (GDS sourceNodes config), unrolled-CTE oracle
     "graph_pagerank_personalized", "cypher_call_ppr",
-    # triangle count + clustering coefficient (compact-forward)
-    "graph_triangle_count_suppliers",
+    # triangle count + clustering coefficient (compact-forward), k-core
+    "graph_triangle_count_suppliers", "graph_kcore",
     # louvain convergence fix changed community outputs → re-stamp
     "cypher_call_louvain",
     # link-prediction per-neighbor contribution precompute → re-stamp

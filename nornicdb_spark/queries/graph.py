@@ -619,6 +619,46 @@ def graph_triangle_count_suppliers(spark, sf_dir):
     )
 
 
+def _kcore_oracle(k: int = 3, rounds: int = 8) -> str:
+    """k-core peeling unrolled: synchronous degree-threshold pruning is
+    deterministic and fixpoint-preserving (extra rounds after the
+    fixpoint change nothing), so ``rounds`` >= the empirical peel depth
+    (2 at sf0.001, 4 at sf0.01) reproduces the engine's early-stopping
+    loop exactly — the LPA-oracle argument."""
+    chain = [
+        _GRAPH_SQL + """,
+    e0 AS MATERIALIZED (
+      SELECT src AS u, dst AS v FROM edges
+      UNION SELECT dst, src FROM edges
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        chain.append(f"""
+    d{r} AS (SELECT u, count(*) AS d FROM e{r - 1} GROUP BY u),
+    kp{r} AS (SELECT u FROM d{r} WHERE d >= {k}),
+    e{r} AS MATERIALIZED (
+      SELECT e.u, e.v FROM e{r - 1} e
+      JOIN kp{r} ku ON ku.u = e.u
+      JOIN kp{r} kv ON kv.u = e.v
+    )""")
+    return f"""
+    WITH {','.join(chain)}
+    SELECT u AS id, CAST(count(*) AS BIGINT) AS core_degree
+    FROM e{rounds} GROUP BY u HAVING count(*) >= {k}
+    """
+
+
+@register("graph_kcore", oracle=_kcore_oracle())
+def graph_kcore(spark, sf_dir):
+    # 3-core membership of the undirected star-schema graph (Seidman
+    # cores / GDS kCore shape): iterative degree-threshold peeling, one
+    # degree aggregate + two semi-joins per round on a shrinking edge
+    # set. Beyond-reference analytics op; full unrolled-peeling oracle.
+    g = _graph(spark, sf_dir)
+    pairs = g.adj_pairs().select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    return algorithms.k_core(pairs, k=3, max_rounds=12)
+
+
 @register("graph_fastrp_embeddings")  # random-projection embeddings; rows-only
 def graph_fastrp_embeddings(spark, sf_dir):
     # gds.fastRP.stream (reference pkg/cypher/fastrp.go:28-802) on the

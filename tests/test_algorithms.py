@@ -280,3 +280,15 @@ def test_triangle_counts_square_with_diagonal(spark):
     assert {i: got[i].triangles for i in "abcd"} == {"a": 2, "b": 1, "c": 2, "d": 1}
     assert got["a"].clustering == pytest.approx(2 / 3)
     assert got["b"].clustering == pytest.approx(1.0)
+
+
+def test_k_core_peels_tail_chain(spark):
+    # triangle a-b-c each also joined to d (K4 minus nothing: a,b,c,d all
+    # mutually... use K4) plus a pendant chain d-e-f: the 3-core is
+    # exactly the K4; e and f peel (degree < 3), and d keeps core degree
+    # 3 after the chain is removed.
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    chain = [("d", "e"), ("e", "f")]
+    pairs = spark.createDataFrame(k4 + chain, "a string, b string")
+    got = {r.id: r.core_degree for r in algorithms.k_core(pairs, k=3).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
