@@ -13,6 +13,8 @@ are stable across runs and partitionings (required by the oracle harness).
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -197,7 +199,18 @@ def personalized_pagerank(
     if encoded:
         nodes = nodes.select(graph.encode_id(F.col("id")).alias("id"))
         src = src.select(graph.encode_id(F.col("id")).alias("id"))
+    # Validate sources against the node set BEFORE sizing the teleport
+    # distribution: an unknown source id would make sum(p) < 1 and leak
+    # rank mass every iteration. GDS fails fast on unknown sourceNodes;
+    # we do the same (one cheap semi-join + count at setup time).
+    n_raw = src.count()
+    src = src.join(nodes, "id", "left_semi").localCheckpoint(eager=True)
     n_src = src.count()
+    if n_src != n_raw:
+        raise ValueError(
+            f"personalized_pagerank: {n_raw - n_src} of {n_raw} source ids "
+            "are not nodes of the graph (GDS sourceNodes validation)"
+        )
     if n_src == 0:
         return graph.nodes.select("id").withColumn("pagerank", F.lit(0.0))
 
@@ -1177,7 +1190,14 @@ def triangle_counts(pairs: DataFrame) -> DataFrame:
     )
 
 
-def k_core(pairs: DataFrame, k: int = 3, max_rounds: int = 12) -> DataFrame:
+# Single source of truth for k-core peel depth: the engine loop and the
+# driver's unrolled SQL oracle (queries/graph.py:_kcore_oracle) both derive
+# from this so they can never silently diverge on peel-depth > unroll-depth
+# datasets (long chains peel one layer per round, O(n) worst case).
+KCORE_MAX_ROUNDS = 12
+
+
+def k_core(pairs: DataFrame, k: int = 3, max_rounds: int = KCORE_MAX_ROUNDS) -> DataFrame:
     """k-core membership: iteratively peel nodes of degree < k from the
     undirected graph given as (a, b) pairs until fixpoint (Seidman 1983
     cores; the GDS kCore shape). Each round is one degree aggregate + two
@@ -1193,6 +1213,7 @@ def k_core(pairs: DataFrame, k: int = 3, max_rounds: int = 12) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     edges = und
+    converged = False
     for _ in range(max_rounds):
         deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
         keep = deg.filter(F.col("d") >= k).select("u")
@@ -1204,7 +1225,18 @@ def k_core(pairs: DataFrame, k: int = 3, max_rounds: int = 12) -> DataFrame:
         n_before = edges.count()
         edges = pruned.localCheckpoint(eager=True)
         if edges.count() == n_before:
+            converged = True
             break
+    if not converged:
+        # One more peel pass would still shrink the edge set: the returned
+        # membership is an over-approximation of the true k-core. Surface it
+        # rather than silently returning a superset.
+        warnings.warn(
+            f"k_core did not reach fixpoint within max_rounds={max_rounds}; "
+            "result is a superset of the true k-core (raise max_rounds)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return edges.groupBy(F.col("u").alias("id")).agg(
         F.count(F.lit(1)).alias("core_degree")
     ).filter(F.col("core_degree") >= k)

@@ -464,8 +464,13 @@ def temperature_resample(
         docs.select(F.col(id_col).alias("doc_id"), F.col(source_col).alias("source"))
         .join(F.broadcast(rates.select("source", "rate")), "source")
         .filter(
+            # The pow() rate is rounded to 9 decimals BEFORE the floor so the
+            # acceptance boundary is ULP-insensitive: libm pow is not
+            # correctly rounded, and a raw rate within 1 ULP of an
+            # integer/10⁴ boundary would flip floor() between the JVM and
+            # the oracle. 9 decimals matches the output convention.
             h60(F.col("doc_id").cast("string")) % 10000
-            < F.floor(F.col("rate") * 10000)
+            < F.floor(F.round(F.col("rate"), 9) * 10000)
         )
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_kept"))

@@ -619,12 +619,15 @@ def graph_triangle_count_suppliers(spark, sf_dir):
     )
 
 
-def _kcore_oracle(k: int = 3, rounds: int = 8) -> str:
+def _kcore_oracle(k: int = 3, rounds: int = algorithms.KCORE_MAX_ROUNDS) -> str:
     """k-core peeling unrolled: synchronous degree-threshold pruning is
     deterministic and fixpoint-preserving (extra rounds after the
     fixpoint change nothing), so ``rounds`` >= the empirical peel depth
     (2 at sf0.001, 4 at sf0.01) reproduces the engine's early-stopping
-    loop exactly — the LPA-oracle argument."""
+    loop exactly — the LPA-oracle argument. Unroll depth derives from the
+    engine's KCORE_MAX_ROUNDS so a dataset with peel depth in
+    (oracle, engine] can't diverge the two silently; the engine warns if
+    even that depth fails to converge."""
     chain = [
         _GRAPH_SQL + """,
     e0 AS MATERIALIZED (
@@ -656,7 +659,7 @@ def graph_kcore(spark, sf_dir):
     # set. Beyond-reference analytics op; full unrolled-peeling oracle.
     g = _graph(spark, sf_dir)
     pairs = g.adj_pairs().select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    return algorithms.k_core(pairs, k=3, max_rounds=12)
+    return algorithms.k_core(pairs, k=3)
 
 
 @register("graph_fastrp_embeddings")  # random-projection embeddings; rows-only

@@ -983,7 +983,7 @@ def corpus_sequence_packing(spark, sf_dir):
       SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept
       FROM documents d JOIN rates USING (source)
       WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-                 AS BIGINT) % 10000 < floor(rate * 10000)
+                 AS BIGINT) % 10000 < floor(round(rate, 9) * 10000)
       GROUP BY d.source
     )
     SELECT r.source, r.n_docs,

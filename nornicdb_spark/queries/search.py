@@ -430,7 +430,9 @@ def hybrid_rerank(spark, sf_dir):
 
 def _mmr_oracle(limit: int = 10, lam: float = 0.7) -> str:
     """Greedy MMR as an unrolled selection chain: the argmax over the
-    bounded fused slice is deterministic (tie-break = relevance desc then
+    bounded fused slice is deterministic (selection key = mmr ROUNDED to
+    9 decimals so ULP-level arithmetic differences between numpy and
+    DuckDB can't reorder near-ties; ties then break relevance desc then
     doc_id, mirroring mmr_diversify's first-wins scan over the sorted
     candidates), so ``limit`` unrolled steps reproduce the greedy loop."""
     steps = []
@@ -446,7 +448,7 @@ def _mmr_oracle(limit: int = 10, lam: float = 0.7) -> str:
     ),
     p{k} AS MATERIALIZED (
       SELECT doc_id, mmr, rel FROM s{k}
-      ORDER BY mmr DESC, rel DESC, doc_id LIMIT 1
+      ORDER BY round(mmr, 9) DESC, rel DESC, doc_id LIMIT 1
     ),
     sel{k} AS MATERIALIZED (
       SELECT * FROM sel{k - 1}
@@ -472,7 +474,7 @@ def _mmr_oracle(limit: int = 10, lam: float = 0.7) -> str:
     ),
     p1 AS MATERIALIZED (
       SELECT doc_id, {lam!r} * rel AS mmr, rel FROM norm
-      ORDER BY mmr DESC, rel DESC, doc_id LIMIT 1
+      ORDER BY round(mmr, 9) DESC, rel DESC, doc_id LIMIT 1
     ),
     sel1 AS MATERIALIZED (SELECT doc_id, 1 AS rank, mmr FROM p1),
     {','.join(steps)}

@@ -199,7 +199,12 @@ def mmr_diversify(
         scores: list[float] = []
         remaining = list(range(n))
         while remaining and len(selected) < limit:
-            best_i, best_s = None, -np.inf
+            # Argmax compares on the 9-decimal-ROUNDED mmr (ties then fall
+            # to the rel-desc/doc_id-asc scan order): numpy dot and the
+            # oracle's list_dot_product differ in the last ULP, and an
+            # unrounded comparison key would let two near-equal candidates
+            # swap, changing every subsequent selection.
+            best_i, best_s, best_key = None, -np.inf, -np.inf
             for i in remaining:
                 max_sim = 0.0
                 if vecs[i] is not None:
@@ -209,8 +214,9 @@ def mmr_diversify(
                             if s > max_sim:
                                 max_sim = s
                 mmr = mmr_lambda * rel[i] - (1.0 - mmr_lambda) * max_sim
-                if mmr > best_s:
-                    best_s, best_i = mmr, i
+                key = round(mmr, 9)
+                if key > best_key:
+                    best_key, best_s, best_i = key, mmr, i
             selected.append(best_i)
             scores.append(best_s)
             remaining.remove(best_i)
