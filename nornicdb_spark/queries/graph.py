@@ -662,6 +662,62 @@ def graph_kcore(spark, sf_dir):
     return algorithms.k_core(pairs, k=3)
 
 
+@register("graph_fastrp_gate", oracle="SELECT CAST(1 AS BIGINT) AS ok")
+def graph_fastrp_gate(spark, sf_dir):
+    # Driver-visible invariant gate for fastRP (the one inherently
+    # rows-only embedding family member): on the IN-edge projection every
+    # nation of a region has the identical neighborhood {region}, so the
+    # structural embeddings must be (a) identical within each region,
+    # (b) nonzero for every nation, and (c) bit-stable across two
+    # independent runs (hash-seeded projection, no RNG — reference
+    # fastrp.go:28-802 is likewise seed-deterministic). Rounded to 6
+    # decimals to absorb float-sum partition-order noise. Single-row ok
+    # pattern of the ANN recall gates (queries/search.py:230).
+    g = _graph(spark, sf_dir)
+
+    def rounded(df, name):
+        return df.select(
+            "id", F.transform("embedding", lambda x: F.round(x, 6)).alias(name)
+        )
+
+    e1 = rounded(algorithms.fastrp_embeddings(g, dim=16, rel_types=("IN",)), "emb")
+    e2 = rounded(algorithms.fastrp_embeddings(g, dim=16, rel_types=("IN",)), "emb2")
+    nations = Catalog(spark, sf_dir).table("nation").select(
+        F.concat(F.lit("Nation:"), F.col("n_nationkey").cast("string")).alias("id"),
+        F.col("n_regionkey").alias("region"),
+    )
+    per_region = (
+        nations.join(e1, "id")
+        .groupBy("region")
+        .agg(
+            F.countDistinct("emb").alias("n_emb"),
+            F.min(
+                F.aggregate("emb", F.lit(0.0), lambda a, x: a + x * x)
+            ).alias("min_sq"),
+        )
+    )
+    equiv = per_region.agg(
+        (F.max("n_emb") == 1).cast("long").alias("one_per_region"),
+        (F.min("min_sq") > 1e-6).cast("long").alias("nonzero"),
+        (F.count(F.lit(1)) >= 2).cast("long").alias("multi_region"),
+    )
+    determinism = e1.join(e2, "id").agg(
+        F.sum((F.col("emb") != F.col("emb2")).cast("long")).alias("n_diff"),
+        F.count(F.lit(1)).alias("n_nodes"),
+    )
+    return equiv.crossJoin(determinism).select(
+        (
+            (F.col("one_per_region") == 1)
+            & (F.col("nonzero") == 1)
+            & (F.col("multi_region") == 1)
+            & (F.col("n_diff") == 0)
+            & (F.col("n_nodes") > 0)
+        )
+        .cast("long")
+        .alias("ok")
+    )
+
+
 @register("graph_fastrp_embeddings")  # random-projection embeddings; rows-only
 def graph_fastrp_embeddings(spark, sf_dir):
     # gds.fastRP.stream (reference pkg/cypher/fastrp.go:28-802) on the
