@@ -1027,18 +1027,22 @@ class Compiler:
         )
 
     def _proc_betweenness(self, args) -> DataFrame:
-        """CALL apoc.algo.betweenness([label]) → (node, score)
-        (reference apoc_algorithms.go:307-387)."""
+        """CALL apoc.algo.betweenness([label[, config]]) → (node, score)
+        (reference apoc_algorithms.go:307-387). config.samples bounds the
+        Brandes source set (sampled estimator, scores scaled by n/k) —
+        the at-scale mode; exact all-sources otherwise."""
         from nornicdb_spark.operators.algorithms import (
             _induced_subgraph,
             betweenness_centrality,
         )
 
         label = self._algo_label(args)
+        config = self._py_value(args[1]) if len(args) > 1 else {}
+        samples = (config or {}).get("samples")
         nodes, edges = _induced_subgraph(self._pgraph(), label)
-        return betweenness_centrality(nodes, edges).select(
-            F.col("id").alias("node"), F.col("score")
-        )
+        return betweenness_centrality(
+            nodes, edges, samples=int(samples) if samples else None
+        ).select(F.col("id").alias("node"), F.col("score"))
 
     def _proc_closeness(self, args) -> DataFrame:
         """CALL apoc.algo.closeness([label]) → (node, score)

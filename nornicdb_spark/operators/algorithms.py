@@ -826,7 +826,12 @@ def closeness_centrality(
 
 
 def betweenness_centrality(
-    nodes: DataFrame, edges: DataFrame, max_depth: int = 20, normalize: bool = True
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_depth: int = 20,
+    normalize: bool = True,
+    samples: int | None = None,
+    seed: int = 42,
 ) -> DataFrame:
     """apoc.algo.betweenness (reference apoc_algorithms.go:323-387):
     Brandes' algorithm over the directed edge set, normalized by
@@ -839,12 +844,29 @@ def betweenness_centrality(
     descending BFS level accumulating dependencies
     δ(v) += σ(v)/σ(w)·(1+δ(w)). Rounds = 2·diameter; state is
     (source, node) pairs partitioned by source.
+
+    ``samples``: exact all-sources accumulation is O(V·E) state and will
+    not survive a 100× node-count scale-up (the reference bounds the same
+    cost per-label). With ``samples=k < n`` the BFS runs from k
+    hash-ordered source nodes (xxhash64(id, seed) — deterministic across
+    runs and partitionings, no RNG) and accumulated dependencies are
+    scaled by n/k — the Brandes–Pich sampled estimator, unbiased over the
+    source draw. Per-source BFS state drops from O(V·E) to O(k·E).
     """
     e = edges.select("src", "dst").localCheckpoint(eager=True)  # both sweeps
     n = nodes.count()
 
     # ---- forward: per-(source, node) depth + path count σ -------------
-    frontier = nodes.select(
+    if samples is not None and 0 < samples < n:
+        sources = (
+            nodes.select("id")
+            .orderBy(F.xxhash64(F.col("id"), F.lit(seed)), F.col("id"))
+            .limit(samples)
+        )
+        scale = float(n) / float(samples)
+    else:
+        sources, scale = nodes, 1.0
+    frontier = sources.select(
         F.col("id").alias("s"), F.col("id").alias("v")
     ).withColumn("sigma", F.lit(1.0))
     frontier = frontier.localCheckpoint(eager=True)
@@ -900,7 +922,7 @@ def betweenness_centrality(
     for d in deltas[1:]:
         acc = acc.unionByName(d.filter(F.col("s") != F.col("v")).select("v", "delta"))
     scores = acc.groupBy(F.col("v").alias("id")).agg(F.sum("delta").alias("score"))
-    norm = 2.0 / ((n - 1) * (n - 2)) if (normalize and n > 2) else 1.0
+    norm = (2.0 / ((n - 1) * (n - 2)) if (normalize and n > 2) else 1.0) * scale
     return (
         nodes.select("id")
         .join(scores, "id", "left_outer")

@@ -1,11 +1,18 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched Pandas UDFs.
 
-The decode step is STUBBED (no image/audio libraries in this container):
-``decode_media`` produces a deterministic fake feature vector derived from
-the raw bytes, clearly marked; swap `_fake_decode` for a real
-PIL/torchaudio call in production — the Spark-side contract (schema,
-partitioning, mapInPandas batch shape) is real and tested.
+Two decode tiers:
+
+- ``extract_features`` — generic feature extraction whose decoder is
+  STUBBED (no PIL/torchaudio in this container): deterministic
+  byte-histogram moments stand in for a real decoder; the Spark-side
+  contract (schema, partitioning, mapInPandas batch shape) is real.
+- ``decode_media`` — a REAL pure-stdlib decode path for the two formats
+  simple enough to parse without libraries: PCM WAV (RIFF chunk walk +
+  int16 sample scan) and binary P6 PPM (header tokenizer + raster scan).
+  ``synthesize_encoded_media`` writes genuinely-encoded fixtures whose
+  every decoded field is a closed form of doc_id, so a SQL oracle checks
+  the encode→decode loop end-to-end.
 
 Schema convention:
     media(doc_id long, media_type string, content binary,
@@ -107,6 +114,152 @@ def extract_features(media: DataFrame, use_real_decoders: bool | None = None) ->
             )
 
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+DECODED_SCHEMA = (
+    "doc_id long, media_type string, n_bytes long, sample_rate long, "
+    "channels long, n_samples long, duration_ms long, width long, "
+    "height long, maxval long, val_sum long, val_peak long"
+)
+
+
+def synthesize_encoded_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Genuinely-ENCODED media fixtures: even doc_ids become a canonical
+    44-byte-header PCM16 WAV, odd doc_ids a binary P6 PPM. All synthesis
+    parameters (sample rate, channel count, frame count, image dims,
+    sample/pixel values) are closed forms of doc_id, so an independent SQL
+    oracle can recompute every field :func:`decode_media` extracts —
+    including the exact encoded byte length — without parsing bytes.
+    Returns (doc_id, media_type, content binary)."""
+
+    def batches(it):
+        import struct as _struct
+
+        import pandas as _pd
+
+        def wav(d):
+            sr = 8000 + (d % 3) * 4000
+            ch = 1 + (d % 2)
+            n = (50 + (d % 100)) * ch
+            samples = [((d * 31 + i * 7) % 2048) - 1024 for i in range(n)]
+            data = _struct.pack("<%dh" % n, *samples)
+            return (
+                b"RIFF" + _struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + _struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, ch, sr, sr * ch * 2, ch * 2, 16)
+                + b"data" + _struct.pack("<I", len(data)) + data
+            )
+
+        def ppm(d):
+            w, h = 4 + d % 13, 3 + d % 11
+            raster = bytes((d * 7 + i * 5) % 256 for i in range(3 * w * h))
+            return b"P6\n%d %d\n255\n" % (w, h) + raster
+
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            yield _pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "media_type": ["audio" if d % 2 == 0 else "image" for d in ids],
+                    "content": [wav(d) if d % 2 == 0 else ppm(d) for d in ids],
+                }
+            )
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        batches, schema="doc_id long, media_type string, content binary"
+    )
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """REAL decode of the binary column — no stub, no external libs:
+
+    - ``audio`` rows are parsed as RIFF/WAVE (chunk walk to ``fmt `` and
+      ``data``, little-endian int16 PCM sample scan),
+    - ``image`` rows as binary P6 PPM (whitespace/comment-tolerant header
+      tokenizer, then the raster).
+
+    Emits the header fields plus integer sample statistics (sum of
+    absolute sample values / sum of raster bytes, and the peak) so the
+    oracle comparison is float-free. One Arrow batch in/out via
+    mapInPandas — the per-row byte parsing is the documented
+    Python-unavoidable step; everything before and after stays JVM-side.
+    Unknown/corrupt payloads raise rather than silently passing."""
+
+    def batches(it):
+        import struct as _struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        def parse_wav(b):
+            if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                raise ValueError("not a RIFF/WAVE payload")
+            pos, fmt, data = 12, None, None
+            while pos + 8 <= len(b):
+                cid, sz = b[pos:pos + 4], _struct.unpack("<I", b[pos + 4:pos + 8])[0]
+                body = b[pos + 8:pos + 8 + sz]
+                if cid == b"fmt ":
+                    fmt = _struct.unpack("<HHIIHH", body[:16])
+                elif cid == b"data":
+                    data = body
+                pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+            if fmt is None or data is None:
+                raise ValueError("missing fmt/data chunk")
+            _, ch, sr, _, _, bits = fmt
+            if bits != 16:
+                raise ValueError(f"only PCM16 supported, got {bits}-bit")
+            s = _np.abs(_np.frombuffer(data, dtype="<i2").astype("int64"))
+            return {
+                "sample_rate": sr, "channels": ch, "n_samples": s.size,
+                "duration_ms": (s.size // ch) * 1000 // sr,
+                "val_sum": int(s.sum()), "val_peak": int(s.max()) if s.size else 0,
+            }
+
+        def parse_ppm(b):
+            toks, pos = [], 2
+            if b[:2] != b"P6":
+                raise ValueError("not a P6 PPM payload")
+            while len(toks) < 3:
+                while pos < len(b) and b[pos:pos + 1].isspace():
+                    pos += 1
+                if b[pos:pos + 1] == b"#":  # comment to end of line
+                    while pos < len(b) and b[pos:pos + 1] != b"\n":
+                        pos += 1
+                    continue
+                start = pos
+                while pos < len(b) and not b[pos:pos + 1].isspace():
+                    pos += 1
+                toks.append(int(b[start:pos]))
+            pos += 1  # single whitespace after maxval
+            w, h, maxval = toks
+            raster = _np.frombuffer(b[pos:pos + 3 * w * h], dtype="uint8").astype("int64")
+            if raster.size != 3 * w * h:
+                raise ValueError("truncated raster")
+            return {
+                "width": w, "height": h, "maxval": maxval,
+                "val_sum": int(raster.sum()),
+                "val_peak": int(raster.max()) if raster.size else 0,
+            }
+
+        cols = [
+            "sample_rate", "channels", "n_samples", "duration_ms",
+            "width", "height", "maxval", "val_sum", "val_peak",
+        ]
+        for pdf in it:
+            rows = []
+            for d, mt, blob in zip(pdf["doc_id"], pdf["media_type"], pdf["content"]):
+                b = bytes(blob)
+                got = parse_wav(b) if mt == "audio" else parse_ppm(b)
+                rows.append(
+                    {"doc_id": d, "media_type": mt, "n_bytes": len(b), **got}
+                )
+            out = _pd.DataFrame(rows)
+            for c in cols:
+                out[c] = _pd.array(
+                    [r.get(c) for r in rows], dtype="Int64"
+                )
+            yield out[["doc_id", "media_type", "n_bytes"] + cols]
+
+    return media.mapInPandas(batches, schema=DECODED_SCHEMA)
 
 
 def resize_plan(

@@ -417,6 +417,69 @@ def multimodal_features(spark, sf_dir):
     )
 
 
+_MULTIMODAL_DECODE_ORACLE = """
+    WITH aud AS (
+      SELECT doc_id,
+             CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS sample_rate,
+             CAST(1 + (doc_id % 2) AS BIGINT) AS channels,
+             CAST(50 + (doc_id % 100) AS BIGINT) AS n_frames
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    aud_stats AS (
+      SELECT doc_id,
+             sum(abs(((doc_id * 31 + i * 7) % 2048) - 1024)) AS val_sum,
+             max(abs(((doc_id * 31 + i * 7) % 2048) - 1024)) AS val_peak
+      FROM (SELECT doc_id, unnest(range(0, n_frames * channels)) AS i FROM aud)
+      GROUP BY doc_id
+    ),
+    img AS (
+      SELECT doc_id,
+             CAST(4 + doc_id % 13 AS BIGINT) AS width,
+             CAST(3 + doc_id % 11 AS BIGINT) AS height
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    img_stats AS (
+      SELECT doc_id,
+             sum((doc_id * 7 + i * 5) % 256) AS val_sum,
+             max((doc_id * 7 + i * 5) % 256) AS val_peak
+      FROM (SELECT doc_id, unnest(range(0, 3 * width * height)) AS i FROM img)
+      GROUP BY doc_id
+    )
+    SELECT a.doc_id, 'audio' AS media_type,
+           CAST(44 + n_frames * channels * 2 AS BIGINT) AS n_bytes,
+           sample_rate, channels,
+           CAST(n_frames * channels AS BIGINT) AS n_samples,
+           CAST(n_frames * 1000 // sample_rate AS BIGINT) AS duration_ms,
+           CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height,
+           CAST(NULL AS BIGINT) AS maxval,
+           CAST(s.val_sum AS BIGINT) AS val_sum,
+           CAST(s.val_peak AS BIGINT) AS val_peak
+    FROM aud a JOIN aud_stats s USING (doc_id)
+    UNION ALL
+    SELECT i.doc_id, 'image' AS media_type,
+           CAST(3 + length(CAST(width AS VARCHAR)) + 1
+                + length(CAST(height AS VARCHAR)) + 1 + 4
+                + 3 * width * height AS BIGINT) AS n_bytes,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT),
+           width, height, CAST(255 AS BIGINT),
+           CAST(s.val_sum AS BIGINT), CAST(s.val_peak AS BIGINT)
+    FROM img i JOIN img_stats s USING (doc_id)
+    """
+
+
+@register("multimodal_decode", oracle=_MULTIMODAL_DECODE_ORACLE)
+def multimodal_decode(spark, sf_dir):
+    # REAL encode→decode loop: genuinely-encoded PCM16 WAV / binary P6
+    # PPM fixtures (every parameter a closed form of doc_id) parsed back
+    # by the pure-stdlib decoder; the oracle recomputes every extracted
+    # header field AND the exact encoded byte length from first
+    # principles, so encoder and decoder are both checked end-to-end.
+    docs = Catalog(spark, sf_dir).documents
+    media = multimodal.synthesize_encoded_media(docs)
+    return multimodal.decode_media(media)
+
+
 @register(
     "multimodal_frame_plan",
     oracle="""

@@ -93,6 +93,37 @@ def test_betweenness_path_graph(spark):
     assert got == {"a": 0.0, "b": 2.0, "c": 0.0}
 
 
+def test_betweenness_sampled_estimator_star(spark):
+    # undirected star, hub h + 4 leaves: from a leaf source, δ(h)=3 (paths
+    # to the 3 other leaves); from h, 0. With samples=2 the deterministic
+    # hash pick chooses 2 specific sources, so the hub estimate is exactly
+    # m·3·norm·(n/k) where m = #sampled leaf sources — pins both the
+    # source selection and the n/k scaling. samples >= n → exact path.
+    e = tiny_graph(
+        spark, [("h", "l1", 1), ("h", "l2", 1), ("h", "l3", 1), ("h", "l4", 1)]
+    ).edges.select("src", "dst")
+    und = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    nodes = spark.createDataFrame([(x,) for x in "h l1 l2 l3 l4".split()], "id string")
+    order = [
+        r.id
+        for r in nodes.orderBy(F.xxhash64(F.col("id"), F.lit(42)), F.col("id")).collect()
+    ]
+    m = sum(1 for s in order[:2] if s != "h")
+    sampled = {
+        r.id: r.score
+        for r in algorithms.betweenness_centrality(nodes, und, samples=2).collect()
+    }
+    norm, scale = 2.0 / (4 * 3), 5.0 / 2.0
+    assert sampled["h"] == pytest.approx(m * 3 * norm * scale)
+    assert all(sampled[f"l{i}"] == 0.0 for i in range(1, 5))
+    exact = {r.id: r.score for r in algorithms.betweenness_centrality(nodes, und).collect()}
+    full = {
+        r.id: r.score
+        for r in algorithms.betweenness_centrality(nodes, und, samples=99).collect()
+    }
+    assert full == exact
+
+
 def test_betweenness_star_closed_form(spark):
     # star hub h with 4 leaves: hub = k(k−1)·2/((n−1)(n−2)) = 12·2/(4·3)=2.
     e = tiny_graph(

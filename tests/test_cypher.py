@@ -1213,6 +1213,13 @@ def test_call_centrality_procedures(eng):
         "RETURN count(*) AS n"
     ).collect()
     assert rows[0].n == 30
+    # sampled mode: {samples: k} bounds the Brandes source set; on the
+    # edge-free Nation subgraph every estimate is still exactly 0
+    rows = eng.cypher(
+        "CALL apoc.algo.betweenness('Nation', {samples: 5}) "
+        "YIELD node, score RETURN node, score"
+    ).collect()
+    assert len(rows) == 25 and all(r.score == 0.0 for r in rows)
 
 
 def test_call_louvain_star_collapse(eng):

@@ -115,6 +115,67 @@ def test_multimodal_real_decoder_gate(catalog):
         assert not multimodal._HAVE_REAL_DECODERS
 
 
+def test_multimodal_wav_ppm_roundtrip(catalog):
+    # real encode→decode loop: header fields come back exactly as encoded.
+    docs = catalog.documents.limit(20)
+    out = {
+        r.doc_id: r
+        for r in multimodal.decode_media(
+            multimodal.synthesize_encoded_media(docs)
+        ).collect()
+    }
+    assert len(out) == 20
+    for d, r in out.items():
+        if d % 2 == 0:
+            assert r.media_type == "audio"
+            assert r.sample_rate == 8000 + (d % 3) * 4000
+            assert r.channels == 1 + (d % 2)
+            assert r.n_samples == (50 + d % 100) * r.channels
+            assert r.n_bytes == 44 + r.n_samples * 2
+            assert r.width is None and r.height is None
+        else:
+            assert r.media_type == "image"
+            assert (r.width, r.height, r.maxval) == (4 + d % 13, 3 + d % 11, 255)
+            assert 0 <= r.val_peak <= 255
+            assert r.sample_rate is None
+
+
+def test_multimodal_ppm_comments_and_odd_chunk_padding(spark):
+    # decoder tolerance: PPM header comments, and WAV chunk walk over an
+    # odd-sized (word-padded) leading chunk before data.
+    import struct
+
+    raster = bytes(range(12))  # 2x2 RGB
+    ppm = b"P6\n# a comment\n2 2\n# another\n255\n" + raster
+    data = struct.pack("<4h", 3, -4, 5, -6)
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + 16 + 8 + 5 + 1 + 8 + len(data)) + b"WAVE"
+        + struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"LIST" + struct.pack("<I", 5) + b"abcde\x00"  # odd chunk + pad byte
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(ppm)), (2, "audio", bytearray(wav))],
+        "doc_id long, media_type string, content binary",
+    )
+    got = {r.doc_id: r for r in multimodal.decode_media(media).collect()}
+    assert (got[1].width, got[1].height) == (2, 2)
+    assert got[1].val_sum == sum(range(12)) and got[1].val_peak == 11
+    assert got[2].sample_rate == 8000 and got[2].n_samples == 4
+    assert got[2].val_sum == 3 + 4 + 5 + 6 and got[2].val_peak == 6
+
+
+def test_multimodal_decode_rejects_corrupt_payloads(spark):
+    import pytest as _pytest
+
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(b"NOTRIFFxxxxxxxxx"))],
+        "doc_id long, media_type string, content binary",
+    )
+    with _pytest.raises(Exception, match="RIFF"):
+        multimodal.decode_media(media).collect()
+
+
 def test_frame_plan_counts(catalog):
     media = multimodal.synthesize_media(catalog.documents)
     plan = multimodal.frame_sample_plan(media, every_ms=500)

@@ -86,6 +86,37 @@ def test_mmr_diversify_penalizes_near_duplicates(spark):
     assert [r.doc_id for r in rows] == [1, 2, 3]
 
 
+def test_mmr_limit_exceeds_candidates_and_null_embeddings(spark):
+    # edge cases of the greedy loop: (a) limit > candidate count must
+    # return every candidate exactly once, ranks 1..n; (b) candidates
+    # with no embedding row (NULL vector) are legal — they carry zero
+    # similarity penalty, so ordering among them is pure relevance.
+    from nornicdb_spark.search.hybrid import mmr_diversify
+
+    cand = spark.createDataFrame(
+        [(1, 1.0), (2, 0.9), (3, 0.8), (4, 0.7)], "doc_id long, rrf_score double"
+    )
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (3, [1.0, 0.0])],  # 2 and 4 have no embedding
+        "vec_id long, embedding array<double>",
+    )
+    rows = mmr_diversify(cand, emb, limit=100, mmr_lambda=0.5).orderBy(
+        "mmr_rank"
+    ).collect()
+    assert len(rows) == 4
+    assert [r.mmr_rank for r in rows] == [1, 2, 3, 4]
+    assert sorted(r.doc_id for r in rows) == [1, 2, 3, 4]
+    # doc 3 duplicates doc 1's vector → full penalty pushes it last at
+    # λ=0.5 (0.5·0.8 − 0.5·1.0 < 0); the unembedded 2 and 4 are unpenalized
+    assert [r.doc_id for r in rows] == [1, 2, 4, 3]
+    # zero-norm embedding is treated like a missing one, not a crash
+    emb0 = spark.createDataFrame(
+        [(1, [0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    rows = mmr_diversify(cand.limit(2), emb0, limit=5, mmr_lambda=0.5).collect()
+    assert len(rows) == 2
+
+
 def test_pq_recall_with_refinement(catalog):
     # PQ (m=16 subspaces × 32 codes) + top-8k exact refinement must
     # recover most of the exact euclidean top-10 (ADC alone is coarse on
