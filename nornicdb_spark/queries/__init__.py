@@ -47,41 +47,42 @@ from nornicdb_spark.queries import relational  # noqa: E402,F401
 from nornicdb_spark.queries import graph  # noqa: E402,F401
 
 # Driver-window priority (the harness verifies the first 50 registry
-# entries), round 5: (1) the 4 r04 err rows, now stringified; (2) queries
-# whose oracle, implementation, or output convention is NEW or CHANGED
-# this round (apoc.import.json CALL, LPA/louvain oracles, the louvain
-# singleton-swap convergence fix, ANN recall gates, MMR oracle + rounded
-# score, link-prediction contribution precompute). Remaining window
-# slots fill with already-stamped oracle-backed entries (tier 1).
+# entries), round 6: (1) queries that are NEW or whose oracle/behavior
+# CHANGED this round (fastRP gate, real WAV/PPM decode, k-core oracle
+# depth now tied to the engine constant, temperature-resample rounded
+# acceptance boundary, MMR rounded selection key, PPR source validation);
+# (2) stale-stamp rotation — 133 of 183 queries carried an r1-r4 stamp
+# into r6, so the remaining 43 slots go to the OLDEST (round-1) stamps,
+# re-verifying the relational/graph/function families against current
+# code. The leftover r1 trio (union_all_names, union_names,
+# unwind_part_words) + the r2-r4 cohort rotate in next round.
 _PRIORITY = (
-    # the 4 r04 err rows — array outputs now stringified
-    "cypher_call_simple_paths", "cypher_call_spanning_tree",
-    "cypher_call_path_expand", "cypher_call_byhop",
-    # new CALL route + e2e roundtrip
-    "cypher_apoc_import",
-    # formerly rows-only, now oracle-backed
-    "graph_label_propagation", "graph_louvain_supplier_communities",
-    "hybrid_mmr",
-    # new driver-visible ANN recall gates
-    "ann_kmeans_recall", "ann_lsh_recall", "ann_hnsw_recall",
-    # formerly rows-only, now oracle-backed (simhash pair mining is
-    # md5-deterministic; Kalman recurrences as recursive CTEs)
-    "dedup_simhash_pairs", "dedup_embedding_lsh_recall",
-    "kalman_smooth", "kalman_velocity", "kalman_adaptive",
-    # new data-recipe operators (beyond-reference LLM-pipeline family)
-    "corpus_temperature_resample", "corpus_mixture_plan",
-    "corpus_split_contamination",
-    # product-quantization ANN (compression path) + its gate
-    "ann_pq_recall", "ann_pq",
-    # personalized PageRank (GDS sourceNodes config), unrolled-CTE oracle
+    # new or changed this round
+    "graph_fastrp_gate", "multimodal_decode", "graph_kcore",
+    "corpus_temperature_resample", "hybrid_mmr",
     "graph_pagerank_personalized", "cypher_call_ppr",
-    # triangle count + clustering coefficient (compact-forward), k-core
-    "graph_triangle_count_suppliers", "graph_kcore",
-    # louvain convergence fix changed community outputs → re-stamp
-    "cypher_call_louvain",
-    # link-prediction per-neighbor contribution precompute → re-stamp
-    "graph_link_prediction_suppliers", "cypher_call_link_prediction",
-    "cypher_call_lp_predict", "cypher_call_lp_ensemble",
+    # oldest stamps (round 1) — relational core
+    "case_acctbal_bands", "collect_segments_per_nation",
+    "count_distinct_per_segment", "date_functions", "distinct_segments",
+    "exists_customers_with_orders", "having_frequent_customers",
+    "higher_order_list_ops", "in_list_nations",
+    "join_customer_nation_region", "list_functions", "math_functions",
+    "not_exists_customers_without_orders", "null_handling",
+    "optional_match_order_counts", "order_count_by_status",
+    "order_skip_limit", "q1_pricing_summary", "q3_top_unshipped_revenue",
+    "q5_revenue_by_nation", "quantity_percentiles",
+    "regex_match_customers", "stats_by_brand", "string_functions",
+    "string_predicates", "top_acctbal_customers",
+    "topk_orders_per_priority", "window_lag_running_sum",
+    # oldest stamps (round 1) — graph pattern + algorithm family
+    "graph_all_shortest_paths_customer_parts", "graph_astar_customer_region",
+    "graph_betweenness_nation_region", "graph_closeness_nation_region",
+    "graph_customer_parts_2hop", "graph_dijkstra_customer_parts",
+    "graph_exists_parts_with_suppliers", "graph_khop_supplier",
+    "graph_optional_match_nation_suppliers", "graph_order_degrees",
+    "graph_orders_per_customer", "graph_shortest_path_supplier_region",
+    "graph_suppliers_per_region", "graph_undirected_nation_neighbors",
+    "graph_var_length_reach",
 )
 
 
