@@ -166,6 +166,40 @@ class PropertyGraph:
             self._memo[key] = builder()
         return self._memo[key]
 
+    def release(self) -> None:
+        """Unpersist every resident artifact of this graph instance — the
+        shared adjacency, the lean/encoded pair sets, typed pair memos,
+        and every :meth:`memo` value. For engine shutdown (a user of the
+        reference closes the DB and its adjacency maps go away too); live
+        operators must not be mid-flight."""
+        from nornicdb_spark.operators.scope import _plan_rdd, _unpersist
+
+        def _free(obj):
+            if isinstance(obj, DataFrame):
+                jrdd = _plan_rdd(obj)
+                if jrdd is not None:
+                    _unpersist(jrdd)
+            elif isinstance(obj, tuple):
+                for x in obj:
+                    _free(x)
+
+        for frame in (
+            self._adj,
+            getattr(self, "_adj_pairs", None),
+            getattr(self, "_adj_pairs_enc", None),
+        ):
+            if frame is not None:
+                _free(frame)
+        for frame in getattr(self, "_typed_pairs", {}).values():
+            _free(frame)
+        for value in self._memo.values():
+            _free(value)
+        self._adj = None
+        self._adj_pairs = None
+        self._adj_pairs_enc = None
+        self._typed_pairs = {}
+        self._memo.clear()
+
     def adj(self) -> DataFrame:
         """Materialized adjacency: the full edge set hash-partitioned by
         ``src`` and checkpointed, built lazily ONCE per graph instance and

@@ -168,8 +168,14 @@ class Binding:
 
 
 class Compiler:
-    def __init__(self, catalog: Catalog, params: dict | None = None, store=None):
+    def __init__(self, catalog: Catalog, params: dict | None = None, store=None,
+                 ckpt_sink: list | None = None):
         self.cat = catalog
+        # row-tag / export checkpoints created while compiling — the
+        # caller (Engine) ties their release to the compiled plan's
+        # lifetime (result-cache entry eviction / deferred escape).
+        # Inner compilers share the outermost sink.
+        self.ckpts: list = ckpt_sink if ckpt_sink is not None else []
         self.graph = catalog.graph
         self.params = params or {}
         self.store = store  # GraphStore for write clauses / post-write reads
@@ -186,12 +192,22 @@ class Compiler:
         self._paths: dict[str, dict] = {}  # named-path accessors
         self._anon = itertools.count()
 
+    def _sink_ckpt(self, df: DataFrame, eager: bool = True) -> DataFrame:
+        """localCheckpoint whose blocks are tied to the compiled plan's
+        lifetime: the Engine escapes them to the bounded session registry
+        when the plan leaves its result cache (or immediately after a
+        write-query compile) — row-tag and merge frames otherwise pin
+        their blocks for the whole session."""
+        out = df.localCheckpoint(eager=eager)
+        self.ckpts.append(out)
+        return out
+
     # ---- top level ------------------------------------------------------
 
     def compile(self, q: A.Query) -> DataFrame:
         df = self._compile_single(q)
         for is_all, rhs in q.unions:
-            rdf = Compiler(self.cat, self.params, store=self.store)._compile_single(rhs)
+            rdf = Compiler(self.cat, self.params, store=self.store, ckpt_sink=self.ckpts)._compile_single(rhs)
             df = df.unionByName(rdf)
             if not is_all:
                 df = df.distinct()
@@ -288,7 +304,7 @@ class Compiler:
             and first.limit is None
         ):
             return self._compile_correlated_call(c, first)
-        inner = Compiler(self.cat, self.params, store=self.store)
+        inner = Compiler(self.cat, self.params, store=self.store, ckpt_sink=self.ckpts)
         result = inner._compile_single(c.query)
         self.stats.add(
             nodes_created=inner.stats.nodes_created,
@@ -330,7 +346,7 @@ class Compiler:
         for k, tag in corr.items():
             import_frame = import_frame.withColumn(tag, F.col(f"`{k}`"))
 
-        inner = Compiler(self.cat, self.params, store=self.store)
+        inner = Compiler(self.cat, self.params, store=self.store, ckpt_sink=self.ckpts)
         inner.frame = import_frame
         inner.bindings = {v: self.bindings[v] for v in import_vars}
         inner._carry = list(corr.values())
@@ -428,9 +444,9 @@ class Compiler:
             # (edge-prop padding, prior OPTIONAL MATCH) and cross-multiply
             # duplicate lhs rows, so tag each row with a checkpointed id and
             # left-join the optional extension on the tag alone.
-            tagged = self.frame.withColumn(
-                "_row_id", F.monotonically_increasing_id()
-            ).localCheckpoint(eager=True)
+            tagged = self._sink_ckpt(
+                self.frame.withColumn("_row_id", F.monotonically_increasing_id())
+            )
             lhs_cols = [c for c in tagged.columns if c != "_row_id"]
             saved = dict(self.bindings)
             self.frame = tagged
@@ -545,9 +561,9 @@ class Compiler:
         """Run one pattern subquery per current row (row-tag machinery);
         returns the AST replacement expression."""
         name = self._fresh("_sq")
-        tagged = self.frame.withColumn(
-            "_row_id", F.monotonically_increasing_id()
-        ).localCheckpoint(eager=True)
+        tagged = self._sink_ckpt(
+            self.frame.withColumn("_row_id", F.monotonically_increasing_id())
+        )
         saved_bindings = dict(self.bindings)
         self.frame = tagged
 
@@ -612,9 +628,9 @@ class Compiler:
         with the subquery pattern, keep/drop rows with ≥1 extension. The
         tag is checkpointed so monotonically_increasing_id never recomputes
         differently across the two plan branches."""
-        tagged = self.frame.withColumn(
-            "_row_id", F.monotonically_increasing_id()
-        ).localCheckpoint(eager=True)
+        tagged = self._sink_ckpt(
+            self.frame.withColumn("_row_id", F.monotonically_increasing_id())
+        )
         saved_bindings = dict(self.bindings)
         self.frame = tagged
         for path in ex.paths:
@@ -1870,10 +1886,10 @@ class Compiler:
 
         stmt = self._py_value(args[0])
         path = self._py_value(args[1])
-        inner = Compiler(self.cat, self.params, store=self.store)
+        inner = Compiler(self.cat, self.params, store=self.store, ckpt_sink=self.ckpts)
         # checkpoint once: the count and the file write share one
         # execution of the (possibly expensive) inner plan
-        df = inner._compile_single(parse(stmt)).localCheckpoint(eager=False)
+        df = self._sink_ckpt(inner._compile_single(parse(stmt)), eager=False)
         n = df.count()
         (export_json if fmt == "json" else export_csv)(df, path)
         return self.cat.spark.createDataFrame(
@@ -1903,7 +1919,7 @@ class Compiler:
         )
         # checkpoint the dump once: a single agg yields both counts and
         # the write reuses the same materialization (three jobs -> two)
-        dump = nodes.unionByName(edges).localCheckpoint(eager=False)
+        dump = self._sink_ckpt(nodes.unionByName(edges), eager=False)
         counts = {
             r["kind"]: r["n"]
             for r in dump.groupBy("kind").agg(
@@ -1959,7 +1975,8 @@ class Compiler:
         stmt = self._py_value(args[0])
         params = self._py_value(args[1]) if len(args) > 1 else {}
         inner = Compiler(
-            self.cat, {**self.params, **(params or {})}, store=self.store
+            self.cat, {**self.params, **(params or {})}, store=self.store,
+            ckpt_sink=self.ckpts,
         )
         result = inner._compile_single(parse(stmt))
         self.stats.add(
@@ -1986,7 +2003,8 @@ class Compiler:
         out = []
         for i, stmt in enumerate(stmts):
             inner = Compiler(
-                self.cat, {**self.params, **(params or {})}, store=self.store
+                self.cat, {**self.params, **(params or {})}, store=self.store,
+                ckpt_sink=self.ckpts,
             )
             df = inner._compile_single(parse(stmt))
             n = df.count()
@@ -2018,7 +2036,7 @@ class Compiler:
         action_q = self._py_value(args[1])
         config = self._py_value(args[2]) if len(args) > 2 else {}
         batch_size = int((config or {}).get("batchSize", 1000)) or 1
-        outer = Compiler(self.cat, self.params, store=self.store)
+        outer = Compiler(self.cat, self.params, store=self.store, ckpt_sink=self.ckpts)
         rows = outer._compile_single(parse(iterate_q)).collect()
         total, failed, failed_batches = len(rows), 0, 0
         batches = (total + batch_size - 1) // batch_size
@@ -2037,7 +2055,7 @@ class Compiler:
                     "_batch": [r.asDict(recursive=True) for r in chunk],
                 }
                 try:
-                    inner = Compiler(self.cat, params, store=self.store)
+                    inner = Compiler(self.cat, params, store=self.store, ckpt_sink=self.ckpts)
                     df = inner._compile_single(parse(batched_q))
                     if inner._wrote:
                         self._wrote = True
@@ -2079,7 +2097,8 @@ class Compiler:
         total, executions = 0, 0
         for _ in range(10000):  # hard backstop, same spirit as the ref loop
             inner = Compiler(
-                self.cat, {**self.params, **params}, store=self.store
+                self.cat, {**self.params, **params}, store=self.store,
+                ckpt_sink=self.ckpts,
             )
             inner._compile_single(parse(stmt))
             executions += 1
@@ -2272,7 +2291,7 @@ class Compiler:
                 f"_cr_{key}", F.lit(base) + F.monotonically_increasing_id()
             )
             names.append(key)
-        aug = aug.localCheckpoint(eager=True)
+        aug = self._sink_ckpt(aug)
         rows = aug.select(*[F.col(f"_cr_{k}").alias(k) for k in names])
         n = self.store.create_nodes_bulk(label, rows)
         self.stats.add(nodes_created=n)
@@ -2550,8 +2569,8 @@ class Compiler:
                 .select("src", "dst")
                 .join(pairs, ["src", "dst"])
                 .distinct()
-                .localCheckpoint(eager=True)
             )
+            existing_pairs = self._sink_ckpt(existing_pairs)
             missing = pairs.join(existing_pairs, ["src", "dst"], "left_anti")
             n_new = self.store.create_edge(missing, etype, eprops)
             self.stats.add(relationships_created=n_new)

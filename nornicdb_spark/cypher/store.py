@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from nornicdb_spark.catalog import NODE_SPECS, Catalog, node_id
+from nornicdb_spark.operators.scope import escape_frame
 
 LABEL_TABLES = {label: (table, key) for label, table, key in NODE_SPECS}
 
@@ -48,6 +49,25 @@ class GraphStore:
             self.tables.setdefault(table, self.catalog.table(table))
         if self.edges is None:
             self.edges = self.catalog.graph.edges
+        # every version checkpoint this store creates, in creation order —
+        # released on close(); intermediate versions cannot be freed
+        # eagerly because a superseding version may be a LAZY rewrite over
+        # them (set_props/delete_nodes swap in un-materialized plans)
+        self._ckpts: list[DataFrame] = []
+
+    def _ckpt(self, df: DataFrame) -> DataFrame:
+        """Eager version checkpoint, tracked for close()."""
+        out = df.localCheckpoint(eager=True)
+        self._ckpts.append(out)
+        return out
+
+    def close(self) -> None:
+        """Release every version checkpoint via the deferred session
+        registry (consumers may still hold lazy plans over late
+        versions — the bounded registry frees them safely later)."""
+        for df in self._ckpts:
+            escape_frame(df)
+        self._ckpts.clear()
 
     # ---- store-aware graph views ----------------------------------------
 
@@ -165,7 +185,7 @@ class GraphStore:
             merged = df.unionByName(aligned)
         else:
             merged = df.unionByName(rows, allowMissingColumns=True)
-        self.tables[table] = merged.localCheckpoint(eager=True)
+        self.tables[table] = self._ckpt(merged)
         return n
 
     def create_edge(self, pairs: DataFrame, etype: str, props: dict | None = None) -> int:
@@ -200,9 +220,9 @@ class GraphStore:
                 cols.append(F.lit(v).alias(c))
         new = pairs.select(*cols)
         n = new.count()
-        self.edges = self.edges.unionByName(
-            new, allowMissingColumns=True
-        ).localCheckpoint(eager=True)
+        self.edges = self._ckpt(
+            self.edges.unionByName(new, allowMissingColumns=True)
+        )
         return n
 
     def set_edge_props(
@@ -224,7 +244,7 @@ class GraphStore:
         keep = list(self.edges.columns) + [
             c for c in assignments if c not in self.edges.columns
         ]
-        self.edges = out.select(*keep).localCheckpoint(eager=True)
+        self.edges = self._ckpt(out.select(*keep))
         return n
 
     def set_props(
@@ -250,7 +270,7 @@ class GraphStore:
 
     def delete_nodes(self, label: str, target_ids: DataFrame, detach: bool) -> tuple[int, int]:
         table, key, df = self.table_for(label)
-        ids = target_ids.select(F.col("_target_id")).distinct().localCheckpoint(eager=True)
+        ids = self._ckpt(target_ids.select(F.col("_target_id")).distinct())
         touching = self.edges.join(
             ids, (self.edges.src == F.col("_target_id")) | (self.edges.dst == F.col("_target_id")),
             "left_semi",
@@ -263,10 +283,10 @@ class GraphStore:
                 )
         else:
             n_edges = touching.count()
-            self.edges = (
+            self.edges = self._ckpt(
                 self.edges.join(ids, self.edges.src == F.col("_target_id"), "left_anti")
                 .join(ids, F.col("dst") == F.col("_target_id"), "left_anti")
-            ).localCheckpoint(eager=True)
+            )
         n_nodes = ids.count()
         self.tables[table] = df.join(
             ids, node_id(label, key) == F.col("_target_id"), "left_anti"

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from nornicdb_spark.catalog import Catalog
 from nornicdb_spark.cypher.compiler import compile_cypher
 from nornicdb_spark.cypher.parser import parse
+from nornicdb_spark.operators import scope
 
 # Parse-tree memo (reference QueryPlanCache(500) + analyzer AST cache,
 # executor.go:188-199): the AST is immutable once built — the compiler
@@ -156,13 +157,41 @@ class Engine:
             cache_key = (query, pkey, self._store_snapshot())
             hit = self._result_cache.get(cache_key)
             if hit is not None:
-                return hit
-        df = Compiler(self.catalog, params, store=self.store).compile(ast)
+                return hit[0]
+        compiler = Compiler(self.catalog, params, store=self.store)
+        df = compiler.compile(ast)
+        # compile-time checkpoint blocks (row tags, merge/export frames)
+        # live exactly as long as the compiled plan can be re-served: with
+        # its result-cache entry, else (write queries — never cached) they
+        # move straight to the deferred-release session registry
         if cache_key is not None:
             if len(self._result_cache) >= self.RESULT_CACHE_CAP:
-                self._result_cache.pop(next(iter(self._result_cache)))
-            self._result_cache[cache_key] = df
+                _old_df, old_ckpts = self._result_cache.pop(
+                    next(iter(self._result_cache))
+                )
+                for f in old_ckpts:
+                    scope.escape_frame(f)
+            self._result_cache[cache_key] = (df, compiler.ckpts)
+        else:
+            for f in compiler.ckpts:
+                scope.escape_frame(f)
         return df
+
+    def close(self) -> None:
+        """Release this Engine's session-lifetime block-manager state: the
+        mutable store's version checkpoints, every cached compiled plan's
+        row-tag checkpoints, and the process-wide escape registry (the
+        Spark analogue of the reference's cache lifecycle,
+        executor.go:659-692). The shared read catalog (adjacency, memoized
+        bases) is deliberately left resident — it is shared across
+        Engines; release it with :func:`shutdown`."""
+        for _df, ckpts in self._result_cache.values():
+            for f in ckpts:
+                scope.escape_frame(f)
+        self._result_cache.clear()
+        if self._store is not None:
+            self._store.close()
+        scope.release_escaped()
 
     def _store_snapshot(self):
         """Identity snapshot of the mutable store — every write swaps in
@@ -183,6 +212,30 @@ class Engine:
             # gds.graph.list / fastRP.stats return
             tuple(sorted(DEFAULT_CATALOG._graphs)),
         )
+
+    def shutdown(self) -> None:
+        """Full release: :meth:`close` plus every process-shared resident
+        artifact — shared catalogs' adjacency/memo checkpoints, shared
+        BM25 indexes, gds projections. After this, block-manager storage
+        from this engine family is empty (tests assert it); the next query
+        rebuilds the working set lazily."""
+        from nornicdb_spark.catalog import _SHARED_CATALOGS
+        from nornicdb_spark.projections import DEFAULT_CATALOG
+        from nornicdb_spark.search import bm25
+
+        self.close()
+        for cat in _SHARED_CATALOGS.values():
+            g = cat.__dict__.get("graph")  # cached_property: only if built
+            if g is not None:
+                g.release()
+            cat.__dict__.pop("graph", None)
+        _SHARED_CATALOGS.clear()
+        for name in list(DEFAULT_CATALOG._graphs):
+            DEFAULT_CATALOG.drop(name)
+        for idx in bm25._SHARED_INDEXES.values():
+            scope.escape_frame(idx.postings)
+        bm25._SHARED_INDEXES.clear()
+        scope.release_escaped()
 
     def explain(self, query: str, params: dict | None = None) -> str:
         """EXPLAIN (reference explain.go:37-63): parsed clause summary +

@@ -18,6 +18,8 @@ import warnings
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from nornicdb_spark.operators.scope import CkptScope
+
 
 def degrees(graph) -> DataFrame:
     """Per-node in/out/total degree (reference fn degree/inDegree/outDegree,
@@ -37,12 +39,72 @@ def degrees(graph) -> DataFrame:
     )
 
 
+def _typed_pair_edges(graph, rel_types: tuple[str, ...], encoded: bool) -> DataFrame:
+    """Lean (src, dst) edge set for the given rel types, long-encoded when
+    the graph supports it — STATIC per (graph, rel_types): memoized like
+    the shared adjacency (bounded by the type vocabulary), so repeated
+    iterative calls neither rescan parquet nor leak per-invocation
+    checkpoint blocks."""
+    if not rel_types:
+        return graph.adj_pairs_encoded() if encoded else graph.adj_pairs()
+
+    def build():
+        e = graph.edges_by_type(*rel_types)
+        if encoded:
+            e = e.select(
+                graph.encode_id(F.col("src")).alias("src"),
+                graph.encode_id(F.col("dst")).alias("dst"),
+            )
+        else:
+            e = e.select("src", "dst")
+        return e.localCheckpoint(eager=True)
+
+    return graph.memo(("typed_pairs", tuple(rel_types), encoded), build)
+
+
+_SIZE_SUFFIX = {
+    "b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30, "t": 1 << 40, "tb": 1 << 40,
+}
+
+
+def _parse_byte_conf(raw: str) -> int:
+    """Spark byte-string config value ('67108864', '10m', '64MB', '-1')
+    → bytes (negative = feature disabled)."""
+    s = str(raw).strip().lower()
+    for suffix in sorted(_SIZE_SUFFIX, key=len, reverse=True):
+        if s.endswith(suffix):
+            return int(float(s[: -len(suffix)]) * _SIZE_SUFFIX[suffix])
+    return int(float(s))
+
+
+def broadcast_node_ceiling(graph, override: int | None = None) -> int:
+    """Max node count whose per-node rank state still fits the session's
+    broadcast budget. Derived from ``spark.sql.autoBroadcastJoinThreshold``
+    (≈16 B per state row: 8 B long id + 8 B double) instead of a hardcoded
+    row count, so the same code broadcasts ~4M nodes at the default 64 MB
+    threshold and falls back to Catalyst's shuffle join on graphs/clusters
+    where broadcasting O(V) state is exactly what does not scale.
+    ``override`` (the operators' ``broadcast_state_max_nodes`` kwarg) pins
+    the ceiling explicitly; threshold ≤ 0 (broadcast disabled) ⇒ 0."""
+    if override is not None:
+        return override
+    try:
+        raw = graph.nodes.sparkSession.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold", "67108864"
+        )
+        threshold = _parse_byte_conf(raw)
+    except Exception:  # pragma: no cover - conf plumbing guard
+        threshold = 64 << 20
+    return max(0, threshold // 16)
+
+
 def pagerank(
     graph,
     iterations: int = 10,
     damping: float = 0.85,
     rel_types: tuple[str, ...] = (),
-    broadcast_state_max_nodes: int = 50_000_000,
+    broadcast_state_max_nodes: int | None = None,
 ) -> DataFrame:
     """PageRank by power iteration (reference apoc.algo.pageRank,
     apoc_algorithms.go:252-307 — same formulation: rank = (1-d)/N +
@@ -73,21 +135,9 @@ def pagerank(
     # under any 1:1 re-keying of node ids, so the whole iteration loop
     # shuffles 8-byte longs and only the final projection decodes back to
     # string ids.
+    scope = CkptScope()  # frees per-invocation checkpoint blocks on exit
     encoded = graph.numeric_keys
-    if rel_types:
-        e = graph.edges_by_type(*rel_types)
-        if encoded:
-            e = e.select(
-                graph.encode_id(F.col("src")).alias("src"),
-                graph.encode_id(F.col("dst")).alias("dst"),
-            )
-        else:
-            e = e.select("src", "dst")
-        edges = e.localCheckpoint(eager=True)
-    elif encoded:
-        edges = graph.adj_pairs_encoded()
-    else:
-        edges = graph.adj_pairs()
+    edges = _typed_pair_edges(graph, rel_types, encoded)
     if encoded:
         nodes = graph.nodes.select(graph.encode_id(F.col("id")).alias("id"))
     else:
@@ -111,7 +161,11 @@ def pagerank(
     if n == 0:
         return nodes.withColumn("pagerank", F.lit(0.0))
 
-    maybe_bcast = F.broadcast if n <= broadcast_state_max_nodes else (lambda df: df)
+    maybe_bcast = (
+        F.broadcast
+        if n <= broadcast_node_ceiling(graph, broadcast_state_max_nodes)
+        else (lambda df: df)
+    )
     emitters = base.filter(F.col("out_degree").isNotNull())
 
     def rank_expr(contrib_col, s_col):
@@ -135,7 +189,8 @@ def pagerank(
                 .withColumn("rank", rank_expr(F.col("contrib"), F.col("s")))
                 .select("id", "out_degree", "rank")
             )
-        contribs = (
+        contribs = scope.roll(
+            contribs,
             maybe_bcast(
                 ranks.select(
                     "id", (F.col("rank") / F.col("out_degree")).alias("c")
@@ -143,8 +198,7 @@ def pagerank(
             )
             .join(edges, F.col("id") == edges.src)
             .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum("c").alias("contrib"))
-            .localCheckpoint(eager=True)
+            .agg(F.sum("c").alias("contrib")),
         )
 
     if contribs is None:  # iterations == 0
@@ -158,7 +212,9 @@ def pagerank(
         )
     if encoded:
         out = out.select(graph.decode_id(F.col("id")).alias("id"), "pagerank")
-    return out
+    # the lazy result still reads the final contribs frame: it escapes to
+    # the session registry; every superseded round's blocks are freed here
+    return scope.finish(out, keep=() if contribs is None else (contribs,))
 
 
 def personalized_pagerank(
@@ -167,7 +223,7 @@ def personalized_pagerank(
     iterations: int = 5,
     damping: float = 0.85,
     rel_types: tuple[str, ...] = (),
-    broadcast_state_max_nodes: int = 50_000_000,
+    broadcast_state_max_nodes: int | None = None,
 ) -> DataFrame:
     """Personalized PageRank (the GDS pageRank sourceNodes config):
     teleport AND dangling mass go to the source distribution p
@@ -179,21 +235,9 @@ def personalized_pagerank(
     rides in the static base, so personalization adds no per-iteration
     joins. ``sources``: DataFrame with an ``id`` column.
     Returns (id, pagerank)."""
+    scope = CkptScope()  # frees per-invocation checkpoint blocks on exit
     encoded = graph.numeric_keys
-    if rel_types:
-        e = graph.edges_by_type(*rel_types)
-        if encoded:
-            e = e.select(
-                graph.encode_id(F.col("src")).alias("src"),
-                graph.encode_id(F.col("dst")).alias("dst"),
-            )
-        else:
-            e = e.select("src", "dst")
-        edges = e.localCheckpoint(eager=True)
-    elif encoded:
-        edges = graph.adj_pairs_encoded()
-    else:
-        edges = graph.adj_pairs()
+    edges = _typed_pair_edges(graph, rel_types, encoded)
     nodes = graph.nodes.select("id")
     src = sources.select("id").distinct()
     if encoded:
@@ -204,7 +248,7 @@ def personalized_pagerank(
     # rank mass every iteration. GDS fails fast on unknown sourceNodes;
     # we do the same (one cheap semi-join + count at setup time).
     n_raw = src.count()
-    src = src.join(nodes, "id", "left_semi").localCheckpoint(eager=True)
+    src = scope.ckpt(src.join(nodes, "id", "left_semi"))
     n_src = src.count()
     if n_src != n_raw:
         raise ValueError(
@@ -212,7 +256,9 @@ def personalized_pagerank(
             "are not nodes of the graph (GDS sourceNodes validation)"
         )
     if n_src == 0:
-        return graph.nodes.select("id").withColumn("pagerank", F.lit(0.0))
+        return scope.finish(
+            graph.nodes.select("id").withColumn("pagerank", F.lit(0.0))
+        )
 
     out_deg = edges.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("out_degree")
@@ -227,10 +273,15 @@ def personalized_pagerank(
             ),
         )
         .select("id", "out_degree", "p")
-        .localCheckpoint(eager=True)
     )
+    base = scope.ckpt(base)
+    scope.release(src)  # folded into base — dead from here on
     n = graph.nodes.count()
-    maybe_bcast = F.broadcast if n <= broadcast_state_max_nodes else (lambda df: df)
+    maybe_bcast = (
+        F.broadcast
+        if n <= broadcast_node_ceiling(graph, broadcast_state_max_nodes)
+        else (lambda df: df)
+    )
     emitters = base.filter(F.col("out_degree").isNotNull())
 
     def rank_expr(contrib_col, s_col):
@@ -254,7 +305,8 @@ def personalized_pagerank(
                 .withColumn("rank", rank_expr(F.col("contrib"), F.col("s")))
                 .select("id", "out_degree", "rank")
             )
-        contribs = (
+        contribs = scope.roll(
+            contribs,
             maybe_bcast(
                 ranks.select(
                     "id", (F.col("rank") / F.col("out_degree")).alias("c")
@@ -262,8 +314,7 @@ def personalized_pagerank(
             )
             .join(edges, F.col("id") == edges.src)
             .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum("c").alias("contrib"))
-            .localCheckpoint(eager=True)
+            .agg(F.sum("c").alias("contrib")),
         )
 
     if contribs is None:
@@ -277,7 +328,25 @@ def personalized_pagerank(
         )
     if encoded:
         out = out.select(graph.decode_id(F.col("id")).alias("id"), "pagerank")
-    return out
+    keep = (base,) if contribs is None else (base, contribs)
+    return scope.finish(out, keep=keep)
+
+
+def _undirected_pairs(graph, distinct: bool) -> DataFrame:
+    """Symmetrized (src, dst) pair set, src-partitioned and checkpointed —
+    STATIC per graph, memoized alongside the shared adjacency (wcc wants
+    the distinct closure; LPA keeps parallel-edge multiplicity)."""
+
+    def build():
+        adj = graph.adj_pairs()
+        und = adj.unionByName(
+            adj.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        if distinct:
+            und = und.distinct()
+        return und.repartition("src").localCheckpoint(eager=True)
+
+    return graph.memo(("und_pairs", distinct), build)
 
 
 def connected_components(graph, max_iterations: int = 30) -> DataFrame:
@@ -288,15 +357,10 @@ def connected_components(graph, max_iterations: int = 30) -> DataFrame:
     Iterative min-label propagation over the undirected edge set until
     fixpoint — O(diameter) shuffles.
     """
-    adj = graph.adj_pairs()  # shared lean adjacency — no parquet rescan
-    und = (
-        adj.unionByName(
-            adj.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
-    ).repartition("src").localCheckpoint(eager=True)  # static across iterations
+    scope = CkptScope()
+    und = _undirected_pairs(graph, distinct=True)  # static, memoized
     labels = graph.nodes.select("id", F.col("id").alias("component"))
-    labels = labels.localCheckpoint(eager=True)
+    labels = scope.ckpt(labels)
 
     for _ in range(max_iterations):
         neighbor_min = (
@@ -318,12 +382,13 @@ def connected_components(graph, max_iterations: int = 30) -> DataFrame:
         n_changed = updated.filter(
             F.col("new_component") != F.col("component")
         ).count()
-        labels = updated.select(
-            "id", F.col("new_component").alias("component")
-        ).localCheckpoint(eager=True)
+        labels = scope.roll(
+            labels,
+            updated.select("id", F.col("new_component").alias("component")),
+        )
         if n_changed == 0:
             break
-    return labels
+    return scope.finish(labels, keep=(labels,))
 
 
 def label_propagation(graph, max_iterations: int = 10) -> DataFrame:
@@ -331,12 +396,10 @@ def label_propagation(graph, max_iterations: int = 10) -> DataFrame:
     apoc_community.go:225-329). Deterministic variant: each node adopts
     the most frequent neighbor label, ties broken by min label.
     Returns (id, community)."""
-    adj = graph.adj_pairs()
-    und = adj.unionByName(
-        adj.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).repartition("src").localCheckpoint(eager=True)  # static across iterations
+    scope = CkptScope()
+    und = _undirected_pairs(graph, distinct=False)  # static, memoized
     labels = graph.nodes.select("id", F.col("id").alias("community"))
-    labels = labels.localCheckpoint(eager=True)
+    labels = scope.ckpt(labels)
 
     for _ in range(max_iterations):
         counts = (
@@ -358,12 +421,12 @@ def label_propagation(graph, max_iterations: int = 10) -> DataFrame:
             "next", F.coalesce(F.col("new_community"), F.col("community"))
         )
         n_changed = updated.filter(F.col("next") != F.col("community")).count()
-        labels = updated.select("id", F.col("next").alias("community")).localCheckpoint(
-            eager=True
+        labels = scope.roll(
+            labels, updated.select("id", F.col("next").alias("community"))
         )
         if n_changed == 0:
             break
-    return labels
+    return scope.finish(labels, keep=(labels,))
 
 
 def common_neighbors(
@@ -552,12 +615,16 @@ def weighted_shortest_paths(
     if encoded:
         start = start.select(graph.encode_id(F.col("id")).alias("id"))
 
+    scope = CkptScope()
     state = [F.lit(0.0).alias("cost")]
     if with_paths:
         state.append(F.array(F.col("id")).alias("node_path"))
-    best = start.select(
-        F.col("id").alias("start_id"), F.col("id").alias("end_id"), *state
-    ).localCheckpoint(eager=True)
+    best = scope.ckpt(
+        start.select(
+            F.col("id").alias("start_id"), F.col("id").alias("end_id"), *state
+        )
+    )
+    support = best  # the checkpointed frame the current `best` plan reads
     frontier = best
 
     def min_agg(df: DataFrame) -> DataFrame:
@@ -595,9 +662,12 @@ def weighted_shortest_paths(
         # lazy checkpoint + count = ONE job per round: the improved-count
         # action both materializes the checkpoint and decides termination
         # (an eager checkpoint followed by isEmpty would be two)
-        merged = cand.join(
-            best.select(*old_cols), ["start_id", "end_id"], "full_outer"
-        ).localCheckpoint(eager=False)
+        merged = scope.ckpt(
+            cand.join(
+                best.select(*old_cols), ["start_id", "end_id"], "full_outer"
+            ),
+            eager=False,
+        )
         is_better = F.col("old_cost").isNull() | (
             F.col("cost") < F.col("old_cost")
         )
@@ -605,6 +675,7 @@ def weighted_shortest_paths(
             F.col("cost").isNotNull() & is_better
         ).select(*carry)
         if improved.count() == 0:
+            scope.release(merged)  # best never adopted this round's merge
             break
         keep_new = F.col("cost").isNotNull() & is_better
         settle = [
@@ -619,6 +690,8 @@ def weighted_shortest_paths(
                 .alias("node_path")
             )
         best = merged.select(*settle)  # lazy over the checkpoint — no 2nd job
+        scope.release(support)  # superseded: best now reads this round's merge
+        support = merged
         frontier = improved
 
     out = best.select(*carry)
@@ -628,7 +701,7 @@ def weighted_shortest_paths(
             graph.decode_id(F.col("end_id")).alias("end_id"),
             "cost",
         )
-    return out
+    return scope.finish(out, keep=(support,))
 
 
 def astar_shortest_path(
@@ -650,14 +723,20 @@ def astar_shortest_path(
     ``heuristic``: DataFrame (id, h) — admissible lower bound on
     remaining cost to any target. Returns (start_id, end_id, cost).
     """
+    scope = CkptScope()
     e = _weighted_oriented_edges(graph, rel_types, "out", weight_col)
     h = heuristic.select(F.col("id").alias("end_id"), F.col("h").alias("h"))
     targets = target.select(F.col("id").alias("end_id")).distinct()
 
-    best = start.select(
-        F.col("id").alias("start_id"), F.col("id").alias("end_id"), F.lit(0.0).alias("cost")
-    ).localCheckpoint(eager=True)
+    best = scope.ckpt(
+        start.select(
+            F.col("id").alias("start_id"),
+            F.col("id").alias("end_id"),
+            F.lit(0.0).alias("cost"),
+        )
+    )
     frontier = best
+    prev_improved: DataFrame | None = None
 
     for _ in range(max_iterations):
         # current best-known cost to any target, per start (driver-small)
@@ -687,17 +766,25 @@ def astar_shortest_path(
             )
             .filter(F.col("old_cost").isNull() | (F.col("cost") < F.col("old_cost")))
             .select("start_id", "end_id", "cost")
-        ).localCheckpoint(eager=False)
+        )
+        improved = scope.ckpt(improved, eager=False)
         if improved.count() == 0:  # materializes the checkpoint too
+            scope.release(improved)
             break
-        best = (
+        best = scope.roll(
+            best,
             best.unionByName(improved)
             .groupBy("start_id", "end_id")
-            .agg(F.min("cost").alias("cost"))
-        ).localCheckpoint(eager=True)
+            .agg(F.min("cost").alias("cost")),
+        )
+        scope.release(prev_improved)  # folded into best two rounds running
+        prev_improved = improved
         frontier = improved
 
-    return best.join(targets, "end_id", "left_semi").select("start_id", "end_id", "cost")
+    out = best.join(targets, "end_id", "left_semi").select(
+        "start_id", "end_id", "cost"
+    )
+    return scope.finish(out, keep=(best,))
 
 
 def _weighted_oriented_edges(graph, rel_types, direction, weight_col,
@@ -783,33 +870,39 @@ def closeness_centrality(
     Intended for projected/label subgraphs; all-pairs state is
     O(|V|·reach) rows, partitioned by source.
     """
-    und = edges.select("src", "dst").unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().localCheckpoint(eager=True)  # static across BFS rounds
+    scope = CkptScope()
+    und = scope.ckpt(
+        edges.select("src", "dst").unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+    )  # static across BFS rounds
     n = nodes.count()
 
     visited = nodes.select(
         F.col("id").alias("s"), F.col("id").alias("v")
     ).withColumn("d", F.lit(0))
-    visited = visited.localCheckpoint(eager=True)
+    visited = scope.ckpt(visited)
     frontier = visited
     for depth in range(1, max_depth + 1):
-        nxt = (
+        nxt = scope.ckpt(
             frontier.join(und, frontier.v == und.src)
             .select("s", F.col("dst").alias("v"))
             .distinct()
             .join(visited.select("s", "v"), ["s", "v"], "left_anti")
-            .withColumn("d", F.lit(depth))
-        ).localCheckpoint(eager=False)
+            .withColumn("d", F.lit(depth)),
+            eager=False,
+        )
         if nxt.count() == 0:  # materializes the checkpoint too
+            scope.release(nxt)
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = scope.roll(visited, visited.unionByName(nxt))
+        scope.release(frontier)  # folded into visited (no-op round 1)
         frontier = nxt
 
     per_src = visited.filter(F.col("d") > 0).groupBy("s").agg(
         F.count(F.lit(1)).alias("reachable"), F.sum("d").alias("total_dist")
     )
-    return (
+    out = (
         nodes.select(F.col("id"))
         .join(per_src.select(F.col("s").alias("id"), "reachable", "total_dist"), "id", "left_outer")
         .select(
@@ -823,6 +916,7 @@ def closeness_centrality(
             .alias("score"),
         )
     )
+    return scope.finish(out, keep=(visited,))
 
 
 def betweenness_centrality(
@@ -853,7 +947,8 @@ def betweenness_centrality(
     scaled by n/k — the Brandes–Pich sampled estimator, unbiased over the
     source draw. Per-source BFS state drops from O(V·E) to O(k·E).
     """
-    e = edges.select("src", "dst").localCheckpoint(eager=True)  # both sweeps
+    scope = CkptScope()
+    e = scope.ckpt(edges.select("src", "dst"))  # static across both sweeps
     n = nodes.count()
 
     # ---- forward: per-(source, node) depth + path count σ -------------
@@ -869,23 +964,28 @@ def betweenness_centrality(
     frontier = sources.select(
         F.col("id").alias("s"), F.col("id").alias("v")
     ).withColumn("sigma", F.lit(1.0))
-    frontier = frontier.localCheckpoint(eager=True)
+    frontier = scope.ckpt(frontier)
     visited = frontier.select("s", "v")
+    prev_visited: DataFrame | None = None
     levels: list[DataFrame] = [frontier]
 
     for _ in range(1, max_depth + 1):
-        nxt = (
+        nxt = scope.ckpt(
             frontier.join(e, frontier.v == e.src)
             .select("s", F.col("dst").alias("v"), "sigma")
             .join(visited, ["s", "v"], "left_anti")
             .groupBy("s", "v")
-            .agg(F.sum("sigma").alias("sigma"))
-        ).localCheckpoint(eager=False)
+            .agg(F.sum("sigma").alias("sigma")),
+            eager=False,
+        )
         if nxt.count() == 0:  # materializes the checkpoint too
+            scope.release(nxt)
             break
-        visited = visited.unionByName(nxt.select("s", "v")).localCheckpoint(eager=True)
+        visited = scope.roll(prev_visited, visited.unionByName(nxt.select("s", "v")))
+        prev_visited = visited
         levels.append(nxt)
         frontier = nxt
+    scope.release(prev_visited)  # forward-sweep only
 
     # ---- backward: dependency accumulation, deepest level first -------
     deltas: list[DataFrame] = [None] * len(levels)
@@ -911,23 +1011,29 @@ def betweenness_centrality(
             .groupBy("s", "v")
             .agg(F.sum("c").alias("contrib"))
         )
-        deltas[i] = (
+        deltas[i] = scope.ckpt(
             levels[i]
             .join(contrib, ["s", "v"], "left_outer")
             .withColumn("delta", F.coalesce(F.col("contrib"), F.lit(0.0)))
             .select("s", "v", "sigma", "delta")
-        ).localCheckpoint(eager=True)
+        )
+        # levels[i] is folded into deltas[i]; only levels[-1] stays live
+        # (deltas[-1] is a lazy projection over it)
+        scope.release(levels[i])
 
     acc = deltas[0].filter(F.col("s") != F.col("v")).select("v", "delta")
     for d in deltas[1:]:
         acc = acc.unionByName(d.filter(F.col("s") != F.col("v")).select("v", "delta"))
     scores = acc.groupBy(F.col("v").alias("id")).agg(F.sum("delta").alias("score"))
     norm = (2.0 / ((n - 1) * (n - 2)) if (normalize and n > 2) else 1.0) * scale
-    return (
+    # per-node scores are O(|V|) — materialize them once and free the
+    # O(k·E) per-level sweep state the lazy plan would otherwise pin
+    out = scope.ckpt(
         nodes.select("id")
         .join(scores, "id", "left_outer")
         .select("id", (F.coalesce(F.col("score"), F.lit(0.0)) * F.lit(norm)).alias("score"))
     )
+    return scope.finish(out, keep=(out,))
 
 
 def louvain_communities(
@@ -954,19 +1060,22 @@ def louvain_communities(
         if weight_col
         else F.lit(1.0)
     )
+    scope = CkptScope()
     und = edges.select("src", "dst", w.alias("w")).filter(F.col("src") != F.col("dst"))
     und = und.unionByName(
         und.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
     )
-    und = und.localCheckpoint(eager=True)  # static across rounds
+    und = scope.ckpt(und)  # static across rounds
     if und.isEmpty():
-        return nodes.select("id", F.col("id").alias("community"))
+        return scope.finish(nodes.select("id", F.col("id").alias("community")))
     # 2m as a broadcast 1-row aggregate — same pattern as pagerank's
     # dangling mass; no mid-pipeline driver collect
     two_m_df = F.broadcast(und.agg(F.sum("w").alias("_two_m")))
 
-    k = und.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("k")).localCheckpoint(eager=True)
-    comm = nodes.select("id", F.col("id").alias("community")).localCheckpoint(eager=True)
+    k = scope.ckpt(
+        und.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("k"))
+    )
+    comm = scope.ckpt(nodes.select("id", F.col("id").alias("community")))
 
     stalled = 0
     for rnd in range(2 * max_iterations):
@@ -1061,8 +1170,8 @@ def louvain_communities(
             )
         )
         n_moved = updated.filter(F.col("next") != F.col("community")).count()
-        comm = updated.select("id", F.col("next").alias("community")).localCheckpoint(
-            eager=True
+        comm = scope.roll(
+            comm, updated.select("id", F.col("next").alias("community"))
         )
         # converged only when BOTH parity classes pass without a move
         stalled = stalled + 1 if n_moved == 0 else 0
@@ -1071,7 +1180,10 @@ def louvain_communities(
 
     # canonical community id = min member id (stable across runs)
     canon = comm.groupBy("community").agg(F.min("id").alias("canon"))
-    return comm.join(canon, "community").select("id", F.col("canon").alias("community"))
+    out = comm.join(canon, "community").select(
+        "id", F.col("canon").alias("community")
+    )
+    return scope.finish(out, keep=(comm,))
 
 
 def fastrp_embeddings(
@@ -1093,14 +1205,17 @@ def fastrp_embeddings(
     join + groupBy(dst, d) — pure shuffle ops that scale to 100 TB, no
     per-row Python.
     """
+    scope = CkptScope()
     und = (
         graph.edges_by_type(*rel_types).select("src", "dst")
         if rel_types
         else graph.adj_pairs()
     )
-    und = und.unionByName(
-        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)  # static across layers
+    und = scope.ckpt(
+        und.unionByName(
+            und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    )  # static across layers
 
     dims = F.explode(F.sequence(F.lit(0), F.lit(dim - 1))).alias("d")
     h = F.pmod(F.xxhash64(F.col("id"), F.col("d"), F.lit(seed)), F.lit(6))
@@ -1117,8 +1232,11 @@ def fastrp_embeddings(
             .alias("val"),
         )
     )
-    cur = _l2_normalize(cur).localCheckpoint(eager=True)
+    cur = scope.ckpt(_l2_normalize(cur))
 
+    # every layer's checkpoint stays live until the weighted sum below —
+    # the epilogue materializes the (|V|-row) embedding table once and
+    # frees the whole layer stack
     acc = cur.select("id", "d", (F.col("val") * F.lit(iteration_weights[0])).alias("val"))
     for wl in iteration_weights[1:]:
         nxt = (
@@ -1127,17 +1245,18 @@ def fastrp_embeddings(
             .agg(F.avg("val").alias("val"))
         )
         # isolated nodes keep a zero vector (reference skips them too)
-        cur = _l2_normalize(nxt).localCheckpoint(eager=True)
+        cur = scope.ckpt(_l2_normalize(nxt))
         acc = acc.unionByName(
             cur.select("id", "d", (F.col("val") * F.lit(wl)).alias("val"))
         )
 
     emb = acc.groupBy("id", "d").agg(F.sum("val").alias("val"))
-    return (
+    out = scope.ckpt(
         emb.groupBy("id")
         .agg(F.array_sort(F.collect_list(F.struct("d", "val"))).alias("p"))
         .select("id", F.col("p.val").alias("embedding"))
     )
+    return scope.finish(out, keep=(out,))
 
 
 def _l2_normalize(long_vec: DataFrame) -> DataFrame:
@@ -1171,12 +1290,13 @@ def triangle_counts(pairs: DataFrame) -> DataFrame:
     standard skew guard that lets triangle counting survive power-law
     graphs at 100 TB. Three hash joins, no cartesian.
     Returns (id, triangles, degree, clustering)."""
+    scope = CkptScope()
     und = pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
     und = und.unionByName(
         und.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).distinct()
     deg = und.groupBy(F.col("u").alias("id")).agg(F.count(F.lit(1)).alias("d"))
-    e = (
+    e = scope.ckpt(
         und.join(deg.select(F.col("id").alias("u"), F.col("d").alias("du")), "u")
         .join(deg.select(F.col("id").alias("v"), F.col("d").alias("dv")), "v")
         .filter(
@@ -1184,8 +1304,7 @@ def triangle_counts(pairs: DataFrame) -> DataFrame:
             | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
         )
         .select(F.col("u").alias("src"), F.col("v").alias("dst"))
-        .localCheckpoint(eager=True)  # reused three times below
-    )
+    )  # reused three times below
     ab = e.select(F.col("src").alias("x"), F.col("dst").alias("y"))
     bc = e.select(F.col("src").alias("y"), F.col("dst").alias("z"))
     ac = e.select(F.col("src").alias("x"), F.col("dst").alias("z"))
@@ -1195,7 +1314,9 @@ def triangle_counts(pairs: DataFrame) -> DataFrame:
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
-    return (
+    # per-node output is O(|V|): materialize once, free the oriented edge
+    # checkpoint the triangle join would otherwise pin for the session
+    out = scope.ckpt(
         deg.join(per_node, "id", "left_outer")
         .select(
             "id",
@@ -1210,6 +1331,7 @@ def triangle_counts(pairs: DataFrame) -> DataFrame:
             .alias("clustering"),
         )
     )
+    return scope.finish(out, keep=(out,))
 
 
 # Single source of truth for k-core peel depth: the engine loop and the
@@ -1228,11 +1350,11 @@ def k_core(pairs: DataFrame, k: int = 3, max_rounds: int = KCORE_MAX_ROUNDS) -> 
     (synchronous peeling), and a fixpoint is preserved by further rounds,
     so a fixed-round unrolled SQL oracle reproduces the early-stopping
     loop exactly. Returns (id, core_degree) for nodes in the k-core."""
+    scope = CkptScope()
     und = pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
-    und = (
+    und = scope.ckpt(
         und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     edges = und
     converged = False
@@ -1245,7 +1367,7 @@ def k_core(pairs: DataFrame, k: int = 3, max_rounds: int = KCORE_MAX_ROUNDS) -> 
             .select("u", "v")
         )
         n_before = edges.count()
-        edges = pruned.localCheckpoint(eager=True)
+        edges = scope.roll(edges, pruned)
         if edges.count() == n_before:
             converged = True
             break
@@ -1259,6 +1381,7 @@ def k_core(pairs: DataFrame, k: int = 3, max_rounds: int = KCORE_MAX_ROUNDS) -> 
             RuntimeWarning,
             stacklevel=2,
         )
-    return edges.groupBy(F.col("u").alias("id")).agg(
+    out = edges.groupBy(F.col("u").alias("id")).agg(
         F.count(F.lit(1)).alias("core_degree")
     ).filter(F.col("core_degree") >= k)
+    return scope.finish(out, keep=(edges,))

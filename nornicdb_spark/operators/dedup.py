@@ -28,6 +28,8 @@ import random
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from nornicdb_spark.operators.scope import CkptScope
+
 MERSENNE_P = 2147483647  # 2^31 - 1
 N_PERMS = 32
 N_BANDS = 8
@@ -219,10 +221,13 @@ def minhash_near_duplicates(
     joins (4 reads total) — materialize it once instead of re-exploding
     the corpus each time.
     """
-    sh = shingles(docs, id_col, text_col, n).localCheckpoint(eager=True)
+    scope = CkptScope()
+    sh = scope.ckpt(shingles(docs, id_col, text_col, n))
     sigs = minhash_signatures(sh)
     pairs = lsh_candidate_pairs(sigs)
-    return jaccard_verify(pairs, sh, threshold)
+    # the verify joins read `sh` lazily — it escapes to the bounded
+    # session registry instead of pinning blocks for the session
+    return scope.finish(jaccard_verify(pairs, sh, threshold), keep=(sh,))
 
 
 def duplicate_clusters(
@@ -242,14 +247,14 @@ def duplicate_clusters(
     each round is one join + one groupBy on it, frontier-free WCC with a
     lineage cut per round. Deterministic, so oracle-checkable against a
     recursive-CTE closure."""
+    scope = CkptScope()
     und = pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
-    und = und.unionByName(
-        und.select(F.col("d").alias("s"), F.col("s").alias("d"))
-    ).localCheckpoint(eager=True)
-    labels = (
+    und = scope.ckpt(
+        und.unionByName(und.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    )
+    labels = scope.ckpt(
         und.select(F.col("s").alias("id")).distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iterations):
         nbr_min = (
@@ -263,14 +268,15 @@ def duplicate_clusters(
             F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("next"),
         )
         n_changed = updated.filter(F.col("next") < F.col("label")).count()
-        labels = updated.select(
-            "id", F.col("next").alias("label")
-        ).localCheckpoint(eager=True)
+        labels = scope.roll(
+            labels, updated.select("id", F.col("next").alias("label"))
+        )
         if n_changed == 0:
             break
-    return labels.select(
+    out = labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("canonical_id")
     )
+    return scope.finish(out, keep=(labels,))
 
 
 def simhash_fingerprints(

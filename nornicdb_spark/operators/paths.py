@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from nornicdb_spark.operators.expand import OUT, IN
+from nornicdb_spark.operators.scope import CkptScope
 
 
 def _oriented_edges(graph, rel_types: tuple[str, ...], direction: str) -> DataFrame:
@@ -40,6 +41,26 @@ def _oriented_edges(graph, rel_types: tuple[str, ...], direction: str) -> DataFr
     if direction == IN:
         return flipped
     return e.unionByName(flipped)
+
+
+def _oriented_ckpt(graph, rel_types: tuple[str, ...], direction: str,
+                   cols: tuple[str, ...]) -> DataFrame:
+    """Checkpointed oriented edge set for the frontier loops — STATIC per
+    (graph, rel_types, direction, cols), memoized on the graph instance
+    (bounded by the type vocabulary × 3 directions) so repeated traversals
+    reuse one resident frame instead of leaking one per invocation.
+    Untyped out-edges are already a projection of the shared adjacency —
+    re-checkpointing that would copy it."""
+    if not rel_types and direction == OUT:
+        if cols == ("src", "dst"):
+            return graph.adj_pairs()  # shared lean checkpoint
+        return _oriented_edges(graph, rel_types, direction).select(*cols)
+    return graph.memo(
+        ("oriented_edges", tuple(rel_types), direction, cols),
+        lambda: _oriented_edges(graph, rel_types, direction)
+        .select(*cols)
+        .localCheckpoint(eager=True),
+    )
 
 
 def var_length_paths(
@@ -67,14 +88,14 @@ def var_length_paths(
     """
     if min_hops < 0 or max_hops < min_hops:
         raise ValueError("need 0 <= min_hops <= max_hops")
-    # the static edge set is reused every iteration — materialize once
-    # (GraphX caches edges for exactly this reason; without it each
-    # round re-derives the union-of-parquet-scans edge projection).
-    # Untyped out-edges are already a projection of the materialized
-    # shared adjacency — re-checkpointing that would copy it.
-    edges = _oriented_edges(graph, rel_types, direction)
-    if rel_types or direction != OUT:
-        edges = edges.localCheckpoint(eager=True)
+    # the static edge set is reused every iteration — materialized once
+    # per (graph, types, direction) and memoized (GraphX caches edges for
+    # exactly this reason; without it each round re-derives the
+    # union-of-parquet-scans edge projection).
+    scope = CkptScope()
+    edges = _oriented_ckpt(
+        graph, rel_types, direction, ("src", "dst", "type", "edge_id")
+    )
 
     state = [
         F.col("id").alias("start_id"),
@@ -115,18 +136,23 @@ def var_length_paths(
             break
         # lazy checkpoint: the count that decides termination is the
         # same job that materializes the frontier (one job per depth)
-        frontier = nxt.localCheckpoint(eager=False)
+        frontier = scope.ckpt(nxt, eager=False)
         if depth >= min_hops:
             out.append(frontier.withColumn("depth", F.lit(depth)))
         if frontier.count() == 0:
             break
 
     if not out:
-        return frontier.withColumn("depth", F.lit(0)).limit(0)
+        return scope.finish(
+            frontier.withColumn("depth", F.lit(0)).limit(0),
+            keep=tuple(scope.tracked()),
+        )
     res = out[0]
     for df in out[1:]:
         res = res.unionByName(df)
-    return res
+    # the per-depth frontiers ARE the result's support — they escape to
+    # the bounded session registry rather than pinning blocks forever
+    return scope.finish(res, keep=tuple(scope.tracked()))
 
 
 def all_simple_paths(
@@ -146,9 +172,8 @@ def all_simple_paths(
     rows whose endpoint is in ``target`` are emitted. Returns
     ``(start_id, end_id, depth, node_path)``.
     """
-    edges = _oriented_edges(graph, rel_types, direction).select(
-        "src", "dst"
-    ).localCheckpoint(eager=True)
+    scope = CkptScope()
+    edges = _oriented_ckpt(graph, rel_types, direction, ("src", "dst"))
     targets = target.select(F.col("id").alias("end_id")).distinct()
 
     frontier = start.select(
@@ -158,7 +183,7 @@ def all_simple_paths(
     )
     hits: list[DataFrame] = []
     for depth in range(1, max_hops + 1):
-        frontier = (
+        frontier = scope.ckpt(
             frontier.join(edges, frontier.end_id == edges.src)
             # node-uniqueness per path = simple path (vs. the relationship
             # uniqueness var_length_paths uses — Cypher default)
@@ -167,8 +192,8 @@ def all_simple_paths(
                 "start_id",
                 F.col("dst").alias("end_id"),
                 F.array_append(F.col("node_path"), F.col("dst")).alias("node_path"),
-            )
-            .localCheckpoint(eager=False)
+            ),
+            eager=False,
         )
         hits.append(
             frontier.join(targets, "end_id", "left_semi").withColumn(
@@ -182,7 +207,8 @@ def all_simple_paths(
     res = hits[0]
     for df in hits[1:]:
         res = res.unionByName(df)
-    return res.select("start_id", "end_id", "depth", "node_path")
+    res = res.select("start_id", "end_id", "depth", "node_path")
+    return scope.finish(res, keep=tuple(scope.tracked()))
 
 
 def subgraph_nodes(
@@ -201,27 +227,27 @@ def subgraph_nodes(
     deduplicated against everything seen, so work is bounded by the
     subgraph size, not the path count.
     """
-    edges = _oriented_edges(graph, rel_types, direction).select(
-        "src", "dst"
-    ).localCheckpoint(eager=True)
+    scope = CkptScope()
+    edges = _oriented_ckpt(graph, rel_types, direction, ("src", "dst"))
 
     seen = start.select("id").distinct().withColumn("level", F.lit(0))
-    seen = seen.localCheckpoint(eager=True)
+    seen = scope.ckpt(seen)
     frontier = seen.select("id")
     for level in range(1, max_level + 1):
-        frontier = (
+        nxt = scope.ckpt(
             frontier.join(edges, frontier.id == edges.src)
             .select(F.col("dst").alias("id"))
             .distinct()
-            .join(seen.select("id"), "id", "left_anti")
-            .localCheckpoint(eager=False)
+            .join(seen.select("id"), "id", "left_anti"),
+            eager=False,
         )
-        if frontier.count() == 0:  # materializes the checkpoint too
+        if nxt.count() == 0:  # materializes the checkpoint too
+            scope.release(nxt)
             break
-        seen = seen.unionByName(
-            frontier.withColumn("level", F.lit(level))
-        ).localCheckpoint(eager=True)
-    return seen
+        seen = scope.roll(seen, seen.unionByName(nxt.withColumn("level", F.lit(level))))
+        scope.release(frontier)  # folded into seen (no-op on round 1)
+        frontier = nxt
+    return scope.finish(seen, keep=(seen,))
 
 
 def spanning_tree(
@@ -237,15 +263,14 @@ def spanning_tree(
     among first-level reachers. Returns ``(id, parent, level)`` for
     level ≥ 1 (start nodes are roots, not emitted).
     """
-    edges = _oriented_edges(graph, rel_types, direction).select(
-        "src", "dst"
-    ).localCheckpoint(eager=True)
+    scope = CkptScope()
+    edges = _oriented_ckpt(graph, rel_types, direction, ("src", "dst"))
 
-    seen = start.select("id").distinct().localCheckpoint(eager=True)
+    seen = scope.ckpt(start.select("id").distinct())
     frontier = seen
     out: list[DataFrame] = []
     for level in range(1, max_level + 1):
-        reached = (
+        reached = scope.ckpt(
             frontier.join(edges, frontier.id == edges.src)
             .groupBy(F.col("dst").alias("next_id"))
             .agg(F.min(F.col("src")).alias("parent"))
@@ -254,17 +279,18 @@ def spanning_tree(
                 F.col("next_id").alias("id"),
                 "parent",
                 F.lit(level).alias("level"),
-            )
-            .localCheckpoint(eager=False)
+            ),
+            eager=False,
         )
         if reached.count() == 0:  # materializes the checkpoint too
+            scope.release(reached)
             break
         out.append(reached)
-        seen = seen.unionByName(reached.select("id")).localCheckpoint(eager=True)
+        seen = scope.roll(seen, seen.unionByName(reached.select("id")))
         frontier = reached.select("id")
 
     if not out:
-        return (
+        return scope.finish(
             start.select("id")
             .withColumn("parent", F.lit(None).cast("string"))
             .withColumn("level", F.lit(0))
@@ -273,7 +299,10 @@ def spanning_tree(
     res = out[0]
     for df in out[1:]:
         res = res.unionByName(df)
-    return res
+    # result unions the per-level reached checkpoints; the rolled `seen`
+    # is loop-only and freed here
+    scope.release(seen)
+    return scope.finish(res, keep=tuple(scope.tracked()))
 
 
 def shortest_paths(
@@ -291,34 +320,40 @@ def shortest_paths(
     Frontier BFS from all starts at once; ``visited`` keeps the first
     (= minimal) depth each node was reached from each start.
     """
-    edges = _oriented_edges(graph, rel_types, direction).select("src", "dst").localCheckpoint(eager=True)
+    scope = CkptScope()
+    edges = _oriented_ckpt(graph, rel_types, direction, ("src", "dst"))
     targets = target.select(F.col("id").alias("end_id")).distinct()
 
     visited = start.select(
         F.col("id").alias("start_id"), F.col("id").alias("end_id")
     ).withColumn("distance", F.lit(0))
     frontier = visited
+    prev_visited: DataFrame | None = None
     results = [visited.join(targets, "end_id", "left_semi")]
 
     for depth in range(1, max_hops + 1):
-        nxt = (
+        nxt = scope.ckpt(
             frontier.join(edges, frontier.end_id == edges.src)
             .select("start_id", F.col("dst").alias("end_id"))
             .distinct()
             .join(visited.select("start_id", "end_id"), ["start_id", "end_id"], "left_anti")
-            .withColumn("distance", F.lit(depth))
+            .withColumn("distance", F.lit(depth)),
+            eager=False,
         )
-        nxt = nxt.localCheckpoint(eager=False)
         if nxt.count() == 0:  # materializes the checkpoint too
+            scope.release(nxt)
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = scope.roll(prev_visited, visited.unionByName(nxt))
+        prev_visited = visited
         results.append(nxt.join(targets, "end_id", "left_semi"))
         frontier = nxt
 
+    scope.release(prev_visited)  # loop-only state
     res = results[0]
     for df in results[1:]:
         res = res.unionByName(df)
-    return res.select("start_id", "end_id", "distance")
+    res = res.select("start_id", "end_id", "distance")
+    return scope.finish(res, keep=tuple(scope.tracked()))
 
 
 def all_shortest_paths(
@@ -337,7 +372,8 @@ def all_shortest_paths(
     BFS that carries node paths but prunes to first-reached depth per
     (start, end): all parents at min depth survive, deeper re-visits drop.
     """
-    edges = _oriented_edges(graph, rel_types, direction).select("src", "dst").localCheckpoint(eager=True)
+    scope = CkptScope()
+    edges = _oriented_ckpt(graph, rel_types, direction, ("src", "dst"))
     targets = target.select(F.col("id").alias("end_id")).distinct()
 
     frontier = start.select(
@@ -346,12 +382,13 @@ def all_shortest_paths(
         F.array(F.col("id")).alias("node_path"),
     )
     settled = frontier.select("start_id", "end_id").withColumn("distance", F.lit(0))
+    prev_settled: DataFrame | None = None
     hits = [
         frontier.join(targets, "end_id", "left_semi").withColumn("distance", F.lit(0))
     ]
 
     for depth in range(1, max_hops + 1):
-        expanded = (
+        expanded = scope.ckpt(
             frontier.join(edges, frontier.end_id == edges.src)
             .select(
                 "start_id",
@@ -359,18 +396,21 @@ def all_shortest_paths(
                 F.array_append(F.col("node_path"), F.col("dst")).alias("node_path"),
             )
             .join(settled.select("start_id", "end_id"), ["start_id", "end_id"], "left_anti")
-            .distinct()
+            .distinct(),
+            eager=False,
         )
-        expanded = expanded.localCheckpoint(eager=False)
         if expanded.count() == 0:  # materializes the checkpoint too
+            scope.release(expanded)
             break
-        settled = (
+        settled = scope.roll(
+            prev_settled,
             settled.unionByName(
                 expanded.select("start_id", "end_id")
                 .distinct()
                 .withColumn("distance", F.lit(depth))
-            )
-        ).localCheckpoint(eager=True)
+            ),
+        )
+        prev_settled = settled
         hits.append(
             expanded.join(targets, "end_id", "left_semi").withColumn(
                 "distance", F.lit(depth)
@@ -378,7 +418,9 @@ def all_shortest_paths(
         )
         frontier = expanded
 
+    scope.release(prev_settled)  # loop-only state
     res = hits[0]
     for df in hits[1:]:
         res = res.unionByName(df)
-    return res.select("start_id", "end_id", "distance", "node_path")
+    res = res.select("start_id", "end_id", "distance", "node_path")
+    return scope.finish(res, keep=tuple(scope.tracked()))

@@ -57,8 +57,10 @@ class GraphCatalog:
         ]
 
     def drop(self, name: str) -> None:
-        """gds.graph.drop — unpersist + deregister."""
+        """gds.graph.drop — unpersist + deregister, including any resident
+        adjacency/memo checkpoints algorithms built over the projection."""
         g = self._graphs.pop(name)
+        g.release()
         g.nodes.unpersist()
         g.edges.unpersist()
 

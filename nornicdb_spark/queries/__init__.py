@@ -47,42 +47,48 @@ from nornicdb_spark.queries import relational  # noqa: E402,F401
 from nornicdb_spark.queries import graph  # noqa: E402,F401
 
 # Driver-window priority (the harness verifies the first 50 registry
-# entries), round 6: (1) queries that are NEW or whose oracle/behavior
-# CHANGED this round (fastRP gate, real WAV/PPM decode, k-core oracle
-# depth now tied to the engine constant, temperature-resample rounded
-# acceptance boundary, MMR rounded selection key, PPR source validation);
-# (2) stale-stamp rotation — 133 of 183 queries carried an r1-r4 stamp
-# into r6, so the remaining 43 slots go to the OLDEST (round-1) stamps,
-# re-verifying the relational/graph/function families against current
-# code. The leftover r1 trio (union_all_names, union_names,
-# unwind_part_words) + the r2-r4 cohort rotate in next round.
+# entries), round 7: (1) the one NEW query (sampled betweenness — the
+# Brandes–Pich {samples:k} estimator gets its driver-visible oracle row);
+# (2) stale-stamp rotation, oldest first — after the r6 window the
+# backlog is 3 r1 + 27 r2 + 41 r3 stamps. The whole r1 trio and r2
+# cohort (mutations, cypher frontend, procedures, APOC, spatial) rotate
+# now, plus the 19 r3 rows whose engine paths the checkpoint-lifecycle
+# rework touched most (path enumerators, dedup clustering, cypher
+# compiler row-tag frames, streaming state). The remaining 22 r3 rows
+# rotate in round 8.
 _PRIORITY = (
-    # new or changed this round
-    "graph_fastrp_gate", "multimodal_decode", "graph_kcore",
-    "corpus_temperature_resample", "hybrid_mmr",
-    "graph_pagerank_personalized", "cypher_call_ppr",
-    # oldest stamps (round 1) — relational core
-    "case_acctbal_bands", "collect_segments_per_nation",
-    "count_distinct_per_segment", "date_functions", "distinct_segments",
-    "exists_customers_with_orders", "having_frequent_customers",
-    "higher_order_list_ops", "in_list_nations",
-    "join_customer_nation_region", "list_functions", "math_functions",
-    "not_exists_customers_without_orders", "null_handling",
-    "optional_match_order_counts", "order_count_by_status",
-    "order_skip_limit", "q1_pricing_summary", "q3_top_unshipped_revenue",
-    "q5_revenue_by_nation", "quantity_percentiles",
-    "regex_match_customers", "stats_by_brand", "string_functions",
-    "string_predicates", "top_acctbal_customers",
-    "topk_orders_per_priority", "window_lag_running_sum",
-    # oldest stamps (round 1) — graph pattern + algorithm family
-    "graph_all_shortest_paths_customer_parts", "graph_astar_customer_region",
-    "graph_betweenness_nation_region", "graph_closeness_nation_region",
-    "graph_customer_parts_2hop", "graph_dijkstra_customer_parts",
-    "graph_exists_parts_with_suppliers", "graph_khop_supplier",
-    "graph_optional_match_nation_suppliers", "graph_order_degrees",
-    "graph_orders_per_customer", "graph_shortest_path_supplier_region",
-    "graph_suppliers_per_region", "graph_undirected_nation_neighbors",
-    "graph_var_length_reach",
+    # new this round
+    "graph_betweenness_sampled",
+    # round-1 stamps — set ops / unwind
+    "union_all_names", "union_names", "unwind_part_words",
+    # round-2 stamps — mutations + constraints
+    "mutation_create_regions", "mutation_detach_delete_nation0",
+    "mutation_foreach_discount_bump", "mutation_merge_order_counts",
+    "mutation_set_remove_flag", "constraint_unique_violations",
+    # round-2 stamps — cypher frontend
+    "cypher_foreach_writes", "cypher_fulltext_search",
+    "cypher_list_fold_quantifiers", "cypher_optional_match",
+    "cypher_orders_pipeline", "cypher_pattern_comprehension",
+    "cypher_shortest_path", "cypher_top_balances", "cypher_union_case",
+    "cypher_unwind_functions", "cypher_vector_search",
+    "cypher_write_pipeline",
+    # round-2 stamps — procedures / APOC / spatial / sources / temporal
+    "proc_db_labels", "proc_db_property_keys",
+    "proc_db_relationship_types", "proc_db_schema_visualization",
+    "apoc_coll_suite", "apoc_map_json", "spatial_haversine_distance",
+    "source_neo4j_json_roundtrip", "duration_customer_order_span",
+    # round-3 stamps — paths/dedup/compiler/streaming families whose
+    # operators were reworked for checkpoint lifecycle this round
+    "dedup_cluster_canonical", "graph_all_simple_paths",
+    "graph_neighbors_byhop_customer", "graph_spanning_tree",
+    "graph_subgraph_nodes",
+    "cypher_apoc_run", "cypher_correlated_call", "cypher_index_mgmt",
+    "cypher_merge_rel", "cypher_varlen_bound_endpoint",
+    "cypher_vector_spatial_functions",
+    "stream_access_tracker", "stream_dedup_events",
+    "stream_session_stats", "stream_static_enrich", "stream_stream_join",
+    "stream_windowed_counts",
+    "inference_edge_decay", "inference_similarity_edges",
 )
 
 

@@ -514,6 +514,42 @@ def graph_betweenness_nation_region(spark, sf_dir):
 
 
 @register(
+    "graph_betweenness_sampled",
+    oracle="""
+    WITH sampled AS (
+      SELECT n_nationkey, n_regionkey FROM nation
+      WHERE n_nationkey IN (8, 18, 2, 16, 17, 9, 4, 0, 20)
+    ),
+    cnt AS (SELECT n_regionkey, count(*) AS k FROM nation GROUP BY n_regionkey),
+    scnt AS (SELECT n_regionkey, count(*) AS s FROM sampled GROUP BY n_regionkey),
+    tot AS (SELECT (SELECT count(*) FROM nation) + (SELECT count(*) FROM region) AS n)
+    SELECT 'Region:' || r_regionkey AS id,
+           coalesce(s, 0) * coalesce(k - 1, 0) * (n / 10.0) * 2.0
+             / ((n - 1.0) * (n - 2.0)) AS score
+    FROM region LEFT JOIN cnt ON cnt.n_regionkey = r_regionkey
+                LEFT JOIN scnt ON scnt.n_regionkey = r_regionkey, tot
+    UNION ALL
+    SELECT 'Nation:' || n_nationkey, 0.0 FROM nation
+    """,
+)
+def graph_betweenness_sampled(spark, sf_dir):
+    # apoc.algo.betweenness with {samples: 10} (reference
+    # apoc_algorithms.go:323-387 bounds the same O(V·E) cost per label) —
+    # the Brandes–Pich estimator: BFS from k hash-ordered sources
+    # (xxhash64(id, 42), no RNG), dependencies scaled by n/k. Nation and
+    # region are fixed-size TPC-H tables, so the drawn source set is
+    # SF-invariant and the oracle pins it literally: 9 nation leaves +
+    # Region:2 (a hub source contributes no dependency on a star). Each
+    # region hub then accumulates (sampled member leaves)·(k−1)·(n/10),
+    # normalized by 2/((n−1)(n−2)) — closed form restated in SQL.
+    g = _graph(spark, sf_dir)
+    nodes = g.nodes.filter(F.col("label").isin("Nation", "Region")).select("id")
+    e = g.edges_by_type("IN").select("src", "dst")
+    und = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return algorithms.betweenness_centrality(nodes, und, samples=10, seed=42)
+
+
+@register(
     "graph_louvain_supplier_communities",
     oracle="""
     WITH cnt AS (

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from nornicdb_spark.catalog import Catalog
+from nornicdb_spark.operators import scope
 from nornicdb_spark.search import bm25 as bm25_mod
 from nornicdb_spark.search import hybrid, vector
 from nornicdb_spark.queries import register
@@ -200,6 +201,7 @@ def ann_hnsw(spark, sf_dir):
 
     emb = Catalog(spark, sf_dir).embeddings
     idx = ShardedHnswIndex.build_partitioned(emb, num_shards=4, preset="balanced")
+    scope.escape_rdd(idx.shards)  # per-call index: deferred release
     queries = emb.select(F.col("vec_id").alias("query_id"), "embedding").orderBy(
         "query_id"
     ).limit(25)
@@ -262,6 +264,7 @@ def ann_hnsw_recall(spark, sf_dir):
 
     emb = Catalog(spark, sf_dir).embeddings
     idx = ShardedHnswIndex.build_partitioned(emb, num_shards=4, preset="balanced")
+    scope.escape_rdd(idx.shards)  # per-call index: deferred release
     queries = emb.select(F.col("vec_id").alias("query_id"), "embedding").orderBy(
         "query_id"
     ).limit(25)
@@ -294,6 +297,7 @@ def ann_pq(spark, sf_dir):
     # full vectors no longer fit hot storage.
     emb = Catalog(spark, sf_dir).embeddings
     idx = vector.ProductQuantizerIndex.build(emb, m=16, k_codes=32)
+    scope.escape_frame(idx.codes)  # per-call index: deferred release
     return idx.search(_query_vec(spark, sf_dir), k=10, refine=4)
 
 
@@ -305,6 +309,7 @@ def ann_pq_recall(spark, sf_dir):
     qv = _query_vec(spark, sf_dir)
     exact = vector.euclidean_topk(emb, qv, k=10).select("vec_id")
     idx = vector.ProductQuantizerIndex.build(emb, m=16, k_codes=32)
+    scope.escape_frame(idx.codes)  # per-call index: deferred release
     approx = idx.search(qv, k=10, refine=8).select("vec_id")
     return _gate(exact, approx, min_hits=7)
 
@@ -513,5 +518,6 @@ def bm25_weighted(spark, sf_dir):
     idx = bm25_mod.BM25Index.build_weighted(
         docs, {"text": 1.0, "source": 3.0}
     )
+    scope.escape_frame(idx.postings)  # per-call index: deferred release
     out = idx.search(BM25_QUERY, k=10)
     return out.select("doc_id", F.round("score", 9).alias("score"))

@@ -323,3 +323,44 @@ def test_k_core_peels_tail_chain(spark):
     pairs = spark.createDataFrame(k4 + chain, "a string, b string")
     got = {r.id: r.core_degree for r in algorithms.k_core(pairs, k=3).collect()}
     assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_parse_byte_conf_suffixes():
+    p = algorithms._parse_byte_conf
+    assert p("67108864") == 64 << 20
+    assert p("10m") == 10 << 20
+    assert p("64MB") == 64 << 20
+    assert p("1g") == 1 << 30
+    assert p("10485760b") == 10 << 20
+    assert p("-1") == -1
+
+
+def test_broadcast_node_ceiling_from_session_conf(spark, graph):
+    # the engine session pins autoBroadcastJoinThreshold at 64 MB
+    # (session.py) → 64 MB / 16 B per state row = 4M nodes
+    assert algorithms.broadcast_node_ceiling(graph) == (64 << 20) // 16
+    # explicit override pins the ceiling regardless of conf
+    assert algorithms.broadcast_node_ceiling(graph, 123) == 123
+    assert algorithms.broadcast_node_ceiling(graph, 0) == 0
+
+
+def test_pagerank_shuffle_fallback_matches_broadcast_path(spark):
+    # above the ceiling the rank-state joins must fall back to a shuffle
+    # join (broadcasting O(V) state is what does not scale) — same
+    # numbers either way
+    g = tiny_graph(
+        spark, [("A", "B", 1), ("B", "C", 1), ("C", "A", 1), ("A", "C", 1)]
+    )
+    bcast = {
+        r.id: r.pagerank
+        for r in algorithms.pagerank(g, iterations=5).collect()
+    }
+    fallback = {
+        r.id: r.pagerank
+        for r in algorithms.pagerank(
+            g, iterations=5, broadcast_state_max_nodes=0
+        ).collect()
+    }
+    assert set(bcast) == set(fallback)
+    for k in bcast:
+        assert math.isclose(bcast[k], fallback[k], rel_tol=1e-12)
