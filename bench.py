@@ -63,11 +63,14 @@ def main():
     # warmup: touch the fact table + trigger codegen paths
     materialize(QUERIES["q1_pricing_summary"](spark, sf_dir))
 
-    # two passes, min per query: host-level contention adds 2-3×
-    # multiplicative noise to single shots; the min is the honest
-    # engine-cost estimate
+    # three passes, min per query: host-level contention adds 2-3×
+    # multiplicative noise to single shots (this box is shared — load
+    # spikes land on whole passes), and the iterative operators reach
+    # codegen/adjacency steady state on their second run; the min over
+    # three is the honest engine-cost estimate with one noisy window
+    # tolerated
     timings: dict[str, float] = {}
-    for _pass in range(2):
+    for _pass in range(3):
         for name in HEADLINE:
             if name not in QUERIES:
                 continue
