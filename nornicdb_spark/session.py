@@ -44,4 +44,17 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # The checkpoint lifecycle (operators/scope.py) frees superseded
+    # localCheckpoint blocks by design; Spark WARNs on every such
+    # unpersist that the truncated lineage cannot recompute. The engine
+    # never re-executes a freed frame (tests/test_session_hygiene.py is
+    # the gate), so the warning is pure volume — one line per freed
+    # frame per iteration across every executor at cluster scale.
+    try:
+        spark.sparkContext._jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.rdd.MapPartitionsRDD",
+            spark.sparkContext._jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:  # pragma: no cover - non-log4j2 logging backends
+        pass
     return spark
