@@ -23,6 +23,7 @@ distinct-per-doc before the signature agg keeps it one map-side combine.
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import DataFrame
@@ -430,20 +431,26 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exact: bool = True,
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
     n_bits: int = 32,
     n_bands: int = 16,
     seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (a < b, cosine ≥ threshold).
 
-    ``exact=True``: complete all-pairs verification, expressed as a
-    balanced block-grid equi-join (1-Bucket-Theta style) — rows are
-    hash-blocked, the B·(B+1)/2 block-pair grid is broadcast, and the
-    pair stream comes out of two hash joins. Same O(n²) comparisons any
-    exact method needs, but shuffle-balanced across B² tasks with NO
-    CartesianProduct node — at scale you raise ``n_blocks`` to match the
-    cluster, and no single task ever holds more than (n/B)² pairs.
+    ``exact=True``: complete all-pairs verification over a balanced
+    block grid (1-Bucket-Theta style). Rows are hash-blocked; each row is
+    replicated to the B·(B+1)/2 grid cells it participates in (shuffle
+    volume O(n·B) vectors — the O(n²) pair stream never crosses the
+    wire), and each cell computes its full similarity sub-matrix with
+    ONE vectorized matmul in an Arrow batch, emitting only pairs over
+    threshold. The grid key (bi, bj) gives B(B+1)/2-way parallelism; at
+    scale raise ``n_blocks`` so a cell's (n/B)² score matrix fits task
+    memory (default derives B from the cluster's core count). A dense
+    all-pairs cosine is a GEMM — per-pair higher-order expressions
+    evaluate ~1e8 interpreted array ops where BLAS does the same block
+    in milliseconds, which is why this operator is one of the documented
+    Pandas-UDF exceptions to the built-ins-first policy.
 
     ``exact=False``: LSH-bucketed candidate generation
     (RandomHyperplaneLSH band buckets as join keys) + unchanged exact
@@ -459,35 +466,75 @@ def embedding_near_duplicates(
     )
     if exact:
         spark = embeddings.sparkSession
+        if n_blocks is None:
+            # B(B+1)/2 grid cells must feed every core with ~2 cells each,
+            # or the big join degenerates to B-way parallelism and a 200M-
+            # pair comparison runs on a handful of stragglers.
+            par = 2 * spark.sparkContext.defaultParallelism
+            n_blocks = max(8, int((math.isqrt(8 * par + 1) - 1) // 2 + 1))
         grid = spark.createDataFrame(
             [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
             "bi int, bj int",
         )
-        a = e.select(
-            F.col("id").alias("a"),
-            F.col("v").alias("va"),
-            F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int").alias("bi"),
+        rows = e.select(
+            "id", "v",
+            F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int").alias("blk"),
         )
-        b = e.select(
-            F.col("id").alias("b"),
-            F.col("v").alias("vb"),
-            F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int").alias("bj"),
+        # Replicate each row to every cell it participates in — as the row
+        # side (bi == blk) and the column side (bj == blk) — then shuffle
+        # once on the COMPOSITE cell key. Grouping by bi alone would leave
+        # only B distinct shuffle keys and serialize the whole comparison
+        # onto B tasks regardless of cluster size.
+        a_exp = rows.join(F.broadcast(grid), rows["blk"] == grid["bi"]).select(
+            "bi", "bj", "id", "v", F.lit(0).alias("side")
         )
-        pairs = (
-            a.join(F.broadcast(grid), "bi")
-            .join(b, "bj")
-            # cross-block pairs appear once per unordered block pair;
-            # same-block pairs need the id order filter.
-            .filter(
-                (F.col("bi") < F.col("bj"))
-                | ((F.col("bi") == F.col("bj")) & (F.col("a") < F.col("b")))
+        b_exp = rows.join(F.broadcast(grid), rows["blk"] == grid["bj"]).select(
+            "bi", "bj", "id", "v", F.lit(1).alias("side")
+        )
+        id_type = e.schema["id"].dataType.simpleString()
+        thr = float(threshold)
+
+        def _cell(pdf):
+            import numpy as np
+            import pandas as pd
+
+            empty = pd.DataFrame({"a": [], "b": [], "cosine": []})
+            diag = bool(pdf["bi"].iat[0] == pdf["bj"].iat[0])
+            left = pdf[pdf["side"] == 0]
+            # a diagonal cell receives each row twice (once per side) —
+            # side 0 alone is the complete block
+            right = left if diag else pdf[pdf["side"] == 1]
+            if not len(left) or not len(right):
+                return empty
+            A = np.stack(left["v"].to_numpy()).astype(np.float64)
+            ids_a = left["id"].to_numpy()
+            if diag:
+                B, ids_b = A, ids_a
+            else:
+                B = np.stack(right["v"].to_numpy()).astype(np.float64)
+                ids_b = right["id"].to_numpy()
+            # dot / (|a|·|b|) — same per-pair formula as the SQL oracle
+            s = (A @ B.T) / np.outer(
+                np.linalg.norm(A, axis=1), np.linalg.norm(B, axis=1)
             )
-            .select(
-                F.least("a", "b").alias("a"),
-                F.greatest("a", "b").alias("b"),
-                # cosine is symmetric — orientation of va/vb is irrelevant
-                cosine_sim(F.col("va"), F.col("vb")).alias("cosine"),
+            ai, bj = np.nonzero(s >= thr)
+            if diag:  # same-block pairs once, by id order
+                keep = ids_a[ai] < ids_b[bj]
+                ai, bj = ai[keep], bj[keep]
+            return pd.DataFrame(
+                {"a": ids_a[ai], "b": ids_b[bj], "cosine": s[ai, bj]}
             )
+
+        raw = (
+            a_exp.unionByName(b_exp)
+            .groupBy("bi", "bj")
+            .applyInPandas(_cell, f"a {id_type}, b {id_type}, cosine double")
+        )
+        pairs = raw.select(
+            # cross-block pair orientation follows block ids, not row ids
+            F.least("a", "b").alias("a"),
+            F.greatest("a", "b").alias("b"),
+            "cosine",
         )
     else:
         from nornicdb_spark.search.vector import RandomHyperplaneLSH

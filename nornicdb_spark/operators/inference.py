@@ -45,11 +45,18 @@ def similarity_edges(
         embeddings, threshold=threshold, id_col=id_col, vec_col=vec_col,
         exact=exact,
     ).select("a", "b", F.col("cosine").alias("score"))
-    both = pairs.unionByName(
-        pairs.select(
-            F.col("b").alias("a"), F.col("a").alias("b"), "score"
-        )
-    )
+    # orient each undirected pair both ways with a map-side explode — a
+    # self-union would re-execute the whole O(n²) pair computation once
+    # per branch
+    both = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a"), F.col("b")),
+                F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+            )
+        ).alias("_e"),
+        "score",
+    ).select(F.col("_e.a").alias("a"), F.col("_e.b").alias("b"), "score")
     w = Window.partitionBy("a").orderBy(F.desc("score"), F.asc("b"))
     return (
         both.withColumn("_r", F.row_number().over(w))

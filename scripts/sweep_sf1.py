@@ -47,8 +47,24 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
 
+    # resume: keep prior passes from an interrupted sweep (the file is
+    # rewritten after every query), re-run anything else
     results: dict[str, dict] = {}
-    names = [n for n in QUERIES if n in ORACLES and (not ONLY or n in ONLY)]
+    out_path = pathlib.Path(OUT)
+    if out_path.exists():
+        try:
+            results = {
+                k: v
+                for k, v in json.loads(out_path.read_text()).items()
+                if v.get("status") == "pass"
+            }
+        except (ValueError, AttributeError):
+            results = {}
+    names = [
+        n
+        for n in QUERIES
+        if n in ORACLES and n not in results and (not ONLY or n in ONLY)
+    ]
     for i, name in enumerate(names):
         t0 = time.time()
         try:
