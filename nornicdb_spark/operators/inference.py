@@ -57,7 +57,11 @@ def similarity_edges(
         ).alias("_e"),
         "score",
     ).select(F.col("_e.a").alias("a"), F.col("_e.b").alias("b"), "score")
-    w = Window.partitionBy("a").orderBy(F.desc("score"), F.asc("b"))
+    # rounded rank key: numpy and the SQL oracle differ in the last ULP,
+    # so near-tied neighbors must fall to the id tie-break identically
+    w = Window.partitionBy("a").orderBy(
+        F.desc(F.round(F.col("score"), 9)), F.asc("b")
+    )
     return (
         both.withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") <= top_k)

@@ -235,7 +235,7 @@ def cypher_foreach_writes(spark, sf_dir):
                                       CAST(embedding AS DOUBLE[])))
                 * sqrt(list_dot_product(qv, qv))) AS score
     FROM embeddings, q
-    ORDER BY score DESC, vec_id LIMIT 10
+    ORDER BY round(score, 9) DESC, vec_id LIMIT 10
     """,
 )
 def cypher_vector_search(spark, sf_dir):
@@ -390,7 +390,7 @@ def cypher_varlen_bound_endpoint(spark, sf_dir):
                                       CAST(embedding AS DOUBLE[])))
                 * sqrt(list_dot_product(qv, qv))) AS score
     FROM embeddings, q
-    ORDER BY score DESC, vec_id LIMIT 5
+    ORDER BY round(score, 9) DESC, vec_id LIMIT 5
     """,
 )
 def cypher_index_mgmt(spark, sf_dir):

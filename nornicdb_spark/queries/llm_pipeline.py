@@ -938,7 +938,7 @@ _SIM_EDGES_SQL = """
     topk AS (
       SELECT src, dst, score,
              row_number() OVER (PARTITION BY src
-                                ORDER BY score DESC, dst) AS r
+                                ORDER BY round(score, 9) DESC, dst) AS r
       FROM oriented
     ),
     sim_edges AS (

@@ -59,7 +59,7 @@ SELECT vec_id,
                                   CAST(embedding AS DOUBLE[])))
             * sqrt(list_dot_product(qv, qv))) AS score
 FROM embeddings, q
-ORDER BY score DESC, vec_id LIMIT 10
+ORDER BY round(score, 9) DESC, vec_id LIMIT 10
 """
 
 
@@ -81,7 +81,7 @@ SELECT vec_id,
            list_zip(CAST(embedding AS DOUBLE[]), qv),
            p -> (p[1] - p[2]) * (p[1] - p[2])))) AS dist
 FROM embeddings, q
-ORDER BY dist ASC, vec_id LIMIT 10
+ORDER BY round(dist, 9) ASC, vec_id LIMIT 10
 """
 
 
@@ -107,7 +107,7 @@ scored AS (
 )
 SELECT q_id, vec_id, score, CAST(rank AS INT) AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY q_id
-                               ORDER BY score DESC, vec_id) AS rank
+                               ORDER BY round(score, 9) DESC, vec_id) AS rank
   FROM scored) WHERE rank <= 5
 """
 
@@ -125,13 +125,13 @@ def vector_knn_join(spark, sf_dir):
 
 _RRF_ORACLE = f"""
 WITH bm AS (
-  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS bm_rank
+  SELECT doc_id, row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS bm_rank
   FROM ({bm25_mod.bm25_oracle_sql(FUSE_QUERY, k=20)})
 ),
 q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
 vs AS (
   SELECT vec_id AS doc_id,
-         row_number() OVER (ORDER BY score DESC, vec_id) AS vec_rank
+         row_number() OVER (ORDER BY round(score, 9) DESC, vec_id) AS vec_rank
   FROM (
     SELECT vec_id,
            list_dot_product(CAST(embedding AS DOUBLE[]), qv)
@@ -139,7 +139,7 @@ vs AS (
                                       CAST(embedding AS DOUBLE[])))
                 * sqrt(list_dot_product(qv, qv))) AS score
     FROM embeddings, q
-    ORDER BY score DESC, vec_id LIMIT 20
+    ORDER BY round(score, 9) DESC, vec_id LIMIT 20
   )
 )
 SELECT coalesce(bm.doc_id, vs.doc_id) AS doc_id,
@@ -327,7 +327,7 @@ def ann_pq_recall(spark, sf_dir):
                 * sqrt(list_dot_product(qv, qv))) AS score
     FROM embeddings JOIN documents ON doc_id = vec_id, q
     WHERE lang = 'en' AND n_chars >= 150
-    ORDER BY score DESC, vec_id LIMIT 10
+    ORDER BY round(score, 9) DESC, vec_id LIMIT 10
     """,
 )
 def vector_filtered_topk(spark, sf_dir):
@@ -347,13 +347,13 @@ ADAPT_QUERY = "merge window"  # 2 words → adaptive weights bm25=1.5, vector=0.
 
 _ADAPTIVE_ORACLE = f"""
 WITH bm AS (
-  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS bm_rank
+  SELECT doc_id, row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS bm_rank
   FROM ({bm25_mod.bm25_oracle_sql(ADAPT_QUERY, k=20)})
 ),
 q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
 vs AS (
   SELECT vec_id AS doc_id,
-         row_number() OVER (ORDER BY score DESC, vec_id) AS vec_rank
+         row_number() OVER (ORDER BY round(score, 9) DESC, vec_id) AS vec_rank
   FROM (
     SELECT vec_id,
            list_dot_product(CAST(embedding AS DOUBLE[]), qv)
@@ -361,7 +361,7 @@ vs AS (
                                       CAST(embedding AS DOUBLE[])))
                 * sqrt(list_dot_product(qv, qv))) AS score
     FROM embeddings, q
-    ORDER BY score DESC, vec_id LIMIT 20
+    ORDER BY round(score, 9) DESC, vec_id LIMIT 20
   )
 )
 SELECT coalesce(bm.doc_id, vs.doc_id) AS doc_id,

@@ -216,7 +216,11 @@ class BM25Index:
         return (
             matched.groupBy("doc_id")
             .agg(F.sum(contrib).alias("score"))
-            .orderBy(F.desc("score"), F.asc("doc_id"))
+            # rounded selection key: F.sum's partition order gives two
+            # identical documents ULP-different scores, so an unrounded
+            # sort would rank them arbitrarily instead of by doc_id —
+            # and differently from the oracle's single-threaded sum
+            .orderBy(F.desc(F.round(F.col("score"), 9)), F.asc("doc_id"))
             .limit(k)
         )
 
@@ -268,7 +272,7 @@ def bm25_oracle_sql(query: str, k: int = 10) -> str:
     JOIN q ON postings.term = q.qterm
     JOIN doc_lens USING (doc_id), stats
     GROUP BY doc_id
-    ORDER BY score DESC, doc_id LIMIT {k}
+    ORDER BY round(score, 9) DESC, doc_id LIMIT {k}
     """
 
 
@@ -279,8 +283,8 @@ def bm25_prefix_oracle_sql(query: str, k: int = 10) -> str:
     fulltext_index.go:157-171). df/idf are per matched INDEXED term; a
     term matching several query terms contributes once per match. The
     output score is rounded to 9 decimals on both sides (float-sum
-    partition-order determinism); ordering uses the raw score first so
-    the selected set matches the engine's TakeOrdered plan."""
+    partition-order determinism); the selection key is the ROUNDED score
+    so equal-text documents fall to the doc_id tie-break identically."""
     terms = tokenize_query(query)
     stoplist = ",".join(f"'{w}'" for w in STOPWORDS)
     termlist = ",".join(f"('{t}')" for t in terms)
@@ -320,7 +324,7 @@ def bm25_prefix_oracle_sql(query: str, k: int = 10) -> str:
                  / (tf + {K1} * (1 - {B} + {B} * dl / stats.avgdl))) AS score
       FROM matched, stats
       GROUP BY doc_id
-      ORDER BY score DESC, doc_id LIMIT {k}
+      ORDER BY round(score, 9) DESC, doc_id LIMIT {k}
     )
     """
 
@@ -372,6 +376,6 @@ def bm25_weighted_oracle_sql(
       JOIN q ON postings.term = q.qterm
       JOIN lens USING (doc_id), stats
       GROUP BY doc_id
-      ORDER BY score DESC, doc_id LIMIT {k}
+      ORDER BY round(score, 9) DESC, doc_id LIMIT {k}
     )
     """

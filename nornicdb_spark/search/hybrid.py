@@ -31,9 +31,15 @@ def rank_by(
     the partition columns. Without it, ranking is GLOBAL: the caller's
     contract is a bounded top-k list (every in-tree caller LIMITs
     upstream); the constant partition key makes the single-partition
-    execution explicit rather than an accidental WindowExec fallback."""
+    execution explicit rather than an accidental WindowExec fallback.
+
+    The rank key is the score ROUNDED to 9 decimals: distributed float
+    sums give duplicated documents ULP-different scores, and the rank
+    must fall to the id tie-break identically to the single-threaded
+    SQL oracle."""
+    key = F.round(F.col(score_col), 9)
     order = [
-        F.asc(score_col) if ascending else F.desc(score_col),
+        F.asc(key) if ascending else F.desc(key),
         F.asc(id_col),
     ]
     if partition_by:
@@ -76,7 +82,7 @@ def rrf_fuse(
         score = term if score is None else score + term
 
     out = fused.withColumn("rrf_score", score).orderBy(
-        F.desc("rrf_score"), F.asc(id_col)
+        F.desc(F.round(F.col("rrf_score"), 9)), F.asc(id_col)
     )
     return out.limit(limit) if limit else out
 
@@ -119,7 +125,9 @@ def lexical_rerank(
     terms = sorted(set(tokenize_query(query)))
     if not terms:
         raise ValueError("rerank: empty query after tokenization")
-    top = candidates.orderBy(F.desc(score_col), F.asc(id_col)).limit(top_k)
+    top = candidates.orderBy(
+        F.desc(F.round(F.col(score_col), 9)), F.asc(id_col)
+    ).limit(top_k)
     joined = top.join(
         docs.select(F.col(id_col), F.col(text_col)), id_col, "left"
     )
@@ -146,7 +154,9 @@ def lexical_rerank(
         )
     )
     return out.orderBy(
-        F.desc("final_score"), F.desc("bi_score"), F.asc(id_col)
+        F.desc("final_score"),
+        F.desc(F.round(F.col("bi_score"), 9)),
+        F.asc(id_col),
     )
 
 

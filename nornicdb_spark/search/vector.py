@@ -69,7 +69,11 @@ def cosine_topk(
             F.col(id_col).alias("vec_id"),
             cosine_sim(emb, _lit_vec(query_vec)).alias("score"),
         )
-        .orderBy(F.desc("score"), F.asc("vec_id"))
+        # selection key rounded to 9 decimals: JVM and oracle float
+        # arithmetic differ in the last ULP, and duplicated vectors (equal
+        # scores) must fall to the vec_id tie-break identically on both
+        # sides or the top-k MEMBERSHIP diverges at the boundary
+        .orderBy(F.desc(F.round(F.col("score"), 9)), F.asc("vec_id"))
         .limit(k)
     )
 
@@ -88,7 +92,7 @@ def euclidean_topk(
             F.col(id_col).alias("vec_id"),
             euclidean_dist(emb, _lit_vec(query_vec)).alias("dist"),
         )
-        .orderBy(F.asc("dist"), F.asc("vec_id"))
+        .orderBy(F.asc(F.round(F.col("dist"), 9)), F.asc("vec_id"))
         .limit(k)
     )
 
@@ -123,7 +127,9 @@ def knn_join(
             cosine_sim(F.col("_v"), F.col("_q")).alias("score"),
         )
     )
-    w = W.partitionBy("q_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    w = W.partitionBy("q_id").orderBy(
+        F.desc(F.round(F.col("score"), 9)), F.asc("vec_id")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
