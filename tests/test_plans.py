@@ -251,3 +251,60 @@ def test_pq_adc_scan_is_shuffle_free_jvm_only(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_embedding_exact_gemm_grid_no_cartesian(spark, sf_dir):
+    # the exact embedding near-dup path is a replicated block grid + one
+    # applyInPandas GEMM per cell: the plan must shuffle on the COMPOSITE
+    # (bi, bj) cell key (B(B+1)/2-way parallelism, not B-way) and never
+    # fall back to a cartesian pair stream
+    from nornicdb_spark.catalog import Catalog
+    from nornicdb_spark.operators.dedup import embedding_near_duplicates
+
+    emb = Catalog(spark, sf_dir).embeddings
+    df = embedding_near_duplicates(emb, threshold=0.45, exact=True)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+    m = re.search(r"hashpartitioning\(bi#\d+, bj#\d+", plan)
+    assert m, "grid shuffle must key on the composite (bi, bj) cell"
+
+
+def test_embedding_exact_gemm_matches_pairwise_cosine(spark, sf_dir):
+    # value check vs a direct per-pair cosine on a small slice: the GEMM
+    # kernel must reproduce the naive formula exactly (to float64 round)
+    from pyspark.sql import functions as F
+
+    from nornicdb_spark.catalog import Catalog
+    from nornicdb_spark.operators.dedup import embedding_near_duplicates
+    from nornicdb_spark.search.vector import cosine_sim
+
+    emb = Catalog(spark, sf_dir).embeddings.filter(F.col("vec_id") < 60)
+    got = {
+        (r.a, r.b): r.cosine
+        for r in embedding_near_duplicates(
+            emb, threshold=-1.0, exact=True
+        ).collect()
+    }
+    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    want = {
+        (r.a, r.b): r.cosine
+        for r in a.join(b, F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            cosine_sim(
+                F.col("va").cast("array<double>"),
+                F.col("vb").cast("array<double>"),
+            ).alias("cosine"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, k
