@@ -58,7 +58,7 @@ from nornicdb_spark.queries import graph  # noqa: E402,F401
 # rotate in round 8.
 _PRIORITY = (
     # new this round
-    "graph_betweenness_sampled",
+    "graph_betweenness_sampled", "ann_ivfpq_recall",
     # round-1 stamps — set ops / unwind
     "union_all_names", "union_names", "unwind_part_words",
     # round-2 stamps — mutations + constraints

@@ -301,6 +301,34 @@ def ann_pq(spark, sf_dir):
     return idx.search(_query_vec(spark, sf_dir), k=10, refine=4)
 
 
+@register("ann_ivfpq")  # approximate — rows-only; recall-gated below
+def ann_ivfpq(spark, sf_dir):
+    # Faiss-style IVFADC (Jégou et al. 2011 §V): coarse k-means lists +
+    # residual PQ, probed-list ADC scan, exact refine — the composed
+    # 100 TB ANN architecture (the codes table is partitioned by list id,
+    # so the probe filter prunes partitions and the codegen'd ADC scan
+    # touches only n_probe/n_lists of the compressed data).
+    emb = Catalog(spark, sf_dir).embeddings
+    idx = vector.IVFPQIndex.build(emb, n_lists=8, m=16, k_codes=32)
+    scope.escape_frame(idx.codes)  # per-call index: deferred release
+    return idx.search(_query_vec(spark, sf_dir), k=10, n_probe=4, refine=8)
+
+
+@register("ann_ivfpq_recall", oracle=_OK_ORACLE)
+def ann_ivfpq_recall(spark, sf_dir):
+    # recall@10 of IVF-PQ (8 lists / probe 4 / 16×32 PQ / refine 8) vs
+    # the exact euclidean scan; gate at >= 0.5 (measured 0.6-1.0 across
+    # query vectors at sf0.001/sf0.01 — the uniform synthetic embeddings
+    # are the IVF worst case, so the coarse probe dominates the loss).
+    emb = Catalog(spark, sf_dir).embeddings
+    qv = _query_vec(spark, sf_dir)
+    exact = vector.euclidean_topk(emb, qv, k=10).select("vec_id")
+    idx = vector.IVFPQIndex.build(emb, n_lists=8, m=16, k_codes=32)
+    scope.escape_frame(idx.codes)  # per-call index: deferred release
+    approx = idx.search(qv, k=10, n_probe=4, refine=8).select("vec_id")
+    return _gate(exact, approx, min_hits=5)
+
+
 @register("ann_pq_recall", oracle=_OK_ORACLE)
 def ann_pq_recall(spark, sf_dir):
     # recall@10 of PQ+refine-8 vs the exact euclidean scan; gate at

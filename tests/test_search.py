@@ -133,3 +133,39 @@ def test_pq_recall_with_refinement(catalog):
     # compressed representation really is m small codes
     row = idx.codes.first()
     assert len(row.codes) == 16 and all(0 <= c < 32 for c in row.codes)
+
+
+def test_ivfpq_recall_and_structure(catalog):
+    # IVFADC: coarse lists + residual PQ + probed-list ADC + refine.
+    # Uniform synthetic embeddings are the IVF worst case (the coarse
+    # probe dominates the loss), so the gate sits at 0.5 like the
+    # kmeans-pruned gate; measured 0.6-1.0 across query vectors.
+    emb = catalog.embeddings
+    qv = _query_vec(catalog)
+    exact = {r.vec_id for r in vector.euclidean_topk(emb, qv, 10).collect()}
+    idx = vector.IVFPQIndex.build(emb, n_lists=8, m=16, k_codes=32)
+    approx = {r.vec_id for r in idx.search(qv, k=10, n_probe=4, refine=8).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"ivfpq recall {recall}"
+    # the codes table carries the list routing and m small codes
+    row = idx.codes.first()
+    assert 0 <= row.list_id < 8
+    assert len(row.codes) == 16 and all(0 <= c < 32 for c in row.codes)
+    # probing every list with no refinement degrades exactly to PQ ADC
+    # over the full corpus: candidates == corpus, ranking pure-ADC
+    full = idx.search(qv, k=10, n_probe=8, refine=1)
+    assert full.count() == 10
+
+
+def test_ivfpq_probe_prunes_lists(catalog):
+    # the ADC scan must touch only the probed lists: filter on list_id
+    # reaches the codes scan, and the scan stays JVM-only (no Python
+    # eval) up to the TakeOrdered
+    emb = catalog.embeddings
+    qv = _query_vec(catalog)
+    idx = vector.IVFPQIndex.build(emb, n_lists=8, m=16, k_codes=32)
+    df = idx.search(qv, k=10, n_probe=2, refine=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "list_id" in plan and "isin" in plan.lower() or " IN (" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert "TakeOrderedAndProject" in plan
