@@ -39,6 +39,9 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", "48g")
+        # the sweep compare collects full result sets; pair-mining
+        # queries legitimately return >1 GiB at sf1
+        .config("spark.driver.maxResultSize", "8g")
         .getOrCreate()
     )
     con = duckdb.connect()
