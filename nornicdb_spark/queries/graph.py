@@ -242,7 +242,7 @@ def graph_link_prediction_suppliers(spark, sf_dir):
 # The star-schema graph projection (FIXTURES.md §A) spelled out as SQL —
 # shared by every unrolled-iteration oracle (pagerank, label propagation).
 _GRAPH_SQL = """
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT 'Customer:' || o_custkey AS src, 'Order:' || o_orderkey AS dst
       FROM orders
       UNION ALL
@@ -257,7 +257,7 @@ _GRAPH_SQL = """
       UNION ALL
       SELECT 'Nation:' || n_nationkey, 'Region:' || n_regionkey FROM nation
     ),
-    nodes AS (
+    nodes AS MATERIALIZED (
       SELECT 'Customer:' || c_custkey AS id FROM customer
       UNION ALL SELECT 'Order:' || o_orderkey FROM orders
       UNION ALL SELECT 'Part:' || p_partkey FROM part
@@ -274,11 +274,11 @@ def _pagerank_oracle(iterations: int = 5, d: float = 0.85, k: int = 50) -> str:
     mass conservation (1 - Σ contribs), uniform init."""
     chain = [
         _GRAPH_SQL + """,
-    meta AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-    outdeg AS (
+    meta AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    outdeg AS MATERIALIZED (
       SELECT src AS id, CAST(count(*) AS DOUBLE) AS od FROM edges GROUP BY src
     ),
-    c1 AS (
+    c1 AS MATERIALIZED (
       SELECT e.dst AS id, sum((1.0 / meta.n) / o.od) AS contrib
       FROM edges e JOIN outdeg o ON o.id = e.src, meta
       GROUP BY e.dst
@@ -286,15 +286,15 @@ def _pagerank_oracle(iterations: int = 5, d: float = 0.85, k: int = 50) -> str:
     ]
     for i in range(2, iterations + 1):
         chain.append(f"""
-    s{i - 1} AS (SELECT sum(contrib) AS s FROM c{i - 1}),
-    r{i - 1} AS (
+    s{i - 1} AS MATERIALIZED (SELECT sum(contrib) AS s FROM c{i - 1}),
+    r{i - 1} AS MATERIALIZED (
       SELECT nodes.id,
              {(1.0 - d)!r} / meta.n
                + {d!r} * (coalesce(c.contrib, 0.0)
                           + (1.0 - s{i - 1}.s) / meta.n) AS rank
       FROM nodes LEFT JOIN c{i - 1} c ON c.id = nodes.id, meta, s{i - 1}
     ),
-    c{i} AS (
+    c{i} AS MATERIALIZED (
       SELECT e.dst AS id, sum(r.rank / o.od) AS contrib
       FROM r{i - 1} r JOIN outdeg o ON o.id = r.id
       JOIN edges e ON e.src = r.id
@@ -303,7 +303,7 @@ def _pagerank_oracle(iterations: int = 5, d: float = 0.85, k: int = 50) -> str:
     last = iterations
     return f"""
     WITH {','.join(chain)},
-    sF AS (SELECT sum(contrib) AS s FROM c{last})
+    sF AS MATERIALIZED (SELECT sum(contrib) AS s FROM c{last})
     SELECT nodes.id,
            round({(1.0 - d)!r} / meta.n
                  + {d!r} * (coalesce(c.contrib, 0.0)
@@ -327,18 +327,18 @@ def _ppr_oracle(
     distribution p (``src_sql`` rows), init rank = p."""
     chain = [
         _GRAPH_SQL + f""",
-    srcs AS ({src_sql}),
-    meta AS (SELECT CAST(count(*) AS DOUBLE) AS s_n FROM srcs),
-    pnode AS (
+    srcs AS MATERIALIZED ({src_sql}),
+    meta AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS s_n FROM srcs),
+    pnode AS MATERIALIZED (
       SELECT nodes.id,
              CASE WHEN srcs.id IS NOT NULL THEN 1.0 / meta.s_n
                   ELSE 0.0 END AS p
       FROM nodes LEFT JOIN srcs ON srcs.id = nodes.id, meta
     ),
-    outdeg AS (
+    outdeg AS MATERIALIZED (
       SELECT src AS id, CAST(count(*) AS DOUBLE) AS od FROM edges GROUP BY src
     ),
-    c1 AS (
+    c1 AS MATERIALIZED (
       SELECT e.dst AS id, sum(p.p / o.od) AS contrib
       FROM edges e JOIN outdeg o ON o.id = e.src
       JOIN pnode p ON p.id = e.src
@@ -347,15 +347,15 @@ def _ppr_oracle(
     ]
     for i in range(2, iterations + 1):
         chain.append(f"""
-    s{i - 1} AS (SELECT sum(contrib) AS s FROM c{i - 1}),
-    r{i - 1} AS (
+    s{i - 1} AS MATERIALIZED (SELECT sum(contrib) AS s FROM c{i - 1}),
+    r{i - 1} AS MATERIALIZED (
       SELECT pnode.id,
              {(1.0 - d)!r} * pnode.p
                + {d!r} * (coalesce(c.contrib, 0.0)
                           + (1.0 - s{i - 1}.s) * pnode.p) AS rank
       FROM pnode LEFT JOIN c{i - 1} c ON c.id = pnode.id, s{i - 1}
     ),
-    c{i} AS (
+    c{i} AS MATERIALIZED (
       SELECT e.dst AS id, sum(r.rank / o.od) AS contrib
       FROM r{i - 1} r JOIN outdeg o ON o.id = r.id
       JOIN edges e ON e.src = r.id
@@ -364,7 +364,7 @@ def _ppr_oracle(
     last = iterations
     return f"""
     WITH {','.join(chain)},
-    sF AS (SELECT sum(contrib) AS s FROM c{last})
+    sF AS MATERIALIZED (SELECT sum(contrib) AS s FROM c{last})
     SELECT pnode.id,
            round({(1.0 - d)!r} * pnode.p
                  + {d!r} * (coalesce(c.contrib, 0.0)
@@ -1029,25 +1029,25 @@ def _lpa_oracle(iterations: int = 5) -> str:
     reproduces it, so 5 unrolled rounds match max_iterations=5."""
     chain = [
         _GRAPH_SQL + """,
-    und AS (
+    und AS MATERIALIZED (
       SELECT src, dst FROM edges
       UNION ALL SELECT dst AS src, src AS dst FROM edges
     ),
-    l0 AS (SELECT id, id AS community FROM nodes)"""
+    l0 AS MATERIALIZED (SELECT id, id AS community FROM nodes)"""
     ]
     for i in range(1, iterations + 1):
         chain.append(f"""
-    c{i} AS (
+    c{i} AS MATERIALIZED (
       SELECT u.dst AS id, l.community, count(*) AS n
       FROM l{i - 1} l JOIN und u ON u.src = l.id
       GROUP BY u.dst, l.community
     ),
-    b{i} AS (
+    b{i} AS MATERIALIZED (
       SELECT id, min(community) AS best FROM (
         SELECT *, max(n) OVER (PARTITION BY id) AS mx FROM c{i}
       ) WHERE n = mx GROUP BY id
     ),
-    l{i} AS (
+    l{i} AS MATERIALIZED (
       SELECT l.id, coalesce(b.best, l.community) AS community
       FROM l{i - 1} l LEFT JOIN b{i} b ON b.id = l.id
     )""")
