@@ -595,31 +595,31 @@ def graph_louvain_supplier_communities(spark, sf_dir):
 @register(
     "graph_triangle_count_suppliers",
     oracle="""
-    WITH supplies AS (
+    WITH supplies AS MATERIALIZED (
       SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
     ),
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT DISTINCT a.s AS a, b.s AS b
       FROM supplies a JOIN supplies b ON a.p = b.p AND a.s < b.s
     ),
-    und AS (
+    und AS MATERIALIZED (
       SELECT a AS u, b AS v FROM pairs
       UNION SELECT b, a FROM pairs
     ),
-    deg AS (SELECT u AS id, CAST(count(*) AS BIGINT) AS d
+    deg AS MATERIALIZED (SELECT u AS id, CAST(count(*) AS BIGINT) AS d
             FROM und GROUP BY u),
-    o AS (
+    o AS MATERIALIZED (
       SELECT u AS src, v AS dst
       FROM und JOIN deg du ON du.id = u JOIN deg dv ON dv.id = v
       WHERE du.d < dv.d OR (du.d = dv.d AND u < v)
     ),
-    tri AS (
+    tri AS MATERIALIZED (
       SELECT ab.src AS x, ab.dst AS y, bc.dst AS z
       FROM o ab
       JOIN o bc ON bc.src = ab.dst
       JOIN o ac ON ac.src = ab.src AND ac.dst = bc.dst
     ),
-    per_node AS (
+    per_node AS MATERIALIZED (
       SELECT n AS id, CAST(count(*) AS BIGINT) AS t
       FROM (SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
             UNION ALL SELECT z FROM tri)
