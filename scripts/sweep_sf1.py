@@ -80,6 +80,11 @@ def main() -> None:
         .getOrCreate()
     )
     con = duckdb.connect()
+    # bound the oracle side: DuckDB's default limit (80% of RAM) plus the
+    # 48g driver JVM OOM-kills the process on the heavy unrolled oracles —
+    # cap it and let it spill to the repo-local temp dir instead
+    con.execute("SET memory_limit='32GB'")
+    con.execute(f"SET temp_directory='{ROOT / '.tmp'}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
