@@ -852,34 +852,34 @@ def graph_all_shortest_paths_customer_parts(spark, sf_dir):
     # over ≤5 region nodes instead of the full graph.
     oracle="""
     WITH RECURSIVE
-    li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk,
+    li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk,
                   l_suppkey AS sk FROM lineitem),
-    cust_reg AS (SELECT c_custkey AS ck, n_regionkey AS r
+    cust_reg AS MATERIALIZED (SELECT c_custkey AS ck, n_regionkey AS r
                  FROM customer JOIN nation ON c_nationkey = n_nationkey),
-    ord_reg AS (SELECT o_orderkey AS ok, r
+    ord_reg AS MATERIALIZED (SELECT o_orderkey AS ok, r
                 FROM orders JOIN cust_reg ON o_custkey = ck),
-    sup_reg AS (SELECT s_suppkey AS sk, n_regionkey AS r
+    sup_reg AS MATERIALIZED (SELECT s_suppkey AS sk, n_regionkey AS r
                 FROM supplier JOIN nation ON s_nationkey = n_nationkey),
-    part_reg AS (
+    part_reg AS MATERIALIZED (
       SELECT DISTINCT pk, r FROM (
         SELECT li.pk, o.r FROM li JOIN ord_reg o USING (ok)
         UNION ALL
         SELECT li.pk, s.r FROM li JOIN sup_reg s USING (sk)
       )
     ),
-    reg_edges AS (
+    reg_edges AS MATERIALIZED (
       SELECT DISTINCT least(r, m) AS a, greatest(r, m) AS b
       FROM (SELECT pk, r, min(r) OVER (PARTITION BY pk) AS m FROM part_reg)
       WHERE r <> m
     ),
-    und AS (SELECT a AS s, b AS d FROM reg_edges
+    und AS MATERIALIZED (SELECT a AS s, b AS d FROM reg_edges
             UNION SELECT b, a FROM reg_edges),
     reach(node, lbl) AS (
       SELECT r_regionkey, r_regionkey FROM region
       UNION
       SELECT u.d, reach.lbl FROM und u JOIN reach ON reach.node = u.s
     ),
-    reg_comp AS (SELECT node AS r, min(lbl) AS comp FROM reach GROUP BY node),
+    reg_comp AS MATERIALIZED (SELECT node AS r, min(lbl) AS comp FROM reach GROUP BY node),
     comp_sizes AS (
       SELECT comp, sum(cnt) AS size FROM (
         SELECT comp, count(*) AS cnt FROM reg_comp GROUP BY comp

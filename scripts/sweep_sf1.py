@@ -79,16 +79,22 @@ def main() -> None:
         .config("spark.driver.maxResultSize", "8g")
         .getOrCreate()
     )
-    con = duckdb.connect()
-    # bound the oracle side: DuckDB's default limit (80% of RAM) plus the
-    # 48g driver JVM OOM-kills the process on the heavy unrolled oracles —
-    # cap it and let it spill to the repo-local temp dir instead
-    con.execute("SET memory_limit='32GB'")
-    con.execute(f"SET temp_directory='{ROOT / '.tmp'}'")
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
-        )
+    def fresh_con():
+        # one connection PER QUERY: DuckDB's temp-spill files
+        # (duckdb_temp_storage-N.tmp) live for the connection, so a
+        # long sweep accumulates every heavy oracle's spill (~80 GB
+        # observed) unless the connection is recycled. The memory cap
+        # keeps the oracle side from OOM-killing the process next to
+        # the 48g driver JVM; the spill dir is repo-local.
+        c = duckdb.connect()
+        c.execute("SET memory_limit='32GB'")
+        c.execute(f"SET temp_directory='{ROOT / '.tmp'}'")
+        for t in TABLES:
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/{t}.parquet')"
+            )
+        return c
 
     # resume: keep prior passes from an interrupted sweep (the file is
     # rewritten after every query), re-run anything else
@@ -110,6 +116,7 @@ def main() -> None:
     ]
     for i, name in enumerate(names):
         t0 = time.time()
+        con = fresh_con()
         try:
             df = QUERIES[name](spark, SF_DIR)
             n = df.count()
@@ -127,6 +134,7 @@ def main() -> None:
             status = "fail"
             err = f"{type(e).__name__}: {e}"[:400]
             traceback.print_exc(limit=3)
+        con.close()
         dt = round(time.time() - t0, 2)
         results[name] = {"status": status, "sec": dt, "err": err}
         print(f"[{i + 1}/{len(names)}] {name}: {status} ({dt}s)", flush=True)
