@@ -915,11 +915,11 @@ def _lp_ensemble_oracle(k: int = 5) -> str:
     terms = []
     for nm, (expr, w) in metrics.items():
         slices.append(f"""
-    {nm}_s AS (
+    {nm}_s AS MATERIALIZED (
       SELECT node2, {expr} AS topo FROM metrics
       ORDER BY topo DESC, node2 ASC LIMIT {k * 3}
     ),
-    {nm}_n AS (
+    {nm}_n AS MATERIALIZED (
       SELECT node2,
              {w!r} * (CASE WHEN mx = mn THEN 1.0
                            ELSE (topo - mn) / (mx - mn) END) AS c
@@ -927,13 +927,13 @@ def _lp_ensemble_oracle(k: int = 5) -> str:
     )""")
         terms.append(f"SELECT node2, c FROM {nm}_n")
     return f"""
-    WITH supplies AS (
+    WITH supplies AS MATERIALIZED (
       SELECT DISTINCT 'Supplier:' || l_suppkey AS s, l_partkey AS p
       FROM lineitem
     ),
-    deg AS (SELECT s, count(*) AS d FROM supplies GROUP BY s),
-    part_deg AS (SELECT p, count(*) AS pd FROM supplies GROUP BY p),
-    pairs AS (
+    deg AS MATERIALIZED (SELECT s, count(*) AS d FROM supplies GROUP BY s),
+    part_deg AS MATERIALIZED (SELECT p, count(*) AS pd FROM supplies GROUP BY p),
+    pairs AS MATERIALIZED (
       SELECT a.s AS a, b.s AS b,
              CAST(count(*) AS BIGINT) AS common,
              round(sum(1.0 / ln(pd)) + 1e-12, 9) AS adamic_adar,
@@ -942,7 +942,7 @@ def _lp_ensemble_oracle(k: int = 5) -> str:
       JOIN part_deg ON part_deg.p = a.p
       GROUP BY a.s, b.s
     ),
-    metrics AS (
+    metrics AS MATERIALIZED (
       SELECT CASE WHEN a = 'Supplier:1' THEN b ELSE a END AS node2,
              common,
              common / (da.d + db.d - common) AS jaccard,
@@ -951,11 +951,11 @@ def _lp_ensemble_oracle(k: int = 5) -> str:
       FROM pairs JOIN deg da ON da.s = pairs.a JOIN deg db ON db.s = pairs.b
       WHERE a = 'Supplier:1' OR b = 'Supplier:1'
     ),{','.join(slices)},
-    agg AS (
+    agg AS MATERIALIZED (
       SELECT node2, round(sum(c) + 1e-12, 9) AS topo
       FROM ({' UNION ALL '.join(terms)}) GROUP BY node2
     ),
-    top AS (
+    top AS MATERIALIZED (
       SELECT node2, topo FROM agg ORDER BY topo DESC, node2 ASC LIMIT {k * 3}
     )
     SELECT 'Supplier:1' AS node1, node2,
