@@ -32,7 +32,7 @@ ws AS (
 _SHINGLES = (
     _WORDS
     + f""",
-sh AS (
+sh AS MATERIALIZED (
   SELECT DISTINCT doc_id, shingle,
          CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % {P} AS h
   FROM (
@@ -80,22 +80,22 @@ def dedup_exact(spark, sf_dir):
 # the pair oracle and the cluster-canonicalization oracle
 _MINHASH_CTES = f"""{_SHINGLES},
     perms(i, a, b) AS (VALUES {_perm_values()}),
-    sigs AS (
+    sigs AS MATERIALIZED (
       SELECT doc_id, i, min((a * h + b) % {P}) AS sig
       FROM sh CROSS JOIN perms GROUP BY doc_id, i
     ),
-    bands AS (
+    bands AS MATERIALIZED (
       SELECT doc_id, i // 4 AS band,
              string_agg(CAST(sig AS VARCHAR), '-' ORDER BY i) AS band_key
       FROM sigs GROUP BY doc_id, i // 4
     ),
-    cand AS (
+    cand AS MATERIALIZED (
       SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
       FROM bands x JOIN bands y
         ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
     ),
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    inter AS (
+    sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS MATERIALIZED (
       SELECT c.a, c.b, count(*) AS n_inter
       FROM cand c
       JOIN sh sa ON sa.doc_id = c.a
@@ -167,7 +167,7 @@ def dedup_simhash(spark, sf_dir):
       SELECT doc_id, q, substr(fingerprint, 1 + q * 15, 15) AS qv
       FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS q)
     ),
-    cand AS (
+    cand AS MATERIALIZED (
       SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
       FROM quarters x
       JOIN quarters y ON x.q = y.q AND x.qv = y.qv AND x.doc_id < y.doc_id
@@ -200,7 +200,7 @@ def dedup_simhash_pairs(spark, sf_dir):
       FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     ),
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+    sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
     SELECT a, b, CAST(n_inter AS DOUBLE) / (sx.n + sy.n - n_inter) AS jaccard
     FROM pairs JOIN sizes sx ON sx.doc_id = a JOIN sizes sy ON sy.doc_id = b
     WHERE CAST(n_inter AS DOUBLE) / (sx.n + sy.n - n_inter) >= 0.4
@@ -576,12 +576,12 @@ def corpus_stratified_sample(spark, sf_dir):
     "dedup_cluster_canonical",
     oracle=f"""
     WITH RECURSIVE {_MINHASH_CTES},
-    dup AS (
+    dup AS MATERIALIZED (
       SELECT a, b FROM inter
       JOIN sizes sx ON sx.doc_id = a JOIN sizes sy ON sy.doc_id = b
       WHERE CAST(n_inter AS DOUBLE) / (sx.n + sy.n - n_inter) >= 0.5
     ),
-    und AS (SELECT a AS s, b AS d FROM dup UNION SELECT b, a FROM dup),
+    und AS MATERIALIZED (SELECT a AS s, b AS d FROM dup UNION SELECT b, a FROM dup),
     reach(node, r) AS (
       SELECT s, s FROM (SELECT DISTINCT s FROM und)
       UNION
