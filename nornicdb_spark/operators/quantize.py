@@ -1,0 +1,93 @@
+"""Embedding quantization — SURVEY §2.13 (training-data pipeline ops).
+
+At 100 TB an fp32 embedding column dominates table footprint; symmetric
+per-vector int8 quantization cuts it 4× with bounded cosine error, and
+the codes stay joinable/scannable. Everything here is codegen'd JVM
+array expressions (transform/aggregate) — no UDF, no Python crossing —
+and the quantize/dequantize round-trip is exactly reproducible in SQL,
+so the whole family is oracle-checkable (unlike the learned PQ
+codebooks in search/vector.py, which are gate-checked instead).
+
+Reference scope note: the reference stores raw float32 vectors
+(pkg/search/vector_index.go) — this module is a beyond-reference
+capability for the LLM-pipeline north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _vec(col: str) -> F.Column:
+    return F.col(col).cast("array<double>")
+
+
+def quantize_int8(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|v| / 127,
+    code_i = round(v_i / scale) ∈ [-127, 127] (zero vectors get scale 0
+    and all-zero codes). Returns (vec_id, scale, codes array<int>)."""
+    v = _vec(vec_col)
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    codes = F.when(
+        F.col("scale") > 0,
+        F.transform(v, lambda x: F.round(x / F.col("scale")).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias(vec_col)
+        )
+        .withColumn("scale", scale)
+        .select("vec_id", "scale", codes.alias("codes"))
+    )
+
+
+def dequantize(quantized: DataFrame) -> DataFrame:
+    """Inverse of :func:`quantize_int8`: v̂_i = code_i · scale.
+    Returns (vec_id, vec array<double>)."""
+    return quantized.select(
+        "vec_id",
+        F.transform(
+            F.col("codes"), lambda c: c.cast("double") * F.col("scale")
+        ).alias("vec"),
+    )
+
+
+def quantization_error(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Round-trip error of int8 quantization per vector: the max absolute
+    reconstruction error is bounded by scale/2 (half a quantization step)
+    — emitted alongside so the bound itself is oracle-checked.
+    Returns (vec_id, scale, max_abs_err, mse, bound_ok)."""
+    q = quantize_int8(embeddings, id_col, vec_col).alias("q")
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"), _vec(vec_col).alias("_v")
+    ).alias("e")
+    joined = q.join(e, "vec_id")
+    err = F.zip_with(
+        F.col("_v"),
+        F.col("codes"),
+        lambda x, c: F.abs(x - c.cast("double") * F.col("scale")),
+    )
+    n = F.size(F.col("_v"))
+    return joined.select(
+        "vec_id",
+        "scale",
+        F.array_max(err).alias("max_abs_err"),
+        (
+            F.aggregate(
+                err, F.lit(0.0), lambda acc, x: acc + x * x
+            )
+            / n.cast("double")
+        ).alias("mse"),
+        (F.array_max(err) <= F.col("scale") / 2 + F.lit(1e-12))
+        .cast("long")
+        .alias("bound_ok"),
+    )

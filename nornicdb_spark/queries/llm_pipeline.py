@@ -1151,3 +1151,87 @@ def corpus_split_contamination(spark, sf_dir):
     # publishing a train/val/test partition.
     docs = Catalog(spark, sf_dir).documents
     return textops.split_contamination(docs, n=4)
+
+
+# --- embedding quantization (beyond-reference: 100 TB footprint path) ------
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM v
+    )
+    SELECT vec_id, round(scale, 9) AS scale,
+           CASE WHEN scale > 0
+                THEN array_to_string(
+                       list_transform(v,
+                         x -> CAST(CAST(round(x / scale) AS INT) AS VARCHAR)),
+                       ',')
+                ELSE array_to_string(list_transform(v, x -> '0'), ',')
+           END AS codes
+    FROM s
+    """,
+)
+def embedding_quantize_int8(spark, sf_dir):
+    # symmetric per-vector int8 quantization (4x footprint cut for the
+    # embedding column at 100 TB): scale = max|v|/127, codegen'd
+    # transform, codes emitted as a joined string so the hash compare is
+    # representation-stable (operators/quantize.py).
+    from nornicdb_spark.operators import quantize
+
+    emb = Catalog(spark, sf_dir).embeddings
+    q = quantize.quantize_int8(emb)
+    return q.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        F.array_join(
+            F.transform(F.col("codes"), lambda c: c.cast("string")), ","
+        ).alias("codes"),
+    )
+
+
+@register(
+    "embedding_quantization_error",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM v
+    ),
+    rt AS (
+      SELECT vec_id, v, scale,
+             list_transform(v,
+               x -> abs(x - CAST(round(x / scale) AS INT) * scale)) AS err
+      FROM s WHERE scale > 0
+    )
+    SELECT vec_id, round(scale, 9) AS scale,
+           round(list_max(err), 9) AS max_abs_err,
+           round(list_sum(list_transform(err, e -> e * e)) / len(v), 9)
+             AS mse,
+           CAST(list_max(err) <= scale / 2 + 1e-12 AS BIGINT) AS bound_ok
+    FROM rt
+    """,
+)
+def embedding_quantization_error(spark, sf_dir):
+    # round-trip reconstruction error per vector with the scale/2 bound
+    # checked IN the result — a quantization regression flips bound_ok
+    # rows to 0 and the driver hash goes red.
+    from nornicdb_spark.operators import quantize
+
+    emb = Catalog(spark, sf_dir).embeddings
+    err = quantize.quantization_error(emb).filter(F.col("scale") > 0)
+    return err.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        F.round("max_abs_err", 9).alias("max_abs_err"),
+        F.round("mse", 9).alias("mse"),
+        "bound_ok",
+    )

@@ -175,3 +175,37 @@ def test_split_contamination_detects_seeded_leak(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: r.n_shared for r in textops.split_contamination(docs, n=4).collect()}
     assert got == {test_id: 3}  # 6 words → three 4-grams, all shared
+
+
+def test_quantize_int8_roundtrip_bound(catalog):
+    # max reconstruction error of symmetric int8 quantization is half a
+    # quantization step (scale/2); dequantize must invert codes exactly
+    from pyspark.sql import functions as F
+
+    from nornicdb_spark.operators import quantize
+
+    emb = catalog.embeddings
+    err = quantize.quantization_error(emb).filter(F.col("scale") > 0)
+    n = err.count()
+    assert n > 0
+    assert err.filter(F.col("bound_ok") == 0).count() == 0
+    q = quantize.quantize_int8(emb)
+    # codes stay in int8 range
+    rng = q.select(
+        F.min(F.array_min("codes")).alias("lo"),
+        F.max(F.array_max("codes")).alias("hi"),
+    ).collect()[0]
+    assert -127 <= rng.lo and rng.hi <= 127
+    dq = quantize.dequantize(q)
+    joined = dq.join(
+        emb.select(F.col("vec_id"), F.col("embedding").cast("array<double>").alias("_v")),
+        "vec_id",
+    )
+    worst = joined.select(
+        F.array_max(
+            F.zip_with(F.col("vec"), F.col("_v"), lambda a, b: F.abs(a - b))
+        ).alias("e"),
+        F.array_max(F.transform(F.col("_v"), lambda x: F.abs(x))).alias("mx"),
+    )
+    bad = worst.filter(F.col("e") > F.col("mx") / 127.0 / 2 + 1e-12).count()
+    assert bad == 0
