@@ -561,3 +561,58 @@ def embedding_near_duplicates(
             .select("a", "b", cosine_sim(F.col("va"), F.col("vb")).alias("cosine"))
         )
     return pairs.filter(F.col("cosine") >= threshold).select("a", "b", "cosine")
+
+
+def shingle_hashes_col(text_col, n: int = 3) -> F.Column:
+    """Per-row DISTINCT shingle-hash set (array<bigint>) — the same
+    multiset :func:`shingles` builds by explode+distinct, but as one
+    narrow expression, so it runs inside a streaming micro-batch with no
+    explode/groupBy/state. Empty array for docs shorter than ``n``."""
+    w = words_col(F.col(text_col) if isinstance(text_col, str) else text_col)
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.array_join(F.slice(w, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.transform(
+        F.array_distinct(grams), lambda s: h60(s) % MERSENNE_P
+    )
+
+
+def minhash_band_keys_col(
+    hashes_col: F.Column,
+    n_perms: int = N_PERMS,
+    n_bands: int = N_BANDS,
+    seed: int = 7,
+) -> F.Column:
+    """Per-row LSH band keys (array<string>, one per band) from a
+    shingle-hash array — identical keys to :func:`minhash_signatures` +
+    :func:`lsh_candidate_pairs`' banding, row-local: the streaming-ingest
+    side of a stream-static near-dup join computes this per incoming doc
+    and equi-joins the static corpus' band table."""
+    def perm_min(a: int, b: int) -> F.Column:
+        # a dedicated scope per permutation: Spark's transform() only
+        # accepts 1- or 2-parameter lambdas, so (a, b) must be closed
+        # over, not passed as defaulted lambda parameters
+        return F.array_min(
+            F.transform(hashes_col, lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE_P)
+        )
+
+    sig = [perm_min(a, b) for _i, a, b in minhash_params(n_perms, seed)]
+    rows_per_band = n_perms // n_bands
+    return F.array(
+        *[
+            F.array_join(
+                F.array(
+                    *[
+                        sig[b * rows_per_band + j].cast("string")
+                        for j in range(rows_per_band)
+                    ]
+                ),
+                "-",
+            )
+            for b in range(n_bands)
+        ]
+    )

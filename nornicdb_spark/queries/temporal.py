@@ -751,3 +751,111 @@ def inference_edge_decay(spark, sf_dir):
     return out.select(
         "edge_id", "confidence", "auto_generated", "new_confidence", "deleted"
     )
+
+
+def _stream_near_dup_oracle() -> str:
+    # batch replica of the stream-static near-dup join: same shingle
+    # hashing, same 32-perm/8-band LSH keys, distinct-h Jaccard — the
+    # incremental-ingest result must equal the batch recompute
+    from nornicdb_spark.operators.dedup import MERSENNE_P
+    from nornicdb_spark.queries.llm_pipeline import _SHINGLES, _perm_values
+
+    return f"""
+    WITH {_SHINGLES},
+    sh2 AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM sh),
+    perms(i, a, b) AS (VALUES {_perm_values()}),
+    sigs AS MATERIALIZED (
+      SELECT doc_id, i, min((a * h + b) % {MERSENNE_P}) AS sig
+      FROM sh2 CROSS JOIN perms GROUP BY doc_id, i
+    ),
+    bands AS MATERIALIZED (
+      SELECT doc_id, i // 4 AS band,
+             string_agg(CAST(sig AS VARCHAR), '-' ORDER BY i) AS band_key
+      FROM sigs GROUP BY doc_id, i // 4
+    ),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT s.doc_id AS stream_doc, c.doc_id AS corpus_doc
+      FROM bands s JOIN bands c
+        ON s.band = c.band AND s.band_key = c.band_key
+      WHERE s.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+    ),
+    sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+    inter AS MATERIALIZED (
+      SELECT cand.stream_doc, cand.corpus_doc, count(*) AS n_inter
+      FROM cand
+      JOIN sh2 sa ON sa.doc_id = cand.stream_doc
+      JOIN sh2 sb ON sb.doc_id = cand.corpus_doc AND sb.h = sa.h
+      GROUP BY 1, 2
+    )
+    SELECT stream_doc, corpus_doc,
+           round(CAST(n_inter AS DOUBLE) / (sx.n + sy.n - n_inter), 9)
+             AS jaccard
+    FROM inter JOIN sizes sx ON sx.doc_id = stream_doc
+               JOIN sizes sy ON sy.doc_id = corpus_doc
+    WHERE CAST(n_inter AS DOUBLE) / (sx.n + sy.n - n_inter) >= 0.5
+    """
+
+
+@register("stream_dedup_near_dup", oracle=_stream_near_dup_oracle())
+def stream_dedup_near_dup(spark, sf_dir):
+    # incremental semantic dedup: INCOMING documents (a file stream —
+    # Kafka in production) near-dup-checked against a STATIC corpus via
+    # a stream-static equi-join on MinHash band keys. The stream side
+    # computes its signature with per-ROW narrow expressions
+    # (dedup.shingle_hashes_col / minhash_band_keys_col — no explode, no
+    # stateful aggregation inside the micro-batch); only candidate pairs
+    # reach the Jaccard verify. This is the ingest shape of a 100 TB
+    # corpus: the banded index is a maintained table, each arriving batch
+    # probes ~n/bucket_count of it, never the full corpus.
+    from nornicdb_spark.operators import dedup, scope
+    from nornicdb_spark.streaming import structured
+
+    docs = Catalog(spark, sf_dir).documents
+    static = docs.filter(F.col("doc_id") % 5 != 0)
+    static_idx = static.select(
+        F.col("doc_id").alias("corpus_doc"),
+        F.array_distinct(dedup.shingle_hashes_col("text")).alias("c_hs"),
+    ).filter(F.size("c_hs") > 0)
+    static_bands = static_idx.select(
+        "corpus_doc",
+        "c_hs",
+        F.posexplode(dedup.minhash_band_keys_col(F.col("c_hs"))).alias(
+            "band", "band_key"
+        ),
+    ).localCheckpoint(eager=True)  # the maintained index snapshot
+    scope.escape_frame(static_bands)
+
+    s = (
+        structured.read_documents_stream(spark, sf_dir)
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(
+            F.col("doc_id").alias("stream_doc"),
+            F.array_distinct(dedup.shingle_hashes_col("text")).alias("s_hs"),
+        )
+        .filter(F.size("s_hs") > 0)
+    )
+    sb = s.select(
+        "stream_doc",
+        "s_hs",
+        F.posexplode(dedup.minhash_band_keys_col(F.col("s_hs"))).alias(
+            "band", "band_key"
+        ),
+    )
+    cand = (
+        sb.join(static_bands, ["band", "band_key"])
+        .select("stream_doc", "corpus_doc", "s_hs", "c_hs")
+        .dropDuplicates(["stream_doc", "corpus_doc"])
+    )
+    inter = F.size(F.array_intersect("s_hs", "c_hs")).cast("double")
+    jac = inter / (
+        F.size("s_hs").cast("double") + F.size("c_hs").cast("double") - inter
+    )
+    out = (
+        cand.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("stream_doc", "corpus_doc", F.round("jaccard", 9).alias("jaccard"))
+    )
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    return structured.run_to_completion(
+        out, f"stream_near_dup_{tag}", mode="append"
+    )

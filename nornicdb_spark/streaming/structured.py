@@ -171,3 +171,16 @@ def stateful_access_tracker(stream: DataFrame, tier: str = "SEMANTIC") -> DataFr
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-based document stream — the ingest side of an incremental
+    corpus pipeline (in production: Kafka/queue of new documents)."""
+    path = sf_dir.rstrip("/")
+    schema = spark.read.parquet(f"{path}/documents.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(path)
+    )

@@ -207,3 +207,26 @@ def test_kalman_adaptive_golden(spark):
         [f for f, _ in _GOLD_ADAPTIVE], rel=1e-9
     )
     assert [r.mode for r in out] == [m for _, m in _GOLD_ADAPTIVE]
+
+
+def test_stream_near_dup_matches_batch(spark, sf_dir):
+    # the incremental (stream-static) near-dup join must produce exactly
+    # the cross-split subset of the batch MinHash pipeline's pairs
+    from nornicdb_spark.catalog import Catalog
+    from nornicdb_spark.operators import dedup
+    from nornicdb_spark.queries.temporal import stream_dedup_near_dup
+
+    got = {
+        (r.stream_doc, r.corpus_doc)
+        for r in stream_dedup_near_dup(spark, sf_dir).collect()
+    }
+    docs = Catalog(spark, sf_dir).documents
+    batch = dedup.minhash_near_duplicates(docs, threshold=0.5).collect()
+    want = set()
+    for r in batch:
+        for s, c in ((r.a, r.b), (r.b, r.a)):
+            if s % 5 == 0 and c % 5 != 0:
+                want.add((s, c))
+    # band keys are identical; the only semantic delta is distinct-h vs
+    # distinct-shingle Jaccard, which cannot flip a pair across 0.5 here
+    assert got == want and len(got) > 0
