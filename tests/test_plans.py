@@ -308,3 +308,20 @@ def test_embedding_exact_gemm_matches_pairwise_cosine(spark, sf_dir):
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-9, k
+
+
+def test_quantize_int8_is_jvm_only(spark, sf_dir):
+    # quantization is a per-row array expression: the plan must contain
+    # no Python eval and no shuffle — it runs inside the scan's stage
+    from nornicdb_spark.catalog import Catalog
+    from nornicdb_spark.operators.quantize import quantize_int8
+
+    emb = Catalog(spark, sf_dir).embeddings
+    plan = (
+        quantize_int8(emb)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert "Exchange" not in plan
