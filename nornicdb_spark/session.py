@@ -25,7 +25,14 @@ def get_spark(
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
-    shuffle_partitions = shuffle_partitions or cpus
+    # shuffle partitions must scale with DATA, not cores: at 100 TB a
+    # cores-sized partition count gives multi-GB per-task sorts that
+    # starve execution memory (measured at the local 100x probe —
+    # SPARK_GRAFT_SHUFFLE=256 there). AQE coalesces the small ones, so
+    # over-partitioning costs little; under-partitioning OOMs.
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE", str(cpus))
+    )
 
     builder = (
         SparkSession.builder.master(master)

@@ -1,4 +1,5 @@
-"""Generate an sf1 dataset (10x sf0.1) for scale validation.
+"""Generate an sfN dataset (N/10 x sf0.1, default sf1 = 10 copies) for
+scale validation.
 
 The driver provides sf{0.001,0.01,0.1}; the 100x-design claims in
 SCALING.md need at least one measured order of magnitude, so this script
@@ -18,7 +19,8 @@ derives sf1 from sf0.1 as 10 key-shifted copies:
 Deterministic (pure SQL over the parquet inputs, no RNG). Output:
 .scale/sf1/*.parquet (gitignored artifact, ~200 MB).
 
-Usage: python scripts/make_sf1.py [src_dir] [dst_dir]
+Usage: python scripts/make_sf1.py [src_dir] [dst_dir] [copies]
+(copies=100 with dst .scale/sf10 gives a measured-100x dataset)
 """
 
 from __future__ import annotations
@@ -32,7 +34,7 @@ SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else str(
     pathlib.Path(__file__).resolve().parent.parent / ".scale" / "sf1"
 )
-COPIES = 10
+COPIES = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 
 # per-copy key offsets = sf0.1 table cardinalities (keys are 0-based dense)
 C, S, P, O, E, D, V = 15_000, 1_000, 20_000, 150_000, 100_000, 5_000, 2_000
