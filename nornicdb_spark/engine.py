@@ -94,6 +94,10 @@ class Engine:
         # coarser than the reference's per-label invalidation, never
         # stale.
         self._result_cache: dict = {}
+        # unique token tagging this engine's FIFO-escaped frames so
+        # close() frees only ours (not frames other live Engines'
+        # consumers still read)
+        self._escape_owner = object()
 
     @property
     def store(self):
@@ -159,22 +163,32 @@ class Engine:
             if hit is not None:
                 return hit[0]
         compiler = Compiler(self.catalog, params, store=self.store)
-        df = compiler.compile(ast)
         # compile-time checkpoint blocks (row tags, merge/export frames)
-        # live exactly as long as the compiled plan can be re-served: with
-        # its result-cache entry, else (write queries — never cached) they
-        # move straight to the deferred-release session registry
-        if cache_key is not None:
-            if len(self._result_cache) >= self.RESULT_CACHE_CAP:
-                _old_df, old_ckpts = self._result_cache.pop(
-                    next(iter(self._result_cache))
-                )
-                for f in old_ckpts:
+        # AND operator-internal kept frames (e.g. a CALL'd gds operator's
+        # contribs frame, escaped by CkptScope.finish mid-compile) live
+        # exactly as long as the compiled plan can be re-served: for a
+        # cacheable query, capture_escapes() pins the operator escapes to
+        # the cache entry instead of the bounded FIFO (where 64 later
+        # escapes would free a block the cached plan still reads); for
+        # write queries (never cached) everything moves straight to the
+        # deferred-release session registry, tagged with this engine.
+        with scope.owned_by(self._escape_owner):
+            if cache_key is not None:
+                with scope.capture_escapes() as pinned:
+                    df = compiler.compile(ast)
+                if len(self._result_cache) >= self.RESULT_CACHE_CAP:
+                    _df, old_ckpts, old_pinned = self._result_cache.pop(
+                        next(iter(self._result_cache))
+                    )
+                    for f in old_ckpts:
+                        scope.escape_frame(f)
+                    for jrdd in old_pinned:
+                        scope.escape_rdd(jrdd)
+                self._result_cache[cache_key] = (df, compiler.ckpts, pinned)
+            else:
+                df = compiler.compile(ast)
+                for f in compiler.ckpts:
                     scope.escape_frame(f)
-            self._result_cache[cache_key] = (df, compiler.ckpts)
-        else:
-            for f in compiler.ckpts:
-                scope.escape_frame(f)
         return df
 
     def close(self) -> None:
@@ -184,14 +198,19 @@ class Engine:
         Spark analogue of the reference's cache lifecycle,
         executor.go:659-692). The shared read catalog (adjacency, memoized
         bases) is deliberately left resident — it is shared across
-        Engines; release it with :func:`shutdown`."""
-        for _df, ckpts in self._result_cache.values():
-            for f in ckpts:
-                scope.escape_frame(f)
-        self._result_cache.clear()
-        if self._store is not None:
-            self._store.close()
-        scope.release_escaped()
+        Engines; release it with :func:`shutdown`. Only frames escaped on
+        behalf of THIS engine are freed — other live Engines' cached plans
+        and their consumers are untouched."""
+        with scope.owned_by(self._escape_owner):
+            for _df, ckpts, pinned in self._result_cache.values():
+                for f in ckpts:
+                    scope.escape_frame(f)
+                for jrdd in pinned:
+                    scope.escape_rdd(jrdd)
+            self._result_cache.clear()
+            if self._store is not None:
+                self._store.close()  # store versions are engine-owned
+        scope.release_escaped(owner=self._escape_owner)
 
     def _store_snapshot(self):
         """Identity snapshot of the mutable store — every write swaps in

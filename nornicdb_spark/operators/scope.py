@@ -41,8 +41,10 @@ from pyspark.sql import DataFrame
 
 __all__ = [
     "CkptScope",
+    "capture_escapes",
     "escape_frame",
     "escape_rdd",
+    "owned_by",
     "release_escaped",
     "escaped_count",
     "storage_rdd_count",
@@ -79,13 +81,53 @@ def _unpersist(jrdd) -> None:
 # ---------------------------------------------------------------------------
 
 _ESCAPE_CAP = int(os.environ.get("NORNICDB_ESCAPE_CAP", "64"))
-_ESCAPED: deque = deque()
+_ESCAPED: deque = deque()  # (owner_token | None, jrdd)
+_OWNER_STACK: list = []  # innermost active owner token (engine.query)
+_CAPTURE_STACK: list = []  # innermost active capture list (cached plans)
 
 
 def _escape(jrdd) -> None:
-    _ESCAPED.append(jrdd)
+    if _CAPTURE_STACK:
+        # a cacheable compiled plan is being built: its support frames are
+        # PINNED to the cache entry (returned to the capturer) instead of
+        # entering the FIFO, so later unrelated escapes can never free a
+        # block a cached plan still reads (checkpoint-block-not-found on
+        # cache re-serve)
+        _CAPTURE_STACK[-1].append(jrdd)
+        return
+    _ESCAPED.append((_OWNER_STACK[-1] if _OWNER_STACK else None, jrdd))
     while len(_ESCAPED) > _ESCAPE_CAP:
-        _unpersist(_ESCAPED.popleft())
+        _unpersist(_ESCAPED.popleft()[1])
+
+
+class _Ctx:
+    """Tiny stack-scoped context manager over a module-level list."""
+
+    def __init__(self, stack: list, value):
+        self._stack, self.value = stack, value
+
+    def __enter__(self):
+        self._stack.append(self.value)
+        return self.value
+
+    def __exit__(self, *exc):
+        self._stack.pop()
+        return False
+
+
+def owned_by(token) -> _Ctx:
+    """While active, frames escaped to the FIFO are tagged with ``token``
+    so ``release_escaped(owner=token)`` frees only them — one engine's
+    ``close()`` must not invalidate another engine's escaped frames."""
+    return _Ctx(_OWNER_STACK, token)
+
+
+def capture_escapes() -> _Ctx:
+    """While active, escaped frames are diverted (pinned) into the list
+    this context yields instead of the bounded FIFO. The caller owns their
+    lifetime — re-escape them (``escape_rdd``) when the owning cache entry
+    is evicted, or unpersist on close."""
+    return _Ctx(_CAPTURE_STACK, [])
 
 
 def escape_frame(df: DataFrame | None) -> None:
@@ -107,12 +149,29 @@ def escape_rdd(rdd) -> None:
         _escape(rdd)
 
 
-def release_escaped() -> int:
-    """Free every escaped checkpoint frame (Engine.close / tests).
+_ALL = object()
+
+
+def release_escaped(owner=_ALL) -> int:
+    """Free escaped checkpoint frames. With no argument (Engine.shutdown /
+    tests) frees everything; with ``owner=token`` frees only the frames
+    escaped under :func:`owned_by` with that token — so closing one engine
+    cannot invalidate frames another live engine's consumers still read.
     Returns the number of frames released."""
-    n = len(_ESCAPED)
+    if owner is _ALL:
+        n = len(_ESCAPED)
+        while _ESCAPED:
+            _unpersist(_ESCAPED.popleft()[1])
+        return n
+    keep, n = deque(), 0
     while _ESCAPED:
-        _unpersist(_ESCAPED.popleft())
+        own, jrdd = _ESCAPED.popleft()
+        if own is owner:
+            _unpersist(jrdd)
+            n += 1
+        else:
+            keep.append((own, jrdd))
+    _ESCAPED.extend(keep)
     return n
 
 

@@ -84,6 +84,7 @@ def test_escape_registry_bounded(spark, sf_dir):
 def test_engine_close_releases_store_checkpoints(spark, sf_dir):
     from nornicdb_spark.engine import Engine
 
+    scope.release_escaped()  # close() is owner-scoped: drain others first
     eng = Engine(spark, sf_dir)
     eng.cypher("CREATE (r:Region {r_regionkey: 901, r_name: 'HYGIENE'})")
     eng.cypher(
@@ -118,3 +119,51 @@ def test_engine_shutdown_zero_cached_rdds(spark, sf_dir):
     # the working set rebuilds lazily after shutdown
     out = QUERIES["graph_orders_per_customer"](spark, sf_dir)
     assert out.limit(1).count() >= 0
+
+
+def test_cached_plan_survives_registry_churn(spark, sf_dir):
+    # ADVICE r7: a cached compiled plan embedding an operator result
+    # (CALL gds.pageRank -> algorithms.pagerank, whose kept contribs
+    # frame used to be FIFO-escaped) must survive > _ESCAPE_CAP later
+    # escapes — its support frames are pinned to the cache entry now.
+    from pyspark.sql import functions as F
+
+    from nornicdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    q = (
+        "CALL apoc.algo.pageRank(20) YIELD node, score "
+        "RETURN node, score ORDER BY score DESC, node LIMIT 5"
+    )
+    first = eng.cypher(q).collect()
+    entry = next(
+        v for k, v in eng._result_cache.items() if k[0] == q
+    )
+    assert len(entry) == 3  # (df, ckpts, pinned)
+    # churn the FIFO well past its cap with throwaway checkpoints
+    for i in range(scope._ESCAPE_CAP + 8):
+        scope.escape_frame(
+            spark.range(2).withColumn("i", F.lit(i)).localCheckpoint()
+        )
+    again = eng.cypher(q)  # cache hit
+    assert again.collect() == first  # would raise block-not-found pre-fix
+    eng.close()
+
+
+def test_engine_close_is_owner_scoped(spark, sf_dir):
+    # ADVICE r7: closing one engine must not free frames escaped on
+    # behalf of another live consumer.
+    scope.release_escaped()
+    other = spark.range(5).localCheckpoint()  # an unrelated consumer's frame
+    scope.escape_frame(other)
+    assert scope.escaped_count() == 1
+
+    from nornicdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.cypher("CREATE (r:Region {r_regionkey: 902, r_name: 'OWN'})")
+    eng.close()
+    # the foreign frame is still registered AND still readable
+    assert scope.escaped_count() == 1
+    assert other.count() == 5
+    scope.release_escaped()
