@@ -517,7 +517,12 @@ def embedding_near_duplicates(
             s = (A @ B.T) / np.outer(
                 np.linalg.norm(A, axis=1), np.linalg.norm(B, axis=1)
             )
-            ai, bj = np.nonzero(s >= thr)
+            # threshold MEMBERSHIP under the repo's ULP convention: BLAS
+            # sums the dot product in a different order than the oracle's
+            # sequential per-pair cosine, so a pair within 1 ULP of the
+            # threshold could otherwise be included on one side only —
+            # round(,9) both sides (same as rank-tie selection).
+            ai, bj = np.nonzero(np.round(s, 9) >= round(thr, 9))
             if diag:  # same-block pairs once, by id order
                 keep = ids_a[ai] < ids_b[bj]
                 ai, bj = ai[keep], bj[keep]
@@ -560,7 +565,9 @@ def embedding_near_duplicates(
             .join(e.select(F.col("id").alias("b"), F.col("v").alias("vb")), "b")
             .select("a", "b", cosine_sim(F.col("va"), F.col("vb")).alias("cosine"))
         )
-    return pairs.filter(F.col("cosine") >= threshold).select("a", "b", "cosine")
+    return pairs.filter(
+        F.round(F.col("cosine"), 9) >= F.lit(round(float(threshold), 9))
+    ).select("a", "b", "cosine")
 
 
 def shingle_hashes_col(text_col, n: int = 3) -> F.Column:
@@ -576,8 +583,11 @@ def shingle_hashes_col(text_col, n: int = 3) -> F.Column:
             lambda i: F.array_join(F.slice(w, i, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return F.transform(
-        F.array_distinct(grams), lambda s: h60(s) % MERSENNE_P
+    # distinct AFTER hashing: distinct shingles colliding to the same h60
+    # must not leave duplicate hashes (F.size() over the result is a set
+    # cardinality); the inner distinct just avoids re-hashing dup grams
+    return F.array_distinct(
+        F.transform(F.array_distinct(grams), lambda s: h60(s) % MERSENNE_P)
     )
 
 

@@ -224,12 +224,12 @@ def dedup_ngram_jaccard(spark, sf_dir):
                                         CAST(b.embedding AS DOUBLE[]))))
              AS cosine
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
-                           CAST(b.embedding AS DOUBLE[]))
+    WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[]))
             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
                                      CAST(a.embedding AS DOUBLE[])))
                * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
-                                       CAST(b.embedding AS DOUBLE[]))))
+                                       CAST(b.embedding AS DOUBLE[])))), 9)
             >= 0.45
     """,
 )
@@ -952,7 +952,7 @@ _SIM_EDGES_SQL = """
                AS score
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     ),
-    thresh AS (SELECT * FROM pairs WHERE score >= 0.55),
+    thresh AS (SELECT * FROM pairs WHERE round(score, 9) >= 0.55),
     oriented AS (
       SELECT a AS src, b AS dst, score FROM thresh
       UNION ALL

@@ -829,7 +829,7 @@ def stream_dedup_near_dup(spark, sf_dir):
     static = docs.filter(F.col("doc_id") % 5 != 0)
     static_idx = static.select(
         F.col("doc_id").alias("corpus_doc"),
-        F.array_distinct(dedup.shingle_hashes_col("text")).alias("c_hs"),
+        dedup.shingle_hashes_col("text").alias("c_hs"),
     ).filter(F.size("c_hs") > 0)
     static_bands = static_idx.select(
         "corpus_doc",
@@ -845,7 +845,7 @@ def stream_dedup_near_dup(spark, sf_dir):
         .filter(F.col("doc_id") % 5 == 0)
         .select(
             F.col("doc_id").alias("stream_doc"),
-            F.array_distinct(dedup.shingle_hashes_col("text")).alias("s_hs"),
+            dedup.shingle_hashes_col("text").alias("s_hs"),
         )
         .filter(F.size("s_hs") > 0)
     )
