@@ -279,3 +279,49 @@ def test_co_access_min_shared_prefilter_is_exact(spark):
     a = sorted((r.a, r.b, r.shared_windows, r.confidence) for r in capped.collect())
     b = sorted((r.a, r.b, r.shared_windows, r.confidence) for r in plain.collect())
     assert a == b and len(a) > 0
+
+
+def test_maintained_band_index_cross_batch_dedup(spark, tmp_path):
+    # the 100 TB ingest loop (SCALING.md "maintained banded index"): a
+    # doc ACCEPTED in batch 1 must be probe-able in batch 2 — the
+    # foreachBatch upsert appends accepted docs' band/hash rows, so the
+    # index is maintained, not a frozen snapshot.
+    from nornicdb_spark.streaming.neardup import MaintainedBandIndex
+
+    text_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    text_b = "one two three four five six seven eight nine ten eleven twelve"
+    corpus = spark.createDataFrame([(1, text_a)], "doc_id long, text string")
+    idx = MaintainedBandIndex(
+        spark, str(tmp_path / "ndidx"), threshold=0.5
+    )
+    idx.bootstrap(corpus)
+
+    src = str(tmp_path / "docs_src")
+    # batch 1: doc 10 = near-dup of corpus doc 1 (reject), doc 11 = novel
+    spark.createDataFrame(
+        [(10, text_a + " lambda"), (11, text_b)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src + "/b1.parquet")
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        src + "/*"
+    )
+    q = idx.ingest(stream, "nd_ingest_test")
+    try:
+        q.processAllAvailable()
+        m1 = {(r.stream_doc, r.corpus_doc) for r in idx.matches().collect()}
+        assert m1 == {(10, 1)}  # 11 is novel and must be accepted
+
+        # batch 2: doc 20 = near-dup of the batch-1-ACCEPTED doc 11
+        spark.createDataFrame(
+            [(20, text_b + " thirteen")], "doc_id long, text string"
+        ).coalesce(1).write.parquet(src + "/b2.parquet")
+        q.processAllAvailable()
+        m2 = {(r.stream_doc, r.corpus_doc) for r in idx.matches().collect()}
+        assert m2 == {(10, 1), (20, 11)}  # batch-2 match against batch-1 doc
+    finally:
+        q.stop()
+    # the index holds exactly the bootstrap + accepted docs (10, 20 rejected)
+    docs_in_index = {
+        r.doc for r in spark.read.parquet(idx.hashes_path).collect()
+    }
+    assert docs_in_index == {1, 11}
