@@ -57,6 +57,8 @@ from nornicdb_spark.queries import graph  # noqa: E402,F401
 # the co_access-adjacent join paths least recently verified).
 # Exactly 50 entries — tests/test_registry.py pins len == 50 and the
 # cohort claims so the r7 slip cannot recur.
+# Registered mid-round-8 (NOT in this window; lead the r9 list):
+# ann_int8 (rows-only), ann_int8_recall (oracle-gated).
 _PRIORITY = (
     # never-stamped (registered post-r7-window)
     "embedding_quantize_int8", "embedding_quantization_error",

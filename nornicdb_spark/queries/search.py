@@ -342,6 +342,35 @@ def ann_pq_recall(spark, sf_dir):
     return _gate(exact, approx, min_hits=7)
 
 
+@register("ann_int8")  # approximate — rows-only; recall-gated below
+def ann_int8(spark, sf_dir):
+    # int8-quantized serving scan (search/vector.py Int8Index): the
+    # per-vector scale cancels in cosine, so the approximate top-k·refine
+    # scans ONLY the int8 codes + integer code norm (4× smaller column,
+    # pure codegen'd arithmetic — plan-tested JVM-only), then the full
+    # vectors are touched for just the candidates (broadcast semi-join
+    # exact refine) — the storage-side quantization of
+    # operators/quantize.py made usable in search.
+    emb = Catalog(spark, sf_dir).embeddings
+    idx = vector.Int8Index.build(emb)  # codes are a lazy plan: no
+    # learned state, nothing to checkpoint/escape (unlike PQ/IVF-PQ)
+    return idx.search(_query_vec(spark, sf_dir), k=10, refine=4)
+
+
+@register("ann_int8_recall", oracle=_OK_ORACLE)
+def ann_int8_recall(spark, sf_dir):
+    # recall@10 of int8-scan + refine-4 vs the exact cosine scan; gate at
+    # >= 0.9 — int8 symmetric quantization perturbs cosines by ≲ 1e-2,
+    # so the refine window recovers the exact set (measured 1.0 at
+    # sf0.001 and sf0.01).
+    emb = Catalog(spark, sf_dir).embeddings
+    qv = _query_vec(spark, sf_dir)
+    exact = vector.cosine_topk(emb, qv, k=10).select("vec_id")
+    idx = vector.Int8Index.build(emb)
+    approx = idx.search(qv, k=10, refine=4).select("vec_id")
+    return _gate(exact, approx, min_hits=9)
+
+
 @register(
     "vector_filtered_topk",
     oracle="""

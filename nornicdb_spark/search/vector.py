@@ -517,3 +517,78 @@ class IVFPQIndex:
             "left_semi",
         )
         return euclidean_topk(cand, query_vec, k, self.id_col, self.vec_col)
+
+
+class Int8Index:
+    """int8-quantized serving index — the search-side composition of
+    ``operators/quantize.py`` (the int8 analogue of PQ's ADC+refine):
+    approximate-score directly on the stored codes, exact-refine the top
+    k·refine with the full vectors.
+
+    Key identity: for symmetric per-vector quantization v̂ᵢ = cᵢ·s the
+    per-vector scale CANCELS in cosine —
+        cos(v̂, q) = Σcᵢqᵢ / (√(Σcᵢ²)·|q|)
+    so the scan needs only the int8 codes and a precomputed integer code
+    norm: pure codegen'd arithmetic over a 4×-smaller column, no
+    dequantize step, no Python. At 100 TB the fp32 vectors live in cold
+    storage and are touched only for the ≤ k·refine candidate rows
+    (broadcast semi-join), exactly like PQ/IVF-PQ refine."""
+
+    def __init__(self, codes: DataFrame, embeddings: DataFrame,
+                 id_col: str, vec_col: str):
+        self.codes = codes  # (vec_id, codes array<int>, code_norm)
+        self.embeddings = embeddings
+        self.id_col, self.vec_col = id_col, vec_col
+
+    @classmethod
+    def build(cls, embeddings: DataFrame, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> "Int8Index":
+        from nornicdb_spark.operators.quantize import quantize_int8
+
+        q = quantize_int8(embeddings, id_col=id_col, vec_col=vec_col)
+        codes = q.select(
+            "vec_id",
+            "codes",
+            F.sqrt(
+                F.aggregate(
+                    F.col("codes"),
+                    F.lit(0.0),
+                    lambda acc, c: acc + c.cast("double") * c.cast("double"),
+                )
+            ).alias("code_norm"),
+        )
+        return cls(codes, embeddings, id_col, vec_col)
+
+    def _approx_score(self, query_vec) -> F.Column:
+        qn = float(sum(float(x) * float(x) for x in query_vec)) ** 0.5
+        code_dot = F.aggregate(
+            F.zip_with(
+                F.col("codes"), _lit_vec(query_vec),
+                lambda c, qx: c.cast("double") * qx,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return code_dot / (F.col("code_norm") * F.lit(qn))
+
+    def search(self, query_vec, k: int = 10, refine: int = 4) -> DataFrame:
+        """Approximate cosine top-(k·refine) on the codes, then exact
+        cosine re-rank of those candidates on the full vectors.
+        ``refine=1`` returns the pure quantized ranking.
+        Returns (vec_id, score) descending, ties by id."""
+        approx = (
+            self.codes.select(
+                "vec_id", self._approx_score(query_vec).alias("score")
+            )
+            .orderBy(F.desc(F.round(F.col("score"), 9)), F.asc("vec_id"))
+            .limit(k * max(1, refine))
+        )
+        if refine <= 1:
+            return approx.limit(k)
+        cand_ids = approx.select(F.col("vec_id").alias("_i8_cand"))
+        cand = self.embeddings.join(
+            F.broadcast(cand_ids),
+            self.embeddings[self.id_col] == F.col("_i8_cand"),
+            "left_semi",
+        )
+        return cosine_topk(cand, query_vec, k, self.id_col, self.vec_col)

@@ -325,3 +325,27 @@ def test_quantize_int8_is_jvm_only(spark, sf_dir):
     )
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
     assert "Exchange" not in plan
+
+
+def test_int8_serving_scan_is_jvm_only(spark, sf_dir):
+    # the int8 serving path must score on codes with pure codegen'd
+    # arithmetic (no Python eval) and refine via a broadcast semi-join
+    # (no cartesian, no shuffle of the big side beyond the top-k gather)
+    from pyspark.sql import functions as F
+
+    from nornicdb_spark.catalog import Catalog
+    from nornicdb_spark.search.vector import Int8Index
+
+    emb = Catalog(spark, sf_dir).embeddings
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    idx = Int8Index.build(emb)
+    scan = idx.codes.select("vec_id", idx._approx_score(qv).alias("score"))
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert "Exchange" not in plan  # the code scan runs inside the file stage
+
+    full = idx.search(qv, k=10, refine=4)
+    fplan = full._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in fplan and "ArrowEval" not in fplan
+    assert "CartesianProduct" not in fplan
+    assert "BroadcastHashJoin" in fplan  # candidate refine is broadcast semi
