@@ -455,6 +455,23 @@ class IVFPQIndex:
         scope.escape_frame(pq.codes)
         return cls(codes, centers, pq.codebooks, embeddings, id_col, vec_col)
 
+    def persist_codes(self, path: str) -> "IVFPQIndex":
+        """Write the codes table hive-partitioned by ``list_id`` and swap
+        the partitioned scan in — the cluster form of the in-session
+        ``repartition("list_id")``: the probe's ``isin`` filter becomes
+        directory pruning (``PartitionFilters`` in the scan, plan-tested),
+        so the ADC touches only n_probe/n_lists of the files on disk. The
+        superseded checkpointed codes frame goes to the deferred-release
+        registry."""
+        from nornicdb_spark.operators import scope
+        from nornicdb_spark.sources.layout import write_partitioned
+
+        write_partitioned(self.codes, path, "list_id")
+        old = self.codes
+        self.codes = old.sparkSession.read.parquet(path)
+        scope.escape_frame(old)
+        return self
+
     def search(
         self, query_vec, k: int = 10, n_probe: int = 4, refine: int = 4
     ) -> DataFrame:

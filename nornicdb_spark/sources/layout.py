@@ -1,0 +1,40 @@
+"""Cluster table layout — partitioned writes for probe-pruned indexes.
+
+The partitioned indexes (IVF-PQ codes repartitioned by ``list_id``,
+the maintained near-dup band index) promise "written partitionBy on a
+real cluster" so probe filters prune whole directories instead of
+scanning every file. This module makes that executable: one helper that
+lays a DataFrame out hive-partitioned, and a reader whose scans carry
+``PartitionFilters`` for equality/IN probes on the partition column
+(plan-tested in tests/test_plans.py). At 100 TB this is the difference
+between an ADC scan touching n_probe/n_lists of the codes and touching
+all of them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(
+    df: DataFrame, path: str, *partition_cols: str, mode: str = "overwrite"
+) -> None:
+    """Write ``df`` as parquet hive-partitioned by ``partition_cols`` —
+    equality/IN filters on those columns become directory pruning
+    (``PartitionFilters``) on read, and appends land as new files inside
+    existing partitions (parallel per-partition writers on a cluster)."""
+    if not partition_cols:
+        raise ValueError("write_partitioned needs at least one partition column")
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def read_partitioned(
+    spark: SparkSession, path: str, schema: str | None = None
+) -> DataFrame:
+    """Read a :func:`write_partitioned` table. Pass ``schema`` (including
+    the partition columns) when the directory may be file-less — appended
+    empty batches leave nothing to infer from."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)

@@ -32,6 +32,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nornicdb_spark.sources.layout import write_partitioned
 from nornicdb_spark.operators.dedup import (
     N_BANDS,
     N_PERMS,
@@ -117,9 +118,9 @@ class MaintainedBandIndex:
         so a cluster write lays the table out for band-key probes and the
         per-band append files stay parallel."""
         rows = self._rows(docs)
-        rows.select("doc", "band", "band_key").write.mode(
-            "overwrite"
-        ).partitionBy("band").parquet(self.bands_path)
+        write_partitioned(
+            rows.select("doc", "band", "band_key"), self.bands_path, "band"
+        )
         rows.filter(F.col("band") == 0).select("doc", "hs").write.mode(
             "overwrite"
         ).parquet(self.hashes_path)
@@ -186,9 +187,12 @@ class MaintainedBandIndex:
             .distinct()
         )
         accepted = self._rows(batch_df).join(rejected, "doc", "left_anti")
-        accepted.select("doc", "band", "band_key").write.mode(
-            "append"
-        ).partitionBy("band").parquet(self.bands_path)
+        write_partitioned(
+            accepted.select("doc", "band", "band_key"),
+            self.bands_path,
+            "band",
+            mode="append",
+        )
         accepted.filter(F.col("band") == 0).select("doc", "hs").write.mode(
             "append"
         ).parquet(self.hashes_path)

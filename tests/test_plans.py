@@ -349,3 +349,26 @@ def test_int8_serving_scan_is_jvm_only(spark, sf_dir):
     assert "BatchEvalPython" not in fplan and "ArrowEval" not in fplan
     assert "CartesianProduct" not in fplan
     assert "BroadcastHashJoin" in fplan  # candidate refine is broadcast semi
+
+
+def test_ivfpq_persisted_codes_prune_partitions(spark, sf_dir, tmp_path):
+    # the cluster-write recipe: persist_codes lays the codes table out
+    # hive-partitioned by list_id, and the probe's isin filter must become
+    # directory pruning (PartitionFilters on the scan) — at 100 TB the ADC
+    # then touches n_probe/n_lists of the FILES, not just of the rows
+    from pyspark.sql import functions as F
+
+    from nornicdb_spark.catalog import Catalog
+    from nornicdb_spark.search.vector import IVFPQIndex
+
+    emb = Catalog(spark, sf_dir).embeddings
+    idx = IVFPQIndex.build(emb, n_lists=8, m=16, k_codes=32)
+    idx.persist_codes(str(tmp_path / "ivfpq_codes"))
+    probed = idx.codes.filter(F.col("list_id").isin(1, 3))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m is not None and "list_id" in m.group(1), plan[:2000]
+    # and the search path still runs end-to-end off the partitioned files
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    out = idx.search(qv, k=5, n_probe=4, refine=4).collect()
+    assert len(out) == 5
