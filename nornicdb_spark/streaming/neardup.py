@@ -32,6 +32,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from nornicdb_spark.operators import scope
 from nornicdb_spark.sources.layout import write_partitioned
 from nornicdb_spark.operators.dedup import (
     N_BANDS,
@@ -63,6 +64,7 @@ class MaintainedBandIndex:
         n_bands: int = N_BANDS,
         id_col: str = "doc_id",
         text_col: str = "text",
+        max_per_bucket: int | None = 128,
     ):
         self.spark = spark
         self.path = path.rstrip("/")
@@ -72,6 +74,18 @@ class MaintainedBandIndex:
         self.n_bands = n_bands
         self.id_col = id_col
         self.text_col = text_col
+        # Hot-bucket ceiling (the hub-cap discipline of
+        # dedup.max_shingle_df / sessions.max_keys_per_window): a massive
+        # duplicate cluster makes its band buckets hot, and an uncapped
+        # probe join would emit candidates ∝ cluster size for every
+        # probing doc. Bucket members are near-identical by construction,
+        # so the index retains a deterministic md5-order sample of
+        # ``max_per_bucket`` docs per (band, band_key) — any future
+        # near-dup of the cluster still collides with the retained
+        # members, so detection recall is preserved while the candidate
+        # stream is bounded at B·max_per_bucket per probing doc.
+        # ``None`` disables the cap.
+        self.max_per_bucket = max_per_bucket
 
     # -- paths ------------------------------------------------------------
     @property
@@ -112,16 +126,41 @@ class MaintainedBandIndex:
             ).alias("band", "band_key"),
         )
 
+    def _bucket_cap(self, rows: DataFrame, headroom: DataFrame | None = None) -> DataFrame:
+        """Drop band rows beyond the per-bucket ceiling, keeping the
+        md5(doc)-order sample (deterministic, id-uncorrelated). With
+        ``headroom`` — (band, band_key, _occ) occupancy of the CURRENT
+        index for the touched buckets — appended rows only fill what's
+        left of each bucket."""
+        if self.max_per_bucket is None:
+            return rows
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("band", "band_key").orderBy(
+            F.md5(F.col("doc").cast("string")), F.col("doc")
+        )
+        ranked = rows.withColumn("_r", F.row_number().over(w))
+        if headroom is not None:
+            ranked = ranked.join(headroom, ["band", "band_key"], "left")
+            keep = F.col("_r") + F.coalesce(F.col("_occ"), F.lit(0)) <= F.lit(
+                self.max_per_bucket
+            )
+        else:
+            keep = F.col("_r") <= F.lit(self.max_per_bucket)
+        return ranked.filter(keep).drop("_r", "_occ")
+
     # -- bootstrap --------------------------------------------------------
     def bootstrap(self, docs: DataFrame) -> None:
         """(Re)build the index from a static corpus. ``partitionBy(band)``
         so a cluster write lays the table out for band-key probes and the
         per-band append files stay parallel."""
-        rows = self._rows(docs)
+        rows = self._bucket_cap(self._rows(docs))
         write_partitioned(
             rows.select("doc", "band", "band_key"), self.bands_path, "band"
         )
-        rows.filter(F.col("band") == 0).select("doc", "hs").write.mode(
+        # a doc whose every bucket was full keeps no band rows and can
+        # never be a candidate — its hash row would be dead weight
+        rows.groupBy("doc").agg(F.first("hs").alias("hs")).write.mode(
             "overwrite"
         ).parquet(self.hashes_path)
 
@@ -187,15 +226,34 @@ class MaintainedBandIndex:
             .distinct()
         )
         accepted = self._rows(batch_df).join(rejected, "doc", "left_anti")
+        if self.max_per_bucket is not None:
+            # occupancy of ONLY the buckets this batch touches (semi-join
+            # pruned — O(touched buckets), not O(index))
+            touched = accepted.select("band", "band_key").distinct()
+            occ = (
+                self._read(
+                    self.bands_path,
+                    f"doc {it}, band_key string, band int",
+                )
+                .join(touched, ["band", "band_key"], "left_semi")
+                .groupBy("band", "band_key")
+                .agg(F.count(F.lit(1)).alias("_occ"))
+            )
+            accepted = self._bucket_cap(accepted, headroom=occ)
+        # pin accepted before the writes: the bands append below changes
+        # the very table the occupancy join reads, so the hashes write
+        # must NOT recompute the plan against post-append state
+        accepted = accepted.localCheckpoint(eager=True)
         write_partitioned(
             accepted.select("doc", "band", "band_key"),
             self.bands_path,
             "band",
             mode="append",
         )
-        accepted.filter(F.col("band") == 0).select("doc", "hs").write.mode(
+        accepted.groupBy("doc").agg(F.first("hs").alias("hs")).write.mode(
             "append"
         ).parquet(self.hashes_path)
+        scope.escape_frame(accepted)  # per-batch block: deferred release
 
     def ingest(self, stream_df: DataFrame, query_name: str):
         """Attach the maintained-ingest loop to a document stream; returns

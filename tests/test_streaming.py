@@ -325,3 +325,73 @@ def test_maintained_band_index_cross_batch_dedup(spark, tmp_path):
         r.doc for r in spark.read.parquet(idx.hashes_path).collect()
     }
     assert docs_in_index == {1, 11}
+
+
+def test_maintained_band_index_hot_bucket_cap(spark, tmp_path):
+    # hub-cap discipline for the maintained index: a massive duplicate
+    # cluster (identical text -> identical band keys) must not make the
+    # bands table hold more than max_per_bucket rows per bucket, batch
+    # appends must respect remaining headroom, and a probing near-dup
+    # must STILL match (the retained sample represents the cluster).
+    from pyspark.sql import functions as F
+
+    from nornicdb_spark.streaming.neardup import MaintainedBandIndex
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [(i, text) for i in range(200)], "doc_id long, text string"
+    )
+    idx = MaintainedBandIndex(
+        spark, str(tmp_path / "hotidx"), threshold=0.5, max_per_bucket=16
+    )
+    idx.bootstrap(corpus)
+    occ = (
+        spark.read.parquet(idx.bands_path)
+        .groupBy("band", "band_key")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert occ <= 16
+    # hash rows exist only for docs that kept >= 1 band row
+    n_hashes = spark.read.parquet(idx.hashes_path).count()
+    assert n_hashes <= 16  # all 200 docs share every bucket
+
+    # a probing near-dup of the cluster still matches retained members
+    probe = spark.createDataFrame(
+        [(900, text + " tonight")], "doc_id long, text string"
+    )
+    assert idx.probe(probe).count() > 0
+
+    # append path: a NOVEL 50-doc cluster in a batch must cap at first
+    # fill (occupancy 0 -> keep 16 per bucket), exactly like bootstrap
+    novel = "pack my box with five dozen liquor jugs for the long trip home"
+    batch2 = spark.createDataFrame(
+        [(2000 + i, novel) for i in range(50)], "doc_id long, text string"
+    )
+    idx.process_batch(batch2, batch_id=7)
+    occ2 = (
+        spark.read.parquet(idx.bands_path)
+        .groupBy("band", "band_key")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert occ2 <= 16
+
+    # headroom mechanics (unit): with 10 of 16 slots already occupied,
+    # an appended cluster keeps exactly 6 rows per bucket
+    rows = idx._rows(
+        spark.createDataFrame(
+            [(5000 + i, novel) for i in range(30)], "doc_id long, text string"
+        )
+    )
+    headroom = rows.select("band", "band_key").distinct().withColumn(
+        "_occ", F.lit(10)
+    )
+    kept = idx._bucket_cap(rows, headroom=headroom)
+    per_bucket = {
+        (r.band, r.band_key): r["count"]
+        for r in kept.groupBy("band", "band_key").count().collect()
+    }
+    assert per_bucket and all(v == 6 for v in per_bucket.values())
