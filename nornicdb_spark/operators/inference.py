@@ -15,11 +15,15 @@ from pyspark.sql import functions as F
 
 def score_to_confidence(score: F.Column) -> F.Column:
     """Similarity score → edge confidence band (reference
-    inference.go:784-797 scoreToConfidence)."""
+    inference.go:784-797 scoreToConfidence). Bin MEMBERSHIP follows the
+    repo's ULP convention (round(score, 9) both engine and oracle): a
+    score within 1 ULP of a bin edge must land in the same band on both
+    sides or the emitted confidence diverges."""
+    r = F.round(score, 9)
     return (
-        F.when(score >= 0.95, 0.9)
-        .when(score >= 0.90, 0.7)
-        .when(score >= 0.85, 0.5)
+        F.when(r >= 0.95, 0.9)
+        .when(r >= 0.90, 0.7)
+        .when(r >= 0.85, 0.5)
         .otherwise(0.3)
     )
 

@@ -966,9 +966,9 @@ _SIM_EDGES_SQL = """
     ),
     sim_edges AS (
       SELECT src, dst, 'RELATES_TO' AS rel_type, score,
-             CASE WHEN score >= 0.95 THEN 0.9
-                  WHEN score >= 0.90 THEN 0.7
-                  WHEN score >= 0.85 THEN 0.5
+             CASE WHEN round(score, 9) >= 0.95 THEN 0.9
+                  WHEN round(score, 9) >= 0.90 THEN 0.7
+                  WHEN round(score, 9) >= 0.85 THEN 0.5
                   ELSE 0.3 END AS confidence,
              'similarity' AS method
       FROM topk WHERE r <= 5

@@ -827,13 +827,18 @@ def stream_dedup_near_dup(spark, sf_dir):
 
     docs = Catalog(spark, sf_dir).documents
     static = docs.filter(F.col("doc_id") % 5 != 0)
+    # normalized snapshot (the MaintainedBandIndex layout): band rows do
+    # NOT carry the hash sets — the checkpoint stores each doc's array
+    # once instead of once per band, and the candidate join shuffles
+    # narrow (doc, band, band_key) rows; the verify pulls only candidate
+    # docs' hash sets through a keyed join afterwards
     static_idx = static.select(
         F.col("doc_id").alias("corpus_doc"),
         dedup.shingle_hashes_col("text").alias("c_hs"),
-    ).filter(F.size("c_hs") > 0)
+    ).filter(F.size("c_hs") > 0).localCheckpoint(eager=True)
+    scope.escape_frame(static_idx)
     static_bands = static_idx.select(
         "corpus_doc",
-        "c_hs",
         F.posexplode(dedup.minhash_band_keys_col(F.col("c_hs"))).alias(
             "band", "band_key"
         ),
@@ -858,8 +863,9 @@ def stream_dedup_near_dup(spark, sf_dir):
     )
     cand = (
         sb.join(static_bands, ["band", "band_key"])
-        .select("stream_doc", "corpus_doc", "s_hs", "c_hs")
+        .select("stream_doc", "corpus_doc", "s_hs")
         .dropDuplicates(["stream_doc", "corpus_doc"])
+        .join(static_idx, "corpus_doc")
     )
     inter = F.size(F.array_intersect("s_hs", "c_hs")).cast("double")
     jac = inter / (
