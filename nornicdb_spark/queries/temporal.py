@@ -831,11 +831,18 @@ def stream_dedup_near_dup(spark, sf_dir):
     # NOT carry the hash sets — the checkpoint stores each doc's array
     # once instead of once per band, and the candidate join shuffles
     # narrow (doc, band, band_key) rows; the verify pulls only candidate
-    # docs' hash sets through a keyed join afterwards
-    static_idx = static.select(
-        F.col("doc_id").alias("corpus_doc"),
-        dedup.shingle_hashes_col("text").alias("c_hs"),
-    ).filter(F.size("c_hs") > 0).localCheckpoint(eager=True)
+    # docs' hash sets through a keyed join afterwards. The STATIC side is
+    # a batch build, so it uses the explode+collect_set pipeline (spread
+    # across cores, vectorized) — ~5× faster than the per-row nested
+    # expression, which only the STREAM side needs (no explode/groupBy
+    # inside a micro-batch). collect_set(h) = the same distinct-hash set.
+    static_idx = (
+        dedup.shingles(static)
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("c_hs"))
+        .select(F.col("doc_id").alias("corpus_doc"), "c_hs")
+        .localCheckpoint(eager=True)
+    )
     scope.escape_frame(static_idx)
     static_bands = static_idx.select(
         "corpus_doc",
