@@ -425,6 +425,28 @@ def ngram_jaccard_pairs(
     )
 
 
+def grid_blocks(
+    n: int, parallelism: int, cell_budget_mb: int = 256
+) -> int:
+    """Default block count for the exact GEMM grid — the max of two
+    constraints, both of which are REQUIRED at scale:
+
+    - parallelism: B(B+1)/2 cells must feed every core ~2 cells each, or
+      the comparison serializes onto B stragglers;
+    - memory: a cell's (n/B)² float64 score matrix must fit the per-task
+      budget. Cores-only sizing (the pre-round-8 default) dies at 100×:
+      at n = 200k and B = 11 each cell materializes a ~2.6 GB matrix in
+      every one of 32 concurrent tasks — measured JVM GC death at the
+      local sf10 probe. With the budget bound, B grows ~linearly in n,
+      per-cell memory stays flat, and shuffle volume O(n·B) = O(n²/√budget)
+      — still no pairwise rows on the wire.
+    """
+    par_b = max(8, int((math.isqrt(16 * parallelism + 1) - 1) // 2 + 1))
+    max_rows_per_cell = max(1024, math.isqrt(cell_budget_mb * 1024 * 1024 // 8))
+    mem_b = -(-int(n) // max_rows_per_cell)  # ceil
+    return max(par_b, mem_b)
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.9,
@@ -444,9 +466,10 @@ def embedding_near_duplicates(
     volume O(n·B) vectors — the O(n²) pair stream never crosses the
     wire), and each cell computes its full similarity sub-matrix with
     ONE vectorized matmul in an Arrow batch, emitting only pairs over
-    threshold. The grid key (bi, bj) gives B(B+1)/2-way parallelism; at
-    scale raise ``n_blocks`` so a cell's (n/B)² score matrix fits task
-    memory (default derives B from the cluster's core count). A dense
+    threshold. The grid key (bi, bj) gives B(B+1)/2-way parallelism; the
+    default B (:func:`grid_blocks`) satisfies BOTH the parallelism bound
+    and a per-cell memory budget — a cell's (n/B)² score matrix stays
+    under ~256 MB regardless of corpus size. A dense
     all-pairs cosine is a GEMM — per-pair higher-order expressions
     evaluate ~1e8 interpreted array ops where BLAS does the same block
     in milliseconds, which is why this operator is one of the documented
@@ -467,11 +490,9 @@ def embedding_near_duplicates(
     if exact:
         spark = embeddings.sparkSession
         if n_blocks is None:
-            # B(B+1)/2 grid cells must feed every core with ~2 cells each,
-            # or the big join degenerates to B-way parallelism and a 200M-
-            # pair comparison runs on a handful of stragglers.
-            par = 2 * spark.sparkContext.defaultParallelism
-            n_blocks = max(8, int((math.isqrt(8 * par + 1) - 1) // 2 + 1))
+            n_blocks = grid_blocks(
+                n=e.count(), parallelism=spark.sparkContext.defaultParallelism
+            )
         grid = spark.createDataFrame(
             [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
             "bi int, bj int",

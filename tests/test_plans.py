@@ -372,3 +372,21 @@ def test_ivfpq_persisted_codes_prune_partitions(spark, sf_dir, tmp_path):
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     out = idx.search(qv, k=5, n_probe=4, refine=4).collect()
     assert len(out) == 5
+
+
+def test_grid_blocks_bounds_cell_memory():
+    # the GEMM grid default must satisfy BOTH constraints: enough cells
+    # to feed the cores, and a per-cell score matrix under the budget —
+    # cores-only sizing materialized ~2.6 GB/cell at n=200k (measured
+    # JVM GC death at the sf10 probe)
+    import math
+
+    from nornicdb_spark.operators.dedup import grid_blocks
+
+    for n in (1_000, 60_000, 200_000, 2_000_000):
+        b = grid_blocks(n, parallelism=32)
+        m = math.ceil(n / b)
+        assert m * m * 8 <= 300 * 1024 * 1024, (n, b)  # matrix under budget
+        assert b * (b + 1) // 2 >= 2 * 32 or n < 10_000  # cores fed
+    # small corpora keep the old cores-derived floor
+    assert grid_blocks(1_000, parallelism=32) == grid_blocks(10, parallelism=32)
