@@ -730,7 +730,7 @@ def window_lag_running_sum(spark, sf_dir):
       AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
       AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
     GROUP BY l_orderkey, o_orderdate
-    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    ORDER BY round(revenue, 9) DESC, l_orderkey LIMIT 10
     """,
 )
 def q3_top_unshipped_revenue(spark, sf_dir):
@@ -750,7 +750,11 @@ def q3_top_unshipped_revenue(spark, sf_dir):
                 "revenue"
             )
         )
-        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        # rank key rounded per the ULP convention: duplicated data (the
+        # derived sfN corpora are key-shifted copies) gives equal-revenue
+        # groups whose distributed sums differ by 1 ULP, so the raw-float
+        # sort never reaches the orderkey tie-break (caught at sf10)
+        .orderBy(F.desc(F.round(F.col("revenue"), 9)), F.asc("l_orderkey"))
         .limit(10)
         .select("l_orderkey", "revenue", "o_orderdate")
     )
