@@ -79,3 +79,33 @@ def test_hnsw_distributed_queries(spark, catalog):
     top1 = {r.query_id: r.vec_id for r in rows if r.rank == 1}
     hits = sum(1 for qid, vid in top1.items() if qid == vid)
     assert hits >= 18
+
+
+def test_hnsw_near_duplicate_clusters_recall():
+    # near-duplicate clusters are the HNSW degenerate case: plain
+    # closest-M neighbor selection turns each cluster into a clique that
+    # disconnects from the graph (measured recall 0.65 at the sf10
+    # probe's 100-fold-copy corpus). The diversity heuristic
+    # (_select_neighbors, Malkov & Yashunin Alg. 4) must keep bridge
+    # edges: recall over clustered data stays >= 0.9.
+    import numpy as np
+
+    from nornicdb_spark.search.hnsw import HnswIndex
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(20, 16)).astype(np.float32)
+    vecs = np.repeat(base, 100, axis=0) + 0.005 * rng.normal(
+        size=(2000, 16)
+    ).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    ids = np.arange(2000, dtype=np.int64)
+    idx = HnswIndex(ids, vecs, m=16, ef_construction=200, ef_search=100, seed=42)
+
+    hits = total = 0
+    for qi in range(0, 2000, 100):  # one query per cluster
+        q = vecs[qi]
+        exact = np.argsort(-(vecs @ q), kind="stable")[:10]
+        got = {i for i, _ in idx.search(q, k=10)}
+        hits += len(got & {int(ids[e]) for e in exact})
+        total += 10
+    assert hits / total >= 0.9, hits / total
