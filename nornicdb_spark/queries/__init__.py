@@ -47,47 +47,43 @@ from nornicdb_spark.queries import relational  # noqa: E402,F401
 from nornicdb_spark.queries import graph  # noqa: E402,F401
 
 # Driver-window priority (the harness verifies the first 50 registry
-# entries), round 8: (1) the 4 queries registered after the r7 window was
-# fixed and therefore never driver-stamped (quantize ×2 + stream near-dup
-# oracle-backed; ann_ivfpq rows-only, its recall twin passed r7);
-# (2) unwind_part_words — the r1 stamp that slipped the 51-entry r7 list;
-# (3) the 22 r3 rows explicitly deferred from round 7;
-# (4) the entire r4 cohort (13 rows);
-# (5) 10 oldest-r5 fillers (search/ANN recall gates — they re-exercise
-# the co_access-adjacent join paths least recently verified).
+# entries), round 9: (1) the int8 serving pair registered mid-round-8
+# after that window was fixed — never driver-stamped (ann_int8_recall
+# oracle-gated; ann_int8 rows-only, gated by its recall twin);
+# (2) the entire remaining r5-stamp cohort (35 rows — the oldest
+# oracle-backed stamps after r8); (3) 13 r6 fillers chosen to span the
+# families the r5 cohort does not touch (TPC-H headline, graph
+# traversal/decomposition, PPR/fastRP gates, MMR, multimodal decode,
+# window/percentile/function surfaces).
 # Exactly 50 entries — tests/test_registry.py pins len == 50 and the
-# cohort claims so the r7 slip cannot recur.
-# Registered mid-round-8 (NOT in this window; lead the r9 list):
-# ann_int8 (rows-only), ann_int8_recall (oracle-gated).
+# cohort claims so the r7 slip cannot recur. After r9 every
+# oracle-backed stamp is r6+ and the oldest cohort is the remaining
+# 37 r6 rows (queued for r10).
 _PRIORITY = (
-    # never-stamped (registered post-r7-window)
-    "embedding_quantize_int8", "embedding_quantization_error",
-    "stream_dedup_near_dup", "ann_ivfpq",
-    # round-1 slip
-    "unwind_part_words",
-    # round-3 stamps — the 22 rows deferred from round 7
-    "corpus_quality_filter", "corpus_stratified_sample",
-    "text_repetition_ratios", "text_pii_scrub", "doc_chunking",
-    "text_contamination", "vocab_top_words", "corpus_split_assign",
-    "multimodal_resize_plan", "multimodal_audio_windows",
-    "inference_transitive_edges", "decay_scores", "co_access_pairs",
-    "event_window_agg", "json_props_extract", "events_asof_purchase",
-    "temporal_cyclic_patterns", "spatial_polygon_contains",
-    "proc_db_index_stats", "agg_rollup_region_nation",
-    "agg_cube_status_priority", "set_ops_customer_supplier_nations",
-    # round-4 stamps — whole cohort
-    "embedding_centroid_stats", "text_unigram_logprob",
-    "corpus_sequence_packing", "sessionization",
-    "inference_evidence_buffer", "cypher_call_astar",
-    "cypher_call_betweenness", "cypher_call_closeness",
-    "cypher_call_subgraph_nodes", "graph_pagerank",
-    "graph_connected_components", "cypher_apoc_load",
-    "cypher_spatial_intersects",
-    # round-5 fillers (oldest remaining cohort)
-    "bm25_topk", "bm25_prefix_topk", "vector_cosine_topk",
-    "vector_euclidean_topk", "vector_knn_join", "hybrid_rrf",
-    "ann_kmeans_recall", "ann_lsh_recall", "ann_hnsw_recall",
-    "ann_pq_recall",
+    # never-stamped (registered post-r8-window)
+    "ann_int8_recall", "ann_int8",
+    # round-5 stamps — the whole remaining cohort (35 rows)
+    "ann_pq", "bm25_weighted", "corpus_mixture_plan",
+    "corpus_split_contamination", "cypher_apoc_import",
+    "cypher_call_byhop", "cypher_call_link_prediction",
+    "cypher_call_louvain", "cypher_call_lp_ensemble",
+    "cypher_call_lp_predict", "cypher_call_path_expand",
+    "cypher_call_simple_paths", "cypher_call_spanning_tree",
+    "dedup_embedding_cosine", "dedup_embedding_lsh_recall",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_simhash", "dedup_simhash_pairs", "graph_label_propagation",
+    "graph_link_prediction_suppliers",
+    "graph_louvain_supplier_communities",
+    "graph_triangle_count_suppliers", "hybrid_adaptive", "hybrid_rerank",
+    "kalman_adaptive", "kalman_smooth", "kalman_velocity",
+    "multimodal_frame_plan", "text_fingerprints", "text_language_id",
+    "text_quality_scores", "text_token_stats", "vector_filtered_topk",
+    # round-6 fillers (13 of the 50-row r6 cohort; rest queued for r10)
+    "q1_pricing_summary", "q3_top_unshipped_revenue",
+    "q5_revenue_by_nation", "graph_dijkstra_customer_parts",
+    "graph_kcore", "cypher_call_ppr", "graph_fastrp_gate", "hybrid_mmr",
+    "multimodal_decode", "window_lag_running_sum",
+    "quantity_percentiles", "math_functions", "higher_order_list_ops",
 )
 
 
