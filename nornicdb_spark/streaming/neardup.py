@@ -5,24 +5,54 @@ snapshot; production ingest needs accepted-new-documents appended to the
 index so later batches can match them (reference dedup behavior on
 ingest: pkg/embeddings/dedup.go near-duplicate gate runs against the
 live store, not a frozen one). :class:`MaintainedBandIndex` is that
-loop as Structured Streaming ``foreachBatch`` over a parquet-backed,
-band-partitioned index table.
+loop as Structured Streaming ``foreachBatch`` over parquet-backed,
+hash-partitioned index tables.
 
 Layout (normalized — band rows do NOT duplicate the hash sets):
 
-- ``<path>/bands``  : (doc, band, band_key)   — written partitionBy(band)
-- ``<path>/hashes`` : (doc, hs array<bigint>) — the exact-verify side
-- ``<path>/matches``: (stream_doc, corpus_doc, jaccard, batch_id)
+- ``<path>/bands``  : (doc, band, band_key, src_batch, pk) —
+  partitionBy(pk), ``pk = pmod(xxhash64(band, band_key), n_pk)``
+- ``<path>/hashes`` : (doc, hs array<bigint>, src_batch, hk) —
+  partitionBy(hk), ``hk = pmod(xxhash64(doc), n_pk)``
+- ``<path>/matches``: (stream_doc, corpus_doc, jaccard, batch_id) —
+  partitionBy(batch_id), dynamic partition OVERWRITE (replay-idempotent)
+
+Partitioning by a key-derived hash bucket (NOT by ``band`` — every doc
+produces a key in every band, so ``band`` never prunes) is what makes
+the probe scan sublinear: each micro-batch collects its ≤ n_pk distinct
+``pk`` values (bounded by construction — pk ∈ [0, n_pk)) and pushes a
+literal ``isin`` that Catalyst turns into ``PartitionFilters`` directory
+pruning, the exact pattern proven for IVF-PQ probes
+(``IVFPQIndex.persist_codes`` + tests/test_plans.py). The same trick
+prunes the fat-column ``hashes`` read down to the candidate docs' ``hk``
+buckets. Without it, every batch's equi-join SCANS all N·B index rows
+(and all N hash arrays) — at 100 TB the scan, not the join output, is
+the cost.
 
 Per micro-batch of n_b docs against a corpus of N docs:
-  probe      = equi-join n_b·B band rows against the bands table —
-               touches ~n_b·B/buckets of it, never the full corpus
-  verify     = exact Jaccard on candidate pairs only (semi-join pulls
-               just the candidate docs' hash sets)
-  maintain   = append accepted (non-dup) docs' B band rows + 1 hash row;
-               cost O(n_b), independent of N
-so steady-state ingest is O(n_b) work per batch with a probe that scales
-with bucket occupancy, not corpus size (see SCALING.md cost model).
+  probe      = equi-join n_b·B band rows against the pk-pruned slice of
+               the bands table — reads ~|batch pks|/n_pk of the FILES
+  verify     = exact Jaccard on candidate pairs only (hk-pruned keyed
+               join pulls just the candidate docs' hash sets)
+  maintain   = append accepted (non-dup, not-yet-indexed) docs' B band
+               rows + 1 hash row; cost O(n_b), independent of N
+so steady-state ingest is O(n_b) work per batch with probe/verify scans
+bounded by touched partitions, not corpus size (see SCALING.md).
+
+Failure model (foreachBatch is at-least-once): a replayed batch_id
+dynamic-OVERWRITES its own matches partition, the probe EXCLUDES index
+rows the same batch_id added (``src_batch`` column — each doc is judged
+against the accepted corpus as of its batch, so a replay sees exactly
+the pre-batch index), and accepted docs are anti-joined against the
+existing hashes table (hk-pruned) before the appends — a
+fully-processed batch replays as a byte-identical no-op. A batch torn
+between the bands append and the hashes append self-heals on replay
+(the doc is absent from hashes, so both appends re-run; the duplicate
+band rows only inflate bucket occupancy, and match pairs are
+de-duplicated), at the cost of a bounded occupancy over-count for that
+batch. Exactly-once multi-table upserts need a transactional table
+format (Delta/Iceberg) — out of scope here; the torn-state behavior is
+deliberately biased so no failure mode silently loses matchability.
 """
 
 from __future__ import annotations
@@ -31,6 +61,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 from nornicdb_spark.operators import scope
 from nornicdb_spark.sources.layout import write_partitioned
@@ -42,6 +73,12 @@ from nornicdb_spark.operators.dedup import (
 )
 
 __all__ = ["MaintainedBandIndex"]
+
+# Default hash-partition bucket count for the bands/hashes tables. On a
+# real cluster size it as index_bytes / target_partition_bytes (~128 MB)
+# — e.g. ~1024 for a 100 TB corpus' band index; locally a modest default
+# keeps test directory counts sane without changing the plan shape.
+N_PK = 64
 
 
 class MaintainedBandIndex:
@@ -65,6 +102,7 @@ class MaintainedBandIndex:
         id_col: str = "doc_id",
         text_col: str = "text",
         max_per_bucket: int | None = 128,
+        n_pk: int = N_PK,
     ):
         self.spark = spark
         self.path = path.rstrip("/")
@@ -86,6 +124,7 @@ class MaintainedBandIndex:
         # stream is bounded at B·max_per_bucket per probing doc.
         # ``None`` disables the cap.
         self.max_per_bucket = max_per_bucket
+        self.n_pk = int(n_pk)
 
     # -- paths ------------------------------------------------------------
     @property
@@ -106,12 +145,58 @@ class MaintainedBandIndex:
         return docs.schema[self.id_col].dataType.simpleString()
 
     def _read(self, path: str, schema: str) -> DataFrame:
-        return self.spark.read.schema(schema).parquet(path)
+        """Read an index table; a missing path (ingest started on a fresh
+        directory with no bootstrap) reads as an empty table — the first
+        batch then accepts everything and seeds the index."""
+        try:
+            return self.spark.read.schema(schema).parquet(path)
+        except AnalysisException:
+            return self.spark.createDataFrame([], schema)
+
+    # -- partition-bucket expressions (MUST be identical at write and
+    #    probe time — xxhash64 is deterministic across sessions) ----------
+    def _pk_col(self):
+        return F.pmod(F.xxhash64("band", "band_key"), F.lit(self.n_pk)).cast(
+            "int"
+        )
+
+    def _hk_col(self, col: str = "doc"):
+        return F.pmod(F.xxhash64(col), F.lit(self.n_pk)).cast("int")
+
+    def _bands_pruned(
+        self, it: str, pks: list[int], exclude_batch: int | None = None
+    ) -> DataFrame:
+        """The bands-table scan a probe performs: the literal ``isin`` on
+        the partition column becomes ``PartitionFilters`` directory
+        pruning (plan-tested) — the scan reads ≤ len(pks)/n_pk of the
+        index files, never all of them. ``exclude_batch`` hides rows the
+        given batch itself appended (replay idempotency)."""
+        df = self._read(
+            self.bands_path,
+            f"doc {it}, band_key string, band int, src_batch bigint, pk int",
+        ).filter(F.col("pk").isin(pks))
+        if exclude_batch is not None:
+            df = df.filter(F.col("src_batch") != int(exclude_batch))
+        return df
+
+    def _hashes_pruned(
+        self, it: str, hks: list[int], exclude_batch: int | None = None
+    ) -> DataFrame:
+        """The hashes-table scan a verify performs — same pruning story;
+        this is the table with the fat ``hs`` arrays, so an unpruned scan
+        here would dominate probe cost at scale."""
+        df = self._read(
+            self.hashes_path,
+            f"doc {it}, hs array<bigint>, src_batch bigint, hk int",
+        ).filter(F.col("hk").isin(hks))
+        if exclude_batch is not None:
+            df = df.filter(F.col("src_batch") != int(exclude_batch))
+        return df
 
     # -- index-row derivation (per-row narrow expressions, no explode
     #    state, no groupBy — safe inside a micro-batch) -------------------
     def _rows(self, docs: DataFrame) -> DataFrame:
-        """(doc, hs, band, band_key) for each doc with ≥1 shingle."""
+        """(doc, hs, band, band_key, pk) for each doc with ≥1 shingle."""
         hs = docs.select(
             F.col(self.id_col).alias("doc"),
             shingle_hashes_col(self.text_col, n=self.shingle_n).alias("hs"),
@@ -124,7 +209,7 @@ class MaintainedBandIndex:
                     F.col("hs"), n_perms=self.n_perms, n_bands=self.n_bands
                 )
             ).alias("band", "band_key"),
-        )
+        ).withColumn("pk", self._pk_col())
 
     def _bucket_cap(self, rows: DataFrame, headroom: DataFrame | None = None) -> DataFrame:
         """Drop band rows beyond the per-bucket ceiling, keeping the
@@ -172,94 +257,144 @@ class MaintainedBandIndex:
                     F.col("hs"), n_perms=self.n_perms, n_bands=self.n_bands
                 )
             ).alias("band", "band_key"),
-        )
+        ).withColumn("pk", self._pk_col())
 
     # -- bootstrap --------------------------------------------------------
     def bootstrap(self, docs: DataFrame) -> None:
-        """(Re)build the index from a static corpus. ``partitionBy(band)``
-        so a cluster write lays the table out for band-key probes and the
-        per-band append files stay parallel."""
-        rows = self._bucket_cap(self._rows_batch(docs))
+        """(Re)build the index from a static corpus. ``partitionBy(pk)``
+        /``(hk)`` so a cluster write lays the tables out for pruned
+        probes and the per-bucket append files stay parallel."""
+        rows = self._bucket_cap(self._rows_batch(docs)).withColumn(
+            "src_batch", F.lit(-1).cast("bigint")  # pre-stream era
+        )
         write_partitioned(
-            rows.select("doc", "band", "band_key"), self.bands_path, "band"
+            rows.select("doc", "band", "band_key", "src_batch", "pk"),
+            self.bands_path,
+            "pk",
         )
         # a doc whose every bucket was full keeps no band rows and can
         # never be a candidate — its hash row would be dead weight
-        rows.groupBy("doc").agg(F.first("hs").alias("hs")).write.mode(
-            "overwrite"
-        ).parquet(self.hashes_path)
+        write_partitioned(
+            rows.groupBy("doc")
+            .agg(F.first("hs").alias("hs"), F.first("src_batch").alias("src_batch"))
+            .withColumn("hk", self._hk_col()),
+            self.hashes_path,
+            "hk",
+        )
 
     # -- probe ------------------------------------------------------------
     def probe(self, docs: DataFrame) -> DataFrame:
         """Near-dup matches of ``docs`` against the current index:
-        (stream_doc, corpus_doc, jaccard). Batch-side hash sets ride the
-        band rows (n_b is small); corpus-side sets come from a keyed join
-        against the hashes table — only candidate docs are pulled."""
-        sb = self._rows(docs).select(
-            F.col("doc").alias("stream_doc"),
-            F.col("hs").alias("s_hs"),
-            "band",
-            "band_key",
+        (stream_doc, corpus_doc, jaccard). Standalone entry point — the
+        batch rows are derived once, pinned, and deferred-released."""
+        rows = self._rows(docs).localCheckpoint(eager=True)
+        out = self._probe_rows(rows, self._id_type(docs))
+        scope.escape_frame(rows)
+        return out
+
+    def _probe_rows(
+        self, rows: DataFrame, it: str, exclude_batch: int | None = None
+    ) -> DataFrame:
+        """Probe from precomputed, PINNED batch rows (doc, hs, band,
+        band_key, pk). Two bounded driver collects steer the pruning:
+        the batch's distinct ``pk`` set (≤ n_pk values by construction)
+        prunes the bands scan, and the candidates' distinct ``hk`` set
+        (≤ n_pk) prunes the hashes scan. Candidate PAIRS are pinned slim
+        (ids only — the hash sets never ride the checkpoint)."""
+        pks = [r.pk for r in rows.select("pk").distinct().collect()]
+        empty = self.spark.createDataFrame(
+            [], f"stream_doc {it}, corpus_doc {it}, jaccard double"
         )
-        it = self._id_type(docs)
-        bands = self._read(
-            self.bands_path, f"doc {it}, band_key string, band int"
-        ).select(F.col("doc").alias("corpus_doc"), "band", "band_key")
-        hashes = self._read(
-            self.hashes_path, f"doc {it}, hs array<bigint>"
-        ).select(F.col("doc").alias("corpus_doc"), F.col("hs").alias("c_hs"))
-        cand = (
+        if not pks:
+            return empty
+        sb = rows.select(F.col("doc").alias("stream_doc"), "band", "band_key")
+        bands = self._bands_pruned(it, pks, exclude_batch).select(
+            F.col("doc").alias("corpus_doc"), "band", "band_key"
+        )
+        pairs = (
             sb.join(bands, ["band", "band_key"])
-            .select("stream_doc", "corpus_doc", "s_hs")
+            .select("stream_doc", "corpus_doc")
             .dropDuplicates(["stream_doc", "corpus_doc"])
-            .join(hashes, "corpus_doc")
+            .localCheckpoint(eager=True)  # bounded: ≤ n_b·B·max_per_bucket ids
         )
+        hks = [
+            r.hk
+            for r in pairs.select(self._hk_col("corpus_doc").alias("hk"))
+            .distinct()
+            .collect()
+        ]
+        if not hks:
+            scope.escape_frame(pairs)
+            return empty
+        c_hashes = self._hashes_pruned(it, hks, exclude_batch).select(
+            F.col("doc").alias("corpus_doc"), F.col("hs").alias("c_hs")
+        )
+        s_hashes = rows.select(
+            F.col("doc").alias("stream_doc"), F.col("hs").alias("s_hs")
+        ).dropDuplicates(["stream_doc"])
+        cand = pairs.join(s_hashes, "stream_doc").join(c_hashes, "corpus_doc")
         inter = F.size(F.array_intersect("s_hs", "c_hs")).cast("double")
         jac = inter / (
             F.size("s_hs").cast("double")
             + F.size("c_hs").cast("double")
             - inter
         )
-        return (
+        out = (
             cand.withColumn("jaccard", jac)
             .filter(F.round("jaccard", 9) >= F.lit(round(self.threshold, 9)))
             .select(
                 "stream_doc", "corpus_doc", F.round("jaccard", 9).alias("jaccard")
             )
         )
+        scope.escape_frame(pairs)
+        return out
 
     # -- maintained ingest ------------------------------------------------
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """foreachBatch body: probe → record matches → append accepted.
 
-        Matches are materialized to parquet FIRST, then read back for the
-        reject set — the anti-join never recomputes the probe, and the
-        reject set streams through a join (no driver collect)."""
-        matches = self.probe(batch_df)
-        matches.withColumn("batch_id", F.lit(int(batch_id))).write.mode(
-            "append"
-        ).parquet(self.matches_path)
+        The batch signature rows are computed ONCE (pinned) and feed both
+        the probe side and the accepted-append side. Matches dynamic-
+        OVERWRITE their own batch_id partition and accepted docs are
+        anti-joined against the existing hashes table (hk-pruned), so a
+        replayed batch is a no-op — see the module failure-model note."""
         it = self._id_type(batch_df)
-        rejected = (
-            self._read(
-                self.matches_path,
-                f"stream_doc {it}, corpus_doc {it}, jaccard double,"
-                " batch_id bigint",
-            )
-            .filter(F.col("batch_id") == int(batch_id))
-            .select(F.col("stream_doc").alias("doc"))
-            .distinct()
+        rows = self._rows(batch_df).localCheckpoint(eager=True)
+        matches = self._probe_rows(
+            rows, it, exclude_batch=int(batch_id)
+        ).localCheckpoint(eager=True)
+        (
+            matches.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(self.matches_path)
         )
-        accepted = self._rows(batch_df).join(rejected, "doc", "left_anti")
+        rejected = matches.select(F.col("stream_doc").alias("doc")).distinct()
+        accepted = rows.join(rejected, "doc", "left_anti")
+        # replay idempotency: docs already indexed are never re-appended.
+        # The existence check reads only the accepted docs' hk buckets
+        # (≤ min(n_b, n_pk) partitions), doc column only.
+        hks = [
+            r.hk
+            for r in accepted.select(self._hk_col().alias("hk"))
+            .distinct()
+            .collect()
+        ]
+        if hks:
+            accepted = accepted.join(
+                self._hashes_pruned(it, hks).select("doc"), "doc", "left_anti"
+            )
         if self.max_per_bucket is not None:
-            # occupancy of ONLY the buckets this batch touches (semi-join
-            # pruned — O(touched buckets), not O(index))
+            # occupancy of ONLY the buckets this batch touches: the pk
+            # isin prunes the scan to the batch's partitions, the
+            # semi-join prunes rows to touched buckets
+            pks = [
+                r.pk for r in accepted.select("pk").distinct().collect()
+            ]
             touched = accepted.select("band", "band_key").distinct()
             occ = (
-                self._read(
-                    self.bands_path,
-                    f"doc {it}, band_key string, band int",
-                )
+                self._bands_pruned(it, pks)
                 .join(touched, ["band", "band_key"], "left_semi")
                 .groupBy("band", "band_key")
                 .agg(F.count(F.lit(1)).alias("_occ"))
@@ -268,21 +403,35 @@ class MaintainedBandIndex:
         # pin accepted before the writes: the bands append below changes
         # the very table the occupancy join reads, so the hashes write
         # must NOT recompute the plan against post-append state
-        accepted = accepted.localCheckpoint(eager=True)
+        accepted = accepted.withColumn(
+            "src_batch", F.lit(int(batch_id)).cast("bigint")
+        ).localCheckpoint(eager=True)
+        # bands BEFORE hashes: a batch torn between the two self-heals on
+        # replay (doc absent from hashes → re-appended) — see module note
         write_partitioned(
-            accepted.select("doc", "band", "band_key"),
+            accepted.select("doc", "band", "band_key", "src_batch", "pk"),
             self.bands_path,
-            "band",
+            "pk",
             mode="append",
         )
-        accepted.groupBy("doc").agg(F.first("hs").alias("hs")).write.mode(
-            "append"
-        ).parquet(self.hashes_path)
-        scope.escape_frame(accepted)  # per-batch block: deferred release
+        write_partitioned(
+            accepted.groupBy("doc")
+            .agg(F.first("hs").alias("hs"), F.first("src_batch").alias("src_batch"))
+            .withColumn("hk", self._hk_col()),
+            self.hashes_path,
+            "hk",
+            mode="append",
+        )
+        # per-batch blocks: deferred release via the session registry
+        scope.escape_frame(rows)
+        scope.escape_frame(matches)
+        scope.escape_frame(accepted)
 
     def ingest(self, stream_df: DataFrame, query_name: str):
         """Attach the maintained-ingest loop to a document stream; returns
-        the StreamingQuery (caller drives/stops it)."""
+        the StreamingQuery (caller drives/stops it). A fresh path with no
+        prior :meth:`bootstrap` is valid — the index seeds itself from
+        the first batch (missing tables read as empty)."""
         os.makedirs(self.path, exist_ok=True)
         return (
             stream_df.writeStream.outputMode("append")
@@ -294,7 +443,8 @@ class MaintainedBandIndex:
     def matches(self, id_type: str = "bigint") -> DataFrame:
         """All recorded near-dup matches. ``id_type`` supplies the doc-id
         type for the explicit schema (a match-less run leaves a file-less
-        dir that Spark cannot infer from)."""
+        dir that Spark cannot infer from). batch_id is the partition
+        column, so per-batch read-backs prune to one directory."""
         return self._read(
             self.matches_path,
             f"stream_doc {id_type}, corpus_doc {id_type}, jaccard double,"

@@ -390,3 +390,41 @@ def test_grid_blocks_bounds_cell_memory():
         assert b * (b + 1) // 2 >= 2 * 32 or n < 10_000  # cores fed
     # small corpora keep the old cores-derived floor
     assert grid_blocks(1_000, parallelism=32) == grid_blocks(10, parallelism=32)
+
+
+def test_maintained_band_index_probe_prunes_partitions(spark, tmp_path):
+    # the maintained near-dup index's 100 TB contract: the probe's
+    # equi-join must NOT scan the whole index. Both table scans carry a
+    # literal isin on their hash-partition column that Catalyst turns
+    # into PartitionFilters directory pruning — the bands scan (pk =
+    # hash(band, band_key) % n_pk) and the fat-column hashes scan (hk =
+    # hash(doc) % n_pk). Same pattern as IVF-PQ's persist_codes probe.
+    from nornicdb_spark.streaming.neardup import MaintainedBandIndex
+
+    corpus = spark.createDataFrame(
+        [
+            (i, f"token{i} alpha beta gamma delta epsilon zeta eta theta")
+            for i in range(20)
+        ],
+        "doc_id long, text string",
+    )
+    idx = MaintainedBandIndex(spark, str(tmp_path / "pruneidx"), n_pk=16)
+    idx.bootstrap(corpus)
+
+    bands_scan = idx._bands_pruned("bigint", [1, 5, 9])
+    bplan = bands_scan._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", bplan)
+    assert m is not None and "pk" in m.group(1), bplan[:2000]
+
+    hashes_scan = idx._hashes_pruned("bigint", [2, 7])
+    hplan = hashes_scan._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", hplan)
+    assert m is not None and "hk" in m.group(1), hplan[:2000]
+
+    # and the probe still matches end-to-end off the partitioned layout
+    probe = spark.createDataFrame(
+        [(900, "token3 alpha beta gamma delta epsilon zeta eta theta iota")],
+        "doc_id long, text string",
+    )
+    got = {(r.stream_doc, r.corpus_doc) for r in idx.probe(probe).collect()}
+    assert (900, 3) in got

@@ -395,3 +395,65 @@ def test_maintained_band_index_hot_bucket_cap(spark, tmp_path):
         for r in kept.groupBy("band", "band_key").count().collect()
     }
     assert per_bucket and all(v == 6 for v in per_bucket.values())
+
+
+def test_maintained_band_index_fresh_path_ingest(spark, tmp_path):
+    # ingest() on a fresh path with NO bootstrap must not crash: missing
+    # bands/hashes tables read as empty, the first batch seeds the index,
+    # and the second batch matches against batch-1-accepted docs.
+    from nornicdb_spark.streaming.neardup import MaintainedBandIndex
+
+    text = "the rain in spain stays mainly on the plain every single day"
+    idx = MaintainedBandIndex(spark, str(tmp_path / "fresh"), threshold=0.5)
+    src = str(tmp_path / "fresh_src")
+    spark.createDataFrame(
+        [(1, text)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src + "/b1.parquet")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        src + "/*"
+    )
+    q = idx.ingest(stream, "nd_fresh_test")
+    try:
+        q.processAllAvailable()
+        assert idx.matches().count() == 0  # nothing to match yet
+        spark.createDataFrame(
+            [(2, text + " tonight")], "doc_id long, text string"
+        ).coalesce(1).write.parquet(src + "/b2.parquet")
+        q.processAllAvailable()
+        m = {(r.stream_doc, r.corpus_doc) for r in idx.matches().collect()}
+        assert m == {(2, 1)}
+    finally:
+        q.stop()
+
+
+def test_maintained_band_index_replayed_batch_is_noop(spark, tmp_path):
+    # foreachBatch is at-least-once: re-running a completed batch_id must
+    # not duplicate match rows, band rows, or hash rows (matches
+    # dynamic-overwrite their batch_id partition; accepted docs anti-join
+    # the existing hashes table before the appends).
+    from nornicdb_spark.streaming.neardup import MaintainedBandIndex
+
+    text_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    text_b = "one two three four five six seven eight nine ten eleven twelve"
+    corpus = spark.createDataFrame([(1, text_a)], "doc_id long, text string")
+    idx = MaintainedBandIndex(spark, str(tmp_path / "replay"), threshold=0.5)
+    idx.bootstrap(corpus)
+    batch = spark.createDataFrame(
+        [(10, text_a + " lambda"), (11, text_b)], "doc_id long, text string"
+    )
+    idx.process_batch(batch, batch_id=3)
+    snap = lambda: (
+        sorted(
+            (r.stream_doc, r.corpus_doc, r.batch_id)
+            for r in idx.matches().collect()
+        ),
+        sorted(
+            (r.doc, r.band, r.band_key)
+            for r in spark.read.parquet(idx.bands_path).collect()
+        ),
+        sorted(r.doc for r in spark.read.parquet(idx.hashes_path).collect()),
+    )
+    before = snap()
+    idx.process_batch(batch, batch_id=3)  # the replay
+    assert snap() == before
+    assert before[0] == [(10, 1, 3)] and sorted(set(before[2])) == [1, 11]
