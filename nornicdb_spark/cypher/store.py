@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from nornicdb_spark.catalog import NODE_SPECS, Catalog, node_id
-from nornicdb_spark.operators.scope import escape_frame
+from nornicdb_spark.operators.scope import unpersist_frame
 
 LABEL_TABLES = {label: (table, key) for label, table, key in NODE_SPECS}
 
@@ -62,11 +62,13 @@ class GraphStore:
         return out
 
     def close(self) -> None:
-        """Release every version checkpoint via the deferred session
-        registry (consumers may still hold lazy plans over late
-        versions — the bounded registry frees them safely later)."""
+        """Release every version checkpoint directly — the owning
+        Engine's ``close()`` is the only caller and is the "done" signal
+        for everything this store pinned; routing a potentially large
+        version history through the bounded escape FIFO would evict
+        other owners' deferred frames (ADVICE r8)."""
         for df in self._ckpts:
-            escape_frame(df)
+            unpersist_frame(df)
         self._ckpts.clear()
 
     # ---- store-aware graph views ----------------------------------------

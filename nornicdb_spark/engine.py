@@ -198,18 +198,22 @@ class Engine:
         Spark analogue of the reference's cache lifecycle,
         executor.go:659-692). The shared read catalog (adjacency, memoized
         bases) is deliberately left resident — it is shared across
-        Engines; release it with :func:`shutdown`. Only frames escaped on
-        behalf of THIS engine are freed — other live Engines' cached plans
-        and their consumers are untouched."""
-        with scope.owned_by(self._escape_owner):
-            for _df, ckpts, pinned in self._result_cache.values():
-                for f in ckpts:
-                    scope.escape_frame(f)
-                for jrdd in pinned:
-                    scope.escape_rdd(jrdd)
-            self._result_cache.clear()
-            if self._store is not None:
-                self._store.close()  # store versions are engine-owned
+        Engines; release it with :func:`shutdown`. Only frames owned by
+        THIS engine are freed — other live Engines' cached plans and
+        their consumers are untouched. Engine-owned frames (cached plans'
+        checkpoints, store versions) are unpersisted DIRECTLY, never via
+        the bounded FIFO: a warm cache releases far more than
+        _ESCAPE_CAP frames at once, and routing them through the FIFO
+        would force out the oldest entries regardless of owner (ADVICE
+        r8 — the exact invariant this method exists for)."""
+        for _df, ckpts, pinned in self._result_cache.values():
+            for f in ckpts:
+                scope.unpersist_frame(f)
+            for jrdd in pinned:
+                scope.unpersist_rdd(jrdd)
+        self._result_cache.clear()
+        if self._store is not None:
+            self._store.close()  # store versions are engine-owned
         scope.release_escaped(owner=self._escape_owner)
 
     def _store_snapshot(self):

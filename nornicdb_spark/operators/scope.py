@@ -35,6 +35,7 @@ SQL cache manager and is a no-op for checkpoints.
 from __future__ import annotations
 
 import os
+import threading
 from collections import deque
 
 from pyspark.sql import DataFrame
@@ -48,6 +49,8 @@ __all__ = [
     "release_escaped",
     "escaped_count",
     "storage_rdd_count",
+    "unpersist_frame",
+    "unpersist_rdd",
 ]
 
 
@@ -82,22 +85,48 @@ def _unpersist(jrdd) -> None:
 
 _ESCAPE_CAP = int(os.environ.get("NORNICDB_ESCAPE_CAP", "64"))
 _ESCAPED: deque = deque()  # (owner_token | None, jrdd)
-_OWNER_STACK: list = []  # innermost active owner token (engine.query)
-_CAPTURE_STACK: list = []  # innermost active capture list (cached plans)
+_ESCAPE_LOCK = threading.Lock()  # FIFO mutations (escape vs release races)
+
+# Owner/capture scoping is PER-THREAD (ADVICE r8): concurrent
+# Engine.query() calls from multiple threads — a normal Spark driver
+# pattern — must not divert one query's escaped frames into another
+# query's pinned list or tag them with the wrong owner (premature
+# unpersist → checkpoint-block-not-found when the wrong entry is freed).
+_TLS = threading.local()
+
+
+def _owner_stack() -> list:
+    s = getattr(_TLS, "owners", None)
+    if s is None:
+        s = _TLS.owners = []
+    return s
+
+
+def _capture_stack() -> list:
+    s = getattr(_TLS, "captures", None)
+    if s is None:
+        s = _TLS.captures = []
+    return s
 
 
 def _escape(jrdd) -> None:
-    if _CAPTURE_STACK:
+    captures = _capture_stack()
+    if captures:
         # a cacheable compiled plan is being built: its support frames are
         # PINNED to the cache entry (returned to the capturer) instead of
         # entering the FIFO, so later unrelated escapes can never free a
         # block a cached plan still reads (checkpoint-block-not-found on
         # cache re-serve)
-        _CAPTURE_STACK[-1].append(jrdd)
+        captures[-1].append(jrdd)
         return
-    _ESCAPED.append((_OWNER_STACK[-1] if _OWNER_STACK else None, jrdd))
-    while len(_ESCAPED) > _ESCAPE_CAP:
-        _unpersist(_ESCAPED.popleft()[1])
+    owners = _owner_stack()
+    overflow = []
+    with _ESCAPE_LOCK:
+        _ESCAPED.append((owners[-1] if owners else None, jrdd))
+        while len(_ESCAPED) > _ESCAPE_CAP:
+            overflow.append(_ESCAPED.popleft()[1])
+    for old in overflow:  # unpersist outside the lock (py4j call)
+        _unpersist(old)
 
 
 class _Ctx:
@@ -116,18 +145,20 @@ class _Ctx:
 
 
 def owned_by(token) -> _Ctx:
-    """While active, frames escaped to the FIFO are tagged with ``token``
-    so ``release_escaped(owner=token)`` frees only them — one engine's
-    ``close()`` must not invalidate another engine's escaped frames."""
-    return _Ctx(_OWNER_STACK, token)
+    """While active (in THIS thread), frames escaped to the FIFO are
+    tagged with ``token`` so ``release_escaped(owner=token)`` frees only
+    them — one engine's ``close()`` must not invalidate another engine's
+    escaped frames."""
+    return _Ctx(_owner_stack(), token)
 
 
 def capture_escapes() -> _Ctx:
-    """While active, escaped frames are diverted (pinned) into the list
-    this context yields instead of the bounded FIFO. The caller owns their
-    lifetime — re-escape them (``escape_rdd``) when the owning cache entry
-    is evicted, or unpersist on close."""
-    return _Ctx(_CAPTURE_STACK, [])
+    """While active (in THIS thread), escaped frames are diverted
+    (pinned) into the list this context yields instead of the bounded
+    FIFO. The caller owns their lifetime — re-escape them
+    (``escape_rdd``) when the owning cache entry is evicted, or
+    unpersist directly (``unpersist_rdd``) on close."""
+    return _Ctx(_capture_stack(), [])
 
 
 def escape_frame(df: DataFrame | None) -> None:
@@ -149,6 +180,28 @@ def escape_rdd(rdd) -> None:
         _escape(rdd)
 
 
+def unpersist_frame(df: DataFrame | None) -> None:
+    """Free a locally-checkpointed DataFrame's blocks NOW, bypassing the
+    FIFO. For owners releasing their OWN frames at close time (cached
+    plans' row tags, store versions): routing a close's mass release
+    through the bounded FIFO would overflow it and evict the OLDEST
+    entries regardless of owner — other live engines' frames (ADVICE
+    r8). ``escape_frame`` remains the path for frames that genuinely
+    need deferred release (a consumer still holds a lazy plan)."""
+    if df is None:
+        return
+    jrdd = _plan_rdd(df)
+    if jrdd is not None:
+        _unpersist(jrdd)
+
+
+def unpersist_rdd(rdd) -> None:
+    """Direct twin of :func:`escape_rdd` — free now, never enter the
+    FIFO."""
+    if rdd is not None:
+        _unpersist(rdd)
+
+
 _ALL = object()
 
 
@@ -158,21 +211,23 @@ def release_escaped(owner=_ALL) -> int:
     escaped under :func:`owned_by` with that token — so closing one engine
     cannot invalidate frames another live engine's consumers still read.
     Returns the number of frames released."""
-    if owner is _ALL:
-        n = len(_ESCAPED)
-        while _ESCAPED:
-            _unpersist(_ESCAPED.popleft()[1])
-        return n
-    keep, n = deque(), 0
-    while _ESCAPED:
-        own, jrdd = _ESCAPED.popleft()
-        if own is owner:
-            _unpersist(jrdd)
-            n += 1
+    to_free = []
+    with _ESCAPE_LOCK:
+        if owner is _ALL:
+            while _ESCAPED:
+                to_free.append(_ESCAPED.popleft()[1])
         else:
-            keep.append((own, jrdd))
-    _ESCAPED.extend(keep)
-    return n
+            keep = deque()
+            while _ESCAPED:
+                own, jrdd = _ESCAPED.popleft()
+                if own is owner:
+                    to_free.append(jrdd)
+                else:
+                    keep.append((own, jrdd))
+            _ESCAPED.extend(keep)
+    for jrdd in to_free:  # py4j calls outside the lock
+        _unpersist(jrdd)
+    return len(to_free)
 
 
 def escaped_count() -> int:

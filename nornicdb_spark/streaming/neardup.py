@@ -1,20 +1,24 @@
-"""Maintained incremental near-dup index — the 100 TB ingest loop.
+"""Maintained incremental near-dup indexes — the 100 TB ingest loop.
 
 ``stream_dedup_near_dup`` (queries/temporal.py) probes a STATIC banded
 snapshot; production ingest needs accepted-new-documents appended to the
 index so later batches can match them (reference dedup behavior on
 ingest: pkg/embeddings/dedup.go near-duplicate gate runs against the
-live store, not a frozen one). :class:`MaintainedBandIndex` is that
-loop as Structured Streaming ``foreachBatch`` over parquet-backed,
-hash-partitioned index tables.
+live store, not a frozen one). :class:`MaintainedBandIndex` (text
+MinHash) and :class:`MaintainedVecIndex` (embedding hyperplane-LSH over
+int8-quantized codes) are that loop as Structured Streaming
+``foreachBatch`` over parquet-backed, hash-partitioned index tables —
+one shared machinery (:class:`_MaintainedIndexBase`), two modalities.
 
-Layout (normalized — band rows do NOT duplicate the hash sets):
+Layout (normalized — band rows do NOT duplicate the verify payload):
 
 - ``<path>/bands``  : (doc, band, band_key, src_batch, pk) —
   partitionBy(pk), ``pk = pmod(xxhash64(band, band_key), n_pk)``
-- ``<path>/hashes`` : (doc, hs array<bigint>, src_batch, hk) —
-  partitionBy(hk), ``hk = pmod(xxhash64(doc), n_pk)``
-- ``<path>/matches``: (stream_doc, corpus_doc, jaccard, batch_id) —
+- ``<path>/payload``: (doc, <payload cols>, src_batch, hk) —
+  partitionBy(hk), ``hk = pmod(xxhash64(doc), n_pk)``; the payload is
+  the verify side — shingle-hash sets for text, int8 codes + code norm
+  for embeddings
+- ``<path>/matches``: (stream_doc, corpus_doc, <score>, batch_id) —
   partitionBy(batch_id), dynamic partition OVERWRITE (replay-idempotent)
 
 Partitioning by a key-derived hash bucket (NOT by ``band`` — every doc
@@ -24,18 +28,18 @@ the probe scan sublinear: each micro-batch collects its ≤ n_pk distinct
 literal ``isin`` that Catalyst turns into ``PartitionFilters`` directory
 pruning, the exact pattern proven for IVF-PQ probes
 (``IVFPQIndex.persist_codes`` + tests/test_plans.py). The same trick
-prunes the fat-column ``hashes`` read down to the candidate docs' ``hk``
+prunes the fat-column ``payload`` read down to the candidate docs' ``hk``
 buckets. Without it, every batch's equi-join SCANS all N·B index rows
-(and all N hash arrays) — at 100 TB the scan, not the join output, is
+(and all N payload rows) — at 100 TB the scan, not the join output, is
 the cost.
 
 Per micro-batch of n_b docs against a corpus of N docs:
   probe      = equi-join n_b·B band rows against the pk-pruned slice of
                the bands table — reads ~|batch pks|/n_pk of the FILES
-  verify     = exact Jaccard on candidate pairs only (hk-pruned keyed
-               join pulls just the candidate docs' hash sets)
+  verify     = exact score on candidate pairs only (hk-pruned keyed
+               join pulls just the candidate docs' payload rows)
   maintain   = append accepted (non-dup, not-yet-indexed) docs' B band
-               rows + 1 hash row; cost O(n_b), independent of N
+               rows + 1 payload row; cost O(n_b), independent of N
 so steady-state ingest is O(n_b) work per batch with probe/verify scans
 bounded by touched partitions, not corpus size (see SCALING.md).
 
@@ -44,10 +48,10 @@ dynamic-OVERWRITES its own matches partition, the probe EXCLUDES index
 rows the same batch_id added (``src_batch`` column — each doc is judged
 against the accepted corpus as of its batch, so a replay sees exactly
 the pre-batch index), and accepted docs are anti-joined against the
-existing hashes table (hk-pruned) before the appends — a
+existing payload table (hk-pruned) before the appends — a
 fully-processed batch replays as a byte-identical no-op. A batch torn
-between the bands append and the hashes append self-heals on replay
-(the doc is absent from hashes, so both appends re-run; the duplicate
+between the bands append and the payload append self-heals on replay
+(the doc is absent from payload, so both appends re-run; the duplicate
 band rows only inflate bucket occupancy, and match pairs are
 de-duplicated), at the cost of a bounded occupancy over-count for that
 batch. Exactly-once multi-table upserts need a transactional table
@@ -72,17 +76,21 @@ from nornicdb_spark.operators.dedup import (
     shingle_hashes_col,
 )
 
-__all__ = ["MaintainedBandIndex"]
+__all__ = ["MaintainedBandIndex", "MaintainedVecIndex"]
 
-# Default hash-partition bucket count for the bands/hashes tables. On a
+# Default hash-partition bucket count for the bands/payload tables. On a
 # real cluster size it as index_bytes / target_partition_bytes (~128 MB)
 # — e.g. ~1024 for a 100 TB corpus' band index; locally a modest default
 # keeps test directory counts sane without changing the plan shape.
 N_PK = 64
 
 
-class MaintainedBandIndex:
-    """Parquet-backed MinHash band index with dedup-gated ingest.
+class _MaintainedIndexBase:
+    """Shared probe/maintain/replay machinery. A subclass supplies the
+    modality: :meth:`_rows` derives (doc, <payload>, band, band_key, pk)
+    per document, ``payload_cols``/``payload_types`` name the verify-side
+    columns, and :meth:`_pair_score` scores a candidate pair from its
+    ``s_<col>``/``c_<col>`` payload columns.
 
     New documents are near-dup-checked against the CURRENT index (which
     includes docs accepted in earlier batches); matches are recorded and
@@ -91,27 +99,23 @@ class MaintainedBandIndex:
     corpus as of its batch, the reference's ingest-time semantics.
     """
 
+    payload_cols: tuple[str, ...]
+    payload_types: tuple[str, ...]
+    score_col: str
+
     def __init__(
         self,
         spark: SparkSession,
         path: str,
-        threshold: float = 0.5,
-        shingle_n: int = 3,
-        n_perms: int = N_PERMS,
-        n_bands: int = N_BANDS,
-        id_col: str = "doc_id",
-        text_col: str = "text",
+        threshold: float,
+        id_col: str,
         max_per_bucket: int | None = 128,
         n_pk: int = N_PK,
     ):
         self.spark = spark
         self.path = path.rstrip("/")
         self.threshold = float(threshold)
-        self.shingle_n = shingle_n
-        self.n_perms = n_perms
-        self.n_bands = n_bands
         self.id_col = id_col
-        self.text_col = text_col
         # Hot-bucket ceiling (the hub-cap discipline of
         # dedup.max_shingle_df / sessions.max_keys_per_window): a massive
         # duplicate cluster makes its band buckets hot, and an uncapped
@@ -126,14 +130,31 @@ class MaintainedBandIndex:
         self.max_per_bucket = max_per_bucket
         self.n_pk = int(n_pk)
 
+    # -- subclass contract -------------------------------------------------
+    def _rows(self, docs: DataFrame) -> DataFrame:
+        """(doc, <payload cols>, band, band_key, pk) per doc — per-row
+        narrow expressions only (no explode state, no groupBy), so the
+        same derivation is legal inside a micro-batch."""
+        raise NotImplementedError
+
+    def _rows_batch(self, docs: DataFrame) -> DataFrame:
+        """Bootstrap twin of :meth:`_rows` — subclasses may use a wider
+        (explode/groupBy) pipeline for large static corpora."""
+        return self._rows(docs)
+
+    def _pair_score(self) -> F.Column:
+        """Similarity of a candidate pair, from ``s_<payload>`` (stream
+        side) and ``c_<payload>`` (corpus side) columns."""
+        raise NotImplementedError
+
     # -- paths ------------------------------------------------------------
     @property
     def bands_path(self) -> str:
         return f"{self.path}/bands"
 
     @property
-    def hashes_path(self) -> str:
-        return f"{self.path}/hashes"
+    def payload_path(self) -> str:
+        return f"{self.path}/payload"
 
     @property
     def matches_path(self) -> str:
@@ -143,6 +164,12 @@ class MaintainedBandIndex:
     #    leaves a fileless dir Spark cannot infer a schema from) ----------
     def _id_type(self, docs: DataFrame) -> str:
         return docs.schema[self.id_col].dataType.simpleString()
+
+    def _payload_schema(self, it: str) -> str:
+        cols = ", ".join(
+            f"{c} {t}" for c, t in zip(self.payload_cols, self.payload_types)
+        )
+        return f"doc {it}, {cols}, src_batch bigint, hk int"
 
     def _read(self, path: str, schema: str) -> DataFrame:
         """Read an index table; a missing path (ingest started on a fresh
@@ -179,37 +206,18 @@ class MaintainedBandIndex:
             df = df.filter(F.col("src_batch") != int(exclude_batch))
         return df
 
-    def _hashes_pruned(
+    def _payload_pruned(
         self, it: str, hks: list[int], exclude_batch: int | None = None
     ) -> DataFrame:
-        """The hashes-table scan a verify performs — same pruning story;
-        this is the table with the fat ``hs`` arrays, so an unpruned scan
-        here would dominate probe cost at scale."""
-        df = self._read(
-            self.hashes_path,
-            f"doc {it}, hs array<bigint>, src_batch bigint, hk int",
-        ).filter(F.col("hk").isin(hks))
+        """The payload-table scan a verify performs — same pruning story;
+        this is the table with the fat verify columns, so an unpruned
+        scan here would dominate probe cost at scale."""
+        df = self._read(self.payload_path, self._payload_schema(it)).filter(
+            F.col("hk").isin(hks)
+        )
         if exclude_batch is not None:
             df = df.filter(F.col("src_batch") != int(exclude_batch))
         return df
-
-    # -- index-row derivation (per-row narrow expressions, no explode
-    #    state, no groupBy — safe inside a micro-batch) -------------------
-    def _rows(self, docs: DataFrame) -> DataFrame:
-        """(doc, hs, band, band_key, pk) for each doc with ≥1 shingle."""
-        hs = docs.select(
-            F.col(self.id_col).alias("doc"),
-            shingle_hashes_col(self.text_col, n=self.shingle_n).alias("hs"),
-        ).filter(F.size("hs") > 0)
-        return hs.select(
-            "doc",
-            "hs",
-            F.posexplode(
-                minhash_band_keys_col(
-                    F.col("hs"), n_perms=self.n_perms, n_bands=self.n_bands
-                )
-            ).alias("band", "band_key"),
-        ).withColumn("pk", self._pk_col())
 
     def _bucket_cap(self, rows: DataFrame, headroom: DataFrame | None = None) -> DataFrame:
         """Drop band rows beyond the per-bucket ceiling, keeping the
@@ -234,30 +242,13 @@ class MaintainedBandIndex:
             keep = F.col("_r") <= F.lit(self.max_per_bucket)
         return ranked.filter(keep).drop("_r", "_occ")
 
-    def _rows_batch(self, docs: DataFrame) -> DataFrame:
-        """Batch twin of :meth:`_rows` for large static corpora: the
-        explode+collect_set shingle pipeline (spread across cores,
-        vectorized) is ~5× faster than the per-row nested expression,
-        which only micro-batches need (no explode/groupBy inside a
-        stream). Same distinct-hash sets, same band keys."""
-        from nornicdb_spark.operators.dedup import shingles
-
-        hs = (
-            shingles(docs, id_col=self.id_col, text_col=self.text_col,
-                     n=self.shingle_n)
-            .groupBy("doc_id")
-            .agg(F.collect_set("h").alias("hs"))
-            .select(F.col("doc_id").alias("doc"), "hs")
-        )
-        return hs.select(
-            "doc",
-            "hs",
-            F.posexplode(
-                minhash_band_keys_col(
-                    F.col("hs"), n_perms=self.n_perms, n_bands=self.n_bands
-                )
-            ).alias("band", "band_key"),
-        ).withColumn("pk", self._pk_col())
+    def _payload_row(self, rows: DataFrame) -> DataFrame:
+        """One payload row per doc from its (payload-duplicated) band
+        rows, carrying src_batch if present."""
+        aggs = [F.first(c).alias(c) for c in self.payload_cols]
+        if "src_batch" in rows.columns:
+            aggs.append(F.first("src_batch").alias("src_batch"))
+        return rows.groupBy("doc").agg(*aggs).withColumn("hk", self._hk_col())
 
     # -- bootstrap --------------------------------------------------------
     def bootstrap(self, docs: DataFrame) -> None:
@@ -273,19 +264,13 @@ class MaintainedBandIndex:
             "pk",
         )
         # a doc whose every bucket was full keeps no band rows and can
-        # never be a candidate — its hash row would be dead weight
-        write_partitioned(
-            rows.groupBy("doc")
-            .agg(F.first("hs").alias("hs"), F.first("src_batch").alias("src_batch"))
-            .withColumn("hk", self._hk_col()),
-            self.hashes_path,
-            "hk",
-        )
+        # never be a candidate — its payload row would be dead weight
+        write_partitioned(self._payload_row(rows), self.payload_path, "hk")
 
     # -- probe ------------------------------------------------------------
     def probe(self, docs: DataFrame) -> DataFrame:
         """Near-dup matches of ``docs`` against the current index:
-        (stream_doc, corpus_doc, jaccard). Standalone entry point — the
+        (stream_doc, corpus_doc, <score>). Standalone entry point — the
         batch rows are derived once, pinned, and deferred-released."""
         rows = self._rows(docs).localCheckpoint(eager=True)
         out = self._probe_rows(rows, self._id_type(docs))
@@ -295,15 +280,15 @@ class MaintainedBandIndex:
     def _probe_rows(
         self, rows: DataFrame, it: str, exclude_batch: int | None = None
     ) -> DataFrame:
-        """Probe from precomputed, PINNED batch rows (doc, hs, band,
-        band_key, pk). Two bounded driver collects steer the pruning:
-        the batch's distinct ``pk`` set (≤ n_pk values by construction)
-        prunes the bands scan, and the candidates' distinct ``hk`` set
-        (≤ n_pk) prunes the hashes scan. Candidate PAIRS are pinned slim
-        (ids only — the hash sets never ride the checkpoint)."""
+        """Probe from precomputed, PINNED batch rows. Two bounded driver
+        collects steer the pruning: the batch's distinct ``pk`` set
+        (≤ n_pk values by construction) prunes the bands scan, and the
+        candidates' distinct ``hk`` set (≤ n_pk) prunes the payload scan.
+        Candidate PAIRS are pinned slim (ids only — the payload never
+        rides the checkpoint)."""
         pks = [r.pk for r in rows.select("pk").distinct().collect()]
         empty = self.spark.createDataFrame(
-            [], f"stream_doc {it}, corpus_doc {it}, jaccard double"
+            [], f"stream_doc {it}, corpus_doc {it}, {self.score_col} double"
         )
         if not pks:
             return empty
@@ -326,24 +311,24 @@ class MaintainedBandIndex:
         if not hks:
             scope.escape_frame(pairs)
             return empty
-        c_hashes = self._hashes_pruned(it, hks, exclude_batch).select(
-            F.col("doc").alias("corpus_doc"), F.col("hs").alias("c_hs")
+        c_side = self._payload_pruned(it, hks, exclude_batch).select(
+            F.col("doc").alias("corpus_doc"),
+            *[F.col(c).alias(f"c_{c}") for c in self.payload_cols],
         )
-        s_hashes = rows.select(
-            F.col("doc").alias("stream_doc"), F.col("hs").alias("s_hs")
+        s_side = rows.select(
+            F.col("doc").alias("stream_doc"),
+            *[F.col(c).alias(f"s_{c}") for c in self.payload_cols],
         ).dropDuplicates(["stream_doc"])
-        cand = pairs.join(s_hashes, "stream_doc").join(c_hashes, "corpus_doc")
-        inter = F.size(F.array_intersect("s_hs", "c_hs")).cast("double")
-        jac = inter / (
-            F.size("s_hs").cast("double")
-            + F.size("c_hs").cast("double")
-            - inter
-        )
+        cand = pairs.join(s_side, "stream_doc").join(c_side, "corpus_doc")
         out = (
-            cand.withColumn("jaccard", jac)
-            .filter(F.round("jaccard", 9) >= F.lit(round(self.threshold, 9)))
+            cand.withColumn(self.score_col, self._pair_score())
+            .filter(
+                F.round(self.score_col, 9) >= F.lit(round(self.threshold, 9))
+            )
             .select(
-                "stream_doc", "corpus_doc", F.round("jaccard", 9).alias("jaccard")
+                "stream_doc",
+                "corpus_doc",
+                F.round(self.score_col, 9).alias(self.score_col),
             )
         )
         scope.escape_frame(pairs)
@@ -353,11 +338,11 @@ class MaintainedBandIndex:
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """foreachBatch body: probe → record matches → append accepted.
 
-        The batch signature rows are computed ONCE (pinned) and feed both
-        the probe side and the accepted-append side. Matches dynamic-
-        OVERWRITE their own batch_id partition and accepted docs are
-        anti-joined against the existing hashes table (hk-pruned), so a
-        replayed batch is a no-op — see the module failure-model note."""
+        The batch rows are computed ONCE (pinned) and feed both the probe
+        side and the accepted-append side. Matches dynamic-OVERWRITE
+        their own batch_id partition and accepted docs are anti-joined
+        against the existing payload table (hk-pruned), so a replayed
+        batch is a no-op — see the module failure-model note."""
         it = self._id_type(batch_df)
         rows = self._rows(batch_df).localCheckpoint(eager=True)
         matches = self._probe_rows(
@@ -383,15 +368,13 @@ class MaintainedBandIndex:
         ]
         if hks:
             accepted = accepted.join(
-                self._hashes_pruned(it, hks).select("doc"), "doc", "left_anti"
+                self._payload_pruned(it, hks).select("doc"), "doc", "left_anti"
             )
         if self.max_per_bucket is not None:
             # occupancy of ONLY the buckets this batch touches: the pk
             # isin prunes the scan to the batch's partitions, the
             # semi-join prunes rows to touched buckets
-            pks = [
-                r.pk for r in accepted.select("pk").distinct().collect()
-            ]
+            pks = [r.pk for r in accepted.select("pk").distinct().collect()]
             touched = accepted.select("band", "band_key").distinct()
             occ = (
                 self._bands_pruned(it, pks)
@@ -401,13 +384,13 @@ class MaintainedBandIndex:
             )
             accepted = self._bucket_cap(accepted, headroom=occ)
         # pin accepted before the writes: the bands append below changes
-        # the very table the occupancy join reads, so the hashes write
+        # the very table the occupancy join reads, so the payload write
         # must NOT recompute the plan against post-append state
         accepted = accepted.withColumn(
             "src_batch", F.lit(int(batch_id)).cast("bigint")
         ).localCheckpoint(eager=True)
-        # bands BEFORE hashes: a batch torn between the two self-heals on
-        # replay (doc absent from hashes → re-appended) — see module note
+        # bands BEFORE payload: a batch torn between the two self-heals on
+        # replay (doc absent from payload → re-appended) — see module note
         write_partitioned(
             accepted.select("doc", "band", "band_key", "src_batch", "pk"),
             self.bands_path,
@@ -415,12 +398,7 @@ class MaintainedBandIndex:
             mode="append",
         )
         write_partitioned(
-            accepted.groupBy("doc")
-            .agg(F.first("hs").alias("hs"), F.first("src_batch").alias("src_batch"))
-            .withColumn("hk", self._hk_col()),
-            self.hashes_path,
-            "hk",
-            mode="append",
+            self._payload_row(accepted), self.payload_path, "hk", mode="append"
         )
         # per-batch blocks: deferred release via the session registry
         scope.escape_frame(rows)
@@ -447,6 +425,202 @@ class MaintainedBandIndex:
         column, so per-batch read-backs prune to one directory."""
         return self._read(
             self.matches_path,
-            f"stream_doc {id_type}, corpus_doc {id_type}, jaccard double,"
-            " batch_id bigint",
+            f"stream_doc {id_type}, corpus_doc {id_type},"
+            f" {self.score_col} double, batch_id bigint",
         )
+
+
+class MaintainedBandIndex(_MaintainedIndexBase):
+    """Parquet-backed text MinHash band index with dedup-gated ingest.
+    Banding = MinHash LSH over shingle-hash sets; verify = exact Jaccard
+    on the shingle sets (the payload)."""
+
+    payload_cols = ("hs",)
+    payload_types = ("array<bigint>",)
+    score_col = "jaccard"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        threshold: float = 0.5,
+        shingle_n: int = 3,
+        n_perms: int = N_PERMS,
+        n_bands: int = N_BANDS,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        max_per_bucket: int | None = 128,
+        n_pk: int = N_PK,
+    ):
+        super().__init__(
+            spark, path, threshold, id_col,
+            max_per_bucket=max_per_bucket, n_pk=n_pk,
+        )
+        self.shingle_n = shingle_n
+        self.n_perms = n_perms
+        self.n_bands = n_bands
+        self.text_col = text_col
+
+    # legacy alias — the payload table held hash sets before the
+    # two-modality refactor; keep the old directory name so round-8
+    # indexes on disk stay readable
+    @property
+    def payload_path(self) -> str:
+        return f"{self.path}/hashes"
+
+    hashes_path = payload_path
+
+    def _rows(self, docs: DataFrame) -> DataFrame:
+        """(doc, hs, band, band_key, pk) for each doc with ≥1 shingle."""
+        hs = docs.select(
+            F.col(self.id_col).alias("doc"),
+            shingle_hashes_col(self.text_col, n=self.shingle_n).alias("hs"),
+        ).filter(F.size("hs") > 0)
+        return hs.select(
+            "doc",
+            "hs",
+            F.posexplode(
+                minhash_band_keys_col(
+                    F.col("hs"), n_perms=self.n_perms, n_bands=self.n_bands
+                )
+            ).alias("band", "band_key"),
+        ).withColumn("pk", self._pk_col())
+
+    def _rows_batch(self, docs: DataFrame) -> DataFrame:
+        """Bootstrap twin: the explode+collect_set shingle pipeline
+        (spread across cores, vectorized) is ~5× faster than the per-row
+        nested expression, which only micro-batches need (no explode/
+        groupBy inside a stream). Same distinct-hash sets, same keys."""
+        from nornicdb_spark.operators.dedup import shingles
+
+        hs = (
+            shingles(docs, id_col=self.id_col, text_col=self.text_col,
+                     n=self.shingle_n)
+            .groupBy("doc_id")
+            .agg(F.collect_set("h").alias("hs"))
+            .select(F.col("doc_id").alias("doc"), "hs")
+        )
+        return hs.select(
+            "doc",
+            "hs",
+            F.posexplode(
+                minhash_band_keys_col(
+                    F.col("hs"), n_perms=self.n_perms, n_bands=self.n_bands
+                )
+            ).alias("band", "band_key"),
+        ).withColumn("pk", self._pk_col())
+
+    def _pair_score(self) -> F.Column:
+        inter = F.size(F.array_intersect("s_hs", "c_hs")).cast("double")
+        return inter / (
+            F.size("s_hs").cast("double")
+            + F.size("c_hs").cast("double")
+            - inter
+        )
+
+
+class MaintainedVecIndex(_MaintainedIndexBase):
+    """Maintained embedding near-dup index over int8-quantized codes —
+    the composition SCALING.md's cost model calls for: hyperplane-LSH
+    band buckets (``search/vector.py RandomHyperplaneLSH`` — sublinear
+    candidate generation, join-key-friendly) over a verify payload of
+    int8 codes + integer code norm (``operators/quantize.py`` /
+    ``Int8Index`` — the per-vector scale CANCELS in cosine, so the
+    verify never touches fp32:
+        cos(v̂_a, v̂_b) = Σ c_aᵢ c_bᵢ / (|c_a|·|c_b|)
+    pure codegen'd integer arithmetic over a ~3.6× smaller payload row).
+    At 100 TB the fp32 vectors stay in cold storage; the maintained
+    index holds only band keys and codes.
+
+    Banding math: P[pair at cosine t shares ≥1 band] = 1-(1-p^r)^b with
+    p = 1 - acos(t)/π; the defaults (32 bits / 16 bands → r=2) give
+    P[miss] ≈ 6e-10 at t=0.9 — band recall is not the limiting term;
+    the int8 cosine's ≲1e-2 perturbation at the threshold boundary is
+    (gate-checked against the fp32 exact GEMM path in the registry).
+    """
+
+    payload_cols = ("codes", "code_norm")
+    payload_types = ("array<int>", "double")
+    score_col = "cosine"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        dim: int,
+        threshold: float = 0.9,
+        n_bits: int = 32,
+        n_bands: int = 16,
+        seed: int = 42,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        max_per_bucket: int | None = 128,
+        n_pk: int = N_PK,
+    ):
+        from nornicdb_spark.search.vector import RandomHyperplaneLSH
+
+        super().__init__(
+            spark, path, threshold, id_col,
+            max_per_bucket=max_per_bucket, n_pk=n_pk,
+        )
+        self.vec_col = vec_col
+        self.lsh = RandomHyperplaneLSH.build(
+            dim, n_bits=n_bits, n_bands=n_bands, seed=seed,
+            id_col=id_col, vec_col=vec_col,
+        )
+
+    def _rows(self, docs: DataFrame) -> DataFrame:
+        """(doc, codes, code_norm, band, band_key, pk) per vector —
+        the quantization and the sign-bit banding are both per-row
+        narrow expressions (micro-batch-safe)."""
+        v = F.col(self.vec_col).cast("array<double>")
+        scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+        codes = F.when(
+            F.col("_scale") > 0,
+            F.transform(v, lambda x: F.round(x / F.col("_scale")).cast("int")),
+        ).otherwise(F.transform(v, lambda x: F.lit(0)))
+        base = (
+            docs.withColumn("_scale", scale)
+            .select(
+                F.col(self.id_col).alias("doc"),
+                codes.alias("codes"),
+                self.lsh.signature_col().alias("_sig"),
+            )
+            .withColumn(
+                "code_norm",
+                F.sqrt(
+                    F.aggregate(
+                        F.col("codes"),
+                        F.lit(0.0),
+                        lambda a, c: a + c.cast("double") * c.cast("double"),
+                    )
+                ),
+            )
+            # a zero vector has no direction — it can neither match nor
+            # be matched, so it never enters the index
+            .filter(F.col("code_norm") > 0)
+        )
+        return base.select(
+            "doc",
+            "codes",
+            "code_norm",
+            F.posexplode("_sig").alias("band", "_bucket"),
+        ).select(
+            "doc",
+            "codes",
+            "code_norm",
+            "band",
+            F.col("_bucket").cast("string").alias("band_key"),
+        ).withColumn("pk", self._pk_col())
+
+    def _pair_score(self) -> F.Column:
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("s_codes"),
+                F.col("c_codes"),
+                lambda a, b: a.cast("double") * b.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return dot / (F.col("s_code_norm") * F.col("c_code_norm"))

@@ -416,7 +416,7 @@ def test_maintained_band_index_probe_prunes_partitions(spark, tmp_path):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", bplan)
     assert m is not None and "pk" in m.group(1), bplan[:2000]
 
-    hashes_scan = idx._hashes_pruned("bigint", [2, 7])
+    hashes_scan = idx._payload_pruned("bigint", [2, 7])
     hplan = hashes_scan._jdf.queryExecution().executedPlan().toString()
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", hplan)
     assert m is not None and "hk" in m.group(1), hplan[:2000]

@@ -167,3 +167,65 @@ def test_engine_close_is_owner_scoped(spark, sf_dir):
     assert scope.escaped_count() == 1
     assert other.count() == 5
     scope.release_escaped()
+
+
+def test_engine_close_over_cap_keeps_foreign_frames(spark, sf_dir, monkeypatch):
+    # ADVICE r8: with a WARM result cache (more frames than _ESCAPE_CAP),
+    # close() must not route its mass release through the bounded FIFO —
+    # the overflow loop would evict the OLDEST entries regardless of
+    # owner, i.e. other live consumers' frames. close() now unpersists
+    # engine-owned frames directly; the FIFO is untouched.
+    scope.release_escaped()
+    monkeypatch.setattr(scope, "_ESCAPE_CAP", 1)  # any escape overflows
+    other = spark.range(7).localCheckpoint()  # a foreign consumer's frame
+    scope.escape_frame(other)
+    assert scope.escaped_count() == 1
+
+    from nornicdb_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    # simulate a warm cache: entries whose ckpt frames must be released
+    # at close (3 frames > cap=1 — the old escape path would overflow)
+    frames = [spark.range(3 + i).localCheckpoint() for i in range(3)]
+    for i, f in enumerate(frames):
+        assert scope._plan_rdd(f) is not None  # vacuity guard
+        eng._result_cache[("warm", i)] = (f, [f], [])
+    eng.close()
+    # the foreign frame survived close() AND is still readable
+    assert scope.escaped_count() == 1
+    assert other.count() == 7
+    # and the engine's own frames were genuinely released (their blocks
+    # are gone — a localCheckpoint cannot recompute)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        frames[0].count()
+    scope.release_escaped()
+
+
+def test_escape_scoping_is_thread_local(spark):
+    # ADVICE r8: concurrent Engine.query() threads must not divert one
+    # thread's escaped frames into another thread's capture list (module-
+    # level stacks did exactly that).
+    import threading
+
+    scope.release_escaped()
+    captured = {}
+    ready, done = threading.Event(), threading.Event()
+
+    def capturer():
+        with scope.capture_escapes() as lst:
+            ready.set()
+            done.wait(10)
+            captured["lst"] = list(lst)
+
+    t = threading.Thread(target=capturer)
+    t.start()
+    ready.wait(10)
+    f = spark.range(4).localCheckpoint()
+    scope.escape_frame(f)  # main thread: FIFO, NOT the capturer's list
+    done.set()
+    t.join(10)
+    assert captured["lst"] == []
+    assert scope.escaped_count() == 1
+    scope.release_escaped()

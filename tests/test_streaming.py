@@ -457,3 +457,124 @@ def test_maintained_band_index_replayed_batch_is_noop(spark, tmp_path):
     idx.process_batch(batch, batch_id=3)  # the replay
     assert snap() == before
     assert before[0] == [(10, 1, 3)] and sorted(set(before[2])) == [1, 11]
+
+
+def _synth_vectors(spark, ids_and_bases):
+    # deterministic synthetic embeddings: base direction per cluster, a
+    # small deterministic perturbation per member (cosine ≈ 0.999),
+    # orthogonal-ish bases across clusters (cosine ≈ 0)
+    import math
+
+    dim = 16
+    rows = []
+    for vid, cluster, member in ids_and_bases:
+        v = [0.0] * dim
+        v[cluster % dim] = 1.0
+        v[(cluster + 7) % dim] = 0.3
+        # per-member perturbation, deterministic in (cluster, member)
+        for j in range(dim):
+            v[j] += 0.01 * math.sin(1.0 + cluster * 13 + member * 3 + j)
+        rows.append((vid, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_maintained_vec_index_cross_batch_dedup(spark, tmp_path):
+    # the int8+LSH composition: a vector ACCEPTED in batch 1 must be
+    # probe-able in batch 2, near-dups (cosine >= thr) are rejected and
+    # recorded, distinct clusters never match.
+    from nornicdb_spark.streaming.neardup import MaintainedVecIndex
+
+    idx = MaintainedVecIndex(
+        spark, str(tmp_path / "vecidx"), dim=16, threshold=0.95
+    )
+    idx.bootstrap(_synth_vectors(spark, [(1, 0, 0)]))  # cluster 0 seed
+
+    # batch 1: 10 = near-dup of vec 1 (cluster 0), 11 = novel cluster 5
+    idx.process_batch(
+        _synth_vectors(spark, [(10, 0, 1), (11, 5, 0)]), batch_id=1
+    )
+    m1 = {(r.stream_doc, r.corpus_doc) for r in idx.matches().collect()}
+    assert m1 == {(10, 1)}
+    # batch 2: 20 = near-dup of batch-1-ACCEPTED vec 11
+    idx.process_batch(_synth_vectors(spark, [(20, 5, 1)]), batch_id=2)
+    m2 = {(r.stream_doc, r.corpus_doc) for r in idx.matches().collect()}
+    assert m2 == {(10, 1), (20, 11)}
+    # index holds exactly bootstrap + accepted (10, 20 rejected)
+    docs = {r.doc for r in spark.read.parquet(idx.payload_path).collect()}
+    assert docs == {1, 11}
+    # matched cosines carry the int8-verified score
+    scores = {r.cosine for r in idx.matches().collect()}
+    assert all(s >= 0.95 for s in scores)
+
+
+def test_maintained_vec_index_replayed_batch_is_noop(spark, tmp_path):
+    from nornicdb_spark.streaming.neardup import MaintainedVecIndex
+
+    idx = MaintainedVecIndex(
+        spark, str(tmp_path / "vecreplay"), dim=16, threshold=0.95
+    )
+    idx.bootstrap(_synth_vectors(spark, [(1, 0, 0)]))
+    batch = _synth_vectors(spark, [(10, 0, 1), (11, 5, 0)])
+    idx.process_batch(batch, batch_id=4)
+    snap = lambda: (
+        sorted(
+            (r.stream_doc, r.corpus_doc, r.batch_id)
+            for r in idx.matches().collect()
+        ),
+        spark.read.parquet(idx.bands_path).count(),
+        sorted(r.doc for r in spark.read.parquet(idx.payload_path).collect()),
+    )
+    before = snap()
+    idx.process_batch(batch, batch_id=4)  # the replay
+    assert snap() == before
+    assert before[0] == [(10, 1, 4)] and before[2] == [1, 11]
+
+
+def test_maintained_vec_index_agrees_with_fp32_exact(spark, tmp_path):
+    # gate: the composed (LSH bands + int8 verify) maintained path must
+    # reproduce the fp32 exact-GEMM greedy-accept semantics on a corpus
+    # of planted clusters — same rejected set, same match pairs (the
+    # int8 cosine perturbation is ≲1e-2 and the planted similarities sit
+    # far from the threshold on both sides).
+    from pyspark.sql import functions as F
+
+    from nornicdb_spark.operators.dedup import embedding_near_duplicates
+    from nornicdb_spark.streaming.neardup import MaintainedVecIndex
+
+    # 6 clusters × 4 members, ids interleave so batches mix clusters
+    spec = [(100 * m + c, c, m) for m in range(4) for c in range(6)]
+    idx = MaintainedVecIndex(
+        spark, str(tmp_path / "vecgate"), dim=16, threshold=0.95
+    )
+    batches = [
+        _synth_vectors(spark, [s for s in spec if s[2] == m])
+        for m in range(4)
+    ]
+    for b, df in enumerate(batches):
+        idx.process_batch(df, batch_id=b)
+    got = {(r.stream_doc, r.corpus_doc) for r in idx.matches().collect()}
+
+    # fp32 greedy-accept reference: batch m joins the union of prior
+    # accepted; matches via the exact GEMM path at the same threshold
+    accepted = batches[0]
+    want = set()
+    for df in batches[1:]:
+        both = accepted.unionByName(df)
+        pairs = embedding_near_duplicates(both, threshold=0.95, exact=True)
+        acc_ids = {r.vec_id for r in accepted.select("vec_id").collect()}
+        new_ids = {r.vec_id for r in df.select("vec_id").collect()}
+        cross = {
+            (a, b) for a, b in (
+                (r.a, r.b) for r in pairs.collect()
+            )
+            if (a in acc_ids) != (b in acc_ids)
+        }
+        matched_new = set()
+        for a, b in cross:
+            s, c = (a, b) if a in new_ids else (b, a)
+            want.add((s, c))
+            matched_new.add(s)
+        accepted = accepted.unionByName(
+            df.filter(~F.col("vec_id").isin(list(matched_new)))
+        )
+    assert got == want and len(want) >= 12  # 6 clusters × ≥2 later dups
