@@ -887,3 +887,80 @@ def stream_dedup_near_dup(spark, sf_dir):
     return structured.run_to_completion(
         out, f"stream_near_dup_{tag}", mode="append"
     )
+
+
+def _maintained_vec_matches(spark, sf_dir):
+    # Drive the maintained int8+LSH embedding near-dup index
+    # (streaming/neardup.MaintainedVecIndex — the composition SCALING.md
+    # specs: hyperplane-LSH band buckets over an int8-code verify
+    # payload) through 3 deterministic foreachBatch deliveries: batch b
+    # = seeded vectors with vec_id % 3 == b, in order. The planted
+    # duplicates (ids +100000, so copy batch = (orig batch + 1) mod 3)
+    # always land in a DIFFERENT batch than their original — every
+    # planted pair crosses a batch boundary and must be caught by the
+    # maintained (not snapshot) index. Batches are delivered by direct
+    # process_batch calls: foreachBatch semantics with a deterministic
+    # batch split, which a file-stream source cannot guarantee.
+    import shutil
+
+    from nornicdb_spark.queries.llm_pipeline import _seeded_embeddings
+    from nornicdb_spark.streaming.neardup import MaintainedVecIndex
+
+    emb = _seeded_embeddings(spark, sf_dir)
+    dim = len(emb.select("embedding").first()[0])
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    path = f"/root/repo/.tmp/vecidx_{tag}"
+    shutil.rmtree(path, ignore_errors=True)  # rebuild: deterministic run
+    idx = MaintainedVecIndex(spark, path, dim=dim, threshold=0.95)
+    for b in range(3):
+        idx.process_batch(emb.filter(F.col("vec_id") % 3 == b), batch_id=b)
+    it = emb.schema["vec_id"].dataType.simpleString()
+    return idx.matches(id_type=it)
+
+
+@register("stream_vec_dedup_int8")  # approximate banding — rows-only;
+def stream_vec_dedup_int8(spark, sf_dir):  # gate twin is driver-visible
+    # matches recorded by the maintained int8+LSH ingest loop: each
+    # planted duplicate is rejected against the batch-earlier accepted
+    # member of its cluster. LSH banding is seeded-random (hyperplane
+    # sign bits over float dots — not portable to a SQL oracle), so this
+    # row is rows-only; stream_vec_dedup_int8_gate is the oracle-backed
+    # twin proving agreement with the fp32 exact-GEMM greedy semantics.
+    return _maintained_vec_matches(spark, sf_dir).select(
+        "stream_doc", "corpus_doc", "cosine"
+    )
+
+
+@register(
+    "stream_vec_dedup_int8_gate", oracle="SELECT CAST(1 AS BIGINT) AS ok"
+)
+def stream_vec_dedup_int8_gate(spark, sf_dir):
+    # agreement gate: the composed (LSH bands + int8 verify) maintained
+    # matches must EQUAL the fp32 exact path's greedy-accept expectation.
+    # With clusters of size 2 (orig + planted copy in a later batch mod
+    # 3) greedy == pairwise: expected = exact fp32 pairs >= 0.95 oriented
+    # (later batch member -> earlier). int8 cosine error (<= ~1e-2) and
+    # LSH band misses (P ~ 6e-10 at t=0.9+) sit far from the planted
+    # similarity (copies are EXACT dups, cosine 1.0) and the fixture's
+    # background (max ~0.51), so equality — not just recall — is the bar.
+    from nornicdb_spark.operators import dedup
+    from nornicdb_spark.queries.llm_pipeline import _seeded_embeddings
+
+    got = _maintained_vec_matches(spark, sf_dir).select(
+        "stream_doc", "corpus_doc"
+    )
+    emb = _seeded_embeddings(spark, sf_dir)
+    exact = dedup.embedding_near_duplicates(emb, threshold=0.95, exact=True)
+    want = exact.select(
+        F.when(
+            F.pmod("a", F.lit(3)) > F.pmod("b", F.lit(3)), F.col("a")
+        ).otherwise(F.col("b")).alias("stream_doc"),
+        F.when(
+            F.pmod("a", F.lit(3)) > F.pmod("b", F.lit(3)), F.col("b")
+        ).otherwise(F.col("a")).alias("corpus_doc"),
+    )
+    n_want = want.count()
+    n_agree = got.join(want, ["stream_doc", "corpus_doc"]).count()
+    n_got = got.count()
+    ok = int(n_want > 0 and n_agree == n_want and n_got == n_want)
+    return spark.createDataFrame([(ok,)], "ok bigint")
