@@ -428,3 +428,33 @@ def test_maintained_band_index_probe_prunes_partitions(spark, tmp_path):
     )
     got = {(r.stream_doc, r.corpus_doc) for r in idx.probe(probe).collect()}
     assert (900, 3) in got
+
+
+def test_maintained_vec_index_probe_is_jvm_only(spark, tmp_path):
+    # the int8 verify of the maintained embedding index must stay pure
+    # codegen (zip_with/aggregate over codes — no Python eval anywhere in
+    # the probe), and its pruned scans ride the same PartitionFilters
+    # path as the text index (shared _MaintainedIndexBase machinery).
+    import math
+
+    from nornicdb_spark.streaming.neardup import MaintainedVecIndex
+
+    rows = []
+    for c in range(4):
+        for m in range(3):
+            v = [0.0] * 16
+            v[c] = 1.0
+            for j in range(16):
+                v[j] += 0.01 * math.sin(1.0 + c * 13 + m * 3 + j)
+            rows.append((c * 10 + m, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx = MaintainedVecIndex(
+        spark, str(tmp_path / "vecplan"), dim=16, threshold=0.95, n_pk=16
+    )
+    idx.bootstrap(emb)
+    probe_df = idx.probe(emb.limit(2))
+    plan = probe_df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert "CartesianProduct" not in plan
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m is not None and "hk" in m.group(1), plan[:2000]
