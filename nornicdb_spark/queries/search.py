@@ -35,6 +35,30 @@ def bm25_topk(spark, sf_dir):
     return idx.search(BM25_QUERY, k=10)
 
 
+@register("stream_bm25_topk", oracle=bm25_mod.bm25_oracle_sql(BM25_QUERY, k=10))
+def stream_bm25_topk(spark, sf_dir):
+    # the reference's LIVE inverted index (fulltext_index.go Add keeps
+    # postings current as docs arrive): documents ingested in 3 batches
+    # into the maintained term-hash-partitioned postings table
+    # (streaming/fulltext.py), then an exact-term search probing only
+    # the query terms' partitions. df/tf/dl/N/avgdl are batch-order-
+    # invariant, so the result — and the oracle — are IDENTICAL to the
+    # static bm25_topk: the strongest correctness statement a streaming
+    # index can make.
+    import shutil
+
+    from nornicdb_spark.streaming.fulltext import MaintainedBM25Index
+
+    docs = Catalog(spark, sf_dir).documents
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    path = f"/root/repo/.tmp/ftidx_{tag}"
+    shutil.rmtree(path, ignore_errors=True)  # rebuild: deterministic run
+    idx = MaintainedBM25Index(spark, path)
+    for b in range(3):
+        idx.process_batch(docs.filter(F.col("doc_id") % 3 == b), batch_id=b)
+    return idx.search(BM25_QUERY, k=10)
+
+
 @register(
     "bm25_prefix_topk",
     oracle=bm25_mod.bm25_prefix_oracle_sql("spar quer", k=10),

@@ -173,7 +173,12 @@ class BM25Index:
                 match_any = match_any | F.col("term").startswith(t)
             cand = self.postings.filter(match_any)
         else:
+            # exact mode needs no join against the query terms — the
+            # isin pre-filter already selects them
             cand = self.postings.filter(F.col("term").isin(*terms))
+            return score_exact_candidates(
+                cand, terms, self.n_docs, self.avgdl, k
+            )
 
         df_per_term = cand.groupBy("term").agg(
             F.count(F.lit(1)).alias("df")
@@ -186,30 +191,16 @@ class BM25Index:
             F.lit(0.0),
         )
 
-        if prefix:
-            # a term may match several query terms (exact for one, prefix
-            # for another) — the qdf join fans contributions out per match
-            cond = (F.col("term") == F.col("qterm")) | (
-                F.col("term").startswith(F.col("qterm"))
-                & (F.col("term") != F.col("qterm"))
-            )
-            weight = F.when(F.col("term") == F.col("qterm"), F.lit(1.0)).otherwise(
-                F.lit(0.8)
-            )
-            matched = cand.join(df_per_term, "term").join(F.broadcast(qdf), cond)
-        else:
-            # exact mode needs no join against the query terms — the
-            # isin pre-filter already selected them; a repeated query
-            # word multiplies its term's contribution, preserved as a
-            # literal weight
-            from collections import Counter
-
-            counts = Counter(terms)
-            weight = F.lit(1.0)
-            for t, c in counts.items():
-                if c > 1:
-                    weight = F.when(F.col("term") == t, F.lit(float(c))).otherwise(weight)
-            matched = cand.join(df_per_term, "term")
+        # a term may match several query terms (exact for one, prefix
+        # for another) — the qdf join fans contributions out per match
+        cond = (F.col("term") == F.col("qterm")) | (
+            F.col("term").startswith(F.col("qterm"))
+            & (F.col("term") != F.col("qterm"))
+        )
+        weight = F.when(F.col("term") == F.col("qterm"), F.lit(1.0)).otherwise(
+            F.lit(0.8)
+        )
+        matched = cand.join(df_per_term, "term").join(F.broadcast(qdf), cond)
         tf = F.col("tf").cast("double")
         denom = tf + K1 * (1 - B + B * F.col("dl") / F.lit(self.avgdl))
         contrib = weight * idf * (tf * (K1 + 1) / denom)
@@ -223,6 +214,42 @@ class BM25Index:
             .orderBy(F.desc(F.round(F.col("score"), 9)), F.asc("doc_id"))
             .limit(k)
         )
+
+
+def score_exact_candidates(
+    cand: DataFrame, terms: list[str], n_docs: int, avgdl: float, k: int
+) -> DataFrame:
+    """Exact-term BM25 scoring over a pre-filtered postings slice
+    (term ∈ terms) — shared by the static index's exact path and the
+    maintained index's term-pruned probe (streaming/fulltext.py). A
+    repeated query word multiplies its term's contribution, preserved
+    as a literal weight."""
+    from collections import Counter
+
+    df_per_term = cand.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.greatest(
+        F.log(1 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        F.lit(0.0),
+    )
+    counts = Counter(terms)
+    weight = F.lit(1.0)
+    for t, c in counts.items():
+        if c > 1:
+            weight = F.when(F.col("term") == t, F.lit(float(c))).otherwise(weight)
+    matched = cand.join(df_per_term, "term")
+    tf = F.col("tf").cast("double")
+    denom = tf + K1 * (1 - B + B * F.col("dl") / F.lit(avgdl))
+    contrib = weight * idf * (tf * (K1 + 1) / denom)
+    return (
+        matched.groupBy("doc_id")
+        .agg(F.sum(contrib).alias("score"))
+        # rounded selection key: F.sum's partition order gives two
+        # identical documents ULP-different scores, so an unrounded
+        # sort would rank them arbitrarily instead of by doc_id —
+        # and differently from the oracle's single-threaded sum
+        .orderBy(F.desc(F.round(F.col("score"), 9)), F.asc("doc_id"))
+        .limit(k)
+    )
 
 
 _SHARED_INDEXES: dict = {}

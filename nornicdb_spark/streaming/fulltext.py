@@ -1,0 +1,191 @@
+"""Maintained (incremental) BM25 fulltext index — streaming ingest for
+the reference's live inverted index.
+
+The reference keeps a per-engine in-memory inverted index that indexes
+documents AS THEY ARRIVE (pkg/search/fulltext_index.go — Add/Remove keep
+the postings live; search sees every indexed doc so far).
+``search/bm25.py BM25Index`` is the batch re-expression (build once from
+a static corpus); :class:`MaintainedBM25Index` is the ingest
+re-expression: a ``foreachBatch`` loop that appends each micro-batch's
+postings to a parquet-backed, term-hash-partitioned table, with
+exact-term searches probing ONLY the query terms' partitions.
+
+Layout:
+
+- ``<path>/postings``: (term, doc_id, dl, tf) —
+  partitionBy(src_batch, tk), ``tk = pmod(xxhash64(term), n_pk)``.
+  Two partition levels buy two properties at once: a replayed batch_id
+  dynamic-OVERWRITES exactly its own ``src_batch=N/...`` directories
+  (foreachBatch is at-least-once → ingest is idempotent), and an
+  exact-term search pushes a literal ``tk isin`` that prunes to the
+  query terms' hash buckets (``PartitionFilters`` — the IVF-PQ /
+  maintained-near-dup probe pattern, plan-tested). Long-running streams
+  accumulate src_batch directories; compaction into a single-level
+  ``tk`` layout is a standard maintenance job, out of scope here.
+- ``<path>/stats``: (n_docs, n_indexed, sum_dl) partitionBy(batch_id),
+  dynamic overwrite — one row per batch; query-time N = Σ n_docs and
+  avgdl = Σ sum_dl / Σ n_indexed, so corpus stats stay exact as the
+  corpus grows (a tiny scan: one row per batch).
+
+Search cost at 100 TB: an exact-term query touches |query terms| hash
+buckets of the postings (≈ q/n_pk of the files) + the row filter on
+term; scoring then runs over the tiny candidate slice exactly as the
+static index does (the scoring code IS the static index's —
+``bm25.score_exact_candidates``). df/tf/dl/N/avgdl are all exactly what
+a static rebuild of the same corpus would compute (each doc is indexed
+by exactly one batch), so a maintained search equals the static search
+— the registry row ``stream_bm25_topk`` shares ``bm25_topk``'s DuckDB
+oracle verbatim. Prefix-expansion search (``term LIKE 'spar%'``) cannot
+prune hash partitions by construction; it remains the static index's
+job (or a dedicated prefix-key layout).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
+
+from nornicdb_spark.search.bm25 import (
+    score_exact_candidates,
+    tokenize_query,
+    tokens_col,
+)
+
+__all__ = ["MaintainedBM25Index"]
+
+N_PK = 64  # term-hash bucket count; size as index_bytes / ~128 MB at scale
+
+
+class MaintainedBM25Index:
+    """Parquet-backed incremental BM25 postings with term-pruned search."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        n_pk: int = N_PK,
+    ):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.id_col = id_col
+        self.text_col = text_col
+        self.n_pk = int(n_pk)
+
+    @property
+    def postings_path(self) -> str:
+        return f"{self.path}/postings"
+
+    @property
+    def stats_path(self) -> str:
+        return f"{self.path}/stats"
+
+    def _read(self, path: str, schema: str) -> DataFrame:
+        try:
+            return self.spark.read.schema(schema).parquet(path)
+        except AnalysisException:  # fresh path: empty table
+            return self.spark.createDataFrame([], schema)
+
+    def _tk_col(self):
+        return F.pmod(F.xxhash64("term"), F.lit(self.n_pk)).cast("int")
+
+    # -- ingest -------------------------------------------------------------
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch body: tokenize → postings append (idempotent via
+        dynamic overwrite of this batch's partitions) → stats row."""
+        toks = batch_df.select(
+            F.col(self.id_col).alias("doc_id"),
+            tokens_col(F.col(self.text_col)).alias("tokens"),
+        )
+        postings = (
+            toks.select(
+                "doc_id",
+                F.size("tokens").alias("dl"),
+                F.explode("tokens").alias("term"),
+            )
+            .groupBy("term", "doc_id", "dl")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .withColumn("src_batch", F.lit(int(batch_id)).cast("bigint"))
+            .withColumn("tk", self._tk_col())
+        )
+        (
+            postings.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("src_batch", "tk")
+            .parquet(self.postings_path)
+        )
+        # corpus stats: N counts EVERY doc (static-index semantics);
+        # avgdl averages docs with ≥1 indexed token
+        stats = toks.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.size("tokens") > 0).cast("long")).alias("n_indexed"),
+            F.sum(
+                F.when(F.size("tokens") > 0, F.size("tokens")).otherwise(0)
+            ).cast("bigint").alias("sum_dl"),
+        ).withColumn("batch_id", F.lit(int(batch_id)).cast("bigint"))
+        (
+            stats.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(self.stats_path)
+        )
+
+    def ingest(self, stream_df: DataFrame, query_name: str):
+        """Attach the ingest loop to a document stream; returns the
+        StreamingQuery (caller drives/stops it)."""
+        os.makedirs(self.path, exist_ok=True)
+        return (
+            stream_df.writeStream.outputMode("append")
+            .foreachBatch(self.process_batch)
+            .queryName(query_name)
+            .start()
+        )
+
+    # -- search --------------------------------------------------------------
+    def corpus_stats(self) -> tuple[int, float]:
+        """(N, avgdl) aggregated over the per-batch stats rows."""
+        row = self._read(
+            self.stats_path,
+            "n_docs bigint, n_indexed bigint, sum_dl bigint, batch_id bigint",
+        ).agg(
+            F.sum("n_docs").alias("n"),
+            F.sum("sum_dl").alias("s"),
+            F.sum("n_indexed").alias("i"),
+        ).collect()[0]
+        n = int(row.n or 0)
+        avgdl = float(row.s) / float(row.i) if row.i else 0.0
+        return n, avgdl
+
+    def _postings_pruned(self, terms: list[str], id_type: str) -> DataFrame:
+        """The probe scan: literal ``tk isin`` (PartitionFilters — only
+        the query terms' hash buckets are read) + the exact term filter.
+        The tk values come from a 1-row-per-term Spark job so the hash
+        is computed by the SAME xxhash64 the writer used."""
+        tdf = self.spark.createDataFrame([(t,) for t in terms], "term string")
+        tks = [r.tk for r in tdf.select(self._tk_col().alias("tk")).distinct().collect()]
+        return (
+            self._read(
+                self.postings_path,
+                f"term string, doc_id {id_type}, dl int, tf bigint,"
+                " src_batch bigint, tk int",
+            )
+            .filter(F.col("tk").isin(tks))
+            .filter(F.col("term").isin(*terms))
+        )
+
+    def search(self, query: str, k: int = 10, id_type: str = "bigint") -> DataFrame:
+        """Exact-term top-k BM25 over the maintained postings — same
+        scoring (and same result) as the static index on the same
+        corpus; the scan touches only the query terms' partitions."""
+        terms = tokenize_query(query)
+        if not terms:
+            return self.spark.createDataFrame([], f"doc_id {id_type}, score double")
+        n_docs, avgdl = self.corpus_stats()
+        if n_docs == 0 or avgdl == 0.0:
+            return self.spark.createDataFrame([], f"doc_id {id_type}, score double")
+        cand = self._postings_pruned(terms, id_type)
+        return score_exact_candidates(cand, terms, n_docs, avgdl, k)

@@ -458,3 +458,22 @@ def test_maintained_vec_index_probe_is_jvm_only(spark, tmp_path):
     assert "CartesianProduct" not in plan
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m is not None and "hk" in m.group(1), plan[:2000]
+
+
+def test_maintained_bm25_probe_prunes_term_partitions(spark, sf_dir, tmp_path):
+    # exact-term search over the maintained postings must read only the
+    # query terms' hash buckets: literal tk isin -> PartitionFilters
+    from pyspark.sql import functions as F
+
+    from nornicdb_spark.catalog import Catalog
+    from nornicdb_spark.streaming.fulltext import MaintainedBM25Index
+
+    docs = Catalog(spark, sf_dir).documents
+    idx = MaintainedBM25Index(spark, str(tmp_path / "ftplan"), n_pk=16)
+    idx.process_batch(docs.filter(F.col("doc_id") % 2 == 0), batch_id=0)
+    scan = idx._postings_pruned(["spark", "join"], "bigint")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m is not None and "tk" in m.group(1), plan[:2000]
+    # the pruned scan feeds a real search end-to-end
+    assert idx.search("spark join", k=5).count() > 0

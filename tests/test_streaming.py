@@ -578,3 +578,55 @@ def test_maintained_vec_index_agrees_with_fp32_exact(spark, tmp_path):
             df.filter(~F.col("vec_id").isin(list(matched_new)))
         )
     assert got == want and len(want) >= 12  # 6 clusters × ≥2 later dups
+
+
+def test_maintained_bm25_equals_static_index(spark, sf_dir, tmp_path):
+    # the maintained postings table indexes docs batch-by-batch; an
+    # exact-term search must EQUAL the static index built on the same
+    # corpus (df/tf/dl/N/avgdl are all batch-order-invariant).
+    from pyspark.sql import functions as F
+
+    from nornicdb_spark.catalog import Catalog
+    from nornicdb_spark.search.bm25 import BM25Index
+    from nornicdb_spark.streaming.fulltext import MaintainedBM25Index
+
+    docs = Catalog(spark, sf_dir).documents
+    idx = MaintainedBM25Index(spark, str(tmp_path / "ftidx"))
+    for b in range(3):
+        idx.process_batch(docs.filter(F.col("doc_id") % 3 == b), batch_id=b)
+    q = "spark join query performance"
+    got = [
+        (r.doc_id, round(r.score, 9))
+        for r in idx.search(q, k=10).collect()
+    ]
+    want = [
+        (r.doc_id, round(r.score, 9))
+        for r in BM25Index.build(docs).search(q, k=10).collect()
+    ]
+    assert got == want and len(got) == 10
+
+
+def test_maintained_bm25_replay_and_fresh_path(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from nornicdb_spark.catalog import Catalog
+    from nornicdb_spark.streaming.fulltext import MaintainedBM25Index
+
+    idx = MaintainedBM25Index(spark, str(tmp_path / "ftreplay"))
+    # fresh path: search before any ingest returns empty, no crash
+    assert idx.search("spark join", k=5).count() == 0
+
+    docs = Catalog(spark, sf_dir).documents
+    b0 = docs.filter(F.col("doc_id") % 3 == 0)
+    idx.process_batch(b0, batch_id=0)
+    snap = lambda: (
+        spark.read.parquet(idx.postings_path).count(),
+        sorted(
+            tuple(r) for r in spark.read.parquet(idx.stats_path).collect()
+        ),
+        [(r.doc_id, round(r.score, 9)) for r in idx.search("spark join", k=5).collect()],
+    )
+    before = snap()
+    idx.process_batch(b0, batch_id=0)  # at-least-once replay
+    assert snap() == before
+    assert before[0] > 0 and len(before[2]) > 0
