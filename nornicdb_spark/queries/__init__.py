@@ -62,7 +62,9 @@ from nornicdb_spark.queries import graph  # noqa: E402,F401
 # Registered mid-round-9 (NOT in this window; lead the r10 list):
 # stream_vec_dedup_int8 (rows-only), stream_vec_dedup_int8_gate
 # (oracle-gated agreement with the fp32 exact greedy path),
-# stream_bm25_topk (oracle-backed — shares bm25_topk's oracle verbatim).
+# stream_bm25_topk (oracle-backed — shares bm25_topk's oracle verbatim),
+# stream_ann_ivf_int8 (rows-only), stream_ann_ivf_int8_recall
+# (oracle-gated recall vs the exact scan).
 _PRIORITY = (
     # never-stamped (registered post-r8-window)
     "ann_int8_recall", "ann_int8",

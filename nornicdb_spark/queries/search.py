@@ -602,3 +602,45 @@ def bm25_weighted(spark, sf_dir):
     scope.escape_frame(idx.postings)  # per-call index: deferred release
     out = idx.search(BM25_QUERY, k=10)
     return out.select("doc_id", F.round("score", 9).alias("score"))
+
+
+def _maintained_ivf_index(spark, sf_dir):
+    # the maintained IVF+int8 serving index (streaming/ivf.py — live
+    # vector-DB ingest, reference vector_index.go Add semantics):
+    # centroids trained on the seed third of the corpus, the other two
+    # thirds ingested as later batches against the frozen centroids.
+    import shutil
+
+    from nornicdb_spark.streaming.ivf import MaintainedIVFIndex
+
+    emb = Catalog(spark, sf_dir).embeddings.select("vec_id", "embedding")
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    path = f"/root/repo/.tmp/ivfserve_{tag}"
+    shutil.rmtree(path, ignore_errors=True)  # rebuild: deterministic run
+    idx = MaintainedIVFIndex(spark, path)
+    idx.bootstrap(emb.filter(F.col("vec_id") % 3 == 0), n_lists=8)
+    for b in (1, 2):
+        idx.process_batch(emb.filter(F.col("vec_id") % 3 == b), batch_id=b)
+    return idx, emb
+
+
+@register("stream_ann_ivf_int8")  # approximate — rows-only; recall twin below
+def stream_ann_ivf_int8(spark, sf_dir):
+    # top-10 over the maintained serving index: pruned int8 list scan +
+    # fp32 refine. KMeans assignment makes the candidate set seed-/
+    # implementation-dependent → no row-set oracle; the driver gate is
+    # stream_ann_ivf_int8_recall.
+    idx, emb = _maintained_ivf_index(spark, sf_dir)
+    return idx.search(_query_vec(spark, sf_dir), refine_src=emb, k=10, n_probe=3)
+
+
+@register("stream_ann_ivf_int8_recall", oracle=_OK_ORACLE)
+def stream_ann_ivf_int8_recall(spark, sf_dir):
+    # recall@10 of the maintained (3-batch-ingested) serving index vs the
+    # exact cosine scan — same gate bar as ann_kmeans_recall (n_probe=3
+    # of 8 lists; the int8+refine step adds no loss per ann_int8_recall).
+    idx, emb = _maintained_ivf_index(spark, sf_dir)
+    qv = _query_vec(spark, sf_dir)
+    exact = vector.cosine_topk(emb, qv, k=10).select("vec_id")
+    approx = idx.search(qv, refine_src=emb, k=10, n_probe=3).select("vec_id")
+    return _gate(exact, approx, min_hits=5)

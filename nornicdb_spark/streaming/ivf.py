@@ -1,0 +1,238 @@
+"""Maintained IVF + int8 serving index — streaming vector-DB ingest.
+
+The reference's vector index is LIVE: setNodeVectorProperty /
+db.index.vector insertions are searchable immediately
+(pkg/search/vector_index.go Add). The batch indexes re-express the
+search side (`search/vector.py`: KMeansPrunedIndex = IVF pruning,
+Int8Index = quantized scan + exact refine, IVFPQIndex.persist_codes =
+partition-pruned probes); :class:`MaintainedIVFIndex` composes all
+three with the maintained-ingest machinery of this package:
+
+- **bootstrap**: train k-means centroids on the seed corpus (they are
+  the index's learned state, persisted to ``<path>/centroids``;
+  re-training as the distribution drifts is an offline maintenance
+  job, the industry-standard IVF posture), quantize every vector to
+  int8 codes, write ``<path>/codes`` partitionBy(src_batch, list_id).
+- **ingest** (``foreachBatch``): assign each arriving vector to its
+  nearest FROZEN centroid with a codegen'd argmin over the broadcast
+  centroid literals (no Python in the row path), quantize, append.
+  Replay-idempotent the proven way: a replayed batch_id
+  dynamic-OVERWRITES exactly its own ``src_batch=N/...`` partitions.
+- **search**: pick the n_probe nearest centroids driver-side (the
+  centroid table is tiny and index-resident), scan ONLY those lists —
+  the ``list_id isin`` literal prunes directories
+  (``PartitionFilters``, plan-tested) — approximate-score on the int8
+  codes (per-vector scale cancels in cosine, pure codegen), then
+  exact-refine the top k·refine against the fp32 corpus (keyed
+  broadcast semi-join; at 100 TB the fp32 vectors stay in cold
+  storage and only ≤ k·refine rows are ever touched).
+
+Search cost: n_probe/n_lists of the code FILES × a 4×-smaller column,
+independent of how many batches have been ingested.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
+
+__all__ = ["MaintainedIVFIndex"]
+
+
+class MaintainedIVFIndex:
+    """Parquet-backed IVF-pruned int8 serving index with streaming ingest."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self._centers: list | None = None  # lazy-loaded from parquet
+
+    @property
+    def codes_path(self) -> str:
+        return f"{self.path}/codes"
+
+    @property
+    def centroids_path(self) -> str:
+        return f"{self.path}/centroids"
+
+    # -- learned state ------------------------------------------------------
+    def centers(self) -> list:
+        """Centroid arrays, loaded once per instance from the persisted
+        centroid table (list_id-ordered)."""
+        if self._centers is None:
+            rows = (
+                self.spark.read.schema("list_id int, center array<double>")
+                .parquet(self.centroids_path)
+                .orderBy("list_id")
+                .collect()
+            )
+            self._centers = [list(r.center) for r in rows]
+        return self._centers
+
+    # -- row derivation (per-row narrow expressions, micro-batch-safe) ----
+    def _code_cols(self) -> list:
+        """(vec_id, codes, code_norm) — the Int8Index quantization as
+        plain select expressions."""
+        v = F.col(self.vec_col).cast("array<double>")
+        scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+        return [F.col(self.id_col).alias("vec_id"), v.alias("_v"), scale.alias("_scale")]
+
+    def _rows(self, vectors: DataFrame, batch_id: int) -> DataFrame:
+        """(vec_id, codes, code_norm, src_batch, list_id) — assignment is
+        a codegen'd argmin of squared L2 distance over the frozen
+        centroid literals (‖v−c‖² = ‖v‖² − 2v·c + ‖c‖²; ‖v‖² is common
+        to all lists, so argmin(‖c‖² − 2v·c) suffices — one fused
+        aggregate per centroid, no Python)."""
+        from nornicdb_spark.search.vector import _lit_vec, dot
+
+        centers = self.centers()
+        base = vectors.select(*self._code_cols())
+        scores = F.array(
+            *[
+                F.lit(float(sum(x * x for x in c)))
+                - 2.0 * dot(F.col("_v"), _lit_vec(c))
+                for c in centers
+            ]
+        )
+        codes = F.when(
+            F.col("_scale") > 0,
+            F.transform(F.col("_v"), lambda x: F.round(x / F.col("_scale")).cast("int")),
+        ).otherwise(F.transform(F.col("_v"), lambda x: F.lit(0)))
+        return (
+            base.withColumn("_s", scores)
+            .select(
+                "vec_id",
+                codes.alias("codes"),
+                (F.array_position(F.col("_s"), F.array_min("_s")) - 1)
+                .cast("int")
+                .alias("list_id"),
+            )
+            .withColumn(
+                "code_norm",
+                F.sqrt(
+                    F.aggregate(
+                        F.col("codes"),
+                        F.lit(0.0),
+                        lambda a, c: a + c.cast("double") * c.cast("double"),
+                    )
+                ),
+            )
+            .filter(F.col("code_norm") > 0)  # zero vectors have no direction
+            .withColumn("src_batch", F.lit(int(batch_id)).cast("bigint"))
+            .select("vec_id", "codes", "code_norm", "src_batch", "list_id")
+        )
+
+    # -- bootstrap ----------------------------------------------------------
+    def bootstrap(self, vectors: DataFrame, n_lists: int = 16, seed: int = 42) -> None:
+        """Train centroids on the seed corpus (distributed KMeans), then
+        index it as batch −1."""
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feat = vectors.withColumn(
+            "_features", array_to_vector(F.col(self.vec_col).cast("array<double>"))
+        )
+        model = KMeans(k=n_lists, seed=seed, featuresCol="_features").fit(feat)
+        self.spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+            "list_id int, center array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(self.centroids_path)
+        self._centers = None  # reload from the persisted truth
+        self.process_batch(vectors, batch_id=-1)
+
+    # -- ingest ---------------------------------------------------------------
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch body: assign → quantize → append (idempotent via
+        dynamic overwrite of this batch's partitions)."""
+        (
+            self._rows(batch_df, batch_id)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("src_batch", "list_id")
+            .parquet(self.codes_path)
+        )
+
+    def ingest(self, stream_df: DataFrame, query_name: str):
+        """Attach the ingest loop to a vector stream; requires a prior
+        :meth:`bootstrap` (the centroids are the index's learned state)."""
+        os.makedirs(self.path, exist_ok=True)
+        return (
+            stream_df.writeStream.outputMode("append")
+            .foreachBatch(self.process_batch)
+            .queryName(query_name)
+            .start()
+        )
+
+    # -- search ---------------------------------------------------------------
+    def _codes_pruned(self, list_ids: list[int], id_type: str) -> DataFrame:
+        """The probe scan: literal ``list_id isin`` → PartitionFilters
+        (only the probed lists' directories are read)."""
+        try:
+            df = self.spark.read.schema(
+                f"vec_id {id_type}, codes array<int>, code_norm double,"
+                " src_batch bigint, list_id int"
+            ).parquet(self.codes_path)
+        except AnalysisException:
+            return self.spark.createDataFrame(
+                [],
+                f"vec_id {id_type}, codes array<int>, code_norm double,"
+                " src_batch bigint, list_id int",
+            )
+        return df.filter(F.col("list_id").isin(list_ids))
+
+    def search(
+        self,
+        query_vec,
+        refine_src: DataFrame,
+        k: int = 10,
+        n_probe: int = 4,
+        refine: int = 4,
+        id_type: str = "bigint",
+    ) -> DataFrame:
+        """Top-k cosine: probe the n_probe nearest lists, int8-score
+        their codes, exact-refine the top k·refine against ``refine_src``
+        (the fp32 corpus — cold storage at scale; only ≤ k·refine rows
+        are fetched). Returns (vec_id, score) descending, ties by id."""
+        from nornicdb_spark.search.vector import _lit_vec, cosine_topk
+
+        qn = float(sum(float(x) * float(x) for x in query_vec)) ** 0.5
+        centers = self.centers()
+
+        def cos(c):
+            d = sum(a * b for a, b in zip(c, query_vec))
+            n = (sum(a * a for a in c) ** 0.5) * qn
+            return d / n if n else -1.0
+
+        probe = sorted(range(len(centers)), key=lambda i: -cos(centers[i]))[:n_probe]
+        code_dot = F.aggregate(
+            F.zip_with(
+                F.col("codes"), _lit_vec(query_vec),
+                lambda c, qx: c.cast("double") * qx,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        approx = (
+            self._codes_pruned(probe, id_type)
+            .select("vec_id", (code_dot / (F.col("code_norm") * F.lit(qn))).alias("score"))
+            .orderBy(F.desc(F.round("score", 9)), F.asc("vec_id"))
+            .limit(k * refine)
+        )
+        cand_ids = approx.select(F.col("vec_id").alias("_cand_id"))
+        cand = refine_src.join(
+            F.broadcast(cand_ids),
+            refine_src[self.id_col] == F.col("_cand_id"),
+            "left_semi",
+        )
+        return cosine_topk(cand, query_vec, k, self.id_col, self.vec_col)

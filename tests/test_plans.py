@@ -477,3 +477,28 @@ def test_maintained_bm25_probe_prunes_term_partitions(spark, sf_dir, tmp_path):
     assert m is not None and "tk" in m.group(1), plan[:2000]
     # the pruned scan feeds a real search end-to-end
     assert idx.search("spark join", k=5).count() > 0
+
+
+def test_maintained_ivf_probe_prunes_lists_and_is_jvm_only(spark, sf_dir, tmp_path):
+    # the maintained serving index's probe: list_id isin must reach the
+    # scan as PartitionFilters, and the int8 approximate scoring must be
+    # pure codegen (no Python eval)
+    from pyspark.sql import functions as F
+
+    from nornicdb_spark.catalog import Catalog
+    from nornicdb_spark.streaming.ivf import MaintainedIVFIndex
+
+    emb = Catalog(spark, sf_dir).embeddings.select("vec_id", "embedding")
+    idx = MaintainedIVFIndex(spark, str(tmp_path / "ivfplan"))
+    idx.bootstrap(emb, n_lists=8)
+    scan = idx._codes_pruned([1, 4], "bigint")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m is not None and "list_id" in m.group(1), plan[:2000]
+
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    out = idx.search(qv, refine_src=emb, k=5, n_probe=3)
+    fplan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in fplan and "ArrowEval" not in fplan
+    assert "CartesianProduct" not in fplan
+    assert len(out.collect()) == 5

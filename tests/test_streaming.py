@@ -630,3 +630,45 @@ def test_maintained_bm25_replay_and_fresh_path(spark, sf_dir, tmp_path):
     idx.process_batch(b0, batch_id=0)  # at-least-once replay
     assert snap() == before
     assert before[0] > 0 and len(before[2]) > 0
+
+
+def test_maintained_ivf_index_ingest_search_and_replay(spark, sf_dir, tmp_path):
+    # streaming vector-DB ingest: bootstrap trains centroids + indexes
+    # the seed batch; later batches assign to frozen centroids and are
+    # searchable; a replayed batch is a no-op; recall@10 of the pruned
+    # int8 scan + refine stays >= the KMeansPrunedIndex gate.
+    from pyspark.sql import functions as F
+
+    from nornicdb_spark.catalog import Catalog
+    from nornicdb_spark.search import vector
+    from nornicdb_spark.streaming.ivf import MaintainedIVFIndex
+
+    emb = Catalog(spark, sf_dir).embeddings.select("vec_id", "embedding")
+    idx = MaintainedIVFIndex(spark, str(tmp_path / "ivfserve"))
+    idx.bootstrap(emb.filter(F.col("vec_id") % 3 == 0), n_lists=8)
+    for b in (1, 2):
+        idx.process_batch(emb.filter(F.col("vec_id") % 3 == b), batch_id=b)
+
+    # every ingested vector is indexed exactly once
+    codes = spark.read.parquet(idx.codes_path)
+    assert codes.count() == emb.count()
+    assert codes.select("vec_id").distinct().count() == emb.count()
+
+    # replay: byte-identical no-op
+    before = sorted(r.vec_id for r in codes.select("vec_id").collect())
+    idx.process_batch(emb.filter(F.col("vec_id") % 3 == 1), batch_id=1)
+    after = sorted(
+        r.vec_id
+        for r in spark.read.parquet(idx.codes_path).select("vec_id").collect()
+    )
+    assert after == before
+
+    # recall@10 vs the exact scan (same gate bar as ann_kmeans_recall:
+    # n_probe=3 of 8 lists)
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    exact = {r.vec_id for r in vector.cosine_topk(emb, qv, k=10).collect()}
+    got = {
+        r.vec_id
+        for r in idx.search(qv, refine_src=emb, k=10, n_probe=3).collect()
+    }
+    assert len(exact & got) >= 5
