@@ -38,3 +38,30 @@ def read_partitioned(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.parquet(path)
+
+
+def rewrite_partitioned(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    transform,
+    *partition_cols: str,
+) -> None:
+    """Maintenance-window rewrite of a partitioned table: read ``path``
+    with ``schema``, apply ``transform``, write to a staging sibling,
+    then swap directories. For compacting ingest-partitioned tables
+    (``src_batch=N/...`` accumulation) back to a bounded directory
+    count. The swap is two renames on a local/HDFS-style filesystem;
+    on object stores the same shape is a manifest/metastore pointer
+    swap. MUST run with no concurrent writer (stream stopped)."""
+    import os
+    import shutil
+
+    df = transform(spark.read.schema(schema).parquet(path))
+    staging, old = f"{path}.compacting", f"{path}.old"
+    shutil.rmtree(staging, ignore_errors=True)
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(staging)
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)

@@ -134,6 +134,29 @@ class MaintainedBM25Index:
             .parquet(self.stats_path)
         )
 
+    def compact(self, id_type: str = "bigint") -> None:
+        """Fold every ingested batch's postings into the compacted era
+        (``src_batch = -2``) — the maintenance job the two-level layout
+        calls for: a long-running stream accumulates one ``src_batch=N``
+        directory per batch; compaction rewrites them into a single
+        bounded set of ``tk`` partitions (searches are src_batch-
+        agnostic, so results are unchanged — tested). MUST run in a
+        maintenance window (stream stopped): replaying a pre-compaction
+        batch afterwards would re-append its folded postings."""
+        from nornicdb_spark.sources.layout import rewrite_partitioned
+
+        rewrite_partitioned(
+            self.spark,
+            self.postings_path,
+            f"term string, doc_id {id_type}, dl int, tf bigint,"
+            " src_batch bigint, tk int",
+            lambda df: df.withColumn(
+                "src_batch", F.lit(-2).cast("bigint")
+            ),
+            "src_batch",
+            "tk",
+        )
+
     def ingest(self, stream_df: DataFrame, query_name: str):
         """Attach the ingest loop to a document stream; returns the
         StreamingQuery (caller drives/stops it)."""

@@ -163,6 +163,24 @@ class MaintainedIVFIndex:
             .parquet(self.codes_path)
         )
 
+    def compact(self, id_type: str = "bigint") -> None:
+        """Fold every ingested batch's codes into the compacted era
+        (``src_batch = -2``) — bounds the directory count of a
+        long-running ingest to n_lists partitions. MUST run in a
+        maintenance window (stream stopped): replaying a pre-compaction
+        batch afterwards would re-append its folded codes."""
+        from nornicdb_spark.sources.layout import rewrite_partitioned
+
+        rewrite_partitioned(
+            self.spark,
+            self.codes_path,
+            f"vec_id {id_type}, codes array<int>, code_norm double,"
+            " src_batch bigint, list_id int",
+            lambda df: df.withColumn("src_batch", F.lit(-2).cast("bigint")),
+            "src_batch",
+            "list_id",
+        )
+
     def ingest(self, stream_df: DataFrame, query_name: str):
         """Attach the ingest loop to a vector stream; requires a prior
         :meth:`bootstrap` (the centroids are the index's learned state)."""

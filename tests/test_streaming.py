@@ -672,3 +672,41 @@ def test_maintained_ivf_index_ingest_search_and_replay(spark, sf_dir, tmp_path):
         for r in idx.search(qv, refine_src=emb, k=10, n_probe=3).collect()
     }
     assert len(exact & got) >= 5
+
+
+def test_maintained_index_compaction_preserves_search(spark, sf_dir, tmp_path):
+    # compaction folds per-batch ingest directories into the compacted
+    # era: search results are unchanged, the src_batch directory count
+    # drops to one, and post-compaction ingest still works.
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nornicdb_spark.catalog import Catalog
+    from nornicdb_spark.streaming.fulltext import MaintainedBM25Index
+
+    docs = Catalog(spark, sf_dir).documents
+    idx = MaintainedBM25Index(spark, str(tmp_path / "ftcompact"))
+    for b in range(3):
+        idx.process_batch(docs.filter(F.col("doc_id") % 4 == b), batch_id=b)
+    q = "spark join query performance"
+    before = [(r.doc_id, round(r.score, 9)) for r in idx.search(q, k=10).collect()]
+    n_before = spark.read.parquet(idx.postings_path).count()
+
+    idx.compact()
+    dirs = [d for d in os.listdir(idx.postings_path) if d.startswith("src_batch=")]
+    assert dirs == ["src_batch=-2"]
+    assert spark.read.parquet(idx.postings_path).count() == n_before
+    after = [(r.doc_id, round(r.score, 9)) for r in idx.search(q, k=10).collect()]
+    assert after == before and len(after) == 10
+
+    # ingest continues after compaction and contributes to results
+    idx.process_batch(docs.filter(F.col("doc_id") % 4 == 3), batch_id=3)
+    full = [(r.doc_id, round(r.score, 9)) for r in idx.search(q, k=10).collect()]
+    from nornicdb_spark.search.bm25 import BM25Index
+
+    want = [
+        (r.doc_id, round(r.score, 9))
+        for r in BM25Index.build(docs).search(q, k=10).collect()
+    ]
+    assert full == want
