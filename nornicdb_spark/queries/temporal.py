@@ -889,31 +889,52 @@ def stream_dedup_near_dup(spark, sf_dir):
     )
 
 
+def _dup_seeded_embeddings(spark, sf_dir):
+    # duplicate-seeded corpus for the maintained-dedup queries: 50
+    # exact-copy vectors appended past the CURRENT max id (the
+    # llm_pipeline._seeded_embeddings +100000 offset collides with real
+    # ids at sf1+, where the derived corpus occupies a dense id range).
+    # The copy of vid lands in batch (vid + offset) % 3 — offset ≡ 2
+    # (mod 3) for every fixture size, so a copy never shares its
+    # original's batch.
+    emb = Catalog(spark, sf_dir).embeddings.select("vec_id", "embedding")
+    offset = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    return emb.unionByName(
+        emb.filter(F.col("vec_id") < 50).select(
+            (F.col("vec_id") + offset).alias("vec_id"), "embedding"
+        )
+    )
+
+
+def _vec_batches(emb):
+    return [emb.filter(F.pmod("vec_id", F.lit(3)) == b) for b in range(3)]
+
+
 def _maintained_vec_matches(spark, sf_dir):
     # Drive the maintained int8+LSH embedding near-dup index
     # (streaming/neardup.MaintainedVecIndex — the composition SCALING.md
     # specs: hyperplane-LSH band buckets over an int8-code verify
     # payload) through 3 deterministic foreachBatch deliveries: batch b
-    # = seeded vectors with vec_id % 3 == b, in order. The planted
-    # duplicates (ids +100000, so copy batch = (orig batch + 1) mod 3)
-    # always land in a DIFFERENT batch than their original — every
+    # = seeded vectors with vec_id % 3 == b, in order. Every planted
+    # exact dup lands in a different batch than its original, so every
     # planted pair crosses a batch boundary and must be caught by the
-    # maintained (not snapshot) index. Batches are delivered by direct
-    # process_batch calls: foreachBatch semantics with a deterministic
-    # batch split, which a file-stream source cannot guarantee.
+    # maintained (not snapshot) index; the derived sf1/sf10 corpora add
+    # ~0.9999-cosine copy clusters spanning batches. Batches are
+    # delivered by direct process_batch calls: foreachBatch semantics
+    # with a deterministic batch split, which a file-stream source
+    # cannot guarantee.
     import shutil
 
-    from nornicdb_spark.queries.llm_pipeline import _seeded_embeddings
     from nornicdb_spark.streaming.neardup import MaintainedVecIndex
 
-    emb = _seeded_embeddings(spark, sf_dir)
+    emb = _dup_seeded_embeddings(spark, sf_dir)
     dim = len(emb.select("embedding").first()[0])
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
     path = f"/root/repo/.tmp/vecidx_{tag}"
     shutil.rmtree(path, ignore_errors=True)  # rebuild: deterministic run
     idx = MaintainedVecIndex(spark, path, dim=dim, threshold=0.95)
-    for b in range(3):
-        idx.process_batch(emb.filter(F.col("vec_id") % 3 == b), batch_id=b)
+    for b, batch in enumerate(_vec_batches(emb)):
+        idx.process_batch(batch, batch_id=b)
     it = emb.schema["vec_id"].dataType.simpleString()
     return idx.matches(id_type=it)
 
@@ -936,29 +957,50 @@ def stream_vec_dedup_int8(spark, sf_dir):  # gate twin is driver-visible
 )
 def stream_vec_dedup_int8_gate(spark, sf_dir):
     # agreement gate: the composed (LSH bands + int8 verify) maintained
-    # matches must EQUAL the fp32 exact path's greedy-accept expectation.
-    # With clusters of size 2 (orig + planted copy in a later batch mod
-    # 3) greedy == pairwise: expected = exact fp32 pairs >= 0.95 oriented
-    # (later batch member -> earlier). int8 cosine error (<= ~1e-2) and
-    # LSH band misses (P ~ 6e-10 at t=0.9+) sit far from the planted
-    # similarity (copies are EXACT dups, cosine 1.0) and the fixture's
-    # background (max ~0.51), so equality — not just recall — is the bar.
-    from nornicdb_spark.operators import dedup
-    from nornicdb_spark.queries.llm_pipeline import _seeded_embeddings
+    # matches must EQUAL the fp32 exact-GEMM GREEDY-ACCEPT expectation,
+    # simulated batch-by-batch (batch b's docs are matched against the
+    # union of prior ACCEPTED docs — the maintained index's semantics;
+    # a pairwise orientation shortcut is wrong as soon as a cluster has
+    # >2 members, the normal case on the derived sf1/sf10 corpora).
+    # int8 cosine error (<= ~1e-2) and LSH band misses (P ~ 6e-10 at
+    # t >= 0.95) sit far from the planted similarities (exact dups at
+    # 1.0, derived copies ~0.9999) and the fixture background (~0.52),
+    # so equality — not just recall — is the bar.
+    from nornicdb_spark.operators import dedup, scope
 
     got = _maintained_vec_matches(spark, sf_dir).select(
         "stream_doc", "corpus_doc"
     )
-    emb = _seeded_embeddings(spark, sf_dir)
-    exact = dedup.embedding_near_duplicates(emb, threshold=0.95, exact=True)
-    want = exact.select(
-        F.when(
-            F.pmod("a", F.lit(3)) > F.pmod("b", F.lit(3)), F.col("a")
-        ).otherwise(F.col("b")).alias("stream_doc"),
-        F.when(
-            F.pmod("a", F.lit(3)) > F.pmod("b", F.lit(3)), F.col("b")
-        ).otherwise(F.col("a")).alias("corpus_doc"),
-    )
+    batches = _vec_batches(_dup_seeded_embeddings(spark, sf_dir))
+    accepted = batches[0]
+    want = None
+    for batch in batches[1:]:
+        pairs = dedup.embedding_near_duplicates(
+            accepted.unionByName(batch), threshold=0.95, exact=True
+        )
+        acc_ids = accepted.select(F.col("vec_id").alias("_acc"))
+        # cross pairs only: exactly one side is an already-accepted doc
+        flagged = (
+            pairs.join(
+                acc_ids.withColumnRenamed("_acc", "a").withColumn("_fa", F.lit(1)),
+                "a", "left",
+            )
+            .join(
+                acc_ids.withColumnRenamed("_acc", "b").withColumn("_fb", F.lit(1)),
+                "b", "left",
+            )
+            .filter(F.coalesce("_fa", F.lit(0)) != F.coalesce("_fb", F.lit(0)))
+        )
+        cross = flagged.select(
+            F.when(F.col("_fa").isNull(), F.col("a")).otherwise(F.col("b"))
+            .alias("stream_doc"),
+            F.when(F.col("_fa").isNull(), F.col("b")).otherwise(F.col("a"))
+            .alias("corpus_doc"),
+        ).localCheckpoint(eager=True)  # 3 reuses: want, matched, next round
+        want = cross if want is None else want.unionByName(cross)
+        matched = cross.select(F.col("stream_doc").alias("vec_id")).distinct()
+        accepted = accepted.unionByName(batch.join(matched, "vec_id", "left_anti"))
+        scope.escape_frame(cross)
     n_want = want.count()
     n_agree = got.join(want, ["stream_doc", "corpus_doc"]).count()
     n_got = got.count()

@@ -533,10 +533,21 @@ class MaintainedVecIndex(_MaintainedIndexBase):
     index holds only band keys and codes.
 
     Banding math: P[pair at cosine t shares ≥1 band] = 1-(1-p^r)^b with
-    p = 1 - acos(t)/π; the defaults (32 bits / 16 bands → r=2) give
-    P[miss] ≈ 6e-10 at t=0.9 — band recall is not the limiting term;
-    the int8 cosine's ≲1e-2 perturbation at the threshold boundary is
-    (gate-checked against the fp32 exact GEMM path in the registry).
+    p = 1 - acos(t)/π. Two constraints pick (n_bits, n_bands):
+    recall wants few bits per band, but the hot-bucket cap wants
+    SELECTIVE buckets — r-bit buckets have only 2^r values per band, so
+    small r saturates every bucket with unrelated vectors and the cap
+    then evicts real cluster members (measured: 32 bits/16 bands → 4
+    buckets/band → recall 0.095 at 20k vectors). The defaults
+    (128 bits / 8 bands → r=16, 65k buckets/band — the same regime as
+    ``operators/dedup.embedding_near_duplicates(exact=False)``) give
+    P[detect] ≈ 1−3.7e-8 for near-identical pairs (cosine ≥ 0.999, the
+    near-dup regime this index is for) while random collisions are
+    ~n²/2¹⁶ per band; like the batch LSH path, pairs sitting exactly AT
+    a 0.95 threshold are banding-lossy (~0.80) — the exact grid is the
+    tool for mid-similarity mining. The int8 cosine's ≲1e-2
+    perturbation at the threshold boundary is gate-checked against the
+    fp32 exact GEMM path in the registry.
     """
 
     payload_cols = ("codes", "code_norm")
@@ -549,8 +560,8 @@ class MaintainedVecIndex(_MaintainedIndexBase):
         path: str,
         dim: int,
         threshold: float = 0.9,
-        n_bits: int = 32,
-        n_bands: int = 16,
+        n_bits: int = 128,
+        n_bands: int = 8,
         seed: int = 42,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
