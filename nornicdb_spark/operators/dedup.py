@@ -454,8 +454,8 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
     exact: bool = True,
     n_blocks: int | None = None,
-    n_bits: int = 32,
-    n_bands: int = 16,
+    n_bits: int = 128,
+    n_bands: int = 8,
     seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (a < b, cosine ≥ threshold).
@@ -480,7 +480,12 @@ def embedding_near_duplicates(
     cosine verify — sublinear pair stream, the 100 TB path for the
     realistic high-threshold (≳0.8) near-dup setting. Recall at a given
     threshold is set by (n_bits/n_bands, n_bands): P[miss] =
-    (1 - p^r)^b with p = 1 - acos(t)/π, r bits per band, b bands.
+    (1 - p^r)^b with p = 1 - acos(t)/π, r bits per band, b bands — but
+    keep r large enough that buckets are SELECTIVE: a band has only 2^r
+    bucket values, so small r makes every bucket hold ~n/2^r unrelated
+    vectors and the candidate join quadratic (and, where a hot-bucket
+    cap applies, evicts real cluster members — the round-9 sf1 finding
+    on the maintained twin). Defaults are the proven 128/8 regime.
     """
     from nornicdb_spark.search.vector import cosine_sim
 
