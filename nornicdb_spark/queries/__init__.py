@@ -64,7 +64,9 @@ from nornicdb_spark.queries import graph  # noqa: E402,F401
 # (oracle-gated agreement with the fp32 exact greedy path),
 # stream_bm25_topk (oracle-backed — shares bm25_topk's oracle verbatim),
 # stream_ann_ivf_int8 (rows-only), stream_ann_ivf_int8_recall
-# (oracle-gated recall vs the exact scan).
+# (oracle-gated recall vs the exact scan), stream_graph_wcc
+# (oracle-backed — shares graph_connected_components' oracle verbatim;
+# the maintained union-find labels are byte-identical to batch WCC).
 _PRIORITY = (
     # never-stamped (registered post-r8-window)
     "ann_int8_recall", "ann_int8",

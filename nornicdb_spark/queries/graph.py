@@ -841,16 +841,17 @@ def graph_all_shortest_paths_customer_parts(spark, sf_dir):
     )
 
 
-@register(
-    "graph_connected_components",
-    # WCC oracle by graph contraction: every non-Part node reaches its
-    # region through deterministic tree edges (Order→Customer→Nation→
-    # Region, Supplier→Nation→Region), so components of the full graph =
-    # components of the region-level quotient graph (regions bridged by
-    # parts whose lineitems touch several regions) + one singleton per
-    # part that appears in no lineitem. The recursive closure then runs
-    # over ≤5 region nodes instead of the full graph.
-    oracle="""
+# WCC oracle by graph contraction: every non-Part node reaches its
+# region through deterministic tree edges (Order→Customer→Nation→
+# Region, Supplier→Nation→Region), so components of the full graph =
+# components of the region-level quotient graph (regions bridged by
+# parts whose lineitems touch several regions) + one singleton per
+# part that appears in no lineitem. The recursive closure then runs
+# over ≤5 region nodes instead of the full graph. Shared verbatim by
+# stream_graph_wcc — the maintained index's labels are byte-identical
+# to the batch recompute (min-node-id canonical labels), so the
+# strongest correctness statement a streaming index can make applies.
+_WCC_ORACLE = """
     WITH RECURSIVE
     li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk,
                   l_suppkey AS sk FROM lineitem),
@@ -912,13 +913,52 @@ def graph_all_shortest_paths_customer_parts(spark, sf_dir):
                 AS BIGINT) AS largest,
            CAST(tot.n_nodes AS BIGINT) AS n_nodes
     FROM iso, tot
-    """,
-)
+    """
+
+
+@register("graph_connected_components", oracle=_WCC_ORACLE)
 def graph_connected_components(spark, sf_dir):
     # apoc.algo.wcc (reference apoc_community.go:332-429): component sizes
     # by label of the component representative.
     g = _graph(spark, sf_dir)
     cc = algorithms.connected_components(g)
+    return (
+        cc.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_components"),
+            F.max("size").alias("largest"),
+            F.sum("size").alias("n_nodes"),
+        )
+    )
+
+
+@register("stream_graph_wcc", oracle=_WCC_ORACLE)
+def stream_graph_wcc(spark, sf_dir):
+    # the reference's LIVE connectivity (storage CreateEdge keeps the
+    # adjacency current; apoc.algo.wcc sees every committed edge): the
+    # full edge set ingested in 3 deterministic batches through the
+    # maintained union-find merge log (streaming/graphindex.py), then
+    # components resolved by pointer-doubling over the log. Labels are
+    # min-node-id canonical — byte-identical to the batch recompute —
+    # so the summary shares graph_connected_components' oracle verbatim.
+    import shutil
+
+    from nornicdb_spark.streaming.graphindex import MaintainedGraphIndex
+
+    g = _graph(spark, sf_dir)
+    edges = g.adj_pairs()
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    path = f"/root/repo/.tmp/graphidx_{tag}"
+    shutil.rmtree(path, ignore_errors=True)  # rebuild: deterministic run
+    idx = MaintainedGraphIndex(spark, path)
+    for b in range(3):
+        idx.process_batch(
+            edges.filter(F.pmod(F.xxhash64("src", "dst"), F.lit(3)) == b),
+            batch_id=b,
+        )
+    cc = idx.components(g.nodes.select(F.col("id").alias("node")))
     return (
         cc.groupBy("component")
         .agg(F.count(F.lit(1)).alias("size"))

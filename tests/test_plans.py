@@ -502,3 +502,38 @@ def test_maintained_ivf_probe_prunes_lists_and_is_jvm_only(spark, sf_dir, tmp_pa
     assert "BatchEvalPython" not in fplan and "ArrowEval" not in fplan
     assert "CartesianProduct" not in fplan
     assert len(out.collect()) == 5
+
+
+def test_maintained_graph_resolution_prunes_partitions(spark, tmp_path):
+    # the maintained graph index's 100 TB contract: a batch's resolution
+    # chase must NOT scan the whole merge log, and the node-membership
+    # anti-join must NOT scan the whole node table. Both reads carry a
+    # literal isin on their hash-partition column (mk = hash(old) % n_pk,
+    # hk = hash(node) % n_pk) that Catalyst turns into PartitionFilters
+    # directory pruning — the neardup/IVF-PQ probe pattern.
+    from pyspark.sql import functions as F
+
+    from nornicdb_spark.streaming.graphindex import MaintainedGraphIndex
+
+    idx = MaintainedGraphIndex(spark, str(tmp_path / "gidx"), n_pk=16)
+    idx.process_batch(
+        spark.createDataFrame(
+            [(i, i + 100) for i in range(20)], "src long, dst long"
+        ),
+        batch_id=0,
+    )
+
+    merges_scan = idx._merges("bigint").filter(F.col("mk").isin([1, 5, 9]))
+    mplan = merges_scan._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", mplan)
+    assert m is not None and "mk" in m.group(1), mplan[:2000]
+
+    nodes_scan = idx._nodes("bigint").filter(F.col("hk").isin([2, 7]))
+    nplan = nodes_scan._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", nplan)
+    assert m is not None and "hk" in m.group(1), nplan[:2000]
+
+    # and resolution still answers correctly off the partitioned layout
+    frontier = spark.createDataFrame([(105,), (3,)], "node long")
+    got = {r.node: r.root for r in idx._resolve(frontier, "bigint").collect()}
+    assert got == {105: 5, 3: 3}

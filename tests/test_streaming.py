@@ -710,3 +710,91 @@ def test_maintained_index_compaction_preserves_search(spark, sf_dir, tmp_path):
         for r in BM25Index.build(docs).search(q, k=10).collect()
     ]
     assert full == want
+
+
+# ---------------------------------------------------------------------------
+# Maintained graph connectivity index (streaming/graphindex.py)
+# ---------------------------------------------------------------------------
+
+
+def _edge_df(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_maintained_graph_incremental_equals_batch(spark, tmp_path):
+    # three batches whose edges merge components ACROSS batch boundaries:
+    # batch 0 builds {1,2,3} and {10,11}; batch 1 builds {20,21} and
+    # extends {10,11,12}; batch 2 bridges {1..3}–{10..12} and {20,21}–{30}.
+    # Incremental labels must equal the batch recompute's canonical
+    # min-node-id labels; node 99 is edge-less (singleton via nodes_df).
+    from nornicdb_spark.streaming.graphindex import MaintainedGraphIndex
+
+    idx = MaintainedGraphIndex(spark, str(tmp_path / "g"), n_pk=8)
+    idx.process_batch(_edge_df(spark, [(2, 1), (2, 3), (10, 11)]), batch_id=0)
+    idx.process_batch(_edge_df(spark, [(20, 21), (12, 11)]), batch_id=1)
+    idx.process_batch(_edge_df(spark, [(3, 12), (30, 21)]), batch_id=2)
+    nodes = spark.createDataFrame(
+        [(n,) for n in (1, 2, 3, 10, 11, 12, 20, 21, 30, 99)], "node long"
+    )
+    got = {r.node: r.component for r in idx.components(nodes).collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1, 10: 1, 11: 1, 12: 1,  # bridged by (3, 12)
+        20: 20, 21: 20, 30: 20,
+        99: 99,
+    }
+    # cross-batch merge MUST have deepened the forest: 10's chain is
+    # 11→10 (batch 0) then 10→1 (batch 2) — resolution chases 2 hops
+    merges = spark.read.parquet(idx.merges_path)
+    olds = {r.old for r in merges.collect()}
+    news = {r.new for r in merges.collect()}
+    assert olds & news, "expected a chained (depth>1) forest"
+
+
+def test_maintained_graph_replay_is_noop(spark, tmp_path):
+    from nornicdb_spark.streaming.graphindex import MaintainedGraphIndex
+
+    idx = MaintainedGraphIndex(spark, str(tmp_path / "g"), n_pk=8)
+    idx.process_batch(_edge_df(spark, [(2, 1), (5, 6)]), batch_id=0)
+    idx.process_batch(_edge_df(spark, [(6, 2), (7, 7)]), batch_id=1)
+    snap = lambda: (
+        sorted(
+            (r.old, r.new, r.src_batch)
+            for r in spark.read.parquet(idx.merges_path).collect()
+        ),
+        sorted(
+            (r.node, r.src_batch)
+            for r in spark.read.parquet(idx.nodes_path).collect()
+        ),
+    )
+    before = snap()
+    idx.process_batch(_edge_df(spark, [(6, 2), (7, 7)]), batch_id=1)  # replay
+    assert snap() == before
+    got = {r.node: r.component for r in idx.components().collect()}
+    assert got == {1: 1, 2: 1, 5: 1, 6: 1, 7: 7}
+
+
+def test_maintained_graph_compact_flattens_and_preserves(spark, tmp_path):
+    from nornicdb_spark.streaming.graphindex import MaintainedGraphIndex
+
+    idx = MaintainedGraphIndex(spark, str(tmp_path / "g"), n_pk=8)
+    # adversarial ordering: each batch merges the previous winner into a
+    # smaller root, chaining the forest one level per batch
+    idx.process_batch(_edge_df(spark, [(40, 30)]), batch_id=0)
+    idx.process_batch(_edge_df(spark, [(30, 20)]), batch_id=1)
+    idx.process_batch(_edge_df(spark, [(20, 10)]), batch_id=2)
+    before = {r.node: r.component for r in idx.components().collect()}
+    assert before == {10: 10, 20: 10, 30: 10, 40: 10}
+
+    idx.compact()
+    merges = spark.read.parquet(idx.merges_path)
+    rows = [(r.old, r.new, r.src_batch) for r in merges.collect()]
+    # depth 1: every pointer goes straight to the current root, and the
+    # compacted rows live in the pre-stream era (src_batch=-1)
+    assert rows and all(new == 10 and sb == -1 for _, new, sb in rows)
+    assert {r.node: r.component for r in idx.components().collect()} == before
+
+    # ingest continues after compaction (new merges chase through the
+    # flattened rows)
+    idx.process_batch(_edge_df(spark, [(10, 5)]), batch_id=3)
+    got = {r.node: r.component for r in idx.components().collect()}
+    assert got == {5: 5, 10: 5, 20: 5, 30: 5, 40: 5}
