@@ -66,7 +66,9 @@ from nornicdb_spark.queries import graph  # noqa: E402,F401
 # stream_ann_ivf_int8 (rows-only), stream_ann_ivf_int8_recall
 # (oracle-gated recall vs the exact scan), stream_graph_wcc
 # (oracle-backed — shares graph_connected_components' oracle verbatim;
-# the maintained union-find labels are byte-identical to batch WCC).
+# the maintained union-find labels are byte-identical to batch WCC),
+# stream_dedup_exact (oracle-backed — shares dedup_exact's oracle;
+# observation-log count/min aggregates are batch-order-invariant).
 _PRIORITY = (
     # never-stamped (registered post-r8-window)
     "ann_int8_recall", "ann_int8",

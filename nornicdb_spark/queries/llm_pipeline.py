@@ -50,9 +50,10 @@ def _perm_values() -> str:
     return ", ".join(f"({i}, {a}, {b})" for i, a, b in dedup.minhash_params())
 
 
-@register(
-    "dedup_exact",
-    oracle="""
+# shared verbatim by stream_dedup_exact: the maintained observation log's
+# count/min aggregates are batch-order-invariant, so the streamed result
+# is byte-identical to the batch operator over the same corpus
+_EXACT_DEDUP_ORACLE = """
     WITH corpus AS (
       SELECT doc_id, text FROM documents
       UNION ALL
@@ -62,7 +63,12 @@ def _perm_values() -> str:
            CAST(count(*) AS BIGINT) AS n_copies,
            min(doc_id) AS keep_id
     FROM corpus GROUP BY md5(text) HAVING count(*) > 1
-    """,
+    """
+
+
+@register(
+    "dedup_exact",
+    oracle=_EXACT_DEDUP_ORACLE,
 )
 def dedup_exact(spark, sf_dir):
     # exact hash-groupBy dedup; corpus seeded with 50 known duplicates
@@ -74,6 +80,33 @@ def dedup_exact(spark, sf_dir):
         )
     )
     return dedup.exact_duplicates(corpus)
+
+
+@register("stream_dedup_exact", oracle=_EXACT_DEDUP_ORACLE)
+def stream_dedup_exact(spark, sf_dir):
+    # the exact-hash gate as a MAINTAINED index (streaming/neardup.py
+    # MaintainedHashIndex — reference exact-duplicate check on ingest,
+    # pkg/embeddings/dedup.go): the seeded corpus ingested in 3
+    # deterministic batches into the hk-partitioned observation log,
+    # then duplicates() — count/min are batch-order-invariant, so the
+    # result (and the oracle) are IDENTICAL to the batch dedup_exact.
+    import shutil
+
+    from nornicdb_spark.streaming.neardup import MaintainedHashIndex
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        )
+    )
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    path = f"/root/repo/.tmp/hashidx_{tag}"
+    shutil.rmtree(path, ignore_errors=True)  # rebuild: deterministic run
+    idx = MaintainedHashIndex(spark, path)
+    for b in range(3):
+        idx.process_batch(corpus.filter(F.col("doc_id") % 3 == b), batch_id=b)
+    return idx.duplicates()
 
 
 # MinHash-LSH pipeline CTEs (shingle → sign → band → verify), shared by

@@ -76,7 +76,7 @@ from nornicdb_spark.operators.dedup import (
     shingle_hashes_col,
 )
 
-__all__ = ["MaintainedBandIndex", "MaintainedVecIndex"]
+__all__ = ["MaintainedBandIndex", "MaintainedVecIndex", "MaintainedHashIndex"]
 
 # Default hash-partition bucket count for the bands/payload tables. On a
 # real cluster size it as index_bytes / target_partition_bytes (~128 MB)
@@ -635,3 +635,137 @@ class MaintainedVecIndex(_MaintainedIndexBase):
             lambda acc, x: acc + x,
         )
         return dot / (F.col("s_code_norm") * F.col("c_code_norm"))
+
+
+class MaintainedHashIndex:
+    """Maintained EXACT content-hash dedup — the first gate of the 100 TB
+    ingest loop (cheaper than banding: one md5 per doc, one pruned
+    membership probe), and the streaming form of
+    ``operators/dedup.exact_duplicates`` (reference exact-duplicate gate
+    on ingest, pkg/embeddings/dedup.go).
+
+    Layout: ``<path>/seen`` — ONE observation row per ingested doc,
+    (content_hash, doc, src_batch, hk), partitionBy(hk),
+    ``hk = pmod(xxhash64(content_hash), n_pk)``. Append-only: copy counts
+    and canonical survivors are GROUP-BYs over the observation log at
+    read time (count and min are batch-order-invariant, so
+    :meth:`duplicates` is byte-identical to the batch operator over the
+    same corpus — ``stream_dedup_exact`` shares ``dedup_exact``'s oracle
+    verbatim), while the per-batch ingest gate (:meth:`probe` /
+    :meth:`process_batch`) touches only the batch hashes' hk buckets
+    (literal ``isin`` → ``PartitionFilters``, plan-tested).
+
+    Replay (foreachBatch at-least-once): appended rows carry
+    ``src_batch``; a replayed batch anti-joins its own already-present
+    (hash, doc) rows away — byte-identical no-op, torn appends
+    self-heal."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        n_pk: int = N_PK,
+    ):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.id_col = id_col
+        self.text_col = text_col
+        self.n_pk = int(n_pk)
+
+    @property
+    def seen_path(self) -> str:
+        return f"{self.path}/seen"
+
+    def _hk(self, col: str = "content_hash"):
+        return F.pmod(F.xxhash64(col), F.lit(self.n_pk)).cast("int")
+
+    def _seen(self, it: str) -> DataFrame:
+        schema = f"content_hash string, doc {it}, src_batch bigint, hk int"
+        try:
+            return self.spark.read.schema(schema).parquet(self.seen_path)
+        except AnalysisException:
+            return self.spark.createDataFrame([], schema)
+
+    def _rows(self, docs: DataFrame) -> DataFrame:
+        return docs.select(
+            F.md5(F.col(self.text_col)).alias("content_hash"),
+            F.col(self.id_col).alias("doc"),
+        ).withColumn("hk", self._hk())
+
+    def probe(self, docs: DataFrame) -> DataFrame:
+        """(stream_doc, corpus_doc) for batch docs whose exact hash is
+        already indexed (corpus_doc = canonical min-id holder). Reads
+        only the batch hashes' hk buckets."""
+        it = docs.schema[self.id_col].dataType.simpleString()
+        rows = self._rows(docs).localCheckpoint(eager=True)
+        out = self._probe_rows(rows, it)
+        scope.escape_frame(rows)
+        return out
+
+    def _probe_rows(
+        self, rows: DataFrame, it: str, exclude_batch: int | None = None
+    ) -> DataFrame:
+        hks = [r.hk for r in rows.select("hk").distinct().collect()]
+        if not hks:
+            return self.spark.createDataFrame(
+                [], f"stream_doc {it}, corpus_doc {it}"
+            )
+        seen = self._seen(it).filter(F.col("hk").isin(hks))
+        if exclude_batch is not None:
+            seen = seen.filter(F.col("src_batch") != int(exclude_batch))
+        holders = seen.groupBy("content_hash").agg(F.min("doc").alias("corpus_doc"))
+        return rows.join(holders, "content_hash").select(
+            F.col("doc").alias("stream_doc"), "corpus_doc"
+        )
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Append this batch's observation rows (hash membership probe is
+        the caller's gate via :meth:`probe`; the log keeps EVERY
+        observation so copy counts stay exact). Replay-idempotent."""
+        it = batch_df.schema[self.id_col].dataType.simpleString()
+        rows = self._rows(batch_df).localCheckpoint(eager=True)
+        hks = [r.hk for r in rows.select("hk").distinct().collect()]
+        if hks:
+            mine = (
+                self._seen(it)
+                .filter(
+                    (F.col("hk").isin(hks))
+                    & (F.col("src_batch") == int(batch_id))
+                )
+                .select("content_hash", "doc")
+            )
+            fresh = rows.join(mine, ["content_hash", "doc"], "left_anti")
+            write_partitioned(
+                fresh.withColumn(
+                    "src_batch", F.lit(int(batch_id)).cast("bigint")
+                ).select("content_hash", "doc", "src_batch", "hk"),
+                self.seen_path,
+                "hk",
+                mode="append",
+            )
+        scope.escape_frame(rows)
+
+    def ingest(self, stream_df: DataFrame, query_name: str):
+        os.makedirs(self.path, exist_ok=True)
+        return (
+            stream_df.writeStream.outputMode("append")
+            .foreachBatch(self.process_batch)
+            .queryName(query_name)
+            .start()
+        )
+
+    def duplicates(self, id_type: str = "bigint") -> DataFrame:
+        """(content_hash, n_copies, keep_id) for hashes observed more
+        than once — the batch ``exact_duplicates`` contract over the
+        ingested corpus (order-invariant aggregates)."""
+        return (
+            self._seen(id_type)
+            .groupBy("content_hash")
+            .agg(
+                F.count(F.lit(1)).alias("n_copies"),
+                F.min("doc").alias("keep_id"),
+            )
+            .filter(F.col("n_copies") > 1)
+        )

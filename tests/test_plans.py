@@ -537,3 +537,30 @@ def test_maintained_graph_resolution_prunes_partitions(spark, tmp_path):
     frontier = spark.createDataFrame([(105,), (3,)], "node long")
     got = {r.node: r.root for r in idx._resolve(frontier, "bigint").collect()}
     assert got == {105: 5, 3: 3}
+
+
+def test_maintained_hash_index_probe_prunes_partitions(spark, tmp_path):
+    # the exact-hash gate's membership probe must read only the batch
+    # hashes' hk buckets (hk = hash(content_hash) % n_pk) — same
+    # PartitionFilters contract as the rest of the maintained family
+    from pyspark.sql import functions as F
+
+    from nornicdb_spark.streaming.neardup import MaintainedHashIndex
+
+    idx = MaintainedHashIndex(spark, str(tmp_path / "hidx"), n_pk=16)
+    idx.process_batch(
+        spark.createDataFrame(
+            [(i, f"text {i}") for i in range(30)], "doc_id long, text string"
+        ),
+        batch_id=0,
+    )
+    scan = idx._seen("bigint").filter(F.col("hk").isin([1, 5, 9]))
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m is not None and "hk" in m.group(1), plan[:2000]
+
+    probe = spark.createDataFrame(
+        [(900, "text 3"), (901, "novel")], "doc_id long, text string"
+    )
+    got = {(r.stream_doc, r.corpus_doc) for r in idx.probe(probe).collect()}
+    assert got == {(900, 3)}

@@ -798,3 +798,82 @@ def test_maintained_graph_compact_flattens_and_preserves(spark, tmp_path):
     idx.process_batch(_edge_df(spark, [(10, 5)]), batch_id=3)
     got = {r.node: r.component for r in idx.components().collect()}
     assert got == {5: 5, 10: 5, 20: 5, 30: 5, 40: 5}
+
+
+# ---------------------------------------------------------------------------
+# Maintained exact-hash dedup index (streaming/neardup.MaintainedHashIndex)
+# ---------------------------------------------------------------------------
+
+
+def test_maintained_hash_index_cross_batch_gate(spark, tmp_path):
+    from nornicdb_spark.streaming.neardup import MaintainedHashIndex
+
+    idx = MaintainedHashIndex(spark, str(tmp_path / "h"), n_pk=8)
+    idx.process_batch(
+        spark.createDataFrame(
+            [(1, "aaa"), (2, "bbb")], "doc_id long, text string"
+        ),
+        batch_id=0,
+    )
+    # batch-1 doc 10 repeats batch-0 doc 1's content — the gate must see
+    # it against the canonical min-id holder
+    batch1 = spark.createDataFrame(
+        [(10, "aaa"), (11, "ccc")], "doc_id long, text string"
+    )
+    got = {(r.stream_doc, r.corpus_doc) for r in idx.probe(batch1).collect()}
+    assert got == {(10, 1)}
+    idx.process_batch(batch1, batch_id=1)
+    dups = {
+        (r.n_copies, r.keep_id) for r in idx.duplicates().collect()
+    }
+    assert dups == {(2, 1)}
+
+
+def test_maintained_hash_index_replay_is_noop(spark, tmp_path):
+    from nornicdb_spark.streaming.neardup import MaintainedHashIndex
+
+    idx = MaintainedHashIndex(spark, str(tmp_path / "h"), n_pk=8)
+    batch = spark.createDataFrame(
+        [(1, "aaa"), (2, "aaa"), (3, "bbb")], "doc_id long, text string"
+    )
+    idx.process_batch(batch, batch_id=0)
+    snap = lambda: sorted(
+        (r.content_hash, r.doc, r.src_batch)
+        for r in spark.read.parquet(idx.seen_path).collect()
+    )
+    before = snap()
+    idx.process_batch(batch, batch_id=0)  # replay
+    assert snap() == before
+    assert {(r.n_copies, r.keep_id) for r in idx.duplicates().collect()} == {
+        (2, 1)
+    }
+
+
+def test_maintained_hash_index_matches_batch_operator(spark, sf_dir, tmp_path):
+    # 3-batch ingest of the seeded corpus == the batch exact_duplicates
+    # output (count/min are order-invariant) — the stream_dedup_exact
+    # registry claim, checked at fixture scale
+    from pyspark.sql import functions as F
+
+    from nornicdb_spark.catalog import Catalog
+    from nornicdb_spark.operators import dedup
+    from nornicdb_spark.streaming.neardup import MaintainedHashIndex
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        )
+    )
+    idx = MaintainedHashIndex(spark, str(tmp_path / "h"))
+    for b in range(3):
+        idx.process_batch(corpus.filter(F.col("doc_id") % 3 == b), batch_id=b)
+    got = sorted(
+        (r.content_hash, r.n_copies, r.keep_id)
+        for r in idx.duplicates().collect()
+    )
+    want = sorted(
+        (r.content_hash, r.n_copies, r.keep_id)
+        for r in dedup.exact_duplicates(corpus).collect()
+    )
+    assert got == want and len(got) >= 50
