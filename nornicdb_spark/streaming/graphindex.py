@@ -320,6 +320,38 @@ class MaintainedGraphIndex:
         for frame in (edges, endpoints, roots, merges):
             scope.escape_frame(frame)
 
+    def bootstrap(self, edges_df: DataFrame) -> None:
+        """(Re)build the index from a static edge corpus: one batch-WCC
+        label propagation over the FULL edge set (the one-time cost the
+        incremental loop exists to avoid paying per batch), written as a
+        depth-1 forest in the src_batch=-1 era — every later batch then
+        resolves endpoints in a single pruned join until cross-batch
+        merges start chaining. Equivalent to process_batch(all edges,
+        -1) but the merge rows land pre-flattened."""
+        edges = edges_df.select(
+            F.col(self.src_col).alias("ra"), F.col(self.dst_col).alias("rb")
+        )
+        merges = (
+            self._mini_wcc(edges)
+            .withColumn("src_batch", F.lit(-1).cast("bigint"))
+            .withColumn("mk", self._mk())
+        )
+        write_partitioned(
+            merges.select("old", "new", "src_batch", "mk"),
+            self.merges_path,
+            "mk",
+        )
+        nodes = (
+            edges.select(F.col("ra").alias("node"))
+            .unionByName(edges.select(F.col("rb").alias("node")))
+            .distinct()
+            .withColumn("src_batch", F.lit(-1).cast("bigint"))
+            .withColumn("hk", self._hk())
+        )
+        write_partitioned(
+            nodes.select("node", "src_batch", "hk"), self.nodes_path, "hk"
+        )
+
     def ingest(self, stream_df: DataFrame, query_name: str):
         """Attach the maintained loop to an edge stream; returns the
         StreamingQuery. A fresh path needs no bootstrap — every node is

@@ -877,3 +877,21 @@ def test_maintained_hash_index_matches_batch_operator(spark, sf_dir, tmp_path):
         for r in dedup.exact_duplicates(corpus).collect()
     )
     assert got == want and len(got) >= 50
+
+
+def test_maintained_graph_bootstrap_then_ingest(spark, tmp_path):
+    # bootstrap writes a depth-1 forest (every pointer straight to the
+    # component min, src_batch=-1); a later batch chases it in one hop
+    # and cross-batch merges still land correctly
+    from nornicdb_spark.streaming.graphindex import MaintainedGraphIndex
+
+    idx = MaintainedGraphIndex(spark, str(tmp_path / "g"), n_pk=8)
+    idx.bootstrap(_edge_df(spark, [(2, 1), (2, 3), (10, 11), (11, 12)]))
+    rows = [
+        (r.old, r.new, r.src_batch)
+        for r in spark.read.parquet(idx.merges_path).collect()
+    ]
+    assert sorted(rows) == [(2, 1, -1), (3, 1, -1), (11, 10, -1), (12, 10, -1)]
+    idx.process_batch(_edge_df(spark, [(12, 3), (40, 41)]), batch_id=0)
+    got = {r.node: r.component for r in idx.components().collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 1, 11: 1, 12: 1, 40: 40, 41: 40}
