@@ -11,6 +11,7 @@ Usage: python scripts/sweep_sf1.py [sf_dir] [out_json] [name_filter...]
 from __future__ import annotations
 
 import json
+import os
 import pathlib
 import sys
 import time
@@ -69,11 +70,17 @@ def main() -> None:
     from nornicdb_spark.queries import ORACLES, QUERIES
     from tests.oracle_harness import compare
 
+    # env knobs (same names as nornicdb_spark.session): heavy iterative
+    # rows at sf10 need SPARK_GRAFT_SHUFFLE≈256 — shuffle partitions
+    # must scale with data, not cores, or per-task sorts OOM the JVM
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE", "32")
+    driver_mem = os.environ.get("SPARK_DRIVER_MEM", "48g")
     spark = (
-        SparkSession.builder.master("local[32]")
-        .config("spark.sql.shuffle.partitions", "32")
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", shuffle)
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", "48g")
+        .config("spark.driver.memory", driver_mem)
         # the sweep compare collects full result sets; pair-mining
         # queries legitimately return >1 GiB at sf1
         .config("spark.driver.maxResultSize", "8g")
