@@ -40,6 +40,20 @@ def read_partitioned(
     return reader.parquet(path)
 
 
+def read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Read a maintained-index table that may not exist yet (fresh path,
+    no bootstrap, or only empty batches so far): a missing path reads as
+    an empty table with the explicit ``schema``, so first-batch ingest
+    and early monitoring reads need no special-casing. The explicit
+    schema also covers file-less directories appends can leave behind."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.schema(schema).parquet(path)
+    except AnalysisException:
+        return spark.createDataFrame([], schema)
+
+
 def rewrite_partitioned(
     spark: SparkSession,
     path: str,

@@ -46,7 +46,6 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.errors import AnalysisException
 
 from nornicdb_spark.search.bm25 import (
     score_exact_candidates,
@@ -85,10 +84,9 @@ class MaintainedBM25Index:
         return f"{self.path}/stats"
 
     def _read(self, path: str, schema: str) -> DataFrame:
-        try:
-            return self.spark.read.schema(schema).parquet(path)
-        except AnalysisException:  # fresh path: empty table
-            return self.spark.createDataFrame([], schema)
+        from nornicdb_spark.sources.layout import read_or_empty
+
+        return read_or_empty(self.spark, path, schema)
 
     def _tk_col(self):
         return F.pmod(F.xxhash64("term"), F.lit(self.n_pk)).cast("int")

@@ -75,7 +75,7 @@ from pyspark.sql import functions as F
 from pyspark.errors import AnalysisException
 
 from nornicdb_spark.operators import scope
-from nornicdb_spark.sources.layout import write_partitioned
+from nornicdb_spark.sources.layout import read_or_empty, write_partitioned
 
 __all__ = ["MaintainedGraphIndex"]
 
@@ -119,35 +119,73 @@ class MaintainedGraphIndex:
     def _id_type(self, df: DataFrame, col: str) -> str:
         return df.schema[col].dataType.simpleString()
 
-    def _read(self, path: str, schema: str) -> DataFrame:
-        try:
-            return self.spark.read.schema(schema).parquet(path)
-        except AnalysisException:  # fresh path — index seeds itself
-            return self.spark.createDataFrame([], schema)
-
     def _nodes(self, it: str) -> DataFrame:
-        return self._read(self.nodes_path, f"node {it}, src_batch bigint, hk int")
+        return read_or_empty(
+            self.spark, self.nodes_path, f"node {it}, src_batch bigint, hk int"
+        )
 
     def _merges(self, it: str, exclude_batch: int | None = None) -> DataFrame:
-        df = self._read(
-            self.merges_path, f"old {it}, new {it}, src_batch bigint, mk int"
+        df = read_or_empty(
+            self.spark,
+            self.merges_path,
+            f"old {it}, new {it}, src_batch bigint, mk int",
         )
         if exclude_batch is not None:
             df = df.filter(F.col("src_batch") != int(exclude_batch))
         return df
 
-    def _stored_id_type(self, path: str, col: str) -> str:
+    def _stored_id_type(self, path: str, col: str) -> str | None:
         """Node-id type of a stored table (the caller supplied it at
-        write time; reads without a reference frame recover it here)."""
-        return (
-            self.spark.read.parquet(path).schema[col].dataType.simpleString()
-        )
+        write time; reads without a reference frame recover it here).
+        ``None`` when the table does not exist yet (fresh index)."""
+        try:
+            df = self.spark.read.parquet(path)
+        except AnalysisException:
+            return None
+        return df.schema[col].dataType.simpleString()
 
     def _hk(self, col: str = "node"):
         return F.pmod(F.xxhash64(col), F.lit(self.n_pk)).cast("int")
 
     def _mk(self, col: str = "old"):
         return F.pmod(F.xxhash64(col), F.lit(self.n_pk)).cast("int")
+
+    # -- ingest guard -------------------------------------------------------
+    # The replay anti-joins assume a batch_id identifies ONE batch for
+    # the life of the index: a reset stream checkpoint pointed at an
+    # existing index path would replay ids whose src_batch rows already
+    # exist with DIFFERENT content, and the anti-join would silently
+    # drop the new merges (permanent connectivity corruption). The
+    # high-water marker makes that operator mistake loud instead.
+    @property
+    def _guard_path(self) -> str:
+        return f"{self.path}/_max_batch"
+
+    def _max_batch_seen(self) -> int | None:
+        try:
+            with open(self._guard_path) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def _record_batch(self, batch_id: int, reset: bool = False) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        prior = None if reset else self._max_batch_seen()
+        hi = int(batch_id) if prior is None else max(int(batch_id), prior)
+        with open(self._guard_path, "w") as f:
+            f.write(str(hi))
+
+    def _check_batch(self, batch_id: int) -> None:
+        prior = self._max_batch_seen()
+        if prior is not None and int(batch_id) < prior:
+            raise ValueError(
+                f"batch_id {batch_id} is below this index's high-water "
+                f"mark {prior}: the stream checkpoint does not match the "
+                "index path (reset checkpoint over an existing index?). "
+                "Refusing to ingest — replays are only valid for the "
+                "latest batch. Re-bootstrap or point the stream at a "
+                "fresh index path."
+            )
 
     # -- resolution ---------------------------------------------------------
     def _resolve(
@@ -251,7 +289,10 @@ class MaintainedGraphIndex:
     # -- ingest ---------------------------------------------------------------
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """foreachBatch body: resolve endpoints → contract → mini-WCC →
-        append merges + new nodes. Replay-idempotent (see module note)."""
+        append merges + new nodes. Replay-idempotent (see module note);
+        out-of-order batch ids (checkpoint/index mismatch) are refused
+        rather than silently corrupting the merge log."""
+        self._check_batch(batch_id)
         it = self._id_type(batch_df, self.src_col)
         edges = batch_df.select(
             F.col(self.src_col).alias("src"), F.col(self.dst_col).alias("dst")
@@ -317,6 +358,7 @@ class MaintainedGraphIndex:
                 "hk",
                 mode="append",
             )
+        self._record_batch(batch_id)
         for frame in (edges, endpoints, roots, merges):
             scope.escape_frame(frame)
 
@@ -351,6 +393,8 @@ class MaintainedGraphIndex:
         write_partitioned(
             nodes.select("node", "src_batch", "hk"), self.nodes_path, "hk"
         )
+        # a (re)bootstrap starts a fresh stream era — reset the guard
+        self._record_batch(-1, reset=True)
 
     def ingest(self, stream_df: DataFrame, query_name: str):
         """Attach the maintained loop to an edge stream; returns the
@@ -405,15 +449,19 @@ class MaintainedGraphIndex:
         node id, byte-identical to batch ``connected_components`` over
         the same edges. Pass ``nodes_df`` (a ``node`` column) to include
         nodes the edge stream never touched (isolated → singletons)."""
-        sample = nodes_df if nodes_df is not None else None
-        if sample is not None:
-            it = self._id_type(sample, "node")
-            nodes = sample.select("node").unionByName(
+        if nodes_df is not None:
+            it = self._id_type(nodes_df, "node")
+            nodes = nodes_df.select("node").unionByName(
                 self._nodes(it).select("node")
             ).distinct()
         else:
             # infer the id type from the stored table's schema on disk
             it = self._stored_id_type(self.nodes_path, "node")
+            if it is None:
+                raise ValueError(
+                    "components(): the index has no stored nodes yet — "
+                    "ingest a batch, bootstrap, or pass nodes_df"
+                )
             nodes = self._nodes(it).select("node")
         flat = self.flat_roots(it)
         return nodes.join(flat, nodes.node == flat.old, "left").select(
@@ -429,6 +477,8 @@ class MaintainedGraphIndex:
         committed, no replay pending; compacted rows land in the
         src_batch=-1 era so no future replay can exclude them."""
         it = self._stored_id_type(self.merges_path, "old")
+        if it is None:
+            return  # nothing merged yet — nothing to compact
         flat = (
             self.flat_roots(it)
             .select(

@@ -37,7 +37,6 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.errors import AnalysisException
 
 __all__ = ["MaintainedIVFIndex"]
 
@@ -196,17 +195,14 @@ class MaintainedIVFIndex:
     def _codes_pruned(self, list_ids: list[int], id_type: str) -> DataFrame:
         """The probe scan: literal ``list_id isin`` → PartitionFilters
         (only the probed lists' directories are read)."""
-        try:
-            df = self.spark.read.schema(
-                f"vec_id {id_type}, codes array<int>, code_norm double,"
-                " src_batch bigint, list_id int"
-            ).parquet(self.codes_path)
-        except AnalysisException:
-            return self.spark.createDataFrame(
-                [],
-                f"vec_id {id_type}, codes array<int>, code_norm double,"
-                " src_batch bigint, list_id int",
-            )
+        from nornicdb_spark.sources.layout import read_or_empty
+
+        df = read_or_empty(
+            self.spark,
+            self.codes_path,
+            f"vec_id {id_type}, codes array<int>, code_norm double,"
+            " src_batch bigint, list_id int",
+        )
         return df.filter(F.col("list_id").isin(list_ids))
 
     def search(

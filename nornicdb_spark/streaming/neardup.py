@@ -175,10 +175,9 @@ class _MaintainedIndexBase:
         """Read an index table; a missing path (ingest started on a fresh
         directory with no bootstrap) reads as an empty table — the first
         batch then accepts everything and seeds the index."""
-        try:
-            return self.spark.read.schema(schema).parquet(path)
-        except AnalysisException:
-            return self.spark.createDataFrame([], schema)
+        from nornicdb_spark.sources.layout import read_or_empty
+
+        return read_or_empty(self.spark, path, schema)
 
     # -- partition-bucket expressions (MUST be identical at write and
     #    probe time — xxhash64 is deterministic across sessions) ----------
@@ -682,11 +681,21 @@ class MaintainedHashIndex:
         return F.pmod(F.xxhash64(col), F.lit(self.n_pk)).cast("int")
 
     def _seen(self, it: str) -> DataFrame:
-        schema = f"content_hash string, doc {it}, src_batch bigint, hk int"
+        from nornicdb_spark.sources.layout import read_or_empty
+
+        return read_or_empty(
+            self.spark,
+            self.seen_path,
+            f"content_hash string, doc {it}, src_batch bigint, hk int",
+        )
+
+    def _stored_id_type(self) -> str | None:
+        """Doc-id type recovered from the stored table (None = fresh)."""
         try:
-            return self.spark.read.schema(schema).parquet(self.seen_path)
+            df = self.spark.read.parquet(self.seen_path)
         except AnalysisException:
-            return self.spark.createDataFrame([], schema)
+            return None
+        return df.schema["doc"].dataType.simpleString()
 
     def _rows(self, docs: DataFrame) -> DataFrame:
         return docs.select(
@@ -694,13 +703,19 @@ class MaintainedHashIndex:
             F.col(self.id_col).alias("doc"),
         ).withColumn("hk", self._hk())
 
-    def probe(self, docs: DataFrame) -> DataFrame:
+    def probe(
+        self, docs: DataFrame, exclude_batch: int | None = None
+    ) -> DataFrame:
         """(stream_doc, corpus_doc) for batch docs whose exact hash is
         already indexed (corpus_doc = canonical min-id holder). Reads
-        only the batch hashes' hk buckets."""
+        only the batch hashes' hk buckets. When gating inside a
+        foreachBatch body, pass ``exclude_batch=batch_id`` so a replayed
+        batch is judged against the corpus as of its batch — excluding
+        the rows its own first (uncommitted) run appended — and the gate
+        answers exactly as it did the first time."""
         it = docs.schema[self.id_col].dataType.simpleString()
         rows = self._rows(docs).localCheckpoint(eager=True)
-        out = self._probe_rows(rows, it)
+        out = self._probe_rows(rows, it, exclude_batch=exclude_batch)
         scope.escape_frame(rows)
         return out
 
@@ -756,10 +771,14 @@ class MaintainedHashIndex:
             .start()
         )
 
-    def duplicates(self, id_type: str = "bigint") -> DataFrame:
+    def duplicates(self, id_type: str | None = None) -> DataFrame:
         """(content_hash, n_copies, keep_id) for hashes observed more
         than once — the batch ``exact_duplicates`` contract over the
-        ingested corpus (order-invariant aggregates)."""
+        ingested corpus (order-invariant aggregates). The doc-id type is
+        recovered from the stored table; pass ``id_type`` only for a
+        fresh (never-ingested) index whose type has no stored record."""
+        if id_type is None:
+            id_type = self._stored_id_type() or "bigint"
         return (
             self._seen(id_type)
             .groupBy("content_hash")

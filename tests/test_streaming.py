@@ -895,3 +895,74 @@ def test_maintained_graph_bootstrap_then_ingest(spark, tmp_path):
     idx.process_batch(_edge_df(spark, [(12, 3), (40, 41)]), batch_id=0)
     got = {r.node: r.component for r in idx.components().collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 1, 11: 1, 12: 1, 40: 40, 41: 40}
+
+
+def test_maintained_hash_index_probe_excludes_own_batch(spark, tmp_path):
+    # at-least-once replay: the gate must answer as it did on the first
+    # run — a doc the batch itself appended must not read as a duplicate
+    # of itself when the batch is re-delivered
+    from nornicdb_spark.streaming.neardup import MaintainedHashIndex
+
+    idx = MaintainedHashIndex(spark, str(tmp_path / "h"), n_pk=8)
+    batch = spark.createDataFrame([(7, "xyz")], "doc_id long, text string")
+    idx.process_batch(batch, batch_id=0)
+    # stale view (no exclusion): the doc matches its own first-run row
+    assert {(r.stream_doc, r.corpus_doc) for r in idx.probe(batch).collect()} == {
+        (7, 7)
+    }
+    # replay view: judged against the corpus as of the batch — unique
+    assert idx.probe(batch, exclude_batch=0).count() == 0
+
+
+def test_maintained_hash_index_string_ids(spark, tmp_path):
+    # duplicates() recovers the doc-id type from the stored table — a
+    # string-keyed index needs no caller-supplied type
+    from nornicdb_spark.streaming.neardup import MaintainedHashIndex
+
+    idx = MaintainedHashIndex(spark, str(tmp_path / "h"), id_col="uri", n_pk=8)
+    idx.process_batch(
+        spark.createDataFrame(
+            [("a", "xx"), ("b", "xx"), ("c", "yy")], "uri string, text string"
+        ),
+        batch_id=0,
+    )
+    assert {(r.n_copies, r.keep_id) for r in idx.duplicates().collect()} == {
+        (2, "a")
+    }
+
+
+def test_maintained_graph_refuses_stale_batch_ids(spark, tmp_path):
+    # a reset stream checkpoint pointed at an existing index path would
+    # replay old batch ids whose src_batch rows already exist with
+    # different content — the anti-join would silently drop the new
+    # merges, so the guard refuses instead
+    import pytest
+
+    from nornicdb_spark.streaming.graphindex import MaintainedGraphIndex
+
+    idx = MaintainedGraphIndex(spark, str(tmp_path / "g"), n_pk=8)
+    idx.process_batch(_edge_df(spark, [(7, 5)]), batch_id=0)
+    idx.process_batch(_edge_df(spark, [(9, 8)]), batch_id=1)
+    with pytest.raises(ValueError, match="high-water"):
+        idx.process_batch(_edge_df(spark, [(7, 3)]), batch_id=0)
+    # replay of the LATEST batch stays allowed
+    idx.process_batch(_edge_df(spark, [(9, 8)]), batch_id=1)
+    got = {r.node: r.component for r in idx.components().collect()}
+    assert got == {5: 5, 7: 5, 8: 8, 9: 8}
+
+
+def test_maintained_graph_fresh_index_reads(spark, tmp_path):
+    # monitoring reads on a fresh index: components() without nodes_df
+    # fails loudly (no stored id type to infer), components(nodes_df)
+    # returns singletons, compact() is a no-op
+    import pytest
+
+    from nornicdb_spark.streaming.graphindex import MaintainedGraphIndex
+
+    idx = MaintainedGraphIndex(spark, str(tmp_path / "g"), n_pk=8)
+    with pytest.raises(ValueError, match="no stored nodes"):
+        idx.components()
+    nodes = spark.createDataFrame([(1,), (2,)], "node long")
+    got = {r.node: r.component for r in idx.components(nodes).collect()}
+    assert got == {1: 1, 2: 2}
+    idx.compact()  # nothing merged yet — must not raise
