@@ -48,10 +48,35 @@ def read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
     schema also covers file-less directories appends can leave behind."""
     from pyspark.errors import AnalysisException
 
+    import os
+
     try:
         return spark.read.schema(schema).parquet(path)
     except AnalysisException:
+        if os.path.exists(f"{path}.old"):
+            # a rewrite_partitioned swap crashed between its two renames:
+            # the data is intact in <path>.old but a silent empty read
+            # here would make the index "forget" its corpus — be loud
+            raise RuntimeError(
+                f"{path} is missing but {path}.old exists — an "
+                "interrupted compaction left the table un-swapped. "
+                "Re-run the compaction (it restores the original "
+                "directory first) or rename the .old directory back."
+            )
         return spark.createDataFrame([], schema)
+
+
+def stored_col_type(spark: SparkSession, path: str, col: str) -> str | None:
+    """Recover a column's type from a stored table's schema (the caller
+    supplied the id type at write time; reads without a reference frame
+    get it back here). ``None`` when the table does not exist yet."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.parquet(path)
+    except AnalysisException:
+        return None
+    return df.schema[col].dataType.simpleString()
 
 
 def rewrite_partitioned(
@@ -67,10 +92,19 @@ def rewrite_partitioned(
     (``src_batch=N/...`` accumulation) back to a bounded directory
     count. The swap is two renames on a local/HDFS-style filesystem;
     on object stores the same shape is a manifest/metastore pointer
-    swap. MUST run with no concurrent writer (stream stopped)."""
+    swap. MUST run with no concurrent writer (stream stopped). A crash
+    between the two renames leaves the table at ``<path>.old`` — the
+    next run restores it first (and :func:`read_or_empty` refuses to
+    read the half-swapped state as an empty table)."""
     import os
     import shutil
 
+    old = f"{path}.old"
+    if os.path.exists(old):
+        if os.path.exists(path):
+            shutil.rmtree(old)  # completed swap whose cleanup crashed
+        else:
+            os.rename(old, path)  # interrupted swap — restore
     df = transform(spark.read.schema(schema).parquet(path))
     staging, old = f"{path}.compacting", f"{path}.old"
     shutil.rmtree(staging, ignore_errors=True)

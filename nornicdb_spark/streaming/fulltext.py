@@ -94,7 +94,13 @@ class MaintainedBM25Index:
     # -- ingest -------------------------------------------------------------
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """foreachBatch body: tokenize → postings append (idempotent via
-        dynamic overwrite of this batch's partitions) → stats row."""
+        dynamic overwrite of this batch's partitions) → stats row.
+        Out-of-order batch ids (reset checkpoint over an existing index —
+        the dynamic overwrite would silently REPLACE the original
+        batches' postings) are refused via the shared high-water guard."""
+        from nornicdb_spark.streaming import guard
+
+        guard.check_batch(self.path, batch_id)
         toks = batch_df.select(
             F.col(self.id_col).alias("doc_id"),
             tokens_col(F.col(self.text_col)).alias("tokens"),
@@ -131,8 +137,9 @@ class MaintainedBM25Index:
             .partitionBy("batch_id")
             .parquet(self.stats_path)
         )
+        guard.record_batch(self.path, batch_id)
 
-    def compact(self, id_type: str = "bigint") -> None:
+    def compact(self, id_type: str | None = None) -> None:
         """Fold every ingested batch's postings into the compacted era
         (``src_batch = -2``) — the maintenance job the two-level layout
         calls for: a long-running stream accumulates one ``src_batch=N``
@@ -140,9 +147,17 @@ class MaintainedBM25Index:
         bounded set of ``tk`` partitions (searches are src_batch-
         agnostic, so results are unchanged — tested). MUST run in a
         maintenance window (stream stopped): replaying a pre-compaction
-        batch afterwards would re-append its folded postings."""
-        from nornicdb_spark.sources.layout import rewrite_partitioned
+        batch afterwards would re-append its folded postings. The doc-id
+        type is recovered from the stored table when not supplied."""
+        from nornicdb_spark.sources.layout import (
+            rewrite_partitioned,
+            stored_col_type,
+        )
 
+        if id_type is None:
+            id_type = stored_col_type(self.spark, self.postings_path, "doc_id")
+            if id_type is None:
+                return  # nothing ingested yet — nothing to compact
         rewrite_partitioned(
             self.spark,
             self.postings_path,
@@ -198,10 +213,21 @@ class MaintainedBM25Index:
             .filter(F.col("term").isin(*terms))
         )
 
-    def search(self, query: str, k: int = 10, id_type: str = "bigint") -> DataFrame:
+    def search(
+        self, query: str, k: int = 10, id_type: str | None = None
+    ) -> DataFrame:
         """Exact-term top-k BM25 over the maintained postings — same
         scoring (and same result) as the static index on the same
-        corpus; the scan touches only the query terms' partitions."""
+        corpus; the scan touches only the query terms' partitions. The
+        doc-id type is recovered from the stored table when not given
+        (falls back to bigint on a never-ingested index)."""
+        if id_type is None:
+            from nornicdb_spark.sources.layout import stored_col_type
+
+            id_type = (
+                stored_col_type(self.spark, self.postings_path, "doc_id")
+                or "bigint"
+            )
         terms = tokenize_query(query)
         if not terms:
             return self.spark.createDataFrame([], f"doc_id {id_type}, score double")

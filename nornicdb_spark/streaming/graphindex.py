@@ -72,10 +72,10 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.errors import AnalysisException
 
 from nornicdb_spark.operators import scope
 from nornicdb_spark.sources.layout import read_or_empty, write_partitioned
+from nornicdb_spark.streaming import guard
 
 __all__ = ["MaintainedGraphIndex"]
 
@@ -138,11 +138,9 @@ class MaintainedGraphIndex:
         """Node-id type of a stored table (the caller supplied it at
         write time; reads without a reference frame recover it here).
         ``None`` when the table does not exist yet (fresh index)."""
-        try:
-            df = self.spark.read.parquet(path)
-        except AnalysisException:
-            return None
-        return df.schema[col].dataType.simpleString()
+        from nornicdb_spark.sources.layout import stored_col_type
+
+        return stored_col_type(self.spark, path, col)
 
     def _hk(self, col: str = "node"):
         return F.pmod(F.xxhash64(col), F.lit(self.n_pk)).cast("int")
@@ -150,42 +148,18 @@ class MaintainedGraphIndex:
     def _mk(self, col: str = "old"):
         return F.pmod(F.xxhash64(col), F.lit(self.n_pk)).cast("int")
 
-    # -- ingest guard -------------------------------------------------------
+    # -- ingest guard (streaming/guard.py) ----------------------------------
     # The replay anti-joins assume a batch_id identifies ONE batch for
     # the life of the index: a reset stream checkpoint pointed at an
     # existing index path would replay ids whose src_batch rows already
     # exist with DIFFERENT content, and the anti-join would silently
     # drop the new merges (permanent connectivity corruption). The
-    # high-water marker makes that operator mistake loud instead.
-    @property
-    def _guard_path(self) -> str:
-        return f"{self.path}/_max_batch"
-
-    def _max_batch_seen(self) -> int | None:
-        try:
-            with open(self._guard_path) as f:
-                return int(f.read().strip())
-        except (FileNotFoundError, ValueError):
-            return None
+    # shared high-water marker makes that operator mistake loud instead.
+    def _check_batch(self, batch_id: int) -> None:
+        guard.check_batch(self.path, batch_id)
 
     def _record_batch(self, batch_id: int, reset: bool = False) -> None:
-        os.makedirs(self.path, exist_ok=True)
-        prior = None if reset else self._max_batch_seen()
-        hi = int(batch_id) if prior is None else max(int(batch_id), prior)
-        with open(self._guard_path, "w") as f:
-            f.write(str(hi))
-
-    def _check_batch(self, batch_id: int) -> None:
-        prior = self._max_batch_seen()
-        if prior is not None and int(batch_id) < prior:
-            raise ValueError(
-                f"batch_id {batch_id} is below this index's high-water "
-                f"mark {prior}: the stream checkpoint does not match the "
-                "index path (reset checkpoint over an existing index?). "
-                "Refusing to ingest — replays are only valid for the "
-                "latest batch. Re-bootstrap or point the stream at a "
-                "fresh index path."
-            )
+        guard.record_batch(self.path, batch_id, reset=reset)
 
     # -- resolution ---------------------------------------------------------
     def _resolve(

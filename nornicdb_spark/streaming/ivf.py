@@ -148,12 +148,22 @@ class MaintainedIVFIndex:
             "list_id int, center array<double>",
         ).coalesce(1).write.mode("overwrite").parquet(self.centroids_path)
         self._centers = None  # reload from the persisted truth
+        # a (re)bootstrap starts a fresh stream era — reset the guard
+        from nornicdb_spark.streaming import guard
+
+        guard.record_batch(self.path, -1, reset=True)
         self.process_batch(vectors, batch_id=-1)
 
     # -- ingest ---------------------------------------------------------------
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """foreachBatch body: assign → quantize → append (idempotent via
-        dynamic overwrite of this batch's partitions)."""
+        dynamic overwrite of this batch's partitions). Out-of-order
+        batch ids (reset checkpoint over an existing index — the dynamic
+        overwrite would silently REPLACE the original batches' codes)
+        are refused via the shared high-water guard."""
+        from nornicdb_spark.streaming import guard
+
+        guard.check_batch(self.path, batch_id)
         (
             self._rows(batch_df, batch_id)
             .write.mode("overwrite")
@@ -161,15 +171,24 @@ class MaintainedIVFIndex:
             .partitionBy("src_batch", "list_id")
             .parquet(self.codes_path)
         )
+        guard.record_batch(self.path, batch_id)
 
-    def compact(self, id_type: str = "bigint") -> None:
+    def compact(self, id_type: str | None = None) -> None:
         """Fold every ingested batch's codes into the compacted era
         (``src_batch = -2``) — bounds the directory count of a
         long-running ingest to n_lists partitions. MUST run in a
         maintenance window (stream stopped): replaying a pre-compaction
-        batch afterwards would re-append its folded codes."""
-        from nornicdb_spark.sources.layout import rewrite_partitioned
+        batch afterwards would re-append its folded codes. The vec-id
+        type is recovered from the stored table when not supplied."""
+        from nornicdb_spark.sources.layout import (
+            rewrite_partitioned,
+            stored_col_type,
+        )
 
+        if id_type is None:
+            id_type = stored_col_type(self.spark, self.codes_path, "vec_id")
+            if id_type is None:
+                return  # nothing ingested yet — nothing to compact
         rewrite_partitioned(
             self.spark,
             self.codes_path,
@@ -212,7 +231,7 @@ class MaintainedIVFIndex:
         k: int = 10,
         n_probe: int = 4,
         refine: int = 4,
-        id_type: str = "bigint",
+        id_type: str | None = None,
     ) -> DataFrame:
         """Top-k cosine: probe the n_probe nearest lists, int8-score
         their codes, exact-refine the top k·refine against ``refine_src``
@@ -220,6 +239,13 @@ class MaintainedIVFIndex:
         are fetched). Returns (vec_id, score) descending, ties by id."""
         from nornicdb_spark.search.vector import _lit_vec, cosine_topk
 
+        if id_type is None:
+            from nornicdb_spark.sources.layout import stored_col_type
+
+            id_type = (
+                stored_col_type(self.spark, self.codes_path, "vec_id")
+                or "bigint"
+            )
         qn = float(sum(float(x) * float(x) for x in query_vec)) ** 0.5
         centers = self.centers()
 

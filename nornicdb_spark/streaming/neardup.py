@@ -65,7 +65,6 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.errors import AnalysisException
 
 from nornicdb_spark.operators import scope
 from nornicdb_spark.sources.layout import write_partitioned
@@ -265,6 +264,10 @@ class _MaintainedIndexBase:
         # a doc whose every bucket was full keeps no band rows and can
         # never be a candidate — its payload row would be dead weight
         write_partitioned(self._payload_row(rows), self.payload_path, "hk")
+        # a (re)bootstrap starts a fresh stream era — reset the guard
+        from nornicdb_spark.streaming import guard
+
+        guard.record_batch(self.path, -1, reset=True)
 
     # -- probe ------------------------------------------------------------
     def probe(self, docs: DataFrame) -> DataFrame:
@@ -341,7 +344,15 @@ class _MaintainedIndexBase:
         side and the accepted-append side. Matches dynamic-OVERWRITE
         their own batch_id partition and accepted docs are anti-joined
         against the existing payload table (hk-pruned), so a replayed
-        batch is a no-op — see the module failure-model note."""
+        batch is a no-op — see the module failure-model note. Out-of-
+        order batch ids (reset checkpoint over an existing index) are
+        refused via the shared high-water guard: the matches dynamic
+        overwrite would silently REPLACE the original batch's recorded
+        matches, and the probe's src_batch exclusion would hide live
+        index rows."""
+        from nornicdb_spark.streaming import guard
+
+        guard.check_batch(self.path, batch_id)
         it = self._id_type(batch_df)
         rows = self._rows(batch_df).localCheckpoint(eager=True)
         matches = self._probe_rows(
@@ -399,6 +410,7 @@ class _MaintainedIndexBase:
         write_partitioned(
             self._payload_row(accepted), self.payload_path, "hk", mode="append"
         )
+        guard.record_batch(self.path, batch_id)
         # per-batch blocks: deferred release via the session registry
         scope.escape_frame(rows)
         scope.escape_frame(matches)
@@ -417,11 +429,19 @@ class _MaintainedIndexBase:
             .start()
         )
 
-    def matches(self, id_type: str = "bigint") -> DataFrame:
-        """All recorded near-dup matches. ``id_type`` supplies the doc-id
-        type for the explicit schema (a match-less run leaves a file-less
-        dir that Spark cannot infer from). batch_id is the partition
-        column, so per-batch read-backs prune to one directory."""
+    def matches(self, id_type: str | None = None) -> DataFrame:
+        """All recorded near-dup matches. The doc-id type is recovered
+        from the stored payload table when not supplied (a match-less
+        run leaves a file-less matches dir that Spark cannot infer
+        from; fresh indexes fall back to bigint). batch_id is the
+        partition column, so per-batch read-backs prune to one dir."""
+        if id_type is None:
+            from nornicdb_spark.sources.layout import stored_col_type
+
+            id_type = (
+                stored_col_type(self.spark, self.payload_path, "doc")
+                or "bigint"
+            )
         return self._read(
             self.matches_path,
             f"stream_doc {id_type}, corpus_doc {id_type},"
@@ -460,9 +480,12 @@ class MaintainedBandIndex(_MaintainedIndexBase):
         self.n_bands = n_bands
         self.text_col = text_col
 
-    # legacy alias — the payload table held hash sets before the
-    # two-modality refactor; keep the old directory name so round-8
-    # indexes on disk stay readable
+    # directory-name alias — the payload table held hash sets before
+    # the two-modality refactor; callers and tests address it as
+    # "hashes". NOTE: this preserves the NAME only — a pre-pk/hk-layout
+    # index (no partition columns) reads back with NULL pk/hk and every
+    # pruned probe would skip its rows, so old layouts need a
+    # bootstrap() rebuild, not an in-place upgrade.
     @property
     def payload_path(self) -> str:
         return f"{self.path}/hashes"
@@ -691,11 +714,9 @@ class MaintainedHashIndex:
 
     def _stored_id_type(self) -> str | None:
         """Doc-id type recovered from the stored table (None = fresh)."""
-        try:
-            df = self.spark.read.parquet(self.seen_path)
-        except AnalysisException:
-            return None
-        return df.schema["doc"].dataType.simpleString()
+        from nornicdb_spark.sources.layout import stored_col_type
+
+        return stored_col_type(self.spark, self.seen_path, "doc")
 
     def _rows(self, docs: DataFrame) -> DataFrame:
         return docs.select(
@@ -739,6 +760,9 @@ class MaintainedHashIndex:
         """Append this batch's observation rows (hash membership probe is
         the caller's gate via :meth:`probe`; the log keeps EVERY
         observation so copy counts stay exact). Replay-idempotent."""
+        from nornicdb_spark.streaming import guard
+
+        guard.check_batch(self.path, batch_id)
         it = batch_df.schema[self.id_col].dataType.simpleString()
         rows = self._rows(batch_df).localCheckpoint(eager=True)
         hks = [r.hk for r in rows.select("hk").distinct().collect()]
@@ -760,6 +784,7 @@ class MaintainedHashIndex:
                 "hk",
                 mode="append",
             )
+        guard.record_batch(self.path, batch_id)
         scope.escape_frame(rows)
 
     def ingest(self, stream_df: DataFrame, query_name: str):

@@ -654,9 +654,10 @@ def test_maintained_ivf_index_ingest_search_and_replay(spark, sf_dir, tmp_path):
     assert codes.count() == emb.count()
     assert codes.select("vec_id").distinct().count() == emb.count()
 
-    # replay: byte-identical no-op
+    # replay of the LATEST batch (the only kind foreachBatch re-delivers
+    # — older ids are refused by the high-water guard): byte-identical
     before = sorted(r.vec_id for r in codes.select("vec_id").collect())
-    idx.process_batch(emb.filter(F.col("vec_id") % 3 == 1), batch_id=1)
+    idx.process_batch(emb.filter(F.col("vec_id") % 3 == 2), batch_id=2)
     after = sorted(
         r.vec_id
         for r in spark.read.parquet(idx.codes_path).select("vec_id").collect()
@@ -966,3 +967,69 @@ def test_maintained_graph_fresh_index_reads(spark, tmp_path):
     got = {r.node: r.component for r in idx.components(nodes).collect()}
     assert got == {1: 1, 2: 2}
     idx.compact()  # nothing merged yet — must not raise
+
+
+def test_maintained_indexes_refuse_stale_batch_ids(spark, sf_dir, tmp_path):
+    # the shared high-water guard (streaming/guard.py): a reset stream
+    # checkpoint over an existing index restarts batch ids at 0 and the
+    # replay machinery (dynamic overwrite / src_batch anti-joins) would
+    # silently destroy earlier batches' state — every maintained index
+    # must refuse instead. Replays of the latest batch stay valid.
+    import pytest
+
+    from nornicdb_spark.catalog import Catalog
+    from nornicdb_spark.streaming.fulltext import MaintainedBM25Index
+    from nornicdb_spark.streaming.neardup import (
+        MaintainedBandIndex,
+        MaintainedHashIndex,
+    )
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text").limit(30)
+
+    ft = MaintainedBM25Index(spark, str(tmp_path / "ft"))
+    ft.process_batch(docs, batch_id=0)
+    ft.process_batch(docs, batch_id=1)
+    with pytest.raises(ValueError, match="high-water"):
+        ft.process_batch(docs, batch_id=0)
+    ft.process_batch(docs, batch_id=1)  # latest-batch replay ok
+
+    hx = MaintainedHashIndex(spark, str(tmp_path / "hx"), n_pk=8)
+    hx.process_batch(docs, batch_id=0)
+    hx.process_batch(docs, batch_id=2)
+    with pytest.raises(ValueError, match="high-water"):
+        hx.process_batch(docs, batch_id=1)
+
+    bd = MaintainedBandIndex(spark, str(tmp_path / "bd"), n_pk=8)
+    bd.process_batch(docs, batch_id=5)
+    with pytest.raises(ValueError, match="high-water"):
+        bd.process_batch(docs, batch_id=4)
+    # a re-bootstrap starts a fresh era — low batch ids are valid again
+    bd.bootstrap(docs)
+    bd.process_batch(docs, batch_id=0)
+
+
+def test_rewrite_partitioned_recovers_interrupted_swap(spark, tmp_path):
+    # a compaction crash between the two renames leaves the table at
+    # <path>.old — reads must refuse the half-swapped state (not return
+    # an empty table) and the next rewrite must restore it first
+    import os
+
+    import pytest
+
+    from nornicdb_spark.sources.layout import (
+        read_or_empty,
+        rewrite_partitioned,
+    )
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(1, 0), (2, 1)], "v long, pk int").write.partitionBy(
+        "pk"
+    ).parquet(path)
+    os.rename(path, f"{path}.old")  # simulate the crash window
+    with pytest.raises(RuntimeError, match="interrupted compaction"):
+        read_or_empty(spark, path, "v long, pk int")
+    rewrite_partitioned(
+        spark, path, "v long, pk int", lambda df: df, "pk"
+    )  # restores, then rewrites
+    assert read_or_empty(spark, path, "v long, pk int").count() == 2
+    assert not os.path.exists(f"{path}.old")
