@@ -604,11 +604,21 @@ def bm25_weighted(spark, sf_dir):
     return out.select("doc_id", F.round("score", 9).alias("score"))
 
 
+_IVF_SERVE_MEMO: dict = {}
+
+
 def _maintained_ivf_index(spark, sf_dir):
     # the maintained IVF+int8 serving index (streaming/ivf.py — live
     # vector-DB ingest, reference vector_index.go Add semantics):
     # centroids trained on the seed third of the corpus, the other two
     # thirds ingested as later batches against the frozen centroids.
+    # Memoized per (session, sf_dir) — the rows-only query and its
+    # recall gate twin share one KMeans fit + ingest (the bm25
+    # shared_index discipline); the build is deterministic, so the memo
+    # changes cost, not results.
+    key = (id(spark), sf_dir)
+    if key in _IVF_SERVE_MEMO:
+        return _IVF_SERVE_MEMO[key]
     import shutil
 
     from nornicdb_spark.streaming.ivf import MaintainedIVFIndex
@@ -621,7 +631,8 @@ def _maintained_ivf_index(spark, sf_dir):
     idx.bootstrap(emb.filter(F.col("vec_id") % 3 == 0), n_lists=8)
     for b in (1, 2):
         idx.process_batch(emb.filter(F.col("vec_id") % 3 == b), batch_id=b)
-    return idx, emb
+    _IVF_SERVE_MEMO[key] = (idx, emb)
+    return _IVF_SERVE_MEMO[key]
 
 
 @register("stream_ann_ivf_int8")  # approximate — rows-only; recall twin below
