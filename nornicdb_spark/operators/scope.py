@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame
 
 __all__ = [
     "CkptScope",
+    "SessionMemo",
     "capture_escapes",
     "escape_frame",
     "escape_rdd",
@@ -243,6 +244,45 @@ def storage_rdd_count(spark) -> int:
             if i.numCachedPartitions() > 0
         ]
     )
+
+
+class SessionMemo:
+    """Per-(session, key) memo for expensive deterministic builds shared
+    by twin queries (an index + its recall gate reuse one build). Keyed
+    by ``(id(spark), key)`` with the session object held alongside, and
+    every access first EVICTS entries whose session has been stopped
+    (``sparkContext._jsc is None``) — so a dead session's memoized
+    frames/index objects are released at the next memo touch instead of
+    pinning the interpreter forever, and a new session that happens to
+    reuse a dead session's ``id()`` can never read its entries (the
+    stopped entry is evicted before lookup)."""
+
+    def __init__(self):
+        self._entries: dict = {}  # (id(spark), key) -> (spark, value)
+
+    def _evict_stopped(self) -> None:
+        dead = [
+            k
+            for k, (s, _) in self._entries.items()
+            if getattr(s.sparkContext, "_jsc", None) is None
+        ]
+        for k in dead:
+            del self._entries[k]
+
+    def get(self, spark, key):
+        """The memoized value, or None (None is never a stored value —
+        the memoized builds return index/frame tuples)."""
+        self._evict_stopped()
+        hit = self._entries.get((id(spark), key))
+        return hit[1] if hit is not None else None
+
+    def put(self, spark, key, value):
+        self._evict_stopped()
+        self._entries[(id(spark), key)] = (spark, value)
+        return value
+
+    def __len__(self) -> int:
+        return len(self._entries)
 
 
 class CkptScope:

@@ -604,7 +604,7 @@ def bm25_weighted(spark, sf_dir):
     return out.select("doc_id", F.round("score", 9).alias("score"))
 
 
-_IVF_SERVE_MEMO: dict = {}
+_IVF_SERVE_MEMO = scope.SessionMemo()
 
 
 def _maintained_ivf_index(spark, sf_dir):
@@ -615,10 +615,11 @@ def _maintained_ivf_index(spark, sf_dir):
     # Memoized per (session, sf_dir) — the rows-only query and its
     # recall gate twin share one KMeans fit + ingest (the bm25
     # shared_index discipline); the build is deterministic, so the memo
-    # changes cost, not results.
-    key = (id(spark), sf_dir)
-    if key in _IVF_SERVE_MEMO:
-        return _IVF_SERVE_MEMO[key]
+    # changes cost, not results. SessionMemo evicts stopped sessions'
+    # entries, so the memo pins neither dead sessions nor their frames.
+    hit = _IVF_SERVE_MEMO.get(spark, sf_dir)
+    if hit is not None:
+        return hit
     import shutil
 
     from nornicdb_spark.streaming.ivf import MaintainedIVFIndex
@@ -631,8 +632,7 @@ def _maintained_ivf_index(spark, sf_dir):
     idx.bootstrap(emb.filter(F.col("vec_id") % 3 == 0), n_lists=8)
     for b in (1, 2):
         idx.process_batch(emb.filter(F.col("vec_id") % 3 == b), batch_id=b)
-    _IVF_SERVE_MEMO[key] = (idx, emb)
-    return _IVF_SERVE_MEMO[key]
+    return _IVF_SERVE_MEMO.put(spark, sf_dir, (idx, emb))
 
 
 @register("stream_ann_ivf_int8")  # approximate — rows-only; recall twin below

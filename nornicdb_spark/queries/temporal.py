@@ -910,7 +910,9 @@ def _vec_batches(emb):
     return [emb.filter(F.pmod("vec_id", F.lit(3)) == b) for b in range(3)]
 
 
-_VEC_IDX_MEMO: dict = {}
+from nornicdb_spark.operators import scope as _scope
+
+_VEC_IDX_MEMO = _scope.SessionMemo()
 
 
 def _maintained_vec_matches(spark, sf_dir):
@@ -927,10 +929,11 @@ def _maintained_vec_matches(spark, sf_dir):
     # with a deterministic batch split, which a file-stream source
     # cannot guarantee. Memoized per (session, sf_dir): the rows-only
     # query and its gate twin share one ingest (deterministic build —
-    # the memo changes cost, not results).
-    key = (id(spark), sf_dir)
-    if key in _VEC_IDX_MEMO:
-        return _VEC_IDX_MEMO[key]
+    # the memo changes cost, not results); SessionMemo evicts stopped
+    # sessions' entries so dead sessions are not pinned.
+    hit = _VEC_IDX_MEMO.get(spark, sf_dir)
+    if hit is not None:
+        return hit
     import shutil
 
     from nornicdb_spark.streaming.neardup import MaintainedVecIndex
@@ -945,8 +948,7 @@ def _maintained_vec_matches(spark, sf_dir):
         idx.process_batch(batch, batch_id=b)
     it = emb.schema["vec_id"].dataType.simpleString()
     out = idx.matches(id_type=it)
-    _VEC_IDX_MEMO[key] = out
-    return out
+    return _VEC_IDX_MEMO.put(spark, sf_dir, out)
 
 
 @register("stream_vec_dedup_int8")  # approximate banding — rows-only;

@@ -15,6 +15,33 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Default hash-partition bucket count for the maintained indexes'
+# pruned tables (near-dup bands/payload, graph nodes/merges, BM25 term
+# buckets). One home so a cluster deployment retunes it once: size as
+# index_bytes / target_partition_bytes (~128 MB) — e.g. ~1024 for a
+# 100 TB corpus' band index; locally a modest default keeps test
+# directory counts sane without changing the plan shape.
+DEFAULT_N_PK = 64
+
+
+def recover_interrupted_swap(path: str) -> None:
+    """Finish a :func:`rewrite_partitioned` swap that crashed between its
+    two renames: ``<path>.old`` holding the only copy of the data is
+    restored to ``path``; a leftover ``.old`` beside an intact ``path``
+    (cleanup crashed after a COMPLETED swap) is removed. Callers that
+    probe the table before rewriting (the maintained indexes' compact()
+    entry points) run this first so a default-argument re-run actually
+    performs the recovery the error messages promise."""
+    import os
+    import shutil
+
+    old = f"{path}.old"
+    if os.path.exists(old):
+        if os.path.exists(path):
+            shutil.rmtree(old)  # completed swap whose cleanup crashed
+        else:
+            os.rename(old, path)  # interrupted swap — restore
+
 
 def write_partitioned(
     df: DataFrame, path: str, *partition_cols: str, mode: str = "overwrite"
@@ -69,12 +96,25 @@ def read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
 def stored_col_type(spark: SparkSession, path: str, col: str) -> str | None:
     """Recover a column's type from a stored table's schema (the caller
     supplied the id type at write time; reads without a reference frame
-    get it back here). ``None`` when the table does not exist yet."""
+    get it back here). ``None`` when the table does not exist yet — but
+    NOT when it is merely half-swapped: a missing path with a
+    ``<path>.old`` sibling is an interrupted compaction, and treating it
+    as 'never ingested' would let a default-argument compact() skip the
+    restore silently. Same loud refusal as :func:`read_or_empty`."""
     from pyspark.errors import AnalysisException
+
+    import os
 
     try:
         df = spark.read.parquet(path)
     except AnalysisException:
+        if os.path.exists(f"{path}.old"):
+            raise RuntimeError(
+                f"{path} is missing but {path}.old exists — an "
+                "interrupted compaction left the table un-swapped. "
+                "Run recover_interrupted_swap (compact() does so "
+                "automatically) or rename the .old directory back."
+            )
         return None
     return df.schema[col].dataType.simpleString()
 
@@ -99,12 +139,7 @@ def rewrite_partitioned(
     import os
     import shutil
 
-    old = f"{path}.old"
-    if os.path.exists(old):
-        if os.path.exists(path):
-            shutil.rmtree(old)  # completed swap whose cleanup crashed
-        else:
-            os.rename(old, path)  # interrupted swap — restore
+    recover_interrupted_swap(path)
     df = transform(spark.read.schema(schema).parquet(path))
     staging, old = f"{path}.compacting", f"{path}.old"
     shutil.rmtree(staging, ignore_errors=True)

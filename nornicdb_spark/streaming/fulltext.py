@@ -55,7 +55,9 @@ from nornicdb_spark.search.bm25 import (
 
 __all__ = ["MaintainedBM25Index"]
 
-N_PK = 64  # term-hash bucket count; size as index_bytes / ~128 MB at scale
+# term-hash bucket count — one home for the whole maintained family
+# (sizing story + cluster retune point live in sources/layout.py)
+from nornicdb_spark.sources.layout import DEFAULT_N_PK as N_PK
 
 
 class MaintainedBM25Index:
@@ -146,14 +148,24 @@ class MaintainedBM25Index:
         directory per batch; compaction rewrites them into a single
         bounded set of ``tk`` partitions (searches are src_batch-
         agnostic, so results are unchanged — tested). MUST run in a
-        maintenance window (stream stopped): replaying a pre-compaction
-        batch afterwards would re-append its folded postings. The doc-id
+        maintenance window (stream stopped, checkpoint committed, no
+        replay pending) — and that contract is ENFORCED, not just
+        documented: the guard high-water is advanced past the latest
+        ingested batch afterwards, so a replay of even that batch
+        (which would re-append its folded postings as a fresh
+        ``src_batch=N`` partition — double-counted df/tf) is refused
+        instead of silently blessed. An interrupted prior compaction is
+        recovered first, so a default-argument re-run performs the
+        restore the crash-recovery error messages promise. The doc-id
         type is recovered from the stored table when not supplied."""
         from nornicdb_spark.sources.layout import (
+            recover_interrupted_swap,
             rewrite_partitioned,
             stored_col_type,
         )
+        from nornicdb_spark.streaming import guard
 
+        recover_interrupted_swap(self.postings_path)
         if id_type is None:
             id_type = stored_col_type(self.spark, self.postings_path, "doc_id")
             if id_type is None:
@@ -169,6 +181,7 @@ class MaintainedBM25Index:
             "src_batch",
             "tk",
         )
+        guard.advance_epoch(self.path)
 
     def ingest(self, stream_df: DataFrame, query_name: str):
         """Attach the ingest loop to a document stream; returns the

@@ -79,9 +79,9 @@ from nornicdb_spark.streaming import guard
 
 __all__ = ["MaintainedGraphIndex"]
 
-# hash-partition bucket count for nodes/merges — same sizing story as
-# streaming/neardup.N_PK (index_bytes / ~128 MB on a cluster)
-N_PK = 64
+# hash-partition bucket count for nodes/merges — one home for the whole
+# maintained family (sizing story + cluster retune point live there)
+from nornicdb_spark.sources.layout import DEFAULT_N_PK as N_PK
 
 
 class MaintainedGraphIndex:
@@ -106,6 +106,9 @@ class MaintainedGraphIndex:
         # resolution-chase ceiling: hitting it means the forest needs a
         # compact() (depth grows only via cross-batch merge generations)
         self.max_depth = int(max_depth)
+        # chase depth of the most recent _resolve on THIS instance —
+        # the per-batch observable that drives the compaction cadence
+        self.last_resolve_depth = 0
 
     # -- paths / schemas ----------------------------------------------------
     @property
@@ -148,6 +151,38 @@ class MaintainedGraphIndex:
     def _mk(self, col: str = "old"):
         return F.pmod(F.xxhash64(col), F.lit(self.n_pk)).cast("int")
 
+    # -- depth metric ---------------------------------------------------------
+    # Per-batch resolve cost is O(n_b · depth) pruned joins and each
+    # join is a driver round trip, so forest depth is the ingest-latency
+    # knob — and only compact() resets it. The latest batch's measured
+    # chase depth is persisted beside the guard marker so an operator
+    # (or an ingest hook) can apply the cadence rule without replaying
+    # anything: compact when chase_depth() > d0 (SCALING.md §maintained;
+    # d0 defaults to 8 — resolution stays ≤ 8 joins per batch while
+    # compaction itself costs only O(log depth) self-joins of the LOG).
+    _DEPTH_MARKER = "_chase_depth"
+
+    def _record_depth(self, depth: int) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        with open(os.path.join(self.path, self._DEPTH_MARKER), "w") as f:
+            f.write(str(int(depth)))
+
+    def chase_depth(self) -> int | None:
+        """Parent-pointer chase depth measured by the LATEST batch's
+        resolution (None before any batch has resolved). Decreases only
+        via :meth:`compact`."""
+        try:
+            with open(os.path.join(self.path, self._DEPTH_MARKER)) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def needs_compact(self, d0: int = 8) -> bool:
+        """The compaction cadence rule: True once the latest batch's
+        chase depth exceeds ``d0``."""
+        d = self.chase_depth()
+        return d is not None and d > int(d0)
+
     # -- ingest guard (streaming/guard.py) ----------------------------------
     # The replay anti-joins assume a batch_id identifies ONE batch for
     # the life of the index: a reset stream checkpoint pointed at an
@@ -177,6 +212,7 @@ class MaintainedGraphIndex:
         lab = frontier.select("node", F.col("node").alias("lbl")).localCheckpoint(
             eager=True
         )
+        self.last_resolve_depth = 0
         try:
             for _ in range(self.max_depth):
                 mks = [
@@ -204,6 +240,7 @@ class MaintainedGraphIndex:
                 lab = nxt
                 if moved == 0:
                     break
+                self.last_resolve_depth += 1
             else:
                 raise RuntimeError(
                     f"merge-forest depth exceeds {self.max_depth}; run "
@@ -280,6 +317,7 @@ class MaintainedGraphIndex:
         roots = self._resolve(
             endpoints, it, exclude_batch=int(batch_id)
         ).localCheckpoint(eager=True)
+        self._record_depth(self.last_resolve_depth)
         contracted = (
             edges.join(roots.withColumnRenamed("node", "src"), "src")
             .withColumnRenamed("root", "ra")
@@ -449,7 +487,15 @@ class MaintainedGraphIndex:
         single pruned join). Same quiesce contract as the other
         maintained indexes' compaction — stream stopped, all batches
         committed, no replay pending; compacted rows land in the
-        src_batch=-1 era so no future replay can exclude them."""
+        src_batch=-1 era so no future replay can exclude them. Unlike
+        the BM25/IVF compactions this one needs no guard-epoch bump: a
+        post-compaction replay resolves its endpoints to already-merged
+        roots, contracts to zero edges, and no-ops. An interrupted
+        prior compaction is recovered first, so a re-run performs the
+        restore the crash-recovery error messages promise."""
+        from nornicdb_spark.sources.layout import recover_interrupted_swap
+
+        recover_interrupted_swap(self.merges_path)
         it = self._stored_id_type(self.merges_path, "old")
         if it is None:
             return  # nothing merged yet — nothing to compact
@@ -475,3 +521,6 @@ class MaintainedGraphIndex:
             )
         finally:
             scope.unpersist_frame(flat)
+        # the forest is depth 1 now — reset the cadence metric so
+        # needs_compact() stops firing until chains regrow
+        self._record_depth(1)

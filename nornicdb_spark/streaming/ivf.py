@@ -177,14 +177,23 @@ class MaintainedIVFIndex:
         """Fold every ingested batch's codes into the compacted era
         (``src_batch = -2``) — bounds the directory count of a
         long-running ingest to n_lists partitions. MUST run in a
-        maintenance window (stream stopped): replaying a pre-compaction
-        batch afterwards would re-append its folded codes. The vec-id
-        type is recovered from the stored table when not supplied."""
+        maintenance window (stream stopped, checkpoint committed, no
+        replay pending) — ENFORCED: the guard high-water advances past
+        the latest ingested batch afterwards, so a replay of even that
+        batch (re-appending its folded codes → double-counted vectors)
+        is refused instead of silently blessed. An interrupted prior
+        compaction is recovered first, so a default-argument re-run
+        performs the restore the crash-recovery error messages promise.
+        The vec-id type is recovered from the stored table when not
+        supplied."""
         from nornicdb_spark.sources.layout import (
+            recover_interrupted_swap,
             rewrite_partitioned,
             stored_col_type,
         )
+        from nornicdb_spark.streaming import guard
 
+        recover_interrupted_swap(self.codes_path)
         if id_type is None:
             id_type = stored_col_type(self.spark, self.codes_path, "vec_id")
             if id_type is None:
@@ -198,6 +207,7 @@ class MaintainedIVFIndex:
             "src_batch",
             "list_id",
         )
+        guard.advance_epoch(self.path)
 
     def ingest(self, stream_df: DataFrame, query_name: str):
         """Attach the ingest loop to a vector stream; requires a prior

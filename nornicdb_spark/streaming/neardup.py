@@ -77,11 +77,10 @@ from nornicdb_spark.operators.dedup import (
 
 __all__ = ["MaintainedBandIndex", "MaintainedVecIndex", "MaintainedHashIndex"]
 
-# Default hash-partition bucket count for the bands/payload tables. On a
-# real cluster size it as index_bytes / target_partition_bytes (~128 MB)
-# — e.g. ~1024 for a 100 TB corpus' band index; locally a modest default
-# keeps test directory counts sane without changing the plan shape.
-N_PK = 64
+# Hash-partition bucket count for the bands/payload tables — one home
+# for the whole maintained family (sizing story + cluster retune point
+# live there).
+from nornicdb_spark.sources.layout import DEFAULT_N_PK as N_PK
 
 
 class _MaintainedIndexBase:

@@ -1033,3 +1033,155 @@ def test_rewrite_partitioned_recovers_interrupted_swap(spark, tmp_path):
     )  # restores, then rewrites
     assert read_or_empty(spark, path, "v long, pk int").count() == 2
     assert not os.path.exists(f"{path}.old")
+
+
+def test_compact_recovers_interrupted_swap_with_default_args(
+    spark, sf_dir, tmp_path
+):
+    # the crash-window error message tells the operator to "re-run the
+    # compaction (it restores the original directory first)" — that must
+    # hold for a DEFAULT-ARGUMENT compact(): the id-type probe runs
+    # before the rewrite, and treating the half-swapped table as "never
+    # ingested" would skip the restore silently (round-9 advice).
+    import os
+
+    from nornicdb_spark.catalog import Catalog
+    from nornicdb_spark.sources.layout import stored_col_type
+    from nornicdb_spark.streaming.fulltext import MaintainedBM25Index
+
+    docs = Catalog(spark, sf_dir).documents
+    idx = MaintainedBM25Index(spark, str(tmp_path / "ftcrash"))
+    for b in range(2):
+        idx.process_batch(docs.filter(F.col("doc_id") % 2 == b), batch_id=b)
+    q = "spark join query performance"
+    before = [
+        (r.doc_id, round(r.score, 9)) for r in idx.search(q, k=10).collect()
+    ]
+    os.rename(idx.postings_path, f"{idx.postings_path}.old")  # crash window
+    # the type probe itself refuses the half-swapped state
+    with pytest.raises(RuntimeError, match="interrupted compaction"):
+        stored_col_type(spark, idx.postings_path, "doc_id")
+    idx.compact()  # restores, then compacts — NOT a silent no-op
+    assert not os.path.exists(f"{idx.postings_path}.old")
+    dirs = [
+        d
+        for d in os.listdir(idx.postings_path)
+        if d.startswith("src_batch=")
+    ]
+    assert dirs == ["src_batch=-2"]
+    after = [
+        (r.doc_id, round(r.score, 9)) for r in idx.search(q, k=10).collect()
+    ]
+    assert after == before and len(after) == 10
+
+
+def test_compaction_advances_guard_epoch(spark, sf_dir, tmp_path):
+    # BM25/IVF compaction folds per-batch partitions away, so a replay
+    # of even the LATEST pre-compaction batch would dynamic-overwrite a
+    # fresh src_batch=N partition BESIDE its folded copy — double-counted
+    # postings/codes. The compaction must advance the guard high-water so
+    # that replay is refused (round-9 advice); genuinely new batch ids
+    # still ingest.
+    from nornicdb_spark.catalog import Catalog
+    from nornicdb_spark.streaming.fulltext import MaintainedBM25Index
+    from nornicdb_spark.streaming.ivf import MaintainedIVFIndex
+
+    docs = Catalog(spark, sf_dir).documents
+    ft = MaintainedBM25Index(spark, str(tmp_path / "ftepoch"))
+    for b in range(2):
+        ft.process_batch(docs.filter(F.col("doc_id") % 2 == b), batch_id=b)
+    n = spark.read.parquet(ft.postings_path).count()
+    ft.compact()
+    with pytest.raises(ValueError, match="high-water"):
+        ft.process_batch(docs.filter(F.col("doc_id") % 2 == 1), batch_id=1)
+    assert spark.read.parquet(ft.postings_path).count() == n  # no doubles
+    ft.process_batch(docs.limit(0), batch_id=2)  # new ids still ingest
+
+    emb = Catalog(spark, sf_dir).embeddings.select("vec_id", "embedding")
+    ivf = MaintainedIVFIndex(spark, str(tmp_path / "ivfepoch"))
+    ivf.bootstrap(emb.filter(F.col("vec_id") % 2 == 0), n_lists=4)
+    ivf.process_batch(emb.filter(F.col("vec_id") % 2 == 1), batch_id=0)
+    n = spark.read.parquet(ivf.codes_path).count()
+    ivf.compact()
+    with pytest.raises(ValueError, match="high-water"):
+        ivf.process_batch(emb.filter(F.col("vec_id") % 2 == 1), batch_id=0)
+    assert spark.read.parquet(ivf.codes_path).count() == n
+
+
+def test_guard_refuses_uri_schemed_paths():
+    # a driver-local marker on an hdfs://-resident index would silently
+    # pass every check (and mint a bogus local directory) — the guard
+    # must refuse what it cannot protect (round-9 advice)
+    from nornicdb_spark.streaming import guard
+
+    for fn in (
+        lambda: guard.check_batch("s3a://bucket/idx", 0),
+        lambda: guard.record_batch("hdfs://nn/idx", 0),
+        lambda: guard.max_batch_seen("s3a://bucket/idx"),
+    ):
+        with pytest.raises(NotImplementedError, match="driver-local"):
+            fn()
+
+
+def test_session_memo_evicts_stopped_sessions():
+    # the twin-query build memos must not pin stopped sessions (and a
+    # new session reusing a dead session's id() must never read its
+    # entries). SessionMemo only touches sparkContext._jsc — exercised
+    # here with stand-ins so the test needs no second real session.
+    from nornicdb_spark.operators.scope import SessionMemo
+
+    class _Ctx:
+        def __init__(self):
+            self._jsc = object()
+
+    class _Sess:
+        def __init__(self):
+            self.sparkContext = _Ctx()
+
+    memo = SessionMemo()
+    s1 = _Sess()
+    memo.put(s1, "sf", "payload")
+    assert memo.get(s1, "sf") == "payload" and len(memo) == 1
+    s1.sparkContext._jsc = None  # session stopped
+    assert memo.get(s1, "sf") is None and len(memo) == 0
+
+    # id()-reuse: a fresh session must start clean even if it lands on
+    # the dead session's address
+    s2 = _Sess()
+    memo.put(s2, "sf", "v2")
+    s2.sparkContext._jsc = None
+    s3 = _Sess()
+    assert memo.get(s3, "sf") is None
+
+
+def test_maintained_graph_depth_metric_and_compaction_cadence(
+    spark, tmp_path
+):
+    # adversarial ordering: each batch merges the chain's current root
+    # into a smaller node, so pointers chain 10→9→7→5→3 and a later
+    # batch touching node 10 must CHASE four generations. The measured
+    # per-batch depth is the observable that drives the compaction
+    # cadence rule (SCALING.md §maintained: compact when depth > d0) —
+    # this asserts the rule triggers, and that compact() resets it.
+    from nornicdb_spark.streaming.graphindex import MaintainedGraphIndex
+
+    idx = MaintainedGraphIndex(spark, str(tmp_path / "gdepth"), n_pk=8)
+    chain = [(9, 10), (7, 9), (5, 7), (3, 5)]
+    for b, e in enumerate(chain):
+        idx.process_batch(_edge_df(spark, [e]), batch_id=b)
+        assert idx.chase_depth() <= 1  # chain endpoints resolve shallow
+    idx.process_batch(_edge_df(spark, [(10, 50)]), batch_id=len(chain))
+    assert idx.chase_depth() == 4  # 10→9→7→5→3
+    assert idx.needs_compact(d0=3) and not idx.needs_compact(d0=8)
+
+    idx.compact()
+    assert idx.chase_depth() == 1 and not idx.needs_compact(d0=3)
+    # post-compaction resolution is a single pruned hop
+    idx.process_batch(_edge_df(spark, [(9, 60)]), batch_id=len(chain) + 1)
+    assert idx.chase_depth() == 1
+    comp = {
+        (r.node, r.component)
+        for r in idx.components().collect()
+    }
+    want_nodes = {3, 5, 7, 9, 10, 50, 60}
+    assert comp == {(n, 3) for n in want_nodes}
