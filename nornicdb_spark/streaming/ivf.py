@@ -220,6 +220,80 @@ class MaintainedIVFIndex:
             .start()
         )
 
+    # -- monitoring -----------------------------------------------------------
+    def recall_sentinel(
+        self,
+        refine_src: DataFrame,
+        n_queries: int = 8,
+        k: int = 10,
+        n_probe: int = 4,
+        refine: int = 4,
+        id_type: str | None = None,
+    ) -> float:
+        """Centroid-drift monitor (SCALING.md §maintained): mean
+        recall@k of the pruned int8+refine search vs the exact fp32
+        scan, over a deterministic sample of the LATEST ingested
+        batch's vectors (the population frozen centroids serve worst
+        under drift — new vectors crowding a few lists is exactly what
+        this catches). Monitoring only: the operator alerts when the
+        value drops below the deployment's gate bar and re-trains via
+        an offline re-:meth:`bootstrap` (a new index era). Run it per N
+        batches or per compaction — cost is n_queries bounded searches,
+        each pruned to n_probe lists. Raises on a never-ingested index
+        (a sentinel that reports healthy on nothing would hide a dead
+        ingest path)."""
+        from nornicdb_spark.search.vector import cosine_topk
+        from nornicdb_spark.sources.layout import (
+            read_or_empty,
+            stored_col_type,
+        )
+
+        if id_type is None:
+            id_type = (
+                stored_col_type(self.spark, self.codes_path, "vec_id")
+                or "bigint"
+            )
+        codes = read_or_empty(
+            self.spark,
+            self.codes_path,
+            f"vec_id {id_type}, codes array<int>, code_norm double,"
+            " src_batch bigint, list_id int",
+        )
+        latest = codes.agg(F.max("src_batch")).collect()[0][0]
+        if latest is None:
+            raise ValueError(
+                "recall_sentinel: no ingested batches to sample — the "
+                "index is empty (dead ingest path?)"
+            )
+        sample_ids = [
+            r.vec_id
+            for r in codes.filter(F.col("src_batch") == int(latest))
+            .select("vec_id")
+            .orderBy("vec_id")
+            .limit(int(n_queries))
+            .collect()
+        ]
+        queries = refine_src.filter(
+            F.col(self.id_col).isin(sample_ids)
+        ).select(self.id_col, self.vec_col).collect()
+        recalls = []
+        for row in queries:
+            qv = [float(x) for x in row[self.vec_col]]
+            exact = {
+                r[0]
+                for r in cosine_topk(
+                    refine_src, qv, k, self.id_col, self.vec_col
+                ).collect()
+            }
+            got = {
+                r[0]
+                for r in self.search(
+                    qv, refine_src, k, n_probe, refine, id_type
+                ).collect()
+            }
+            recalls.append(len(exact & got) / float(k))
+        return sum(recalls) / len(recalls) if recalls else 0.0
+
     # -- search ---------------------------------------------------------------
     def _codes_pruned(self, list_ids: list[int], id_type: str) -> DataFrame:
         """The probe scan: literal ``list_id isin`` → PartitionFilters

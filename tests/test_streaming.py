@@ -1185,3 +1185,24 @@ def test_maintained_graph_depth_metric_and_compaction_cadence(
     }
     want_nodes = {3, 5, 7, 9, 10, 50, 60}
     assert comp == {(n, 3) for n in want_nodes}
+
+
+def test_ivf_recall_sentinel_monitors_drift(spark, sf_dir, tmp_path):
+    # the centroid-drift monitor (SCALING.md §maintained): recall@k of
+    # the pruned serving path vs the exact scan over the latest batch's
+    # vectors. On an in-distribution corpus it clears the same gate bar
+    # as the recall twin; an empty index raises (a sentinel reporting
+    # healthy on a dead ingest path would hide exactly what it exists
+    # to catch).
+    from nornicdb_spark.catalog import Catalog
+    from nornicdb_spark.streaming.ivf import MaintainedIVFIndex
+
+    emb = Catalog(spark, sf_dir).embeddings.select("vec_id", "embedding")
+    idx = MaintainedIVFIndex(spark, str(tmp_path / "ivfsentinel"))
+    with pytest.raises(ValueError, match="no ingested batches"):
+        idx.recall_sentinel(emb, id_type="bigint")
+    idx.bootstrap(emb.filter(F.col("vec_id") % 3 == 0), n_lists=8)
+    for b in (1, 2):
+        idx.process_batch(emb.filter(F.col("vec_id") % 3 == b), batch_id=b)
+    r = idx.recall_sentinel(emb, n_queries=4, k=10, n_probe=3)
+    assert 0.0 <= r <= 1.0 and r >= 0.5
