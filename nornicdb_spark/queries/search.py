@@ -73,6 +73,33 @@ def bm25_prefix_topk(spark, sf_dir):
     return out.select("doc_id", F.round("score", 9).alias("score"))
 
 
+# a serving-shaped batch: overlapping vocabularies (so the pruned
+# postings slice is shared), one repeated word (per-query weight), and
+# one query with no indexable tokens (contributes no rows, both sides)
+BM25_BATCH = [
+    (1, BM25_QUERY),
+    (2, "distributed shuffle partition skew"),
+    (3, "query query optimizer"),
+    (4, "a of the"),
+]
+
+
+@register(
+    "bm25_multi_query",
+    oracle=bm25_mod.bm25_multi_oracle_sql(BM25_BATCH, k=5),
+)
+def bm25_multi_query(spark, sf_dir):
+    # batched serving: the whole query table scored in ONE pass over the
+    # semi-join-pruned postings slice (search_many) — q queries cost one
+    # scan instead of q driver round trips; per-query results equal the
+    # single-query path's (tested in test_search.py).
+    docs = Catalog(spark, sf_dir).documents
+    idx = bm25_mod.shared_index(docs, sf_dir)
+    qdf = spark.createDataFrame(BM25_BATCH, "query_id long, query_text string")
+    # raw score on both sides (bm25_topk's pattern — the harness rounds)
+    return idx.search_many(qdf, k=5).select("query_id", "doc_id", "score")
+
+
 _COSINE_ORACLE = """
 WITH q AS (
   SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0

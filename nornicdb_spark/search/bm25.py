@@ -216,6 +216,68 @@ class BM25Index:
         )
 
 
+    def search_many(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        qid_col: str = "query_id",
+        qtext_col: str = "query_text",
+    ) -> DataFrame:
+        """Batched exact-term BM25: score a whole query TABLE in one
+        pass — (query_id, doc_id, score), top-k per query, same
+        per-query results as :meth:`search` (ties by doc_id on the
+        9-digit-rounded score). This is the serving-throughput shape at
+        scale: q queries cost ONE scan of the postings slice whose
+        terms appear in ANY query (a broadcast semi-join prunes the
+        index; the reference serves queries one at a time over Bolt —
+        pkg/search/fulltext_index.go Search — which on Spark would be q
+        driver round trips and q scans). Queries are tokenized
+        Spark-side with the same rules; a repeated word in one query
+        multiplies its term's contribution exactly as the single-query
+        path does; a query with no indexable tokens contributes no
+        output rows."""
+        from pyspark.sql import Window
+
+        qterms = (
+            queries.select(
+                F.col(qid_col).alias("query_id"),
+                F.explode(tokens_col(F.col(qtext_col))).alias("term"),
+            )
+            .groupBy("query_id", "term")
+            .agg(F.count(F.lit(1)).cast("double").alias("qw"))
+        )
+        # prune the index to terms any query mentions (bounded: the
+        # query batch is driver-scale, the postings are corpus-scale)
+        cand = self.postings.join(
+            F.broadcast(qterms.select("term").distinct()), "term", "left_semi"
+        )
+        df_per_term = cand.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        idf = F.greatest(
+            F.log(
+                1
+                + (F.lit(self.n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+            F.lit(0.0),
+        )
+        tf = F.col("tf").cast("double")
+        denom = tf + K1 * (1 - B + B * F.col("dl") / F.lit(self.avgdl))
+        contrib = F.col("qw") * idf * (tf * (K1 + 1) / denom)
+        scored = (
+            cand.join(df_per_term, "term")
+            .join(F.broadcast(qterms), "term")
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum(contrib).alias("score"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc(F.round(F.col("score"), 9)), F.asc("doc_id")
+        )
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= int(k))
+            .select("query_id", "doc_id", "score")
+        )
+
+
 def score_exact_candidates(
     cand: DataFrame, terms: list[str], n_docs: int, avgdl: float, k: int
 ) -> DataFrame:
@@ -300,6 +362,56 @@ def bm25_oracle_sql(query: str, k: int = 10) -> str:
     JOIN doc_lens USING (doc_id), stats
     GROUP BY doc_id
     ORDER BY round(score, 9) DESC, doc_id LIMIT {k}
+    """
+
+
+def bm25_multi_oracle_sql(queries: list[tuple[int, str]], k: int = 10) -> str:
+    """DuckDB SQL replicating BM25Index.search_many on ``documents`` for
+    a fixed (query_id, query_text) batch — per-query term weights are
+    tokenized driver-side exactly as the Spark path tokenizes them
+    engine-side, so both sides score the identical (query_id, term, qw)
+    table."""
+    from collections import Counter
+
+    stoplist = ",".join(f"'{w}'" for w in STOPWORDS)
+    rows = []
+    for qid, qtext in queries:
+        for t, c in Counter(tokenize_query(qtext)).items():
+            rows.append(f"({int(qid)}, '{t}', {float(c)})")
+    values = ",".join(rows)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, t.tok AS term
+      FROM documents,
+           unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(tok)
+      WHERE length(t.tok) >= 2 AND t.tok NOT IN ({stoplist})
+    ),
+    doc_lens AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+             (SELECT avg(dl) FROM doc_lens) AS avgdl
+    ),
+    postings AS (
+      SELECT term, doc_id, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY term, doc_id
+    ),
+    dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM postings GROUP BY term),
+    q(query_id, qterm, qw) AS (VALUES {values}),
+    scored AS (
+      SELECT q.query_id, doc_id,
+             sum(qw * greatest(ln(1 + (stats.n - df + 0.5)/(df + 0.5)), 0)
+                 * tf * ({K1} + 1)
+                 / (tf + {K1} * (1 - {B} + {B} * dl / stats.avgdl))) AS score
+      FROM postings
+      JOIN dfreq USING (term)
+      JOIN q ON postings.term = q.qterm
+      JOIN doc_lens USING (doc_id), stats
+      GROUP BY q.query_id, doc_id
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score FROM scored
+    QUALIFY row_number() OVER (
+      PARTITION BY query_id ORDER BY round(score, 9) DESC, doc_id
+    ) <= {int(k)}
+    ORDER BY query_id, round(score, 9) DESC, doc_id
     """
 
 

@@ -169,3 +169,29 @@ def test_ivfpq_probe_prunes_lists(catalog):
     assert "list_id" in plan and "isin" in plan.lower() or " IN (" in plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_search_many_equals_per_query_search(catalog):
+    # the batched serving path must return, per query, exactly the
+    # single-query path's top-k — including the repeated-word weight
+    # and the rounded-score/doc_id tie order; an untokenizable query
+    # contributes no rows.
+    spark = catalog.documents.sparkSession
+    batch = [
+        (1, "spark join query performance"),
+        (2, "distributed shuffle partition skew"),
+        (3, "query query optimizer"),  # repeated word → 2× weight
+        (4, "a of the"),  # stopwords only → no output rows
+    ]
+    idx = bm25.BM25Index.build(catalog.documents)
+    qdf = spark.createDataFrame(batch, "query_id long, query_text string")
+    got = {}
+    for r in idx.search_many(qdf, k=5).collect():
+        got.setdefault(r.query_id, []).append((r.doc_id, round(r.score, 9)))
+    for qid, qtext in batch:
+        want = [
+            (r.doc_id, round(r.score, 9))
+            for r in idx.search(qtext, k=5).collect()
+        ]
+        assert got.get(qid, []) == want, f"query {qid} diverges"
+    assert 4 not in got
