@@ -35,16 +35,17 @@ def bm25_topk(spark, sf_dir):
     return idx.search(BM25_QUERY, k=10)
 
 
-@register("stream_bm25_topk", oracle=bm25_mod.bm25_oracle_sql(BM25_QUERY, k=10))
-def stream_bm25_topk(spark, sf_dir):
-    # the reference's LIVE inverted index (fulltext_index.go Add keeps
-    # postings current as docs arrive): documents ingested in 3 batches
-    # into the maintained term-hash-partitioned postings table
-    # (streaming/fulltext.py), then an exact-term search probing only
-    # the query terms' partitions. df/tf/dl/N/avgdl are batch-order-
-    # invariant, so the result — and the oracle — are IDENTICAL to the
-    # static bm25_topk: the strongest correctness statement a streaming
-    # index can make.
+_FT_IDX_MEMO = scope.SessionMemo()
+
+
+def _maintained_ft_index(spark, sf_dir):
+    # documents ingested in 3 batches into the maintained term-hash-
+    # partitioned postings table (streaming/fulltext.py). Memoized per
+    # (session, sf_dir) now that two registry rows probe it — the
+    # deterministic-build twin-sharing discipline of the IVF/vec memos.
+    hit = _FT_IDX_MEMO.get(spark, sf_dir)
+    if hit is not None:
+        return hit
     import shutil
 
     from nornicdb_spark.streaming.fulltext import MaintainedBM25Index
@@ -56,7 +57,18 @@ def stream_bm25_topk(spark, sf_dir):
     idx = MaintainedBM25Index(spark, path)
     for b in range(3):
         idx.process_batch(docs.filter(F.col("doc_id") % 3 == b), batch_id=b)
-    return idx.search(BM25_QUERY, k=10)
+    return _FT_IDX_MEMO.put(spark, sf_dir, idx)
+
+
+@register("stream_bm25_topk", oracle=bm25_mod.bm25_oracle_sql(BM25_QUERY, k=10))
+def stream_bm25_topk(spark, sf_dir):
+    # the reference's LIVE inverted index (fulltext_index.go Add keeps
+    # postings current as docs arrive): an exact-term search probing
+    # only the query terms' partitions of the maintained postings.
+    # df/tf/dl/N/avgdl are batch-order-invariant, so the result — and
+    # the oracle — are IDENTICAL to the static bm25_topk: the strongest
+    # correctness statement a streaming index can make.
+    return _maintained_ft_index(spark, sf_dir).search(BM25_QUERY, k=10)
 
 
 @register(
@@ -97,6 +109,19 @@ def bm25_multi_query(spark, sf_dir):
     idx = bm25_mod.shared_index(docs, sf_dir)
     qdf = spark.createDataFrame(BM25_BATCH, "query_id long, query_text string")
     # raw score on both sides (bm25_topk's pattern — the harness rounds)
+    return idx.search_many(qdf, k=5).select("query_id", "doc_id", "score")
+
+
+@register(
+    "stream_bm25_multi_query",
+    oracle=bm25_mod.bm25_multi_oracle_sql(BM25_BATCH, k=5),
+)
+def stream_bm25_multi_query(spark, sf_dir):
+    # batched serving over the LIVE index: one tk-isin-pruned scan
+    # covers the whole query batch's terms; shares bm25_multi_query's
+    # oracle verbatim (maintained == static on the same corpus).
+    idx = _maintained_ft_index(spark, sf_dir)
+    qdf = spark.createDataFrame(BM25_BATCH, "query_id long, query_text string")
     return idx.search_many(qdf, k=5).select("query_id", "doc_id", "score")
 
 

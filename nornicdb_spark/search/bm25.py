@@ -238,44 +238,65 @@ class BM25Index:
         output rows."""
         from pyspark.sql import Window
 
-        qterms = (
-            queries.select(
-                F.col(qid_col).alias("query_id"),
-                F.explode(tokens_col(F.col(qtext_col))).alias("term"),
-            )
-            .groupBy("query_id", "term")
-            .agg(F.count(F.lit(1)).cast("double").alias("qw"))
-        )
+        qterms = query_terms_table(queries, qid_col, qtext_col)
         # prune the index to terms any query mentions (bounded: the
         # query batch is driver-scale, the postings are corpus-scale)
         cand = self.postings.join(
             F.broadcast(qterms.select("term").distinct()), "term", "left_semi"
         )
-        df_per_term = cand.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-        idf = F.greatest(
-            F.log(
-                1
-                + (F.lit(self.n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
-            ),
-            F.lit(0.0),
+        return score_many_candidates(cand, qterms, self.n_docs, self.avgdl, k)
+
+
+def query_terms_table(
+    queries: DataFrame, qid_col: str = "query_id", qtext_col: str = "query_text"
+) -> DataFrame:
+    """(query_id, term, qw) from a query table — engine-side
+    tokenization (same rules as the corpus side); qw = the word's count
+    within its query, the batched analogue of the repeated-query-word
+    literal weight in :func:`score_exact_candidates`."""
+    return (
+        queries.select(
+            F.col(qid_col).alias("query_id"),
+            F.explode(tokens_col(F.col(qtext_col))).alias("term"),
         )
-        tf = F.col("tf").cast("double")
-        denom = tf + K1 * (1 - B + B * F.col("dl") / F.lit(self.avgdl))
-        contrib = F.col("qw") * idf * (tf * (K1 + 1) / denom)
-        scored = (
-            cand.join(df_per_term, "term")
-            .join(F.broadcast(qterms), "term")
-            .groupBy("query_id", "doc_id")
-            .agg(F.sum(contrib).alias("score"))
-        )
-        w = Window.partitionBy("query_id").orderBy(
-            F.desc(F.round(F.col("score"), 9)), F.asc("doc_id")
-        )
-        return (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= int(k))
-            .select("query_id", "doc_id", "score")
-        )
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("qw"))
+    )
+
+
+def score_many_candidates(
+    cand: DataFrame, qterms: DataFrame, n_docs: int, avgdl: float, k: int
+) -> DataFrame:
+    """Batched BM25 scoring over a pre-pruned postings slice (every term
+    of every query present in full): per-(query_id, doc_id) aggregation
+    + per-query window top-k. Shared by the static index's
+    ``search_many`` and the maintained index's term-pruned batched probe
+    (streaming/fulltext.py) — the :func:`score_exact_candidates`
+    sharing discipline, batched."""
+    from pyspark.sql import Window
+
+    df_per_term = cand.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.greatest(
+        F.log(1 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        F.lit(0.0),
+    )
+    tf = F.col("tf").cast("double")
+    denom = tf + K1 * (1 - B + B * F.col("dl") / F.lit(avgdl))
+    contrib = F.col("qw") * idf * (tf * (K1 + 1) / denom)
+    scored = (
+        cand.join(df_per_term, "term")
+        .join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(contrib).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("score"), 9)), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= int(k))
+        .select("query_id", "doc_id", "score")
+    )
 
 
 def score_exact_candidates(

@@ -48,7 +48,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nornicdb_spark.search.bm25 import (
+    query_terms_table,
     score_exact_candidates,
+    score_many_candidates,
     tokenize_query,
     tokens_col,
 )
@@ -249,3 +251,40 @@ class MaintainedBM25Index:
             return self.spark.createDataFrame([], f"doc_id {id_type}, score double")
         cand = self._postings_pruned(terms, id_type)
         return score_exact_candidates(cand, terms, n_docs, avgdl, k)
+
+    def search_many(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        qid_col: str = "query_id",
+        qtext_col: str = "query_text",
+        id_type: str | None = None,
+    ) -> DataFrame:
+        """Batched exact-term top-k over the MAINTAINED postings — the
+        live index's serving-throughput shape: the scan prunes to the
+        union of the batch's query terms' hash buckets (one literal
+        ``tk isin`` covers every query), then the shared batched scorer
+        (``bm25.score_many_candidates``) runs once for the whole batch.
+        Per-query results equal the static index's ``search_many`` on
+        the same corpus, which itself equals per-query ``search()`` —
+        so the registry twin shares ``bm25_multi_query``'s oracle
+        verbatim."""
+        if id_type is None:
+            from nornicdb_spark.sources.layout import stored_col_type
+
+            id_type = (
+                stored_col_type(self.spark, self.postings_path, "doc_id")
+                or "bigint"
+            )
+        empty = (
+            f"query_id bigint, doc_id {id_type}, score double"
+        )
+        qterms = query_terms_table(queries, qid_col, qtext_col)
+        terms = [r.term for r in qterms.select("term").distinct().collect()]
+        if not terms:
+            return self.spark.createDataFrame([], empty)
+        n_docs, avgdl = self.corpus_stats()
+        if n_docs == 0 or avgdl == 0.0:
+            return self.spark.createDataFrame([], empty)
+        cand = self._postings_pruned(terms, id_type)
+        return score_many_candidates(cand, qterms, n_docs, avgdl, k)

@@ -564,3 +564,43 @@ def test_maintained_hash_index_probe_prunes_partitions(spark, tmp_path):
     )
     got = {(r.stream_doc, r.corpus_doc) for r in idx.probe(probe).collect()}
     assert got == {(900, 3)}
+
+
+def test_bm25_search_many_all_broadcast_no_sort_merge(spark, sf_dir):
+    # the batched serving path's scale contract: the query batch and its
+    # derived tables broadcast (they are driver-scale), the postings are
+    # never sort-merge-joined or cartesian-joined, and scoring is pure
+    # codegen (no Python eval)
+    plan = plan_of(spark, "bm25_multi_query", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_maintained_bm25_search_many_prunes_term_partitions(
+    spark, sf_dir, tmp_path
+):
+    # the batched probe over the LIVE index reads only the union of the
+    # batch's query terms' hash buckets: literal tk isin ->
+    # PartitionFilters on the postings scan
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from nornicdb_spark.catalog import Catalog
+    from nornicdb_spark.streaming.fulltext import MaintainedBM25Index
+
+    docs = Catalog(spark, sf_dir).documents
+    idx = MaintainedBM25Index(spark, str(tmp_path / "ftmanyplan"), n_pk=16)
+    idx.process_batch(docs.filter(F.col("doc_id") % 2 == 0), batch_id=0)
+    qdf = spark.createDataFrame(
+        [(1, "spark join"), (2, "shuffle skew")],
+        "query_id long, query_text string",
+    )
+    out = idx.search_many(qdf, k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m is not None and "tk" in m.group(1), plan[:2000]
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert out.count() > 0

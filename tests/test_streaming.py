@@ -1206,3 +1206,36 @@ def test_ivf_recall_sentinel_monitors_drift(spark, sf_dir, tmp_path):
         idx.process_batch(emb.filter(F.col("vec_id") % 3 == b), batch_id=b)
     r = idx.recall_sentinel(emb, n_queries=4, k=10, n_probe=3)
     assert 0.0 <= r <= 1.0 and r >= 0.5
+
+
+def test_maintained_bm25_search_many_equals_static(spark, sf_dir, tmp_path):
+    # the batched probe over the maintained postings equals the static
+    # index's batched path (and hence per-query search) on the same
+    # corpus — one tk-pruned scan serving the whole query batch.
+    from nornicdb_spark.catalog import Catalog
+    from nornicdb_spark.search.bm25 import BM25Index
+    from nornicdb_spark.streaming.fulltext import MaintainedBM25Index
+
+    docs = Catalog(spark, sf_dir).documents
+    idx = MaintainedBM25Index(spark, str(tmp_path / "ftmany"))
+    for b in range(3):
+        idx.process_batch(docs.filter(F.col("doc_id") % 3 == b), batch_id=b)
+    batch = [
+        (1, "spark join query performance"),
+        (2, "query query optimizer"),
+        (3, "zzzz qqqqq"),  # tokens absent from the corpus
+    ]
+    qdf = spark.createDataFrame(batch, "query_id long, query_text string")
+    key = lambda rows: sorted(
+        (r.query_id, r.doc_id, round(r.score, 9)) for r in rows
+    )
+    got = key(idx.search_many(qdf, k=5).collect())
+    want = key(BM25Index.build(docs).search_many(qdf, k=5).collect())
+    assert got == want and len(got) == 10  # 5 per matching query
+
+    # all-stopword batch: empty frame with the right schema, no crash
+    empty = idx.search_many(
+        spark.createDataFrame([(9, "a of the")], "query_id long, query_text string"),
+        k=5,
+    )
+    assert empty.count() == 0
