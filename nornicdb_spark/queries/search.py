@@ -707,3 +707,58 @@ def stream_ann_ivf_int8_recall(spark, sf_dir):
     exact = vector.cosine_topk(emb, qv, k=10).select("vec_id")
     approx = idx.search(qv, refine_src=emb, k=10, n_probe=3).select("vec_id")
     return _gate(exact, approx, min_hits=5)
+
+
+def _ivf_query_batch(spark, sf_dir, emb):
+    # three corpus vectors as a deterministic serving batch
+    rows = (
+        emb.filter(F.col("vec_id").isin(0, 1, 2))
+        .orderBy("vec_id")
+        .collect()
+    )
+    return [(int(r.vec_id) + 100, [float(x) for x in r.embedding]) for r in rows]
+
+
+@register("stream_ann_ivf_multi")  # approximate — rows-only; gate below
+def stream_ann_ivf_multi(spark, sf_dir):
+    # batched serving over the maintained index: one list-pruned int8
+    # scan covers the whole query batch (union of probed lists), then a
+    # per-query window + one keyed fp32 refine. KMeans assignment makes
+    # the candidate set seed-dependent → no row-set oracle; the
+    # equality gate twin below is the driver check.
+    idx, emb = _maintained_ivf_index(spark, sf_dir)
+    qdf = spark.createDataFrame(
+        _ivf_query_batch(spark, sf_dir, emb),
+        "query_id bigint, qvec array<double>",
+    )
+    out = idx.search_many(qdf, refine_src=emb, k=10, n_probe=3)
+    return out.select(
+        "query_id", "vec_id", F.round("score", 9).alias("score")
+    )
+
+
+@register("stream_ann_ivf_multi_gate", oracle=_OK_ORACLE)
+def stream_ann_ivf_multi_gate(spark, sf_dir):
+    # the batched path must EQUAL the per-query single path row-for-row
+    # (ids and 9-digit-rounded scores) — probing, int8 scoring, and
+    # refine are the same arithmetic, so this is full equality, not a
+    # recall bar: ok=1 iff the symmetric difference is empty.
+    idx, emb = _maintained_ivf_index(spark, sf_dir)
+    batch = _ivf_query_batch(spark, sf_dir, emb)
+    qdf = spark.createDataFrame(batch, "query_id bigint, qvec array<double>")
+    cols = ["query_id", "vec_id", "s"]
+    batched = idx.search_many(qdf, refine_src=emb, k=10, n_probe=3).select(
+        "query_id", "vec_id", F.round("score", 9).alias("s")
+    )
+    singles = None
+    for qid, qv in batch:
+        one = idx.search(qv, refine_src=emb, k=10, n_probe=3).select(
+            F.lit(qid).cast("bigint").alias("query_id"),
+            "vec_id",
+            F.round("score", 9).alias("s"),
+        )
+        singles = one if singles is None else singles.unionByName(one)
+    diff = batched.join(singles, cols, "left_anti").unionByName(
+        singles.join(batched, cols, "left_anti")
+    )
+    return diff.agg((F.count(F.lit(1)) == 0).cast("long").alias("ok"))

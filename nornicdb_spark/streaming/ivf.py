@@ -220,6 +220,115 @@ class MaintainedIVFIndex:
             .start()
         )
 
+    def search_many(
+        self,
+        queries: DataFrame,
+        refine_src: DataFrame,
+        k: int = 10,
+        n_probe: int = 4,
+        refine: int = 4,
+        qid_col: str = "query_id",
+        qvec_col: str = "qvec",
+        id_type: str | None = None,
+    ) -> DataFrame:
+        """Batched top-k cosine over the maintained serving index —
+        (query_id, vec_id, score), per-query results identical to
+        :meth:`search`. The serving-throughput shape: probe lists are
+        picked per query against the driver-resident centroid table,
+        ONE scan of the UNION of probed lists (still `list_id isin` →
+        `PartitionFilters`) scores the int8 codes for every query at
+        once (the query batch broadcasts as (query_id, list_id) probe
+        pairs + (query_id, qv, qn) vectors), a per-query window keeps
+        k·refine candidates, and one keyed fetch of ≤ |batch|·k·refine
+        fp32 rows exact-refines them. q queries cost one pruned scan
+        instead of q. Zero-norm queries have no direction and produce
+        no rows."""
+        from pyspark.sql import Window
+
+        from nornicdb_spark.search.vector import cosine_sim
+
+        if id_type is None:
+            from nornicdb_spark.sources.layout import stored_col_type
+
+            id_type = (
+                stored_col_type(self.spark, self.codes_path, "vec_id")
+                or "bigint"
+            )
+        out_schema = f"query_id bigint, vec_id {id_type}, score double"
+        centers = self.centers()
+        pairs, qmeta = [], []
+        for r in queries.select(
+            F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("qv")
+        ).collect():
+            qv = [float(x) for x in r.qv]
+            qn = sum(x * x for x in qv) ** 0.5
+            if qn == 0.0:
+                continue
+
+            def cos(c):
+                d = sum(a * b for a, b in zip(c, qv))
+                n = (sum(a * a for a in c) ** 0.5) * qn
+                return d / n if n else -1.0
+
+            probe = sorted(range(len(centers)), key=lambda i: -cos(centers[i]))
+            pairs += [(int(r.query_id), int(l)) for l in probe[:n_probe]]
+            qmeta.append((int(r.query_id), qv, qn))
+        if not pairs:
+            return self.spark.createDataFrame([], out_schema)
+        pair_df = self.spark.createDataFrame(pairs, "query_id bigint, list_id int")
+        qdf = self.spark.createDataFrame(
+            qmeta, "query_id bigint, qv array<double>, qn double"
+        )
+        lists = sorted({l for _, l in pairs})
+        code_dot = F.aggregate(
+            F.zip_with(
+                F.col("codes"), F.col("qv"), lambda c, qx: c.cast("double") * qx
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        approx = (
+            self._codes_pruned(lists, id_type)
+            .join(F.broadcast(pair_df), "list_id")
+            .join(F.broadcast(qdf.select("query_id", "qv", "qn")), "query_id")
+            .select(
+                "query_id",
+                "vec_id",
+                (code_dot / (F.col("code_norm") * F.col("qn"))).alias("score"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc(F.round(F.col("score"), 9)), F.asc("vec_id")
+        )
+        cand = (
+            approx.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= int(k) * int(refine))
+            .select("query_id", "vec_id")
+        )
+        ids = cand.select(F.col("vec_id").alias("_cand_id")).distinct()
+        fetched = refine_src.join(
+            F.broadcast(ids),
+            refine_src[self.id_col] == F.col("_cand_id"),
+            "left_semi",
+        ).select(
+            F.col(self.id_col).alias("vec_id"),
+            F.col(self.vec_col).cast("array<double>").alias("_emb"),
+        )
+        exact = (
+            cand.join(fetched, "vec_id")
+            .join(F.broadcast(qdf.select("query_id", "qv")), "query_id")
+            .select(
+                "query_id",
+                "vec_id",
+                cosine_sim(F.col("_emb"), F.col("qv")).alias("score"),
+            )
+        )
+        return (
+            exact.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= int(k))
+            .select("query_id", "vec_id", "score")
+        )
+
     # -- monitoring -----------------------------------------------------------
     def recall_sentinel(
         self,

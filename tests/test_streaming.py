@@ -1239,3 +1239,43 @@ def test_maintained_bm25_search_many_equals_static(spark, sf_dir, tmp_path):
         k=5,
     )
     assert empty.count() == 0
+
+
+def test_maintained_ivf_search_many_equals_single(spark, sf_dir, tmp_path):
+    # batched serving equals the per-query path row-for-row (same
+    # probing, same int8 arithmetic, same refine), zero-norm queries
+    # produce no rows, and the union scan still prunes to the probed
+    # lists (PartitionFilters).
+    import re
+
+    from nornicdb_spark.catalog import Catalog
+    from nornicdb_spark.streaming.ivf import MaintainedIVFIndex
+
+    emb = Catalog(spark, sf_dir).embeddings.select("vec_id", "embedding")
+    idx = MaintainedIVFIndex(spark, str(tmp_path / "ivfmany"))
+    idx.bootstrap(emb.filter(F.col("vec_id") % 2 == 0), n_lists=8)
+    idx.process_batch(emb.filter(F.col("vec_id") % 2 == 1), batch_id=0)
+
+    qrows = emb.filter(F.col("vec_id").isin(0, 1, 2)).orderBy("vec_id").collect()
+    batch = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in qrows]
+    dim = len(batch[0][1])
+    qdf = spark.createDataFrame(
+        batch + [(99, [0.0] * dim)],  # zero-norm: no direction, no rows
+        "query_id bigint, qvec array<double>",
+    )
+    out = idx.search_many(qdf, refine_src=emb, k=5, n_probe=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m is not None and "list_id" in m.group(1), plan[:2000]
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, []).append((r.vec_id, round(r.score, 9)))
+    assert 99 not in got
+    for qid, qv in batch:
+        want = [
+            (r.vec_id, round(r.score, 9))
+            for r in idx.search(qv, refine_src=emb, k=5, n_probe=3).collect()
+        ]
+        assert got.get(qid, []) == want, f"query {qid} diverges"
