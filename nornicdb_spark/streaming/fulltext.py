@@ -183,6 +183,21 @@ class MaintainedBM25Index:
             "src_batch",
             "tk",
         )
+        # fold the per-batch stats rows too — a long-running stream
+        # otherwise accumulates one batch_id directory per batch forever
+        # (the sums are what queries read, so one folded row is exact)
+        recover_interrupted_swap(self.stats_path)
+        rewrite_partitioned(
+            self.spark,
+            self.stats_path,
+            "n_docs bigint, n_indexed bigint, sum_dl bigint, batch_id bigint",
+            lambda df: df.agg(
+                F.sum("n_docs").alias("n_docs"),
+                F.sum("n_indexed").alias("n_indexed"),
+                F.sum("sum_dl").alias("sum_dl"),
+            ).withColumn("batch_id", F.lit(-2).cast("bigint")),
+            "batch_id",
+        )
         guard.advance_epoch(self.path)
 
     def ingest(self, stream_df: DataFrame, query_name: str):

@@ -697,6 +697,8 @@ def test_maintained_index_compaction_preserves_search(spark, sf_dir, tmp_path):
     idx.compact()
     dirs = [d for d in os.listdir(idx.postings_path) if d.startswith("src_batch=")]
     assert dirs == ["src_batch=-2"]
+    sdirs = [d for d in os.listdir(idx.stats_path) if d.startswith("batch_id=")]
+    assert sdirs == ["batch_id=-2"]  # stats fold too (N/avgdl stay exact)
     assert spark.read.parquet(idx.postings_path).count() == n_before
     after = [(r.doc_id, round(r.score, 9)) for r in idx.search(q, k=10).collect()]
     assert after == before and len(after) == 10
