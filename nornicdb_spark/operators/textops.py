@@ -276,6 +276,36 @@ def vocab_top_words(
     )
 
 
+def bpe_pair_counts(
+    docs: DataFrame, k: int = 100, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The first BPE merge iteration over the corpus: frequencies of
+    ADJACENT symbol pairs within whitespace words (at iteration 0 the
+    symbols are single characters), the statistic tokenizer training
+    computes once per merge round. Entirely codegen'd — explode words,
+    generate each word's pairs with a sequence/transform (no Python),
+    map-side-combined count, global top-k (ties by pair). Returns
+    (pair, freq) with the pair as 'a b'. At 100 TB this is the same
+    shape as vocab induction: one wide explode into a combinable
+    aggregate — no shuffle carries raw text."""
+    word = F.col("word")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.length(word) - 1),
+        lambda i: F.concat(
+            word.substr(i, F.lit(1)), F.lit(" "), word.substr(i + 1, F.lit(1))
+        ),
+    )
+    return (
+        docs.select(F.explode(_words(F.col(text_col))).alias("word"))
+        .filter(F.length(word) >= 2)
+        .select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("pair"))
+        .limit(k)
+    )
+
+
 def unigram_logprob(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -880,6 +880,30 @@ def vocab_top_words(spark, sf_dir):
 
 
 @register(
+    "vocab_bpe_pairs",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> length(x) > 0)) AS w
+      FROM documents
+    ),
+    pairs AS (
+      SELECT substr(w, i, 1) || ' ' || substr(w, i + 1, 1) AS pair
+      FROM words, unnest(generate_series(1, length(w) - 1)) AS t(i)
+      WHERE length(w) >= 2
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS freq
+    FROM pairs GROUP BY pair ORDER BY freq DESC, pair LIMIT 100
+    """,
+)
+def vocab_bpe_pairs(spark, sf_dir):
+    # tokenizer training's inner statistic: adjacent within-word symbol
+    # pair frequencies (BPE iteration 0 — characters), top-100.
+    docs = Catalog(spark, sf_dir).documents
+    return textops.bpe_pair_counts(docs, k=100)
+
+
+@register(
     "text_unigram_logprob",
     oracle="""
     WITH toks AS (

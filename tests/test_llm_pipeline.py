@@ -207,3 +207,15 @@ def test_ngram_jaccard_df_cap_keeps_high_similarity_pairs(catalog):
     assert len(capped) >= 0.9 * len(exact)
     for k, v in capped.items():
         assert abs(v - exact[k]) < 1e-12  # scores exact, not approximated
+
+
+def test_bpe_pair_counts_hand_case(spark):
+    # 'aba ab' → word 'aba' pairs: 'a b','b a'; word 'ab': 'a b' →
+    # counts: 'a b'=2, 'b a'=1; single-char words contribute nothing
+    from nornicdb_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(0, "Aba ab x"), (1, "ab")], "doc_id long, text string"
+    )
+    got = [(r.pair, r.freq) for r in textops.bpe_pair_counts(docs).collect()]
+    assert got == [("a b", 3), ("b a", 1)]
