@@ -255,9 +255,9 @@ class Engine:
         _SHARED_CATALOGS.clear()
         for name in list(DEFAULT_CATALOG._graphs):
             DEFAULT_CATALOG.drop(name)
-        for idx in bm25._SHARED_INDEXES.values():
+        for idx in bm25._shared_memo().values():
             scope.escape_frame(idx.postings)
-        bm25._SHARED_INDEXES.clear()
+        bm25._shared_memo().clear()
         scope.release_escaped()
 
     def explain(self, query: str, params: dict | None = None) -> str:

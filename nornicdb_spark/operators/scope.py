@@ -281,6 +281,15 @@ class SessionMemo:
         self._entries[(id(spark), key)] = (spark, value)
         return value
 
+    def values(self) -> list:
+        """Live entries' values (stopped sessions evicted first) — for
+        engine-reset sweeps that release every memoized build."""
+        self._evict_stopped()
+        return [v for (_s, v) in self._entries.values()]
+
+    def clear(self) -> None:
+        self._entries.clear()
+
     def __len__(self) -> int:
         return len(self._entries)
 

@@ -250,6 +250,97 @@ def hybrid_rrf(spark, sf_dir):
     )
 
 
+# Batched hybrid serving: one fixed (query_id, query_text, vec_id)
+# batch; qid == vec_id by construction so the vector leg needs no
+# mapping join. Each query's fused result must equal the single-query
+# hybrid_rrf composition (tested), so the oracle is the single-query
+# RRF oracle UNIONed over the batch.
+HYBRID_BATCH = (
+    (0, FUSE_QUERY, 0),
+    (1, "distributed shuffle partition skew", 1),
+    (2, "query optimizer statistics", 2),
+)
+
+
+def _rrf_oracle_one(qid: int, qtext: str, vec_id: int) -> str:
+    return f"""
+    WITH bm AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS bm_rank
+      FROM ({bm25_mod.bm25_oracle_sql(qtext, k=20)})
+    ),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+          WHERE vec_id = {vec_id}),
+    vs AS (
+      SELECT vec_id AS doc_id,
+             row_number() OVER (ORDER BY round(score, 9) DESC, vec_id) AS vec_rank
+      FROM (
+        SELECT vec_id,
+               list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+                 / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                          CAST(embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(qv, qv))) AS score
+        FROM embeddings, q
+        ORDER BY round(score, 9) DESC, vec_id LIMIT 20
+      )
+    )
+    SELECT CAST({qid} AS BIGINT) AS query_id,
+           coalesce(bm.doc_id, vs.doc_id) AS doc_id,
+           coalesce(1.0 / (60 + bm_rank), 0) + coalesce(1.0 / (60 + vec_rank), 0)
+             AS rrf_score,
+           bm_rank, vec_rank
+    FROM bm FULL OUTER JOIN vs ON bm.doc_id = vs.doc_id
+    """
+
+
+_RRF_MANY_ORACLE = " UNION ALL ".join(
+    f"SELECT * FROM ({_rrf_oracle_one(q, t, v)})" for q, t, v in HYBRID_BATCH
+)
+
+
+@register("hybrid_rrf_many", oracle=_RRF_MANY_ORACLE)
+def hybrid_rrf_many(spark, sf_dir):
+    # Batched hybrid serving — the reference's user-facing search entry
+    # is hybrid RRF (search.go:38-58 fuses vector+BM25 per request);
+    # here a whole request batch fuses in ONE plan: the BM25 leg is one
+    # semi-join-pruned postings scan (search_many), the vector leg one
+    # broadcast-batch corpus scan (cosine_topk_many), fusion one
+    # full-outer join on (query, doc). q hybrid requests cost one fused
+    # plan instead of q driver round trips; per-query results equal the
+    # single-query hybrid_rrf composition (tested).
+    cat = Catalog(spark, sf_dir)
+    idx = bm25_mod.shared_index(cat.documents, sf_dir)
+    qtext = spark.createDataFrame(
+        [(q, t) for q, t, _ in HYBRID_BATCH],
+        "query_id long, query_text string",
+    )
+    bm = hybrid.rank_by(
+        idx.search_many(qtext, k=20), "score", "doc_id",
+        partition_by=("query_id",),
+    )
+    qvec = cat.embeddings.filter(
+        F.col("vec_id").isin([v for *_, v in HYBRID_BATCH])
+    ).select(
+        F.col("vec_id").cast("bigint").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+    vs = hybrid.rank_by(
+        vector.cosine_topk_many(cat.embeddings, qvec, k=20)
+        .withColumnRenamed("vec_id", "doc_id"),
+        "score",
+        "doc_id",
+        partition_by=("query_id",),
+    )
+    fused = hybrid.rrf_fuse_many({"bm": bm, "vec": vs}, id_col="doc_id")
+    return fused.select(
+        "query_id",
+        "doc_id",
+        "rrf_score",
+        F.col("bm_rank").cast("long").alias("bm_rank"),
+        F.col("vec_rank").cast("long").alias("vec_rank"),
+    )
+
+
 @register("ann_kmeans_pruned")  # approximate — rows-only; recall in tests
 def ann_kmeans_pruned(spark, sf_dir):
     # k-means candidate pruning (reference kmeans_candidate_gen.go).
@@ -539,7 +630,7 @@ WITH fused AS ({_RRF_ORACLE}),
 toks AS (
   SELECT doc_id,
          list_distinct(list_filter(
-           string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
+           string_split_regex(lower(coalesce(text, '')), '[^\\p{{L}}\\p{{N}}]+'),
            x -> length(x) >= 2)) AS dt
   FROM documents
 )

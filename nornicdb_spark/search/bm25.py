@@ -43,11 +43,18 @@ def tokens_col(text_col) -> F.Column:
 
 
 def tokenize_query(query: str) -> list[str]:
-    """Driver-side tokenization of a query string (same rules)."""
+    """Driver-side tokenization of a query string — the SAME Unicode
+    rule as the corpus-side :func:`tokens_col` and the engine-side
+    :func:`query_terms_table` (reference tokenize() splits on
+    ``!unicode.IsLetter && !unicode.IsDigit``, fulltext_index.go:254-256;
+    Python's ``\\w`` minus underscore is that class). One rule on every
+    path: a non-ASCII query scores identically through ``search()``,
+    ``search_many`` and the DuckDB oracles (which use RE2's
+    ``[^\\p{L}\\p{N}]+``)."""
     import re
 
     out = []
-    for tok in re.split(r"[^0-9a-z]+", query.lower()):
+    for tok in re.split(r"[\W_]+", query.lower()):
         if len(tok) >= 2 and tok not in STOPWORDS:
             out.append(tok)
     return out
@@ -335,7 +342,17 @@ def score_exact_candidates(
     )
 
 
-_SHARED_INDEXES: dict = {}
+def _shared_memo():
+    # lazy: scope imports bm25-adjacent modules; keep import cycles out
+    from nornicdb_spark.operators.scope import SessionMemo
+
+    global _SHARED_INDEXES
+    if not isinstance(_SHARED_INDEXES, SessionMemo):
+        _SHARED_INDEXES = SessionMemo()
+    return _SHARED_INDEXES
+
+
+_SHARED_INDEXES = None  # becomes a SessionMemo on first use
 
 
 def shared_index(docs: DataFrame, key: str, id_col: str = "doc_id",
@@ -343,11 +360,19 @@ def shared_index(docs: DataFrame, key: str, id_col: str = "doc_id",
     """Process-wide BM25Index memo keyed by (session, corpus key) — the
     batch analogue of the reference's persistent per-engine inverted
     index (fulltext_index.go): build once, query many. All registry
-    queries over one sf_dir share a single postings checkpoint."""
-    k = (id(docs.sparkSession), key)
-    if k not in _SHARED_INDEXES:
-        _SHARED_INDEXES[k] = BM25Index.build(docs, id_col=id_col, text_col=text_col)
-    return _SHARED_INDEXES[k]
+    queries over one sf_dir share a single postings checkpoint. A
+    :class:`~nornicdb_spark.operators.scope.SessionMemo` (not a plain
+    dict): entries of STOPPED sessions are evicted on every touch, so a
+    new session reusing a dead session's ``id()`` can never read a
+    stale index, and dead checkpoints don't pin the interpreter."""
+    memo = _shared_memo()
+    spark = docs.sparkSession
+    hit = memo.get(spark, key)
+    if hit is None:
+        hit = memo.put(
+            spark, key, BM25Index.build(docs, id_col=id_col, text_col=text_col)
+        )
+    return hit
 
 
 def bm25_oracle_sql(query: str, k: int = 10) -> str:
@@ -360,7 +385,7 @@ def bm25_oracle_sql(query: str, k: int = 10) -> str:
     WITH toks AS (
       SELECT doc_id, t.tok AS term
       FROM documents,
-           unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(tok)
+           unnest(string_split_regex(lower(text), '[^\\p{{L}}\\p{{N}}]+')) AS t(tok)
       WHERE length(t.tok) >= 2 AND t.tok NOT IN ({stoplist})
     ),
     doc_lens AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
@@ -399,12 +424,23 @@ def bm25_multi_oracle_sql(queries: list[tuple[int, str]], k: int = 10) -> str:
     for qid, qtext in queries:
         for t, c in Counter(tokenize_query(qtext)).items():
             rows.append(f"({int(qid)}, '{t}', {float(c)})")
+    if not rows:
+        # 'VALUES ' with zero rows is a syntax error at oracle
+        # registration time — refuse loudly instead. (The Spark path
+        # returns an empty frame for such a batch; a batch whose EVERY
+        # query is stopwords/short tokens has no SQL-expressible oracle.)
+        raise ValueError(
+            "bm25_multi_oracle_sql: every query in the batch tokenized "
+            "to nothing (stopwords / <2-char tokens only) — cannot emit "
+            "an empty VALUES list. Drop the oracle for this batch or "
+            "include at least one indexable query."
+        )
     values = ",".join(rows)
     return f"""
     WITH toks AS (
       SELECT doc_id, t.tok AS term
       FROM documents,
-           unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(tok)
+           unnest(string_split_regex(lower(text), '[^\\p{{L}}\\p{{N}}]+')) AS t(tok)
       WHERE length(t.tok) >= 2 AND t.tok NOT IN ({stoplist})
     ),
     doc_lens AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
@@ -452,7 +488,7 @@ def bm25_prefix_oracle_sql(query: str, k: int = 10) -> str:
     WITH toks AS (
       SELECT doc_id, t.tok AS term
       FROM documents,
-           unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(tok)
+           unnest(string_split_regex(lower(text), '[^\\p{{L}}\\p{{N}}]+')) AS t(tok)
       WHERE length(t.tok) >= 2 AND t.tok NOT IN ({stoplist})
     ),
     doc_lens AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
@@ -502,7 +538,7 @@ def bm25_weighted_oracle_sql(
     def ftoks(col: str) -> str:
         return (
             f"list_filter(string_split_regex(lower(coalesce({col}, '')), "
-            f"'[^a-z0-9]+'), x -> length(x) >= 2 AND x NOT IN ({stoplist}))"
+            f"'[^\\p{{L}}\\p{{N}}]+'), x -> length(x) >= 2 AND x NOT IN ({stoplist}))"
         )
 
     tok_parts = " UNION ALL ".join(

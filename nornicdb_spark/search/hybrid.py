@@ -87,6 +87,61 @@ def rrf_fuse(
     return out.limit(limit) if limit else out
 
 
+def rrf_fuse_many(
+    ranked: dict[str, DataFrame],
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    qid_col: str = "query_id",
+    k: int = RRF_K,
+    limit: int | None = None,
+) -> DataFrame:
+    """Batched RRF: fuse named PER-QUERY ranked lists (each with
+    ``qid_col`` + ``id_col`` + ``rank``, e.g. from ``search_many`` legs
+    ranked via :func:`rank_by` with ``partition_by=(qid_col,)``). The
+    batched twin of :func:`rrf_fuse` — per-query results identical; the
+    whole batch fuses in one pass (full-outer join on (query, doc),
+    one weighted-sum expression, per-query window ``limit``). This is
+    the reference's user-facing search entry (search.go:38-58 fuses
+    vector+BM25 per request) re-expressed at serving-batch shape: q
+    hybrid requests cost one fused plan, not q driver round trips.
+    Returns (qid_col, id_col, rrf_score, <name>_rank …) ordered within
+    each query by score desc, ties by id."""
+    weights = weights or {}
+    fused = None
+    for name, df in ranked.items():
+        part = df.select(
+            F.col(qid_col), F.col(id_col), F.col("rank").alias(f"{name}_rank")
+        )
+        fused = (
+            part
+            if fused is None
+            else fused.join(part, [qid_col, id_col], "full_outer")
+        )
+
+    score = None
+    for name in ranked:
+        w = float(weights.get(name, 1.0))
+        term = F.when(
+            F.col(f"{name}_rank").isNotNull(),
+            F.lit(w) / (F.lit(k) + F.col(f"{name}_rank")),
+        ).otherwise(F.lit(0.0))
+        score = term if score is None else score + term
+
+    out = fused.withColumn("rrf_score", score)
+    if limit:
+        spec = W.partitionBy(qid_col).orderBy(
+            F.desc(F.round(F.col("rrf_score"), 9)), F.asc(id_col)
+        )
+        out = (
+            out.withColumn("_rn", F.row_number().over(spec))
+            .filter(F.col("_rn") <= int(limit))
+            .drop("_rn")
+        )
+    return out.orderBy(
+        F.asc(qid_col), F.desc(F.round(F.col("rrf_score"), 9)), F.asc(id_col)
+    )
+
+
 def adaptive_rrf_weights(query: str) -> dict[str, float]:
     """Query-adaptive RRF weights (reference search.go:2043-2104
     GetAdaptiveRRFConfig): short queries (≤2 words) favor keyword
@@ -134,7 +189,7 @@ def lexical_rerank(
     doc_toks = F.array_distinct(
         F.filter(
             F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
-                    "[^a-z0-9]+"),
+                    r"[^\p{L}\p{N}]+"),
             lambda t: F.length(t) >= 2,
         )
     )

@@ -78,6 +78,46 @@ def cosine_topk(
     )
 
 
+def cosine_topk_many(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Batched exact cosine top-k — the serving-throughput twin of
+    :func:`cosine_topk`: q queries cost ONE scan of the corpus (the
+    query batch broadcasts; per-query window top-k), and per-query
+    results equal :func:`cosine_topk` row-for-row (same fold
+    arithmetic, same rounded-score/id tie-break). Unlike
+    :func:`knn_join` there is no self-exclusion — this is the batched
+    SEARCH path, not the all-pairs neighbor join.
+    Returns (query_id, vec_id, score)."""
+    from pyspark.sql import Window as W
+
+    q = queries.select(
+        F.col(qid_col).alias("query_id"),
+        F.col(qvec_col).cast("array<double>").alias("_qv"),
+    )
+    scored = embeddings.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        F.col(id_col).alias("vec_id"),
+        cosine_sim(F.col(vec_col).cast("array<double>"), F.col("_qv")).alias(
+            "score"
+        ),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("score"), 9)), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= int(k))
+        .select("query_id", "vec_id", "score")
+    )
+
+
 def euclidean_topk(
     embeddings: DataFrame,
     query_vec,

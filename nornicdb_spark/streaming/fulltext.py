@@ -153,7 +153,7 @@ class MaintainedBM25Index:
         maintenance window (stream stopped, checkpoint committed, no
         replay pending) — and that contract is ENFORCED, not just
         documented: the guard high-water is advanced past the latest
-        ingested batch afterwards, so a replay of even that batch
+        ingested batch BEFORE the fold, so a replay of even that batch
         (which would re-append its folded postings as a fresh
         ``src_batch=N`` partition — double-counted df/tf) is refused
         instead of silently blessed. An interrupted prior compaction is
@@ -172,6 +172,12 @@ class MaintainedBM25Index:
             id_type = stored_col_type(self.spark, self.postings_path, "doc_id")
             if id_type is None:
                 return  # nothing ingested yet — nothing to compact
+        # Fence BEFORE the folds: a crash after the postings fold but
+        # before the epoch bump would otherwise leave exactly the
+        # latest-batch-replay double-count window the bump exists to
+        # close. A refused replay under the quiesce contract is
+        # harmless; crash-injection-tested.
+        guard.advance_epoch(self.path)
         rewrite_partitioned(
             self.spark,
             self.postings_path,
@@ -198,7 +204,6 @@ class MaintainedBM25Index:
             ).withColumn("batch_id", F.lit(-2).cast("bigint")),
             "batch_id",
         )
-        guard.advance_epoch(self.path)
 
     def ingest(self, stream_df: DataFrame, query_name: str):
         """Attach the ingest loop to a document stream; returns the

@@ -179,7 +179,7 @@ class MaintainedIVFIndex:
         long-running ingest to n_lists partitions. MUST run in a
         maintenance window (stream stopped, checkpoint committed, no
         replay pending) — ENFORCED: the guard high-water advances past
-        the latest ingested batch afterwards, so a replay of even that
+        the latest ingested batch BEFORE the fold, so a replay of even that
         batch (re-appending its folded codes → double-counted vectors)
         is refused instead of silently blessed. An interrupted prior
         compaction is recovered first, so a default-argument re-run
@@ -198,6 +198,12 @@ class MaintainedIVFIndex:
             id_type = stored_col_type(self.spark, self.codes_path, "vec_id")
             if id_type is None:
                 return  # nothing ingested yet — nothing to compact
+        # Fence BEFORE the fold: a crash mid-rewrite must leave the
+        # latest batch's replay already REFUSED (a refused replay under
+        # the quiesce contract is harmless; a blessed replay of a folded
+        # batch double-counts its codes). Advancing first removes the
+        # crash window entirely — crash-injection-tested.
+        guard.advance_epoch(self.path)
         rewrite_partitioned(
             self.spark,
             self.codes_path,
@@ -207,7 +213,6 @@ class MaintainedIVFIndex:
             "src_batch",
             "list_id",
         )
-        guard.advance_epoch(self.path)
 
     def ingest(self, stream_df: DataFrame, query_name: str):
         """Attach the ingest loop to a vector stream; requires a prior
@@ -256,30 +261,69 @@ class MaintainedIVFIndex:
             )
         out_schema = f"query_id bigint, vec_id {id_type}, score double"
         centers = self.centers()
-        pairs, qmeta = [], []
-        for r in queries.select(
-            F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("qv")
-        ).collect():
-            qv = [float(x) for x in r.qv]
-            qn = sum(x * x for x in qv) ** 0.5
-            if qn == 0.0:
-                continue
+        # Probe assignment is SPARK-SIDE — the ingest path's codegen-
+        # over-broadcast-centroid-literals discipline (``_rows``), not a
+        # per-query driver loop: at serving scale (thousands of lists ×
+        # a 100k-query batch) interpreted-Python cosines on the driver
+        # would bottleneck before the cluster did any work. Per query:
+        # an array of (sim, list_id) structs (one fused fold per
+        # centroid; a degenerate zero-norm centroid pins sim = −1.0,
+        # matching :meth:`search`), comparator-sorted sim-desc /
+        # list_id-asc (the stable argsort ``search`` computes), sliced
+        # to n_probe, exploded to (query_id, list_id) probe pairs.
+        from nornicdb_spark.search.vector import _lit_vec, dot
 
-            def cos(c):
-                d = sum(a * b for a, b in zip(c, qv))
-                n = (sum(a * a for a in c) ** 0.5) * qn
-                return d / n if n else -1.0
-
-            probe = sorted(range(len(centers)), key=lambda i: -cos(centers[i]))
-            pairs += [(int(r.query_id), int(l)) for l in probe[:n_probe]]
-            qmeta.append((int(r.query_id), qv, qn))
-        if not pairs:
-            return self.spark.createDataFrame([], out_schema)
-        pair_df = self.spark.createDataFrame(pairs, "query_id bigint, list_id int")
-        qdf = self.spark.createDataFrame(
-            qmeta, "query_id bigint, qv array<double>, qn double"
+        qbase = (
+            queries.select(
+                F.col(qid_col).cast("bigint").alias("query_id"),
+                F.col(qvec_col).cast("array<double>").alias("qv"),
+            )
+            .withColumn(
+                "qn",
+                F.sqrt(
+                    F.aggregate(
+                        F.col("qv"), F.lit(0.0), lambda a, x: a + x * x
+                    )
+                ),
+            )
+            .filter(F.col("qn") > 0)  # zero-norm: no direction, no rows
         )
-        lists = sorted({l for _, l in pairs})
+        sims = F.array(
+            *[
+                F.struct(
+                    (
+                        (dot(F.col("qv"), _lit_vec(c))
+                         / (F.lit(cn) * F.col("qn"))).alias("sim")
+                        if cn > 0.0
+                        else F.lit(-1.0).alias("sim")
+                    ),
+                    F.lit(i).alias("list_id"),
+                )
+                for i, (c, cn) in enumerate(
+                    (c, sum(x * x for x in c) ** 0.5) for c in centers
+                )
+            ]
+        )
+        cmp = lambda l, r: (  # noqa: E731 — array_sort comparator
+            F.when(l["sim"] > r["sim"], F.lit(-1))
+            .when(l["sim"] < r["sim"], F.lit(1))
+            .otherwise(l["list_id"] - r["list_id"])
+        )
+        pair_df = qbase.select(
+            "query_id",
+            F.explode(
+                F.slice(F.array_sort(sims, cmp), 1, int(n_probe))
+            ).alias("_p"),
+        ).select("query_id", F.col("_p.list_id").alias("list_id"))
+        qdf = qbase.select("query_id", "qv", "qn")
+        # the ONLY collect: the distinct probed lists, bounded by
+        # n_lists (not by |batch|) — it feeds the ``list_id isin``
+        # literal that becomes PartitionFilters on the codes scan
+        lists = sorted(
+            r.list_id for r in pair_df.select("list_id").distinct().collect()
+        )
+        if not lists:
+            return self.spark.createDataFrame([], out_schema)
         code_dot = F.aggregate(
             F.zip_with(
                 F.col("codes"), F.col("qv"), lambda c, qx: c.cast("double") * qx
@@ -440,6 +484,13 @@ class MaintainedIVFIndex:
                 or "bigint"
             )
         qn = float(sum(float(x) * float(x) for x in query_vec)) ** 0.5
+        if qn == 0.0:
+            # a zero-norm query has no direction: same contract as
+            # search_many (which drops such queries) — an empty result,
+            # not a divide-by-zero's null scores
+            return self.spark.createDataFrame(
+                [], f"vec_id {id_type}, score double"
+            )
         centers = self.centers()
 
         def cos(c):

@@ -195,3 +195,107 @@ def test_bm25_search_many_equals_per_query_search(catalog):
         ]
         assert got.get(qid, []) == want, f"query {qid} diverges"
     assert 4 not in got
+
+
+def test_bm25_unified_tokenizer_non_ascii(spark):
+    # ONE tokenizer rule on every path (reference tokenize() is Unicode:
+    # fulltext_index.go:254-256): a query with non-ASCII letters must
+    # score identically through search(), search_many() AND the DuckDB
+    # oracle — the regression for the query-side ASCII/corpus-side
+    # Unicode split search_many shipped with.
+    import duckdb
+    import pandas as pd
+
+    docs_rows = [
+        (0, "naïve café data naïve"),
+        (1, "café terrace at night"),
+        (2, "plain ascii data table"),
+        (3, "naïve approach to data"),
+    ]
+    assert bm25.tokenize_query("Naïve café 東京 a x") == ["naïve", "café", "東京"]
+
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    idx = bm25.BM25Index.build(docs)
+    single = [
+        (r.doc_id, round(r.score, 9))
+        for r in idx.search("naïve café data", k=4).collect()
+    ]
+    assert single, "non-ASCII query matched nothing"
+    qdf = spark.createDataFrame(
+        [(7, "naïve café data")], "query_id long, query_text string"
+    )
+    batched = [
+        (r.doc_id, round(r.score, 9))
+        for r in idx.search_many(qdf, k=4).collect()
+    ]
+    assert batched == single
+
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(docs_rows, columns=["doc_id", "text"])
+    )
+    oracle = [
+        (int(d), round(float(s), 9))
+        for d, s in con.execute(
+            bm25.bm25_oracle_sql("naïve café data", k=4)
+        ).fetchall()
+    ]
+    assert oracle == single
+
+
+def test_bm25_multi_oracle_empty_batch_raises():
+    # 'VALUES ' with zero rows is invalid SQL — refuse at build time
+    # instead of handing DuckDB a syntax error at registration.
+    import pytest
+
+    with pytest.raises(ValueError, match="tokenized\\s+to nothing"):
+        bm25.bm25_multi_oracle_sql([(1, "a of the"), (2, "x")], k=3)
+    # one indexable query is enough for a valid oracle
+    sql = bm25.bm25_multi_oracle_sql([(1, "a of the"), (2, "data")], k=3)
+    assert "VALUES (2, 'data', 1.0)" in sql
+
+
+def test_bm25_shared_index_memo_evicts_stopped_sessions(catalog):
+    # the memo is a SessionMemo, not a plain dict: a stopped session's
+    # entry must not pin the interpreter or be readable by an id()-reuse
+    from nornicdb_spark.operators.scope import SessionMemo
+
+    memo = bm25._shared_memo()
+    assert isinstance(memo, SessionMemo)
+    idx = bm25.shared_index(catalog.documents, "memo-test-key")
+    assert bm25.shared_index(catalog.documents, "memo-test-key") is idx
+
+
+def test_hybrid_rrf_many_equals_single_query_composition(catalog, sf_dir):
+    # the batched hybrid (search_many BM25 leg + cosine_topk_many vector
+    # leg + rrf_fuse_many) must return, per query, exactly what the
+    # single-query composition (search + cosine_topk + rrf_fuse) returns
+    from nornicdb_spark.queries.search import (
+        HYBRID_BATCH,
+        _query_vec,
+        hybrid_rrf_many,
+    )
+    from nornicdb_spark.search import hybrid
+
+    spark = catalog.documents.sparkSession
+    got = {}
+    for r in hybrid_rrf_many(spark, sf_dir).collect():
+        got.setdefault(r.query_id, []).append(
+            (r.doc_id, round(r.rrf_score, 9), r.bm_rank, r.vec_rank)
+        )
+    idx = bm25.shared_index(catalog.documents, sf_dir)
+    for qid, qtext, vid in HYBRID_BATCH:
+        bm = hybrid.rank_by(idx.search(qtext, k=20), "score", "doc_id")
+        vs = hybrid.rank_by(
+            vector.cosine_topk(
+                catalog.embeddings, _query_vec(spark, sf_dir, vid), k=20
+            ).withColumnRenamed("vec_id", "doc_id"),
+            "score",
+            "doc_id",
+        )
+        fused = hybrid.rrf_fuse({"bm": bm, "vec": vs}, id_col="doc_id")
+        want = [
+            (r.doc_id, round(r.rrf_score, 9), r.bm_rank, r.vec_rank)
+            for r in fused.collect()
+        ]
+        assert got.get(qid, []) == want, f"query {qid} diverges"

@@ -1281,3 +1281,122 @@ def test_maintained_ivf_search_many_equals_single(spark, sf_dir, tmp_path):
             for r in idx.search(qv, refine_src=emb, k=5, n_probe=3).collect()
         ]
         assert got.get(qid, []) == want, f"query {qid} diverges"
+
+
+def test_compact_epoch_fence_survives_mid_fold_crash(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    # The fence must hold even when compact() CRASHES mid-fold: the
+    # epoch advances BEFORE the rewrites, so a replay of the latest
+    # batch is refused in the crash window too (previously the bump ran
+    # after the folds, leaving exactly the double-count replay the
+    # fence exists to refuse still blessed until a re-run). A refused
+    # replay under the quiesce contract is harmless; a blessed one
+    # double-counts folded postings/codes.
+    from nornicdb_spark.catalog import Catalog
+    from nornicdb_spark.sources import layout
+    from nornicdb_spark.streaming.fulltext import MaintainedBM25Index
+    from nornicdb_spark.streaming.ivf import MaintainedIVFIndex
+
+    docs = Catalog(spark, sf_dir).documents
+    ft = MaintainedBM25Index(spark, str(tmp_path / "ftfence"))
+    for b in range(2):
+        ft.process_batch(docs.filter(F.col("doc_id") % 2 == b), batch_id=b)
+    q = "spark join query performance"
+    before = [
+        (r.doc_id, round(r.score, 9)) for r in ft.search(q, k=10).collect()
+    ]
+
+    real_rewrite = layout.rewrite_partitioned
+
+    def crash(*a, **kw):
+        raise RuntimeError("injected mid-compaction crash")
+
+    monkeypatch.setattr(layout, "rewrite_partitioned", crash)
+    with pytest.raises(RuntimeError, match="injected"):
+        ft.compact()
+    # crash window: fold never ran, but the latest batch's replay is
+    # ALREADY refused
+    with pytest.raises(ValueError, match="high-water"):
+        ft.process_batch(docs.filter(F.col("doc_id") % 2 == 1), batch_id=1)
+    monkeypatch.setattr(layout, "rewrite_partitioned", real_rewrite)
+    ft.compact()  # re-run completes the fold; search invariant
+    after = [
+        (r.doc_id, round(r.score, 9)) for r in ft.search(q, k=10).collect()
+    ]
+    assert after == before and len(after) == 10
+
+    emb = Catalog(spark, sf_dir).embeddings.select("vec_id", "embedding")
+    ivf = MaintainedIVFIndex(spark, str(tmp_path / "ivffence"))
+    ivf.bootstrap(emb.filter(F.col("vec_id") % 2 == 0), n_lists=4)
+    ivf.process_batch(emb.filter(F.col("vec_id") % 2 == 1), batch_id=0)
+    monkeypatch.setattr(layout, "rewrite_partitioned", crash)
+    with pytest.raises(RuntimeError, match="injected"):
+        ivf.compact()
+    with pytest.raises(ValueError, match="high-water"):
+        ivf.process_batch(emb.filter(F.col("vec_id") % 2 == 1), batch_id=0)
+    monkeypatch.setattr(layout, "rewrite_partitioned", real_rewrite)
+    ivf.compact()
+
+
+def test_maintained_ivf_search_zero_norm_returns_empty(
+    spark, sf_dir, tmp_path
+):
+    # single-query search() must honor the same contract search_many
+    # documents (zero-norm queries have no direction → no rows), not
+    # divide by zero into null scores
+    from nornicdb_spark.catalog import Catalog
+    from nornicdb_spark.streaming.ivf import MaintainedIVFIndex
+
+    emb = Catalog(spark, sf_dir).embeddings.select("vec_id", "embedding")
+    idx = MaintainedIVFIndex(spark, str(tmp_path / "ivfzero"))
+    idx.bootstrap(emb, n_lists=4)
+    dim = len(emb.select("embedding").first()[0])
+    out = idx.search([0.0] * dim, refine_src=emb, k=5)
+    assert out.columns == ["vec_id", "score"] and out.count() == 0
+
+
+def test_maintained_ivf_search_many_no_per_query_driver_work(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    # probe assignment is Spark-side (the ingest path's codegen argmin
+    # over broadcast centroid literals): the ONLY driver collect while
+    # building the batched plan is the distinct probed-list literal —
+    # bounded by n_lists, NOT by |batch|. Doubling the batch must not
+    # change the number of collects nor the size of any collected
+    # result.
+    from nornicdb_spark.catalog import Catalog
+    from nornicdb_spark.streaming.ivf import MaintainedIVFIndex
+
+    emb = Catalog(spark, sf_dir).embeddings.select("vec_id", "embedding")
+    idx = MaintainedIVFIndex(spark, str(tmp_path / "ivfnoloop"))
+    idx.bootstrap(emb.filter(F.col("vec_id") % 2 == 0), n_lists=8)
+    idx.centers()  # pre-warm the centroid cache (bounded by n_lists)
+
+    def batch_df(n):
+        rows = emb.filter(F.col("vec_id") < n).collect()
+        return spark.createDataFrame(
+            [(int(r.vec_id), [float(x) for x in r.embedding]) for r in rows],
+            "query_id bigint, qvec array<double>",
+        )
+
+    q3, q9 = batch_df(3), batch_df(9)
+    # patch the CONCRETE DataFrame class (pyspark 4's facade is not in
+    # the instances' MRO call path for collect)
+    cls = type(q3)
+    counts = {}
+    orig = cls.collect
+    for name, qdf in (("q3", q3), ("q9", q9)):
+        calls = []
+
+        def spy(self, _calls=calls):
+            rows = orig(self)
+            _calls.append(len(rows))
+            return rows
+
+        monkeypatch.setattr(cls, "collect", spy)
+        idx.search_many(qdf, refine_src=emb, k=5, n_probe=3)
+        monkeypatch.setattr(cls, "collect", orig)
+        counts[name] = calls
+    assert len(counts["q3"]) == len(counts["q9"]) == 1, counts
+    assert all(n <= 8 for n in counts["q9"]), counts  # ≤ n_lists rows
