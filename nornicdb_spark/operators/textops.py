@@ -306,6 +306,91 @@ def bpe_pair_counts(
     )
 
 
+# Symbol separator for the BPE state representation — a control char
+# that whitespace-split lowercase text never contains. Each symbol is
+# wrapped in its own separators ("\x01h\x01\x01e\x01…"), so a merge is
+# ONE literal string replace: the pattern \x01a\x01\x01b\x01 can only
+# match at symbol boundaries, and sequential non-overlapping replace
+# (Spark StringReplace == DuckDB replace()) IS the canonical greedy
+# left-to-right BPE merge ("aaa" + (a,a) → [aa, a]; "abab" + (a,b) →
+# [ab, ab]).
+BPE_SEP = "\x01"
+
+
+def bpe_merges(
+    docs: DataFrame,
+    n_merges: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BPE tokenizer training over the corpus: ``n_merges`` actual merge
+    ROUNDS (argmax pair → apply → recount), not just iteration-0 pair
+    statistics (:func:`bpe_pair_counts`). The learned artifact — the
+    ordered merge table (merge_round, lhs, rhs, freq) — is what a
+    tokenizer trainer ships (Sennrich et al. 2016 learn_bpe; reference
+    has no tokenizer training — this is the LLM-pipeline extension).
+
+    Distributed shape for 100 TB: the corpus is touched ONCE (word
+    histogram: explode + map-side-combined count); every round then
+    runs over the DISTINCT-WORD table (vocabulary-sized, corpus-size
+    independent) — one weighted pair aggregation + a 1-row argmax
+    collect per round (the merge rule is driver-resident learned state,
+    the centroid posture), one narrow per-row string replace. State is
+    rolled with localCheckpoint per round (the engine's loop idiom) so
+    the plan does not grow. Pair counting weights by word frequency and
+    counts every adjacent position (overlaps included), matching
+    canonical get_stats; argmax ties break (freq desc, lhs asc,
+    rhs asc) on both engine and oracle."""
+    from nornicdb_spark.operators.scope import CkptScope
+
+    sep = BPE_SEP
+    sc = CkptScope()
+    words = (
+        docs.select(F.explode(_words(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("wfreq"))
+    )
+    wrapped = F.regexp_replace(F.col("word"), "(.)", f"{sep}$1{sep}")
+    state = sc.ckpt(words.select("wfreq", wrapped.alias("w")))
+    merges: list[tuple[int, str, str, int]] = []
+    for rnd in range(1, int(n_merges) + 1):
+        syms = F.split(
+            F.expr("substring(w, 2, length(w) - 2)"), sep + sep
+        )
+        pairs = F.transform(
+            F.sequence(F.lit(1), F.size(syms) - 1),
+            lambda i: F.struct(
+                F.element_at(syms, i).alias("lhs"),
+                F.element_at(syms, i + 1).alias("rhs"),
+            ),
+        )
+        best = (
+            state.filter(F.size(syms) >= 2)
+            .select("wfreq", F.explode(pairs).alias("p"))
+            .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+            .agg(F.sum("wfreq").alias("freq"))
+            .orderBy(F.desc("freq"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break  # vocabulary exhausted before n_merges rounds
+        lhs, rhs, freq = best[0].lhs, best[0].rhs, int(best[0].freq)
+        merges.append((rnd, lhs, rhs, freq))
+        pat = f"{sep}{lhs}{sep}{sep}{rhs}{sep}"
+        rep = f"{sep}{lhs}{rhs}{sep}"
+        state = sc.roll(
+            state,
+            state.select(
+                "wfreq", F.replace(F.col("w"), F.lit(pat), F.lit(rep)).alias("w")
+            ),
+        )
+    out = docs.sparkSession.createDataFrame(
+        merges, "merge_round int, lhs string, rhs string, freq long"
+    )
+    return sc.finish(out)
+
+
 def unigram_logprob(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

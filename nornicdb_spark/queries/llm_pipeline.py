@@ -903,6 +903,58 @@ def vocab_bpe_pairs(spark, sf_dir):
     return textops.bpe_pair_counts(docs, k=100)
 
 
+def _bpe_merges_oracle_sql(n_merges: int) -> str:
+    """Unrolled DuckDB replica of textops.bpe_merges: the same
+    wrapped-string state (chr(1)-bounded symbols), the same weighted
+    pair count / (freq desc, lhs, rhs) argmax / literal-replace merge,
+    one CTE pair per round, UNION ALL of the per-round argmax rows."""
+    s = "chr(1)"
+    ctes = [
+        """words AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS wfreq FROM (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> length(x) > 0)) AS w
+        FROM documents) GROUP BY w
+    )""",
+        f"""state0 AS (
+      SELECT regexp_replace(w, '(.)', {s}||'\\1'||{s}, 'g') AS w, wfreq
+      FROM words
+    )""",
+    ]
+    for r in range(1, n_merges + 1):
+        ctes.append(f"""pairs{r} AS (
+      SELECT l[i] AS lhs, l[i+1] AS rhs, wfreq
+      FROM (SELECT string_split(trim(w, {s}), {s}||{s}) AS l, wfreq
+            FROM state{r - 1}) sy,
+           unnest(generate_series(1, len(l) - 1)) AS t(i)
+      WHERE len(l) >= 2
+    )""")
+        ctes.append(
+            f"m{r} AS (SELECT lhs, rhs, CAST(sum(wfreq) AS BIGINT) AS freq "
+            f"FROM pairs{r} GROUP BY lhs, rhs "
+            f"ORDER BY freq DESC, lhs, rhs LIMIT 1)"
+        )
+        ctes.append(
+            f"state{r} AS (SELECT replace(w, {s}||lhs||{s}||{s}||rhs||{s}, "
+            f"{s}||lhs||rhs||{s}) AS w, wfreq FROM state{r - 1}, m{r})"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT CAST({r} AS INT) AS merge_round, lhs, rhs, freq FROM m{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
+@register("vocab_bpe_merges", oracle=_bpe_merges_oracle_sql(6))
+def vocab_bpe_merges(spark, sf_dir):
+    # BPE tokenizer training proper: 6 actual merge rounds (argmax pair
+    # → greedy apply → recount) over the word histogram — the corpus is
+    # scanned once, every round is vocabulary-sized. Returns the ordered
+    # merge table, the artifact a tokenizer trainer ships.
+    docs = Catalog(spark, sf_dir).documents
+    return textops.bpe_merges(docs, n_merges=6)
+
+
 @register(
     "text_unigram_logprob",
     oracle="""

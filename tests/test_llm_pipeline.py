@@ -219,3 +219,35 @@ def test_bpe_pair_counts_hand_case(spark):
     )
     got = [(r.pair, r.freq) for r in textops.bpe_pair_counts(docs).collect()]
     assert got == [("a b", 3), ("b a", 1)]
+
+
+def test_bpe_merges_hand_case(spark):
+    # corpus: 'abab'×3, 'cd'×3 — pins frequency weighting, greedy
+    # non-overlapping apply, the (freq desc, lhs, rhs) tie-break, and
+    # early stop when the vocabulary exhausts before n_merges:
+    #   round 1: (a,b)=6 beats (b,a)=3,(c,d)=3 → abab=[ab,ab]
+    #   round 2: (ab,ab)=3 ties (c,d)=3, lhs 'ab'<'c' → abab=[abab]
+    #   round 3: (c,d)=3 → cd=[cd]; round 4: nothing left → 3 rows
+    from nornicdb_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(0, "abab abab cd"), (1, "abab cd cd")], "doc_id long, text string"
+    )
+    got = [
+        (r.merge_round, r.lhs, r.rhs, r.freq)
+        for r in textops.bpe_merges(docs, n_merges=4)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    assert got == [(1, "a", "b", 6), (2, "ab", "ab", 3), (3, "c", "d", 3)]
+
+    # overlap counting vs non-overlapping apply: 'aaa' counts (a,a)
+    # twice but merges to [aa, a] (canonical get_stats / greedy apply)
+    docs2 = spark.createDataFrame([(0, "aaa")], "doc_id long, text string")
+    got2 = [
+        (r.merge_round, r.lhs, r.rhs, r.freq)
+        for r in textops.bpe_merges(docs2, n_merges=2)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    assert got2 == [(1, "a", "a", 2), (2, "aa", "a", 1)]
