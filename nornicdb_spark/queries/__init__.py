@@ -47,49 +47,46 @@ from nornicdb_spark.queries import relational  # noqa: E402,F401
 from nornicdb_spark.queries import graph  # noqa: E402,F401
 
 # Driver-window priority (the harness verifies the first 50 registry
-# entries), round 10: (1) the seven maintained-index-family rows
-# registered mid-round-9 after that window was fixed — never
-# driver-stamped; three of them carry batch-oracle-VERBATIM claims
-# (stream_graph_wcc shares graph_connected_components' oracle,
-# stream_dedup_exact shares dedup_exact's, stream_bm25_topk shares
-# bm25_topk's), so a driver hash-stamp here is the strongest possible
-# close on the round-9 centerpiece; the two rows-only twins
-# (stream_vec_dedup_int8, stream_ann_ivf_int8) are each gated by their
-# oracle-backed gate/recall sibling in the same window;
-# (2) the entire remaining r6-stamp cohort (37 rows — the oldest
-# oracle-backed stamps after r9); (3) 6 r7 fillers spanning the families
-# the rest of the window does not touch (mutations, Cypher pipeline,
-# streaming windows, procedures, IVF-PQ recall, Neo4j-JSON source).
-# Exactly 50 entries — tests/test_registry.py pins the window size so
-# the r7 slip cannot recur. After r10 no oracle-backed stamp is older
-# than r7 (the remaining 44 r7 rows lead the r11 window).
+# entries), round 11: (1) the five rows registered mid-round-10 after
+# that window was fixed — never driver-stamped (the BM25 serving pair
+# shares ONE DuckDB oracle, so two hashes close the whole
+# batched-serving correctness story; stream_ann_ivf_multi's rows-only
+# row rides with its oracle-backed equality gate; vocab_bpe_pairs is
+# the tokenizer statistic); (2) the ENTIRE remaining r7-stamp cohort
+# (44 rows — the oldest oracle-backed stamps after r10); (3) one
+# filler: hybrid_rrf_many, this round's batched hybrid serving row
+# (swept green at sf0.01) — after r11 nothing oracle-backed is older
+# than r8, and only round-11's own vocab_bpe_merges remains unstamped
+# (queued r12). Exactly 50 entries — tests/test_registry.py pins the
+# window size so the r7 slip cannot recur.
 _PRIORITY = (
-    # never-stamped (registered post-r9-window): the maintained family
-    "stream_graph_wcc", "stream_dedup_exact", "stream_bm25_topk",
-    "stream_vec_dedup_int8_gate", "stream_vec_dedup_int8",
-    "stream_ann_ivf_int8_recall", "stream_ann_ivf_int8",
-    # round-6 stamps — the whole remaining cohort (37 rows)
-    "case_acctbal_bands", "collect_segments_per_nation",
-    "corpus_temperature_resample", "count_distinct_per_segment",
-    "date_functions", "distinct_segments", "exists_customers_with_orders",
-    "graph_all_shortest_paths_customer_parts", "graph_astar_customer_region",
-    "graph_betweenness_nation_region", "graph_closeness_nation_region",
-    "graph_customer_parts_2hop", "graph_exists_parts_with_suppliers",
-    "graph_khop_supplier", "graph_optional_match_nation_suppliers",
-    "graph_order_degrees", "graph_orders_per_customer",
-    "graph_pagerank_personalized", "graph_shortest_path_supplier_region",
-    "graph_suppliers_per_region", "graph_undirected_nation_neighbors",
-    "graph_var_length_reach", "having_frequent_customers",
-    "in_list_nations", "join_customer_nation_region", "list_functions",
-    "not_exists_customers_without_orders", "null_handling",
-    "optional_match_order_counts", "order_count_by_status",
-    "order_skip_limit", "regex_match_customers", "stats_by_brand",
-    "string_functions", "string_predicates", "top_acctbal_customers",
-    "topk_orders_per_priority",
-    # round-7 fillers (6 of the 50-row r7 cohort; rest queued for r11)
-    "mutation_merge_order_counts", "cypher_orders_pipeline",
-    "stream_windowed_counts", "proc_db_schema_visualization",
-    "ann_ivfpq_recall", "source_neo4j_json_roundtrip",
+    # never-stamped (registered post-r10-window): batched serving + BPE
+    "bm25_multi_query", "stream_bm25_multi_query",
+    "stream_ann_ivf_multi_gate", "stream_ann_ivf_multi",
+    "vocab_bpe_pairs",
+    # round-7 stamps — the whole remaining cohort (44 rows)
+    "dedup_cluster_canonical", "inference_similarity_edges",
+    "stream_session_stats", "stream_access_tracker",
+    "stream_static_enrich", "stream_stream_join", "stream_dedup_events",
+    "inference_edge_decay", "mutation_create_regions",
+    "mutation_set_remove_flag", "mutation_detach_delete_nation0",
+    "mutation_foreach_discount_bump", "constraint_unique_violations",
+    "spatial_haversine_distance", "duration_customer_order_span",
+    "apoc_coll_suite", "apoc_map_json", "proc_db_labels",
+    "proc_db_relationship_types", "proc_db_property_keys",
+    "cypher_top_balances", "cypher_optional_match", "cypher_union_case",
+    "cypher_unwind_functions", "cypher_write_pipeline",
+    "cypher_shortest_path", "cypher_pattern_comprehension",
+    "cypher_list_fold_quantifiers", "cypher_foreach_writes",
+    "cypher_vector_search", "cypher_fulltext_search",
+    "cypher_vector_spatial_functions", "cypher_merge_rel",
+    "cypher_correlated_call", "cypher_varlen_bound_endpoint",
+    "cypher_index_mgmt", "cypher_apoc_run", "graph_betweenness_sampled",
+    "graph_all_simple_paths", "graph_subgraph_nodes",
+    "graph_spanning_tree", "graph_neighbors_byhop_customer",
+    "union_names", "union_all_names",
+    # round-11 filler: the batched hybrid serving row
+    "hybrid_rrf_many",
 )
 
 

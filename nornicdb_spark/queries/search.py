@@ -853,3 +853,100 @@ def stream_ann_ivf_multi_gate(spark, sf_dir):
         singles.join(batched, cols, "left_anti")
     )
     return diff.agg((F.count(F.lit(1)) == 0).cast("long").alias("ok"))
+
+
+# -- batched hybrid over the LIVE indexes ------------------------------------
+# the reference's user-facing entry (search.go:38-58) fused per request
+# over its live in-memory indexes; this is that shape at serving-batch
+# scale: one tk-pruned postings scan + one list-pruned int8 scan serve
+# the whole batch, fused in one plan. Query texts pair with query
+# vectors by qid (vec_id = qid - 1); qid 4's text is all stopwords, so
+# its BM25 leg is empty and the fusion must carry the vector leg alone
+# through the full-outer join — the degenerate-leg edge, exercised on
+# both the batched and single paths.
+def _hybrid_serve_batch(spark, sf_dir, emb):
+    texts = {1: BM25_QUERY, 2: "distributed shuffle partition skew",
+             3: "query query optimizer", 4: "a of the"}
+    rows = (
+        emb.filter(F.col("vec_id").isin(0, 1, 2, 3)).orderBy("vec_id").collect()
+    )
+    return [
+        (int(r.vec_id) + 1, texts[int(r.vec_id) + 1],
+         [float(x) for x in r.embedding])
+        for r in rows
+    ]
+
+
+def _hybrid_fused_key_cols(fused):
+    # null ranks (doc absent from one leg) break anti-join equality —
+    # coalesce to a sentinel for the symmetric-difference compare
+    return fused.select(
+        "query_id",
+        "doc_id",
+        F.round("rrf_score", 9).alias("s"),
+        F.coalesce(F.col("bm_rank").cast("long"), F.lit(-1)).alias("bm_rank"),
+        F.coalesce(F.col("vec_rank").cast("long"), F.lit(-1)).alias("vec_rank"),
+    )
+
+
+@register("stream_hybrid_rrf_many")  # approximate legs — rows-only; gate below
+def stream_hybrid_rrf_many(spark, sf_dir):
+    # batched hybrid RRF over BOTH maintained indexes: the live BM25
+    # postings (one tk-pruned scan for the batch) fused with the live
+    # IVF int8 serving index (one union-of-probed-lists scan). The IVF
+    # leg's KMeans assignment is seed-dependent → no row-set oracle;
+    # the equality gate twin is the driver check.
+    ft = _maintained_ft_index(spark, sf_dir)
+    ivf, emb = _maintained_ivf_index(spark, sf_dir)
+    batch = _hybrid_serve_batch(spark, sf_dir, emb)
+    qtext = spark.createDataFrame(
+        [(q, t) for q, t, _ in batch], "query_id long, query_text string"
+    )
+    qvec = spark.createDataFrame(
+        [(q, v) for q, _, v in batch], "query_id bigint, qvec array<double>"
+    )
+    bm = hybrid.rank_by(
+        ft.search_many(qtext, k=20), "score", "doc_id",
+        partition_by=("query_id",),
+    )
+    vs = hybrid.rank_by(
+        ivf.search_many(qvec, refine_src=emb, k=20, n_probe=3)
+        .withColumnRenamed("vec_id", "doc_id"),
+        "score",
+        "doc_id",
+        partition_by=("query_id",),
+    )
+    fused = hybrid.rrf_fuse_many({"bm": bm, "vec": vs}, id_col="doc_id")
+    return _hybrid_fused_key_cols(fused)
+
+
+@register("stream_hybrid_rrf_many_gate", oracle=_OK_ORACLE)
+def stream_hybrid_rrf_many_gate(spark, sf_dir):
+    # the batched hybrid must EQUAL, per query, the single-query
+    # composition over the SAME live indexes (search + search, rank_by,
+    # rrf_fuse) — ids, both leg ranks, and 9-digit-rounded fused scores;
+    # full row-set equality (empty symmetric difference), not a recall
+    # bar.
+    ft = _maintained_ft_index(spark, sf_dir)
+    ivf, emb = _maintained_ivf_index(spark, sf_dir)
+    batch = _hybrid_serve_batch(spark, sf_dir, emb)
+    batched = stream_hybrid_rrf_many(spark, sf_dir)  # already key-cols
+    singles = None
+    for qid, qtext, qv in batch:
+        bm = hybrid.rank_by(ft.search(qtext, k=20), "score", "doc_id")
+        vs = hybrid.rank_by(
+            ivf.search(qv, refine_src=emb, k=20, n_probe=3)
+            .withColumnRenamed("vec_id", "doc_id"),
+            "score",
+            "doc_id",
+        )
+        one = _hybrid_fused_key_cols(
+            hybrid.rrf_fuse({"bm": bm, "vec": vs}, id_col="doc_id")
+            .withColumn("query_id", F.lit(qid).cast("long"))
+        )
+        singles = one if singles is None else singles.unionByName(one)
+    cols = ["query_id", "doc_id", "s", "bm_rank", "vec_rank"]
+    diff = batched.join(singles, cols, "left_anti").unionByName(
+        singles.join(batched, cols, "left_anti")
+    )
+    return diff.agg((F.count(F.lit(1)) == 0).cast("long").alias("ok"))
