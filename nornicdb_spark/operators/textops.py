@@ -391,6 +391,56 @@ def bpe_merges(
     return sc.finish(out)
 
 
+def bpe_encode(
+    docs: DataFrame,
+    merges,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize the corpus with a TRAINED merge table — the encode half
+    of BPE (:func:`bpe_merges` is the train half): each whitespace
+    word is char-wrapped into the same ``BPE_SEP`` encoding and every
+    merge is applied IN ORDER as one literal replace (greedy
+    left-to-right, identical to training's apply step), then the word
+    splits into its final symbols. ``merges``: the (merge_round, lhs,
+    rhs, …) DataFrame from :func:`bpe_merges`, or an ordered
+    [(lhs, rhs), …] list. Entirely codegen'd — the merge chain is
+    n_merges nested string replaces, no Python in the row path.
+    Returns (doc_id, tokens array<string>)."""
+    if isinstance(merges, DataFrame):
+        merges = [
+            (r.lhs, r.rhs) for r in merges.orderBy("merge_round").collect()
+        ]
+    sep = BPE_SEP
+    w = F.regexp_replace(F.col("word"), "(.)", f"{sep}$1{sep}")
+    for lhs, rhs in merges:
+        w = F.replace(
+            w,
+            F.lit(f"{sep}{lhs}{sep}{sep}{rhs}{sep}"),
+            F.lit(f"{sep}{lhs}{rhs}{sep}"),
+        )
+    syms = F.split(F.expr("substring(_w, 2, length(_w) - 2)"), sep + sep)
+    # posexplode + sorted reassembly: collect_list is partition-order
+    # nondeterministic, so word position travels with each word's
+    # symbols and the per-doc token stream is rebuilt in text order
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(_words(F.col(text_col))).alias("pos", "word"),
+        )
+        .withColumn("_w", w)
+        .select("doc_id", F.struct("pos", syms.alias("toks")).alias("_pt"))
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list("_pt")), lambda s: s["toks"]
+                )
+            ).alias("tokens")
+        )
+    )
+
+
 def unigram_logprob(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -903,11 +903,11 @@ def vocab_bpe_pairs(spark, sf_dir):
     return textops.bpe_pair_counts(docs, k=100)
 
 
-def _bpe_merges_oracle_sql(n_merges: int) -> str:
-    """Unrolled DuckDB replica of textops.bpe_merges: the same
-    wrapped-string state (chr(1)-bounded symbols), the same weighted
-    pair count / (freq desc, lhs, rhs) argmax / literal-replace merge,
-    one CTE pair per round, UNION ALL of the per-round argmax rows."""
+def _bpe_train_ctes(n_merges: int) -> list[str]:
+    """The unrolled DuckDB training chain shared by the merges and
+    encode oracles: the same wrapped-string state (chr(1)-bounded
+    symbols), the same weighted pair count / (freq desc, lhs, rhs)
+    argmax / literal-replace merge, one CTE triple per round."""
     s = "chr(1)"
     ctes = [
         """words AS (
@@ -938,11 +938,71 @@ def _bpe_merges_oracle_sql(n_merges: int) -> str:
             f"state{r} AS (SELECT replace(w, {s}||lhs||{s}||{s}||rhs||{s}, "
             f"{s}||lhs||rhs||{s}) AS w, wfreq FROM state{r - 1}, m{r})"
         )
+    return ctes
+
+
+def _bpe_merges_oracle_sql(n_merges: int) -> str:
+    """Training oracle: UNION ALL of the per-round argmax rows."""
     union = " UNION ALL ".join(
         f"SELECT CAST({r} AS INT) AS merge_round, lhs, rhs, freq FROM m{r}"
         for r in range(1, n_merges + 1)
     )
-    return "WITH " + ",\n".join(ctes) + "\n" + union
+    return "WITH " + ",\n".join(_bpe_train_ctes(n_merges)) + "\n" + union
+
+
+def _bpe_encode_oracle_sql(n_merges: int, k: int) -> str:
+    """Encode oracle: train (shared chain), then re-tokenize every
+    document's words with the learned merges applied in order (each a
+    1-row cross join against that round's argmax), count final-symbol
+    frequencies, top-k ties by token."""
+    s = "chr(1)"
+    ctes = _bpe_train_ctes(n_merges)
+    ctes.append("""dwords AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> length(x) > 0)) AS w
+      FROM documents
+    )""")
+    ctes.append(
+        f"d0 AS (SELECT regexp_replace(w, '(.)', {s}||'\\1'||{s}, 'g') AS w "
+        f"FROM dwords)"
+    )
+    for r in range(1, n_merges + 1):
+        ctes.append(
+            f"d{r} AS (SELECT replace(w, {s}||lhs||{s}||{s}||rhs||{s}, "
+            f"{s}||lhs||rhs||{s}) AS w FROM d{r - 1}, m{r})"
+        )
+    ctes.append(
+        f"dtoks AS (SELECT unnest(string_split(trim(w, {s}), {s}||{s})) "
+        f"AS token FROM d{n_merges})"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT token, CAST(count(*) AS BIGINT) AS freq
+    FROM dtoks GROUP BY token ORDER BY freq DESC, token LIMIT {k}
+    """
+    )
+
+
+from nornicdb_spark.operators import scope as _scope
+
+_BPE_MEMO = _scope.SessionMemo()
+
+
+def _trained_bpe_merges(spark, sf_dir, n_merges: int = 6):
+    # train once per (session, corpus) — the merges are the learned
+    # artifact both the merges row and the encode row consume
+    hit = _BPE_MEMO.get(spark, (sf_dir, n_merges))
+    if hit is not None:
+        return hit
+    docs = Catalog(spark, sf_dir).documents
+    rows = (
+        textops.bpe_merges(docs, n_merges=n_merges)
+        .orderBy("merge_round")
+        .collect()
+    )
+    return _BPE_MEMO.put(spark, (sf_dir, n_merges), rows)
 
 
 @register("vocab_bpe_merges", oracle=_bpe_merges_oracle_sql(6))
@@ -951,8 +1011,29 @@ def vocab_bpe_merges(spark, sf_dir):
     # → greedy apply → recount) over the word histogram — the corpus is
     # scanned once, every round is vocabulary-sized. Returns the ordered
     # merge table, the artifact a tokenizer trainer ships.
+    rows = _trained_bpe_merges(spark, sf_dir, 6)
+    return spark.createDataFrame(
+        [(r.merge_round, r.lhs, r.rhs, r.freq) for r in rows],
+        "merge_round int, lhs string, rhs string, freq long",
+    )
+
+
+@register("corpus_bpe_vocab_usage", oracle=_bpe_encode_oracle_sql(6, 50))
+def corpus_bpe_vocab_usage(spark, sf_dir):
+    # the ENCODE half: tokenize the corpus with the 6 trained merges
+    # (bpe_encode — the same greedy literal-replace chain, codegen'd)
+    # and report the top-50 final-symbol frequencies: train → encode
+    # end-to-end, both halves oracle-checked against one DuckDB chain.
     docs = Catalog(spark, sf_dir).documents
-    return textops.bpe_merges(docs, n_merges=6)
+    merges = [(r.lhs, r.rhs) for r in _trained_bpe_merges(spark, sf_dir, 6)]
+    return (
+        textops.bpe_encode(docs, merges)
+        .select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(50)
+    )
 
 
 @register(

@@ -251,3 +251,26 @@ def test_bpe_merges_hand_case(spark):
         .collect()
     ]
     assert got2 == [(1, "a", "a", 2), (2, "aa", "a", 1)]
+
+
+def test_bpe_encode_hand_case(spark):
+    # encode applies the trained merges in order per word and preserves
+    # the document's token stream order (posexplode + sorted reassembly)
+    from nornicdb_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(0, "abab abab cd"), (1, "abab cd cd")], "doc_id long, text string"
+    )
+    merges = [("a", "b"), ("ab", "ab"), ("c", "d")]
+    got = {
+        r.doc_id: list(r.tokens)
+        for r in textops.bpe_encode(docs, merges).collect()
+    }
+    assert got == {0: ["abab", "abab", "cd"], 1: ["abab", "cd", "cd"]}
+
+    # partial merges: only (a,b) trained → abab = [ab, ab]
+    got1 = {
+        r.doc_id: list(r.tokens)
+        for r in textops.bpe_encode(docs, [("a", "b")]).collect()
+    }
+    assert got1[0] == ["ab", "ab", "ab", "ab", "c", "d"]
