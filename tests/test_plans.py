@@ -604,3 +604,40 @@ def test_maintained_bm25_search_many_prunes_term_partitions(
     assert m is not None and "tk" in m.group(1), plan[:2000]
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     assert out.count() > 0
+
+
+def test_hybrid_rrf_many_all_broadcast_jvm_only(spark, sf_dir):
+    # the batched hybrid's scale contract: both legs' query-derived
+    # tables broadcast (driver-scale), neither the postings nor the
+    # embedding corpus is sort-merge-joined for them, nothing falls to
+    # a cartesian product, and the whole fused plan is pure codegen
+    plan = plan_of(spark, "hybrid_rrf_many", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    # the only SortMergeJoin allowed is the full-outer RRF fusion of the
+    # two bounded (≤ k·|batch|-row) ranked legs — never a corpus scan
+    kinds = set(re.findall(r"SortMergeJoin (\w+)", plan))
+    assert kinds <= {"FullOuter"}, kinds
+
+
+def test_bpe_pipeline_is_jvm_only(spark, sf_dir):
+    # tokenizer training + encode stay whole-stage-codegen: the pair
+    # statistics, the merge application (literal replace chain), and
+    # the encode token stream carry no Python eval and no cartesian
+    from nornicdb_spark.catalog import Catalog
+    from nornicdb_spark.operators import textops
+
+    docs = Catalog(spark, sf_dir).documents
+    merges = [("e ", "r"), ("t", "h")]
+    for df in (
+        textops.bpe_pair_counts(docs, k=10),
+        textops.bpe_encode(docs, merges),
+    ):
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+        assert "CartesianProduct" not in plan
