@@ -950,3 +950,38 @@ def stream_hybrid_rrf_many_gate(spark, sf_dir):
         singles.join(batched, cols, "left_anti")
     )
     return diff.agg((F.count(F.lit(1)) == 0).cast("long").alias("ok"))
+
+
+_COSINE_MANY_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id IN (0, 1, 2)
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(q.qv, q.qv))) AS score
+  FROM embeddings e, q
+)
+SELECT query_id, vec_id, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY round(score, 9) DESC, vec_id) AS rn
+  FROM scored) WHERE rn <= 10
+"""
+
+
+@register("vector_multi_query", oracle=_COSINE_MANY_ORACLE)
+def vector_multi_query(spark, sf_dir):
+    # batched exact vector serving (cosine_topk_many): q queries cost
+    # ONE broadcast-batch pass over the corpus + a per-query window
+    # top-k — the exact-leg counterpart of bm25_multi_query (unlike
+    # vector_knn_join there is no self-exclusion: this is the SEARCH
+    # path, per-query equal to vector_cosine_topk).
+    emb = Catalog(spark, sf_dir).embeddings
+    qdf = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").cast("bigint").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+    return vector.cosine_topk_many(emb, qdf, k=10)
