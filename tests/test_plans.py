@@ -641,3 +641,16 @@ def test_bpe_pipeline_is_jvm_only(spark, sf_dir):
         )
         assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
         assert "CartesianProduct" not in plan
+
+
+def test_batched_topk_windows_push_group_limits(spark, sf_dir):
+    # the batched serving rows' per-query window top-k must carry
+    # Spark's WindowGroupLimit pushdown: each map partition pre-limits
+    # to k rows per query BEFORE the shuffle, so the exchange moves
+    # ≤ k·|batch| rows per partition — never the full |corpus|·|batch|
+    # scored stream. This is the plan property that makes the
+    # brute-force batched baseline survive a 100× corpus.
+    for name in ("vector_multi_query", "bm25_multi_query"):
+        df = QUERIES[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan, (name, plan[:1500])
