@@ -347,6 +347,10 @@ def bpe_merges(
     sc = CkptScope()
     words = (
         docs.select(F.explode(_words(F.col(text_col))).alias("word"))
+        # a word containing the separator control char would corrupt the
+        # wrapped encoding — excluded on BOTH engine and oracle sides
+        # (control chars are not trainable text)
+        .filter(~F.col("word").contains(sep))
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("wfreq"))
     )
@@ -428,6 +432,8 @@ def bpe_encode(
             F.col(id_col).alias("doc_id"),
             F.posexplode(_words(F.col(text_col))).alias("pos", "word"),
         )
+        # same separator-char exclusion as training (both oracle sides)
+        .filter(~F.col("word").contains(sep))
         .withColumn("_w", w)
         .select("doc_id", F.struct("pos", syms.alias("toks")).alias("_pt"))
         .groupBy("doc_id")

@@ -914,7 +914,7 @@ def _bpe_train_ctes(n_merges: int) -> list[str]:
       SELECT w, CAST(count(*) AS BIGINT) AS wfreq FROM (
         SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
                                   x -> length(x) > 0)) AS w
-        FROM documents) GROUP BY w
+        FROM documents) WHERE strpos(w, chr(1)) = 0 GROUP BY w
     )""",
         f"""state0 AS (
       SELECT regexp_replace(w, '(.)', {s}||'\\1'||{s}, 'g') AS w, wfreq
@@ -958,9 +958,10 @@ def _bpe_encode_oracle_sql(n_merges: int, k: int) -> str:
     s = "chr(1)"
     ctes = _bpe_train_ctes(n_merges)
     ctes.append("""dwords AS (
-      SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
-                                x -> length(x) > 0)) AS w
-      FROM documents
+      SELECT w FROM (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> length(x) > 0)) AS w
+        FROM documents) WHERE strpos(w, chr(1)) = 0
     )""")
     ctes.append(
         f"d0 AS (SELECT regexp_replace(w, '(.)', {s}||'\\1'||{s}, 'g') AS w "

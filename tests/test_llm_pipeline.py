@@ -274,3 +274,24 @@ def test_bpe_encode_hand_case(spark):
         for r in textops.bpe_encode(docs, [("a", "b")]).collect()
     }
     assert got1[0] == ["ab", "ab", "ab", "ab", "c", "d"]
+
+
+def test_bpe_ignores_separator_char_words(spark):
+    # a word containing the \x01 encoding separator would corrupt the
+    # wrapped representation — both train and encode exclude it (the
+    # DuckDB oracles carry the same strpos filter)
+    from nornicdb_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(0, "ab ab a\x01b")], "doc_id long, text string"
+    )
+    got = [
+        (r.lhs, r.rhs, r.freq)
+        for r in textops.bpe_merges(docs, n_merges=1).collect()
+    ]
+    assert got == [("a", "b", 2)]  # the control-char word contributed 0
+    toks = {
+        r.doc_id: list(r.tokens)
+        for r in textops.bpe_encode(docs, [("a", "b")]).collect()
+    }
+    assert toks == {0: ["ab", "ab"]}
