@@ -972,6 +972,19 @@ SELECT query_id, vec_id, score FROM (
 """
 
 
+@register(
+    "bm25_phrase_search",
+    oracle=bm25_mod.phrase_oracle_sql("merge batch", 10),
+)
+def bm25_phrase_search(spark, sf_dir):
+    # exact-phrase search (reference fulltext_index.go PhraseSearch):
+    # contains + earliest-occurrence score 1/(1+idx/100), top-10 with a
+    # doc_id tie-break (the reference's sort.Slice leaves equal scores
+    # unordered — determinism delta documented in phrase_search)
+    docs = Catalog(spark, sf_dir).documents
+    return bm25_mod.phrase_search(docs, "merge batch", limit=10)
+
+
 @register("vector_multi_query", oracle=_COSINE_MANY_ORACLE)
 def vector_multi_query(spark, sf_dir):
     # batched exact vector serving (cosine_topk_many): q queries cost

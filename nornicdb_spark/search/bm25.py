@@ -342,6 +342,48 @@ def score_exact_candidates(
     )
 
 
+def phrase_search(
+    docs: DataFrame,
+    phrase: str,
+    limit: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-phrase match (reference fulltext_index.go:291-318
+    PhraseSearch): documents whose lowercased text CONTAINS the
+    lowercased phrase, scored by how early it first appears —
+    score = 1/(1 + idx/100) — sorted descending, top ``limit``. One
+    codegen'd scan (locate + arithmetic), no index needed; at 100 TB
+    this is a full-text predicate scan that parallelizes trivially and
+    prunes to (id, text) columns. Two deliberate determinism deltas
+    from the Go code: positions are CHARACTER offsets (Go uses byte
+    offsets — identical on ASCII text, and chars are the principled
+    unit), and ties break by doc id (the reference's sort.Slice leaves
+    equal scores in arbitrary order)."""
+    pos = F.locate(phrase.lower(), F.lower(F.col(text_col)))  # 1-based, 0=miss
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            (1.0 / (1.0 + (pos - 1).cast("double") / 100.0)).alias("score"),
+        )
+        .where(pos > 0)
+        .orderBy(F.desc(F.round(F.col("score"), 9)), F.asc("doc_id"))
+        .limit(int(limit))
+    )
+
+
+def phrase_oracle_sql(phrase: str, limit: int = 10) -> str:
+    """DuckDB replica of :func:`phrase_search` on ``documents``."""
+    p = phrase.lower().replace("'", "''")
+    return f"""
+    SELECT doc_id,
+           1.0 / (1.0 + (strpos(lower(text), '{p}') - 1) / 100.0) AS score
+    FROM documents
+    WHERE strpos(lower(text), '{p}') > 0
+    ORDER BY round(score, 9) DESC, doc_id LIMIT {limit}
+    """
+
+
 def _shared_memo():
     # lazy: scope imports bm25-adjacent modules; keep import cycles out
     from nornicdb_spark.operators.scope import SessionMemo

@@ -299,3 +299,27 @@ def test_hybrid_rrf_many_equals_single_query_composition(catalog, sf_dir):
             for r in fused.collect()
         ]
         assert got.get(qid, []) == want, f"query {qid} diverges"
+
+
+def test_phrase_search_semantics(spark):
+    # reference PhraseSearch: contains + earliest-occurrence score
+    # 1/(1+idx/100); position-0 match scores exactly 1.0; absent phrase
+    # yields no rows; equal positions fall to the doc_id tie-break
+    docs = spark.createDataFrame(
+        [
+            (0, "Merge Batch first"),        # idx 0 → 1.0
+            (1, "xx merge batch later"),     # idx 3 → 1/(1.03)
+            (2, "no match here"),
+            (3, "merge batch tie"),          # idx 0 → ties doc 0
+        ],
+        "doc_id long, text string",
+    )
+    got = [
+        (r.doc_id, round(r.score, 9))
+        for r in bm25.phrase_search(docs, "MERGE batch", limit=10).collect()
+    ]
+    assert got == [
+        (0, 1.0),
+        (3, 1.0),
+        (1, round(1.0 / 1.03, 9)),
+    ]
