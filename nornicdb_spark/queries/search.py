@@ -148,6 +148,36 @@ def vector_cosine_topk(spark, sf_dir):
     return vector.cosine_topk(emb, _query_vec(spark, sf_dir), k=10)
 
 
+_COSINE_MINSIM_ORACLE = """
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+)
+SELECT vec_id, score FROM (
+  SELECT vec_id,
+         list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+           / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                    CAST(embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(qv, qv))) AS score
+  FROM embeddings, q
+) WHERE round(score, 9) >= 0.30
+ORDER BY round(score, 9) DESC, vec_id LIMIT 10
+"""
+
+
+@register("vector_cosine_minsim", oracle=_COSINE_MINSIM_ORACLE)
+def vector_cosine_minsim(spark, sf_dir):
+    # the reference Search()'s minSimilarity knob (vector_index.go:
+    # 312-363; service resolveMinSimilarity): results below the
+    # threshold are dropped BEFORE the top-k, so fewer than k rows can
+    # return. Threshold compares the rounded score on both sides. At
+    # the fixture corpus 0.30 keeps ~6 of the top-10 — the truncation
+    # path is actually exercised.
+    emb = Catalog(spark, sf_dir).embeddings
+    return vector.cosine_topk(
+        emb, _query_vec(spark, sf_dir), k=10, min_similarity=0.30
+    )
+
+
 _EUCLID_ORACLE = """
 WITH q AS (
   SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0

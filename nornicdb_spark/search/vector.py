@@ -59,16 +59,27 @@ def cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    min_similarity: float | None = None,
 ) -> DataFrame:
     """Exact brute-force top-k by cosine — the oracle for ANN recall
     (reference pkg/search/vector_index.go exact VectorIndex).
+    ``min_similarity``: drop results below the threshold BEFORE the
+    top-k, the reference Search()'s minSimilarity knob
+    (vector_index.go:312-363; service default resolveMinSimilarity).
+    The threshold compares the 9-digit-rounded score so ULP-level
+    engine/oracle differences cannot flip membership at the boundary.
     Returns (vec_id, score) ordered desc, ties by id."""
     emb = F.col(vec_col).cast("array<double>")
-    return (
-        embeddings.select(
-            F.col(id_col).alias("vec_id"),
-            cosine_sim(emb, _lit_vec(query_vec)).alias("score"),
+    scored = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        cosine_sim(emb, _lit_vec(query_vec)).alias("score"),
+    )
+    if min_similarity is not None:
+        scored = scored.where(
+            F.round(F.col("score"), 9) >= float(min_similarity)
         )
+    return (
+        scored
         # selection key rounded to 9 decimals: JVM and oracle float
         # arithmetic differ in the last ULP, and duplicated vectors (equal
         # scores) must fall to the vec_id tie-break identically on both
