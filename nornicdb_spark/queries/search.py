@@ -280,6 +280,39 @@ def hybrid_rrf(spark, sf_dir):
     )
 
 
+@register(
+    "hybrid_rrf_minscore",
+    oracle=f"""
+    SELECT * FROM ({_RRF_ORACLE})
+    WHERE round(rrf_score, 9) >= 0.02
+    ORDER BY round(rrf_score, 9) DESC, doc_id
+    """,
+)
+def hybrid_rrf_minscore(spark, sf_dir):
+    # SearchOptions.MinRRFScore (search.go:172): fused results below
+    # the threshold are dropped. At k=60 a doc present in only ONE
+    # 20-deep leg scores ≤ 1/61 ≈ 0.0164, so 0.02 keeps exactly the
+    # docs both legs agree on — the knob visibly truncates.
+    cat = Catalog(spark, sf_dir)
+    idx = bm25_mod.shared_index(cat.documents, sf_dir)
+    bm = hybrid.rank_by(idx.search(FUSE_QUERY, k=20), "score", "doc_id")
+    vs = hybrid.rank_by(
+        vector.cosine_topk(cat.embeddings, _query_vec(spark, sf_dir), k=20)
+        .withColumnRenamed("vec_id", "doc_id"),
+        "score",
+        "doc_id",
+    )
+    fused = hybrid.rrf_fuse(
+        {"bm": bm, "vec": vs}, id_col="doc_id", min_score=0.02
+    )
+    return fused.select(
+        "doc_id",
+        "rrf_score",
+        F.col("bm_rank").cast("long").alias("bm_rank"),
+        F.col("vec_rank").cast("long").alias("vec_rank"),
+    )
+
+
 # Batched hybrid serving: one fixed (query_id, query_text, vec_id)
 # batch; qid == vec_id by construction so the vector leg needs no
 # mapping join. Each query's fused result must equal the single-query

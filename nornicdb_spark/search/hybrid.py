@@ -58,11 +58,16 @@ def rrf_fuse(
     id_col: str = "doc_id",
     k: int = RRF_K,
     limit: int | None = None,
+    min_score: float | None = None,
 ) -> DataFrame:
     """Fuse named ranked lists (each with ``id_col`` + ``rank``).
 
     Returns (id_col, rrf_score, <name>_rank …) ordered by score desc.
     Missing entries contribute 0 (document absent from that ranking).
+    ``min_score``: drop fused results below the threshold (the
+    reference's SearchOptions.MinRRFScore, search.go:172 — default
+    0.01 there; compared on the 9-digit-rounded score so boundary
+    membership matches the oracle).
     """
     weights = weights or {}
     fused = None
@@ -81,7 +86,10 @@ def rrf_fuse(
         ).otherwise(F.lit(0.0))
         score = term if score is None else score + term
 
-    out = fused.withColumn("rrf_score", score).orderBy(
+    out = fused.withColumn("rrf_score", score)
+    if min_score is not None:
+        out = out.where(F.round(F.col("rrf_score"), 9) >= float(min_score))
+    out = out.orderBy(
         F.desc(F.round(F.col("rrf_score"), 9)), F.asc(id_col)
     )
     return out.limit(limit) if limit else out
@@ -94,6 +102,7 @@ def rrf_fuse_many(
     qid_col: str = "query_id",
     k: int = RRF_K,
     limit: int | None = None,
+    min_score: float | None = None,
 ) -> DataFrame:
     """Batched RRF: fuse named PER-QUERY ranked lists (each with
     ``qid_col`` + ``id_col`` + ``rank``, e.g. from ``search_many`` legs
@@ -128,6 +137,8 @@ def rrf_fuse_many(
         score = term if score is None else score + term
 
     out = fused.withColumn("rrf_score", score)
+    if min_score is not None:
+        out = out.where(F.round(F.col("rrf_score"), 9) >= float(min_score))
     if limit:
         spec = W.partitionBy(qid_col).orderBy(
             F.desc(F.round(F.col("rrf_score"), 9)), F.asc(id_col)
