@@ -1061,3 +1061,102 @@ def vector_multi_query(spark, sf_dir):
         F.col("embedding").alias("qvec"),
     )
     return vector.cosine_topk_many(emb, qdf, k=10)
+
+
+# -- live-index removal -------------------------------------------------------
+REMOVED_DOC_IDS = (0, 3, 7, 11, 400)
+
+_FT_RM_MEMO = scope.SessionMemo()
+
+
+def _maintained_ft_index_with_removals(spark, sf_dir):
+    # a SEPARATE index path from _maintained_ft_index (that one's rows
+    # assert maintained == full static corpus): 3 ingest batches, then
+    # one removal batch tombstoning REMOVED_DOC_IDS
+    hit = _FT_RM_MEMO.get(spark, sf_dir)
+    if hit is not None:
+        return hit
+    import shutil
+
+    from nornicdb_spark.streaming.fulltext import MaintainedBM25Index
+
+    docs = Catalog(spark, sf_dir).documents
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    path = f"/root/repo/.tmp/ftrm_{tag}"
+    shutil.rmtree(path, ignore_errors=True)  # rebuild: deterministic run
+    idx = MaintainedBM25Index(spark, path)
+    for b in range(3):
+        idx.process_batch(docs.filter(F.col("doc_id") % 3 == b), batch_id=b)
+    idx.remove_batch(
+        spark.createDataFrame(
+            [(i,) for i in REMOVED_DOC_IDS], "doc_id long"
+        ),
+        batch_id=3,
+    )
+    return _FT_RM_MEMO.put(spark, sf_dir, idx)
+
+
+@register(
+    "stream_bm25_remove",
+    oracle=bm25_mod.bm25_oracle_sql(
+        BM25_QUERY,
+        k=10,
+        doc_filter=f"doc_id NOT IN {REMOVED_DOC_IDS}",
+    ),
+)
+def stream_bm25_remove(spark, sf_dir):
+    # live-index document removal (reference fulltext_index.go Remove):
+    # after tombstoning a subset, the maintained search equals a STATIC
+    # index built on the remaining corpus — df, tf, N, avgdl all shift
+    # exactly (tombstone anti-join + negative stats rows), so the
+    # oracle is the BM25 oracle over `documents WHERE doc_id NOT IN …`.
+    idx = _maintained_ft_index_with_removals(spark, sf_dir)
+    return idx.search(BM25_QUERY, k=10)
+
+
+@register("stream_ann_ivf_remove_gate", oracle=_OK_ORACLE)
+def stream_ann_ivf_remove_gate(spark, sf_dir):
+    # vector removal on the live serving index: searching after
+    # tombstoning a subset must EQUAL an index that never ingested
+    # those vectors (same frozen centroids ⇒ identical remaining
+    # codes) — full row-set equality, ok=1 iff the symmetric
+    # difference is empty.
+    import shutil
+
+    from nornicdb_spark.streaming.ivf import MaintainedIVFIndex
+
+    emb = Catalog(spark, sf_dir).embeddings.select("vec_id", "embedding")
+    seed = emb.filter(F.col("vec_id") % 2 == 0)
+    removed = [1, 5, 9, 13]
+    qv = _query_vec(spark, sf_dir)
+    remaining = emb.filter(~F.col("vec_id").isin(removed))
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+
+    idx = MaintainedIVFIndex(spark, f"/root/repo/.tmp/ivfrm_{tag}")
+    shutil.rmtree(idx.path, ignore_errors=True)
+    idx.bootstrap(seed, n_lists=8)
+    idx.process_batch(emb.filter(F.col("vec_id") % 2 == 1), batch_id=0)
+    idx.remove_batch(
+        spark.createDataFrame([(i,) for i in removed], "vec_id long"),
+        batch_id=1,
+    )
+    ref = MaintainedIVFIndex(spark, f"/root/repo/.tmp/ivfrmref_{tag}")
+    shutil.rmtree(ref.path, ignore_errors=True)
+    ref.bootstrap(seed, n_lists=8)
+    ref.process_batch(
+        emb.filter(
+            (F.col("vec_id") % 2 == 1) & ~F.col("vec_id").isin(removed)
+        ),
+        batch_id=0,
+    )
+    cols = ["vec_id", "s"]
+    got = idx.search(qv, refine_src=remaining, k=10, n_probe=3).select(
+        "vec_id", F.round("score", 9).alias("s")
+    )
+    want = ref.search(qv, refine_src=remaining, k=10, n_probe=3).select(
+        "vec_id", F.round("score", 9).alias("s")
+    )
+    diff = got.join(want, cols, "left_anti").unionByName(
+        want.join(got, cols, "left_anti")
+    )
+    return diff.agg((F.count(F.lit(1)) == 0).cast("long").alias("ok"))

@@ -417,22 +417,30 @@ def shared_index(docs: DataFrame, key: str, id_col: str = "doc_id",
     return hit
 
 
-def bm25_oracle_sql(query: str, k: int = 10) -> str:
+def bm25_oracle_sql(query: str, k: int = 10, doc_filter: str | None = None) -> str:
     """DuckDB SQL replicating BM25Index.search(query, k) on ``documents``
-    — the correctness oracle (same tokenizer, same constants)."""
+    — the correctness oracle (same tokenizer, same constants).
+    ``doc_filter``: optional SQL predicate restricting the corpus (e.g.
+    ``doc_id NOT IN (…)`` — the oracle for live-index removal: N,
+    avgdl, df and the postings all shift to the remaining corpus)."""
     terms = tokenize_query(query)
     stoplist = ",".join(f"'{w}'" for w in STOPWORDS)
     termlist = ",".join(f"('{t}')" for t in terms)
+    corpus = (
+        f"(SELECT * FROM documents WHERE {doc_filter})"
+        if doc_filter
+        else "documents"
+    )
     return f"""
     WITH toks AS (
       SELECT doc_id, t.tok AS term
-      FROM documents,
+      FROM {corpus} AS documents,
            unnest(string_split_regex(lower(text), '[^\\p{{L}}\\p{{N}}]+')) AS t(tok)
       WHERE length(t.tok) >= 2 AND t.tok NOT IN ({stoplist})
     ),
     doc_lens AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
     stats AS (
-      SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+      SELECT (SELECT CAST(count(*) AS DOUBLE) FROM {corpus} AS documents) AS n,
              (SELECT avg(dl) FROM doc_lens) AS avgdl
     ),
     postings AS (

@@ -87,6 +87,18 @@ class MaintainedBM25Index:
     def stats_path(self) -> str:
         return f"{self.path}/stats"
 
+    @property
+    def docs_path(self) -> str:
+        # per-doc (doc_id, dl) side table, partitionBy(src_batch, dk) —
+        # the doc-keyed lookup removals need without scanning the
+        # term-partitioned postings (dk = doc-id hash bucket, so a
+        # removal batch probes only its ids' buckets: PartitionFilters)
+        return f"{self.path}/docs"
+
+    @property
+    def tombstones_path(self) -> str:
+        return f"{self.path}/tombstones"
+
     def _read(self, path: str, schema: str) -> DataFrame:
         from nornicdb_spark.sources.layout import read_or_empty
 
@@ -94,6 +106,22 @@ class MaintainedBM25Index:
 
     def _tk_col(self):
         return F.pmod(F.xxhash64("term"), F.lit(self.n_pk)).cast("int")
+
+    def _dk_col(self, col):
+        return F.pmod(F.xxhash64(col), F.lit(self.n_pk)).cast("int")
+
+    def _doc_id_type(self) -> str:
+        from nornicdb_spark.sources.layout import stored_col_type
+
+        return (
+            stored_col_type(self.spark, self.postings_path, "doc_id")
+            or "bigint"
+        )
+
+    def _tombstone_ids(self, id_type: str) -> DataFrame:
+        return self._read(
+            self.tombstones_path, f"doc_id {id_type}, dl int, src_batch bigint"
+        ).select("doc_id")
 
     # -- ingest -------------------------------------------------------------
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -126,6 +154,21 @@ class MaintainedBM25Index:
             .partitionBy("src_batch", "tk")
             .parquet(self.postings_path)
         )
+        # per-doc side table: the doc-keyed (doc_id, dl) lookup
+        # remove_batch probes (dk-bucket PartitionFilters), idempotent
+        # the same way as the postings
+        (
+            toks.select(
+                "doc_id",
+                F.size("tokens").alias("dl"),
+                F.lit(int(batch_id)).cast("bigint").alias("src_batch"),
+                self._dk_col(F.col("doc_id")).alias("dk"),
+            )
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("src_batch", "dk")
+            .parquet(self.docs_path)
+        )
         # corpus stats: N counts EVERY doc (static-index semantics);
         # avgdl averages docs with ≥1 indexed token
         stats = toks.agg(
@@ -143,6 +186,102 @@ class MaintainedBM25Index:
         )
         guard.record_batch(self.path, batch_id)
 
+    def remove_batch(self, ids_df: DataFrame, batch_id: int,
+                     id_col: str | None = None) -> None:
+        """Remove documents from the live index (reference
+        fulltext_index.go:85-121 Remove: drop from the inverted index,
+        docCount--, avgdl recomputed; unknown ids are a no-op). The
+        distributed re-expression is tombstones + NEGATIVE stats rows:
+
+        - ``tombstones``: (doc_id, dl) per removed doc — searches
+          anti-join it; compaction physically drops the docs and clears
+          it (safe in any crash order because stats never read it).
+        - a negative stats row (−n_docs, −n_indexed, −sum_dl) under
+          this batch_id — ``corpus_stats`` stays a PURE sum, so there
+          is no subtract-then-clear crash window anywhere.
+
+        Replay-idempotent like ingest (dynamic overwrite of this
+        batch's partitions; the victims are recomputed identically on
+        re-delivery because same-batch tombstones are not excluded).
+        A doc already removed by an EARLIER batch — or never ingested —
+        contributes nothing (docs-table semi-join + cross-batch
+        tombstone anti-join), so double-removes cannot double-subtract.
+        Shares the ingest guard sequence: removal batches advance the
+        same high-water mark."""
+        from nornicdb_spark.streaming import guard
+
+        guard.check_batch(self.path, batch_id)
+        id_col = id_col or self.id_col
+        id_type = self._doc_id_type()
+        ids = ids_df.select(F.col(id_col).alias("doc_id")).distinct()
+        # bounded collect: the ids' hash buckets (≤ n_pk) → the docs
+        # scan prunes to those dk directories
+        dks = [
+            r.dk
+            for r in ids.select(self._dk_col(F.col("doc_id")).alias("dk"))
+            .distinct()
+            .collect()
+        ]
+        docs = (
+            self._read(
+                self.docs_path,
+                f"doc_id {id_type}, dl int, src_batch bigint, dk int",
+            )
+            .filter(F.col("dk").isin(dks))
+            .join(ids, "doc_id", "left_semi")
+        )
+        prior = (
+            self._read(
+                self.tombstones_path,
+                f"doc_id {id_type}, dl int, src_batch bigint",
+            )
+            .filter(F.col("src_batch") != int(batch_id))
+            .select("doc_id")
+        )
+        victims = docs.join(prior, "doc_id", "left_anti").select(
+            "doc_id", "dl"
+        )
+        (
+            victims.withColumn(
+                "src_batch", F.lit(int(batch_id)).cast("bigint")
+            )
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("src_batch")
+            .parquet(self.tombstones_path)
+        )
+        neg = victims.agg(
+            (-F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+            F.coalesce(-F.sum((F.col("dl") > 0).cast("long")), F.lit(0))
+            .cast("bigint")
+            .alias("n_indexed"),
+            F.coalesce(-F.sum("dl"), F.lit(0)).cast("bigint").alias("sum_dl"),
+        ).withColumn("batch_id", F.lit(int(batch_id)).cast("bigint"))
+        (
+            neg.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(self.stats_path)
+        )
+        guard.record_batch(self.path, batch_id)
+
+    # -- tombstone monitoring (reference hnsw_index.go:399-418) --------------
+    def tombstone_ratio(self) -> float:
+        """removed / (live + removed) — 0.0 on an empty index (the
+        reference's TombstoneRatio contract)."""
+        id_type = self._doc_id_type()
+        removed = self._tombstone_ids(id_type).count()
+        live = self.corpus_stats()[0]
+        total = live + removed
+        return float(removed) / float(total) if total else 0.0
+
+    def should_rebuild(self, threshold: float = 0.5) -> bool:
+        """True when tombstones exceed ``threshold`` of the index — the
+        reference's 50% rebuild heuristic (hnsw_index.go:415-418); here
+        'rebuild' is :meth:`compact`, which drops the tombstoned docs
+        physically."""
+        return self.tombstone_ratio() > float(threshold)
+
     def compact(self, id_type: str | None = None) -> None:
         """Fold every ingested batch's postings into the compacted era
         (``src_batch = -2``) — the maintenance job the two-level layout
@@ -159,7 +298,14 @@ class MaintainedBM25Index:
         instead of silently blessed. An interrupted prior compaction is
         recovered first, so a default-argument re-run performs the
         restore the crash-recovery error messages promise. The doc-id
-        type is recovered from the stored table when not supplied."""
+        type is recovered from the stored table when not supplied.
+
+        Tombstoned documents are dropped PHYSICALLY here (postings and
+        docs folds exclude them) and the tombstone table is cleared
+        last — safe in any crash order: corpus stats never read
+        tombstones (removals wrote negative stats rows), so a crash
+        between the folds and the clear leaves only a redundant
+        anti-join against already-absent ids."""
         from nornicdb_spark.sources.layout import (
             recover_interrupted_swap,
             rewrite_partitioned,
@@ -178,20 +324,37 @@ class MaintainedBM25Index:
         # close. A refused replay under the quiesce contract is
         # harmless; crash-injection-tested.
         guard.advance_epoch(self.path)
+        tomb = self._tombstone_ids(id_type)
         rewrite_partitioned(
             self.spark,
             self.postings_path,
             f"term string, doc_id {id_type}, dl int, tf bigint,"
             " src_batch bigint, tk int",
-            lambda df: df.withColumn(
+            lambda df: df.join(tomb, "doc_id", "left_anti").withColumn(
                 "src_batch", F.lit(-2).cast("bigint")
             ),
             "src_batch",
             "tk",
         )
+        # fold the per-doc side table the same way (minus tombstoned)
+        import os as _os
+
+        if _os.path.exists(self.docs_path):
+            recover_interrupted_swap(self.docs_path)
+            rewrite_partitioned(
+                self.spark,
+                self.docs_path,
+                f"doc_id {id_type}, dl int, src_batch bigint, dk int",
+                lambda df: df.join(tomb, "doc_id", "left_anti").withColumn(
+                    "src_batch", F.lit(-2).cast("bigint")
+                ),
+                "src_batch",
+                "dk",
+            )
         # fold the per-batch stats rows too — a long-running stream
         # otherwise accumulates one batch_id directory per batch forever
-        # (the sums are what queries read, so one folded row is exact)
+        # (the sums are what queries read, so one folded row is exact;
+        # removal batches' NEGATIVE rows fold in with plain addition)
         recover_interrupted_swap(self.stats_path)
         rewrite_partitioned(
             self.spark,
@@ -204,6 +367,12 @@ class MaintainedBM25Index:
             ).withColumn("batch_id", F.lit(-2).cast("bigint")),
             "batch_id",
         )
+        # clear tombstones LAST: their docs are physically gone from
+        # the folded postings, and nothing else reads them — a crash
+        # before this line leaves only a harmless no-op anti-join
+        import shutil as _shutil
+
+        _shutil.rmtree(self.tombstones_path, ignore_errors=True)
 
     def ingest(self, stream_df: DataFrame, query_name: str):
         """Attach the ingest loop to a document stream; returns the
@@ -246,6 +415,10 @@ class MaintainedBM25Index:
             )
             .filter(F.col("tk").isin(tks))
             .filter(F.col("term").isin(*terms))
+            # removed docs stop matching immediately (tombstone
+            # anti-join over the pruned slice; compaction drops them
+            # physically and empties this table)
+            .join(self._tombstone_ids(id_type), "doc_id", "left_anti")
         )
 
     def search(

@@ -65,6 +65,19 @@ class MaintainedIVFIndex:
     def centroids_path(self) -> str:
         return f"{self.path}/centroids"
 
+    @property
+    def tombstones_path(self) -> str:
+        return f"{self.path}/tombstones"
+
+    def _tombstone_ids(self, id_type: str) -> DataFrame:
+        from nornicdb_spark.sources.layout import read_or_empty
+
+        return read_or_empty(
+            self.spark,
+            self.tombstones_path,
+            f"vec_id {id_type}, src_batch bigint",
+        ).select("vec_id")
+
     # -- learned state ------------------------------------------------------
     def centers(self) -> list:
         """Centroid arrays, loaded once per instance from the persisted
@@ -173,6 +186,89 @@ class MaintainedIVFIndex:
         )
         guard.record_batch(self.path, batch_id)
 
+    def remove_batch(self, ids_df: DataFrame, batch_id: int,
+                     id_col: str | None = None) -> None:
+        """Remove vectors from the live serving index (reference
+        vector_index.go:258 Remove / hnsw_index.go:262 Remove — the
+        HNSW path tombstones and rebuilds later; same posture here):
+        tombstoned ids stop matching immediately (the pruned codes scan
+        anti-joins them, so both ``search`` and ``search_many``
+        inherit the filter), and :meth:`compact` drops their codes
+        physically and clears the table. Unknown or already-removed
+        ids contribute nothing (codes semi-join + cross-batch
+        tombstone anti-join); re-delivery of the same batch is
+        idempotent (dynamic overwrite of its own partition). Shares
+        the ingest guard sequence."""
+        from nornicdb_spark.sources.layout import stored_col_type
+        from nornicdb_spark.streaming import guard
+
+        guard.check_batch(self.path, batch_id)
+        id_col = id_col or self.id_col
+        id_type = (
+            stored_col_type(self.spark, self.codes_path, "vec_id")
+            or "bigint"
+        )
+        ids = ids_df.select(F.col(id_col).alias("vec_id")).distinct()
+        from nornicdb_spark.sources.layout import read_or_empty
+
+        codes = read_or_empty(
+            self.spark,
+            self.codes_path,
+            f"vec_id {id_type}, codes array<int>, code_norm double,"
+            " src_batch bigint, list_id int",
+        ).select("vec_id")
+        prior = read_or_empty(
+            self.spark,
+            self.tombstones_path,
+            f"vec_id {id_type}, src_batch bigint",
+        ).filter(F.col("src_batch") != int(batch_id)).select("vec_id")
+        victims = (
+            ids.join(codes, "vec_id", "left_semi")
+            .join(prior, "vec_id", "left_anti")
+        )
+        (
+            victims.withColumn(
+                "src_batch", F.lit(int(batch_id)).cast("bigint")
+            )
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("src_batch")
+            .parquet(self.tombstones_path)
+        )
+        guard.record_batch(self.path, batch_id)
+
+    # -- tombstone monitoring (reference hnsw_index.go:399-418) --------------
+    def tombstone_ratio(self, id_type: str | None = None) -> float:
+        """removed / (live + removed); 0.0 on an empty index."""
+        from nornicdb_spark.sources.layout import (
+            read_or_empty,
+            stored_col_type,
+        )
+
+        if id_type is None:
+            id_type = (
+                stored_col_type(self.spark, self.codes_path, "vec_id")
+                or "bigint"
+            )
+        removed = self._tombstone_ids(id_type).count()
+        live = (
+            read_or_empty(
+                self.spark,
+                self.codes_path,
+                f"vec_id {id_type}, codes array<int>, code_norm double,"
+                " src_batch bigint, list_id int",
+            )
+            .join(self._tombstone_ids(id_type), "vec_id", "left_anti")
+            .count()
+        )
+        total = live + removed
+        return float(removed) / float(total) if total else 0.0
+
+    def should_rebuild(self, threshold: float = 0.5) -> bool:
+        """The reference's 50% tombstone rebuild heuristic
+        (hnsw_index.go:415-418); 'rebuild' here is :meth:`compact`."""
+        return self.tombstone_ratio() > float(threshold)
+
     def compact(self, id_type: str | None = None) -> None:
         """Fold every ingested batch's codes into the compacted era
         (``src_batch = -2``) — bounds the directory count of a
@@ -204,15 +300,23 @@ class MaintainedIVFIndex:
         # batch double-counts its codes). Advancing first removes the
         # crash window entirely — crash-injection-tested.
         guard.advance_epoch(self.path)
+        tomb = self._tombstone_ids(id_type)
         rewrite_partitioned(
             self.spark,
             self.codes_path,
             f"vec_id {id_type}, codes array<int>, code_norm double,"
             " src_batch bigint, list_id int",
-            lambda df: df.withColumn("src_batch", F.lit(-2).cast("bigint")),
+            lambda df: df.join(tomb, "vec_id", "left_anti").withColumn(
+                "src_batch", F.lit(-2).cast("bigint")
+            ),
             "src_batch",
             "list_id",
         )
+        # clear tombstones LAST (their codes are physically gone; a
+        # crash before this line leaves only a no-op anti-join)
+        import shutil as _shutil
+
+        _shutil.rmtree(self.tombstones_path, ignore_errors=True)
 
     def ingest(self, stream_df: DataFrame, query_name: str):
         """Attach the ingest loop to a vector stream; requires a prior
@@ -459,7 +563,12 @@ class MaintainedIVFIndex:
             f"vec_id {id_type}, codes array<int>, code_norm double,"
             " src_batch bigint, list_id int",
         )
-        return df.filter(F.col("list_id").isin(list_ids))
+        # removed vectors stop matching immediately (tombstone anti-join
+        # over the pruned slice; compaction drops them physically) —
+        # both search and search_many inherit this
+        return df.filter(F.col("list_id").isin(list_ids)).join(
+            self._tombstone_ids(id_type), "vec_id", "left_anti"
+        )
 
     def search(
         self,

@@ -1400,3 +1400,159 @@ def test_maintained_ivf_search_many_no_per_query_driver_work(
         counts[name] = calls
     assert len(counts["q3"]) == len(counts["q9"]) == 1, counts
     assert all(n <= 8 for n in counts["q9"]), counts  # ≤ n_lists rows
+
+
+def test_maintained_bm25_remove_equals_static_on_remaining(
+    spark, sf_dir, tmp_path
+):
+    # live-index document removal (reference fulltext_index.go Remove):
+    # after removing a subset, search/search_many must EQUAL a static
+    # index built on the remaining corpus — df, tf, N, avgdl all shift
+    # exactly (tombstone anti-join + negative stats rows). Unknown ids
+    # are a no-op; a cross-batch double-remove cannot double-subtract;
+    # compaction drops the docs physically, clears tombstones, and
+    # leaves results unchanged.
+    from nornicdb_spark.catalog import Catalog
+    from nornicdb_spark.search.bm25 import BM25Index
+    from nornicdb_spark.streaming.fulltext import MaintainedBM25Index
+
+    docs = Catalog(spark, sf_dir).documents
+    idx = MaintainedBM25Index(spark, str(tmp_path / "ftrm"))
+    for b in range(2):
+        idx.process_batch(docs.filter(F.col("doc_id") % 2 == b), batch_id=b)
+
+    q = "spark join query performance"
+    removed = [0, 3, 7, 11, 400]
+    rm_df = spark.createDataFrame([(i,) for i in removed], "doc_id long")
+    idx.remove_batch(rm_df, batch_id=2)
+
+    remaining = docs.filter(~F.col("doc_id").isin(removed))
+    static = BM25Index.build(remaining)
+    key = lambda rows: [(r.doc_id, round(r.score, 9)) for r in rows]
+    want = key(static.search(q, k=10).collect())
+    assert key(idx.search(q, k=10).collect()) == want
+    assert 0 not in {d for d, _ in want}  # doc 0 used to be a hit
+
+    # batched path sees removals too
+    qdf = spark.createDataFrame([(1, q)], "query_id long, query_text string")
+    got_many = [
+        (r.doc_id, round(r.score, 9))
+        for r in idx.search_many(qdf, k=10).collect()
+    ]
+    assert got_many == want
+
+    # unknown-id removal: a no-op for stats and results
+    n_before, avg_before = idx.corpus_stats()
+    idx.remove_batch(
+        spark.createDataFrame([(999999,)], "doc_id long"), batch_id=3
+    )
+    assert idx.corpus_stats() == (n_before, avg_before)
+
+    # cross-batch double-remove: second removal of doc 3 subtracts nothing
+    idx.remove_batch(spark.createDataFrame([(3,)], "doc_id long"), batch_id=4)
+    assert idx.corpus_stats() == (n_before, avg_before)
+    assert key(idx.search(q, k=10).collect()) == want
+
+    # monitoring: ratio reflects removals, clears after compaction
+    ratio = idx.tombstone_ratio()
+    assert 0.0 < ratio < 0.5 and not idx.should_rebuild()
+    assert idx.should_rebuild(threshold=ratio / 2)
+
+    idx.compact()
+    import os
+
+    assert not os.path.exists(idx.tombstones_path)
+    assert idx.tombstone_ratio() == 0.0
+    assert key(idx.search(q, k=10).collect()) == want
+    assert idx.corpus_stats() == (n_before, avg_before)
+    # physically gone: no postings row carries a removed id
+    got_ids = spark.read.parquet(idx.postings_path).filter(
+        F.col("doc_id").isin(removed)
+    )
+    assert got_ids.count() == 0
+
+
+def test_maintained_bm25_remove_replay_idempotent(spark, sf_dir, tmp_path):
+    # re-delivery of the SAME removal batch must leave stats and
+    # tombstones exactly as the first delivery did (dynamic overwrite
+    # of the batch's own partitions; same-batch tombstones are not
+    # excluded from the victim recompute)
+    from nornicdb_spark.catalog import Catalog
+    from nornicdb_spark.streaming.fulltext import MaintainedBM25Index
+
+    docs = Catalog(spark, sf_dir).documents
+    idx = MaintainedBM25Index(spark, str(tmp_path / "ftrmr"))
+    idx.process_batch(docs, batch_id=0)
+    rm = spark.createDataFrame([(2,), (5,)], "doc_id long")
+    idx.remove_batch(rm, batch_id=1)
+    after_first = idx.corpus_stats()
+    n_tomb = spark.read.parquet(idx.tombstones_path).count()
+    idx.remove_batch(rm, batch_id=1)  # foreachBatch re-delivery
+    assert idx.corpus_stats() == after_first
+    assert spark.read.parquet(idx.tombstones_path).count() == n_tomb
+
+
+def test_maintained_ivf_remove_equals_never_ingested(spark, sf_dir, tmp_path):
+    # vector removal on the live serving index: after removing a
+    # subset, search (single AND batched) must EQUAL an index that
+    # never ingested those vectors — centroids are frozen from the same
+    # bootstrap, so remaining codes are identical. Unknown-id removal
+    # is a no-op; compaction drops codes physically, clears tombstones,
+    # results unchanged.
+    from nornicdb_spark.catalog import Catalog
+    from nornicdb_spark.streaming.ivf import MaintainedIVFIndex
+
+    emb = Catalog(spark, sf_dir).embeddings.select("vec_id", "embedding")
+    seed = emb.filter(F.col("vec_id") % 2 == 0)
+    removed = [1, 5, 9, 13]
+
+    idx = MaintainedIVFIndex(spark, str(tmp_path / "ivfrm"))
+    idx.bootstrap(seed, n_lists=8)
+    idx.process_batch(emb.filter(F.col("vec_id") % 2 == 1), batch_id=0)
+    idx.remove_batch(
+        spark.createDataFrame([(i,) for i in removed], "vec_id long"),
+        batch_id=1,
+    )
+
+    ref = MaintainedIVFIndex(spark, str(tmp_path / "ivfrmref"))
+    ref.bootstrap(seed, n_lists=8)
+    ref.process_batch(
+        emb.filter((F.col("vec_id") % 2 == 1) & ~F.col("vec_id").isin(removed)),
+        batch_id=0,
+    )
+    # refine source also excludes the removed vectors (they left the corpus)
+    remaining = emb.filter(~F.col("vec_id").isin(removed))
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 1).first().embedding]
+    key = lambda rows: [(r.vec_id, round(r.score, 9)) for r in rows]
+    want = key(ref.search(qv, refine_src=remaining, k=10, n_probe=3).collect())
+    got = key(idx.search(qv, refine_src=remaining, k=10, n_probe=3).collect())
+    assert got == want and 1 not in {v for v, _ in got}
+
+    qdf = spark.createDataFrame([(7, qv)], "query_id bigint, qvec array<double>")
+    got_many = [
+        (r.vec_id, round(r.score, 9))
+        for r in idx.search_many(qdf, refine_src=remaining, k=10, n_probe=3).collect()
+    ]
+    assert got_many == want
+
+    # unknown id: no-op for the ratio
+    r1 = idx.tombstone_ratio()
+    idx.remove_batch(
+        spark.createDataFrame([(999999,)], "vec_id long"), batch_id=2
+    )
+    assert idx.tombstone_ratio() == r1
+    assert 0.0 < r1 < 0.5 and not idx.should_rebuild()
+    assert idx.should_rebuild(threshold=r1 / 2)
+
+    idx.compact()
+    import os
+
+    assert not os.path.exists(idx.tombstones_path)
+    assert idx.tombstone_ratio() == 0.0
+    assert key(idx.search(qv, refine_src=remaining, k=10, n_probe=3).collect()) == want
+    assert (
+        spark.read.parquet(idx.codes_path)
+        .filter(F.col("vec_id").isin(removed))
+        .count()
+        == 0
+    )
