@@ -20,12 +20,17 @@ Layout:
   exact-term search pushes a literal ``tk isin`` that prunes to the
   query terms' hash buckets (``PartitionFilters`` — the IVF-PQ /
   maintained-near-dup probe pattern, plan-tested). Long-running streams
-  accumulate src_batch directories; compaction into a single-level
-  ``tk`` layout is a standard maintenance job, out of scope here.
+  accumulate src_batch directories; :meth:`MaintainedBM25Index.compact`
+  folds them back to a bounded ``tk`` set.
 - ``<path>/stats``: (n_docs, n_indexed, sum_dl) partitionBy(batch_id),
   dynamic overwrite — one row per batch; query-time N = Σ n_docs and
   avgdl = Σ sum_dl / Σ n_indexed, so corpus stats stay exact as the
-  corpus grows (a tiny scan: one row per batch).
+  corpus grows (a tiny scan: one row per batch). Removal batches write
+  NEGATIVE rows here, so stats stay a pure sum under deletion.
+- ``<path>/docs``: (doc_id, dl) partitionBy(src_batch, dk) — the
+  doc-keyed lookup removals need (dk-bucket PartitionFilters).
+- ``<path>/tombstones``: removed docs; every term-pruned probe
+  anti-joins it; compaction drops the docs physically and clears it.
 
 Search cost at 100 TB: an exact-term query touches |query terms| hash
 buckets of the postings (≈ q/n_pk of the files) + the row filter on
