@@ -12,9 +12,7 @@ from nornicdb_spark.streaming import decay, kalman, sessions
 from nornicdb_spark.queries import register
 
 
-@register(
-    "decay_scores",
-    oracle="""
+_DECAY_ORACLE = """
     WITH agg AS (
       SELECT user_id, max(ts) AS last_accessed,
              CAST(count(*) AS BIGINT) AS access_count
@@ -49,12 +47,67 @@ from nornicdb_spark.queries import register
                                 WHEN 'PROCEDURAL' THEN 0.9 ELSE 0.6 END),
              0.0), 1.0) < 0.05 AS archived
     FROM base
-    """,
-)
+    """
+
+
+@register("decay_scores", oracle=_DECAY_ORACLE)
 def decay_scores(spark, sf_dir):
     # 3-tier decay recompute (reference pkg/decay/decay.go:503-545).
     ev = Catalog(spark, sf_dir).events
     return decay.decay_scores_from_events(ev)
+
+
+@register(
+    "decay_stats",
+    oracle="""
+    SELECT tier, CAST(count(*) AS BIGINT) AS n,
+           round(avg(score), 9) AS avg_score,
+           CAST(sum(CASE WHEN archived THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_archivable
+    FROM (""" + _DECAY_ORACLE + """) GROUP BY tier
+    """,
+)
+def decay_stats(spark, sf_dir):
+    # decay.Manager.GetStats (decay.go:703-760): per-tier counts,
+    # per-tier average score, archivable count — the memory-health
+    # dashboard aggregate, one groupBy over the recomputed scores.
+    ev = Catalog(spark, sf_dir).events
+    return (
+        decay.decay_scores_from_events(ev)
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.avg("score"), 9).alias("avg_score"),
+            F.sum(F.col("archived").cast("bigint")).alias("n_archivable"),
+        )
+    )
+
+
+@register(
+    "decay_archival_candidates",
+    oracle="""
+    SELECT user_id, tier, round(score, 9) AS score
+    FROM (""" + _DECAY_ORACLE + """)
+    WHERE round(score, 9) < 0.5
+    ORDER BY round(score, 9) ASC, user_id LIMIT 20
+    """,
+)
+def decay_archival_candidates(spark, sf_dir):
+    # archival candidates: lowest-scored memories below the configured
+    # threshold, most-urgent first (decay.go ShouldArchive + the
+    # bottom-N shape of kalman_adapter.go:346 GetArchivalCandidates;
+    # the Kalman-urgency variant composes kalman.* the same way).
+    # Threshold 0.5 — the default 0.05 can never fire (importance floor
+    # 0.09), so the row exercises real truncation under a configured
+    # ArchiveThreshold.
+    ev = Catalog(spark, sf_dir).events
+    scores = decay.decay_scores_from_events(ev)
+    return (
+        scores.where(F.round(F.col("score"), 9) < 0.5)
+        .select("user_id", "tier", F.round("score", 9).alias("score"))
+        .orderBy(F.asc(F.round(F.col("score"), 9)), F.asc("user_id"))
+        .limit(20)
+    )
 
 
 @register(
