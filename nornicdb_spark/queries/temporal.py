@@ -294,9 +294,7 @@ _K1 = f"({_N10} / {_S})"
 _PP = "(f.pos + f.vel)"
 _INNOV = f"(e.value - {_PP})"
 
-_KALMAN_VELOCITY_ORACLE = f"""
-    WITH RECURSIVE {_KALMAN_EV},
-    f AS (
+_KALMAN_VEL_F = f"""f AS (
       SELECT user_id, CAST(NULL AS TIMESTAMP) AS ts,
              CAST(0 AS DOUBLE) AS value,
              CAST(0 AS BIGINT) AS rn, CAST(0 AS DOUBLE) AS pos,
@@ -313,11 +311,69 @@ _KALMAN_VELOCITY_ORACLE = f"""
              {_N10} - {_K1} * {_N00} AS p10,
              {_N11} - {_K1} * {_N01} AS p11
       FROM f JOIN ev e ON e.user_id = f.user_id AND e.rn = f.rn + 1
-    )
+    )"""
+
+_KALMAN_VELOCITY_ORACLE = f"""
+    WITH RECURSIVE {_KALMAN_EV},
+    {_KALMAN_VEL_F}
     SELECT user_id, ts, value,
            round(pos + 1e-12, 9) AS pos, round(vel + 1e-12, 9) AS vel
     FROM f WHERE rn >= 1
     """
+
+# final filter state per key (the tracker's intervalFilter.Velocity())
+_KALMAN_FINAL_VEL = f"""
+    WITH RECURSIVE {_KALMAN_EV},
+    {_KALMAN_VEL_F},
+    last AS (SELECT user_id AS lu, max(rn) AS mr FROM f GROUP BY user_id)
+    SELECT user_id, round(vel + 1e-12, 9) AS vel
+    FROM f JOIN last ON f.user_id = last.lu AND f.rn = last.mr
+    """
+
+
+@register(
+    "temporal_hot_nodes",
+    oracle="""
+    SELECT user_id, vel FROM (""" + _KALMAN_FINAL_VEL + """)
+    WHERE vel > 0 ORDER BY vel DESC, user_id LIMIT 5
+    """,
+)
+def temporal_hot_nodes(spark, sf_dir):
+    # Tracker.GetHotNodes (tracker.go:733-766): nodes whose interval
+    # filter shows an INCREASING access rate — final velocity-filter
+    # state per key, positive only, most-accelerating first.
+    ev = Catalog(spark, sf_dir).events
+    vel = kalman.kalman_final_velocity(ev.filter(F.col("user_id") < 8))
+    return (
+        vel.select(
+            "user_id", F.round(F.col("vel") + 1e-12, 9).alias("vel")
+        )
+        .where(F.col("vel") > 0)
+        .orderBy(F.desc("vel"), F.asc("user_id"))
+        .limit(5)
+    )
+
+
+@register(
+    "temporal_cold_nodes",
+    oracle="""
+    SELECT user_id, vel FROM (""" + _KALMAN_FINAL_VEL + """)
+    WHERE vel < 0 ORDER BY vel ASC, user_id LIMIT 5
+    """,
+)
+def temporal_cold_nodes(spark, sf_dir):
+    # Tracker.GetColdNodes (tracker.go:768-800): decreasing access
+    # rate, most-negative velocity first — the archival shortlist.
+    ev = Catalog(spark, sf_dir).events
+    vel = kalman.kalman_final_velocity(ev.filter(F.col("user_id") < 8))
+    return (
+        vel.select(
+            "user_id", F.round(F.col("vel") + 1e-12, 9).alias("vel")
+        )
+        .where(F.col("vel") < 0)
+        .orderBy(F.asc("vel"), F.asc("user_id"))
+        .limit(5)
+    )
 
 
 @register("kalman_velocity", oracle=_KALMAN_VELOCITY_ORACLE)

@@ -116,6 +116,58 @@ def kalman_velocity(
         .groupBy(kc).applyInPandas(per_key, schema=schema)
 
 
+def kalman_final_velocity(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    **kwargs,
+) -> DataFrame:
+    """One row per key: the velocity-filter STATE after the last
+    observation — exactly the reference tracker's
+    ``intervalFilter.Velocity()`` (tracker.go:744-746), the quantity
+    GetHotNodes/GetColdNodes rank by. Same arithmetic as
+    :func:`kalman_velocity`, keeping only the tail state per key — the
+    fold consumes observations in the same (ts, event_id) order the
+    full filter and the oracle use, so duplicate timestamps cannot
+    make 'last' ambiguous."""
+    schema = f"{key_col} long, vel double"
+    kc, tc, vc = key_col, ts_col, value_col
+
+    def per_key_tail(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values([tc, "event_id"] if "event_id" in pdf else tc)
+        pos = vel = 0.0
+        p00, p01, p10, p11 = 100.0, 0.0, 0.0, 10.0
+        qp = float(kwargs.get("q_pos", 0.1))
+        qv = float(kwargs.get("q_vel", 0.01))
+        r_ = float(kwargs.get("r", 1.0))
+        dt_ = float(kwargs.get("dt", 1.0))
+        for z in pdf[vc].astype("float64"):
+            pred_pos = pos + vel * dt_
+            n00 = p00 + dt_ * p10 + dt_ * p01 + dt_ * dt_ * p11 + qp
+            n01 = p01 + dt_ * p11
+            n10 = p10 + dt_ * p11
+            n11 = p11 + qv
+            innov = z - pred_pos
+            s = n00 + r_
+            k0, k1 = n00 / s, n10 / s
+            pos = pred_pos + k0 * innov
+            vel = vel + k1 * innov
+            p00 = (1 - k0) * n00
+            p01 = (1 - k0) * n01
+            p10 = n10 - k1 * n00
+            p11 = n11 - k1 * n01
+        return pd.DataFrame({kc: [pdf[kc].iloc[0]], "vel": [vel]})
+
+    return (
+        df.select(kc, tc, vc, *(["event_id"] if "event_id" in df.columns else []))
+        .groupBy(kc)
+        .applyInPandas(per_key_tail, schema=schema)
+    )
+
+
 def kalman_adaptive(
     df: DataFrame,
     key_col: str = "user_id",
