@@ -376,6 +376,73 @@ def temporal_cold_nodes(spark, sf_dir):
     )
 
 
+# edge-tracker filter fragments (relationship_evolution.go:128-135
+# defaults: q_pos .01, q_vel .001, r .1, P0 diag(1.0, 0.1), dt 1)
+_E_N00 = "(f.p00 + f.p10 + f.p01 + f.p11 + 0.01)"
+_E_N01 = "(f.p01 + f.p11)"
+_E_N10 = "(f.p10 + f.p11)"
+_E_N11 = "(f.p11 + 0.001)"
+_E_S = f"({_E_N00} + 0.1)"
+_E_K0 = f"({_E_N00} / {_E_S})"
+_E_K1 = f"({_E_N10} / {_E_S})"
+_E_PP = "(f.pos + f.vel)"
+_E_INNOV = f"(o.weight - {_E_PP})"
+
+_REL_TRENDS_ORACLE = f"""
+    WITH RECURSIVE per AS (
+      SELECT user_id AS k, epoch_us(ts) // 3600000000 AS w,
+             CAST(count(*) AS DOUBLE) AS c
+      FROM events WHERE user_id < 8 GROUP BY 1, 2
+    ),
+    obs AS (
+      SELECT x.k AS a, y.k AS b, x.w AS w, least(x.c, y.c) AS weight,
+             row_number() OVER (PARTITION BY x.k, y.k ORDER BY x.w) AS rn
+      FROM per x JOIN per y ON x.w = y.w AND x.k < y.k
+    ),
+    f AS (
+      SELECT a, b, CAST(0 AS BIGINT) AS rn, CAST(0 AS DOUBLE) AS pos,
+             CAST(0 AS DOUBLE) AS vel, CAST(1.0 AS DOUBLE) AS p00,
+             CAST(0 AS DOUBLE) AS p01, CAST(0 AS DOUBLE) AS p10,
+             CAST(0.1 AS DOUBLE) AS p11
+      FROM (SELECT DISTINCT a, b FROM obs)
+      UNION ALL
+      SELECT o.a, o.b, o.rn,
+             {_E_PP} + {_E_K0} * {_E_INNOV} AS pos,
+             f.vel + {_E_K1} * {_E_INNOV} AS vel,
+             (1.0 - {_E_K0}) * {_E_N00} AS p00,
+             (1.0 - {_E_K0}) * {_E_N01} AS p01,
+             {_E_N10} - {_E_K1} * {_E_N00} AS p10,
+             {_E_N11} - {_E_K1} * {_E_N01} AS p11
+      FROM f JOIN obs o ON o.a = f.a AND o.b = f.b AND o.rn = f.rn + 1
+    ),
+    last AS (SELECT a AS la, b AS lb, max(rn) AS mr
+             FROM f WHERE rn >= 1 GROUP BY a, b)
+    SELECT f.a, f.b, last.mr AS n_obs,
+           CASE WHEN last.mr < 3 THEN 'unknown'
+                WHEN round(vel + 1e-12, 9) > 0.01 THEN 'strengthening'
+                WHEN round(vel + 1e-12, 9) < -0.01 THEN 'weakening'
+                ELSE 'stable' END AS direction,
+           round(vel + 1e-12, 9) AS vel,
+           round(pos + 1e-12, 9) AS strength,
+           round(pos + vel * 5 + 1e-12, 9) AS predicted,
+           round(CAST(last.mr AS DOUBLE) / (last.mr + 10.0), 9) AS confidence
+    FROM f JOIN last ON f.a = last.la AND f.b = last.lb AND f.rn = last.mr
+    """
+
+
+@register("temporal_relationship_trends", oracle=_REL_TRENDS_ORACLE)
+def temporal_relationship_trends(spark, sf_dir):
+    # RelationshipEvolution (relationship_evolution.go): per co-accessed
+    # pair, a velocity Kalman filter over hourly co-access intensity;
+    # trend = strengthening/weakening/stable on the filter velocity
+    # (defaults ±0.01, min 3 observations), confidence n/(n+10),
+    # predicted strength = pos + vel·5 (Predict, kalman_velocity.go:222).
+    from nornicdb_spark.streaming import evolution
+
+    ev = Catalog(spark, sf_dir).events.filter(F.col("user_id") < 8)
+    return evolution.relationship_trends(ev)
+
+
 @register("kalman_velocity", oracle=_KALMAN_VELOCITY_ORACLE)
 def kalman_velocity(spark, sf_dir):
     # kalman.velocity.process 2-state filter (kalman_functions.go:599-655).
