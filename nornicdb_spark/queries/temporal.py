@@ -443,6 +443,108 @@ def temporal_relationship_trends(spark, sf_dir):
     return evolution.relationship_trends(ev)
 
 
+# query-load filter fragments (query_load.go:151-158 defaults:
+# q_pos .5, q_vel .1, r 2.0, P0 diag(100, 10), dt 1)
+_L_N00 = "(f.p00 + f.p10 + f.p01 + f.p11 + 0.5)"
+_L_N01 = "(f.p01 + f.p11)"
+_L_N10 = "(f.p10 + f.p11)"
+_L_N11 = "(f.p11 + 0.1)"
+_L_S = f"({_L_N00} + 2.0)"
+_L_K0 = f"({_L_N00} / {_L_S})"
+_L_K1 = f"({_L_N10} / {_L_S})"
+_L_PP = "(f.pos + f.vel)"
+_L_INNOV = f"(o.qps - {_L_PP})"
+
+_QUERY_LOAD_ORACLE = f"""
+    WITH RECURSIVE ob AS (
+      SELECT b, qps, row_number() OVER (ORDER BY b) AS rn FROM (
+        SELECT epoch_us(ts) // 3600000000 AS b, count(*) / 3600.0 AS qps
+        FROM events GROUP BY 1)
+    ),
+    f AS (
+      SELECT CAST(0 AS BIGINT) AS rn, CAST(0 AS DOUBLE) AS pos,
+             CAST(0 AS DOUBLE) AS vel, CAST(100 AS DOUBLE) AS p00,
+             CAST(0 AS DOUBLE) AS p01, CAST(0 AS DOUBLE) AS p10,
+             CAST(10 AS DOUBLE) AS p11
+      UNION ALL
+      SELECT o.rn,
+             {_L_PP} + {_L_K0} * {_L_INNOV} AS pos,
+             f.vel + {_L_K1} * {_L_INNOV} AS vel,
+             (1.0 - {_L_K0}) * {_L_N00} AS p00,
+             (1.0 - {_L_K0}) * {_L_N01} AS p01,
+             {_L_N10} - {_L_K1} * {_L_N00} AS p10,
+             {_L_N11} - {_L_K1} * {_L_N01} AS p11
+      FROM f JOIN ob o ON o.rn = f.rn + 1
+    ),
+    last AS (SELECT max(rn) AS mr FROM ob),
+    fin AS (SELECT pos, vel FROM f, last WHERE f.rn = last.mr),
+    recent AS (SELECT qps FROM ob, last WHERE rn > mr - 60 AND qps > 0),
+    base AS (
+      SELECT CASE WHEN count(*) > 5 THEN avg(qps) ELSE 0.0 END AS m,
+             CASE WHEN count(*) > 5 THEN
+               sqrt(greatest(avg(qps * qps) - avg(qps) * avg(qps), 0.0))
+             ELSE 0.0 END AS sd
+      FROM recent
+    ),
+    rawlast AS (SELECT qps AS raw FROM ob, last WHERE rn = mr),
+    peak AS (SELECT hour(ts) AS peak_hour FROM events
+             GROUP BY 1 ORDER BY count(*) DESC, 1 LIMIT 1),
+    trend AS (
+      SELECT CASE WHEN vel > 0.5 THEN 'increasing'
+                  WHEN vel < -0.5 THEN 'decreasing'
+                  ELSE 'stable' END AS t
+      FROM fin
+    )
+    SELECT (SELECT mr FROM last) AS n_buckets,
+           round(pos, 9) AS current_qps,
+           round(vel, 9) AS velocity,
+           t AS trend,
+           round(greatest(0.0, pos + vel * 300), 9) AS pred_5m,
+           round(greatest(0.0, pos + vel * 900), 9) AS pred_15m,
+           round(greatest(0.0, pos + vel * 3600), 9) AS pred_1h,
+           round(m, 9) AS baseline_qps,
+           round(sd, 9) AS baseline_std,
+           (sd > 0 AND abs(raw - m) > 3.0 * sd) AS is_anomaly,
+           ((pos > 0.1 * 0.8 AND t = 'increasing')
+             OR greatest(0.0, pos + vel * 300) > 0.1) AS scale_up,
+           (pos < 0.1 * 0.5 AND t <> 'increasing' AND pos > 0.0)
+             AS scale_down,
+           peak_hour
+    FROM fin, base, rawlast, peak, trend
+    """
+
+
+@register("temporal_query_load", oracle=_QUERY_LOAD_ORACLE)
+def temporal_query_load(spark, sf_dir):
+    # QueryLoadPredictor (query_load.go): hourly QPS buckets feed the
+    # load velocity filter; trend vs spike/drop thresholds ÷10,
+    # 300/900/3600-step predictions clamped ≥0, last-60-bucket
+    # baseline mean/σ, peak hour (ties to the LOWEST hour — Go's map
+    # iteration leaves reference ties arbitrary), anomaly at 3σ, and
+    # the ShouldScaleUp/Down signals at threshold 0.1 QPS.
+    from nornicdb_spark.streaming import load as load_mod
+
+    ev = Catalog(spark, sf_dir).events
+    out = load_mod.query_load_profile(
+        ev, bucket_seconds=3600, threshold_qps=0.1, min_qps=0.0
+    )
+    return out.select(
+        "n_buckets",
+        F.round("current_qps", 9).alias("current_qps"),
+        F.round("velocity", 9).alias("velocity"),
+        "trend",
+        F.round("pred_5m", 9).alias("pred_5m"),
+        F.round("pred_15m", 9).alias("pred_15m"),
+        F.round("pred_1h", 9).alias("pred_1h"),
+        F.round("baseline_qps", 9).alias("baseline_qps"),
+        F.round("baseline_std", 9).alias("baseline_std"),
+        "is_anomaly",
+        "scale_up",
+        "scale_down",
+        "peak_hour",
+    )
+
+
 @register("kalman_velocity", oracle=_KALMAN_VELOCITY_ORACLE)
 def kalman_velocity(spark, sf_dir):
     # kalman.velocity.process 2-state filter (kalman_functions.go:599-655).

@@ -1556,3 +1556,78 @@ def test_maintained_ivf_remove_equals_never_ingested(spark, sf_dir, tmp_path):
         .count()
         == 0
     )
+
+
+def test_query_load_profile_trend_branches(spark):
+    # synthetic QPS ramps exercise the spike/drop trend branches and
+    # the scale signals the organic fixture (tiny, stable QPS) cannot
+    from datetime import datetime, timedelta
+
+    from nornicdb_spark.streaming.load import query_load_profile
+
+    t0 = datetime(2024, 1, 1)
+
+    def ev_df(counts):
+        rows = []
+        eid = 0
+        for i, n in enumerate(counts):
+            for j in range(n):
+                rows.append((eid, t0 + timedelta(seconds=i, microseconds=j)))
+                eid += 1
+        return spark.createDataFrame(rows, "event_id long, ts timestamp")
+
+    # steep ramp: velocity > spike/10 → increasing; pred_5m explodes
+    # past the threshold → scale_up
+    up = query_load_profile(
+        ev_df([10, 30, 60, 100, 150, 210]), bucket_seconds=1,
+        threshold_qps=100.0,
+    ).collect()[0]
+    assert up.trend == "increasing" and up.scale_up and not up.scale_down
+
+    # decline → decreasing; current lands under 0.5·threshold but
+    # above min → scale_down; the 1h extrapolation clamps at zero
+    down = query_load_profile(
+        ev_df([210, 150, 100, 70, 50, 40]), bucket_seconds=1,
+        threshold_qps=100.0, min_qps=1.0,
+    ).collect()[0]
+    assert down.trend == "decreasing" and down.scale_down and not down.scale_up
+    assert down.pred_1h == 0.0  # clamped at zero
+
+
+def test_relationship_trends_directions(spark):
+    # synthetic co-access series: a ramping pair strengthens, a fading
+    # pair weakens, a 2-observation pair is 'unknown'
+    from datetime import datetime, timedelta
+
+    from nornicdb_spark.streaming.evolution import relationship_trends
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+
+    def add(user, hour, n):
+        nonlocal eid
+        for j in range(n):
+            rows.append(
+                (eid, t0 + timedelta(hours=hour, microseconds=j), user)
+            )
+            eid += 1
+
+    for h in range(8):  # pair (1,2): both ramp up → weight ramps
+        add(1, h, 1 + 2 * h)
+        add(2, h, 1 + 2 * h)
+    for h in range(8):  # pair (3,4): both fade
+        add(3, h, 16 - 2 * h)
+        add(4, h, 16 - 2 * h)
+    add(5, 0, 3)  # pair (5,6): two shared windows → unknown
+    add(6, 0, 3)
+    add(5, 1, 3)
+    add(6, 1, 3)
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    got = {
+        (r.a, r.b): (r.direction, r.n_obs)
+        for r in relationship_trends(ev).collect()
+    }
+    assert got[(1, 2)] == ("strengthening", 8)
+    assert got[(3, 4)] == ("weakening", 8)
+    assert got[(5, 6)][0] == "unknown" and got[(5, 6)][1] == 2
