@@ -545,6 +545,92 @@ def temporal_query_load(spark, sf_dir):
     )
 
 
+@register(
+    "temporal_burst_patterns",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS m FROM events)
+    SELECT user_id AS k, CAST(count(*) AS BIGINT) AS n_in_window,
+           round(least(count(*) / 86400.0 / 10.0, 1.0), 9) AS confidence
+    FROM events, mx WHERE ts > m - INTERVAL 1 DAY
+    GROUP BY 1 HAVING count(*) >= 5
+    """,
+)
+def temporal_burst_patterns(spark, sf_dir):
+    # detectBurstPattern (pattern_detector.go:290-320): keys with >= 5
+    # events in the trailing window (1-day window — the 60s default is
+    # a config knob and the fixture's last minute is near-empty),
+    # confidence = min(aps/10, 1), anchored at the log's max ts.
+    from nornicdb_spark.streaming import patterns
+
+    ev = Catalog(spark, sf_dir).events
+    return patterns.burst_patterns(ev, window_seconds=86400, min_accesses=5)
+
+
+@register(
+    "temporal_trend_patterns",
+    oracle="""
+    SELECT user_id AS k,
+           CASE WHEN vel > 0.05 THEN 'growing' ELSE 'decaying' END
+             AS pattern,
+           vel,
+           round(least(abs(vel) / 0.5, 1.0), 9) AS confidence
+    FROM (""" + _KALMAN_FINAL_VEL + """)
+    WHERE vel > 0.05 OR vel < -0.05
+    """,
+)
+def temporal_trend_patterns(spark, sf_dir):
+    # detectTrendPattern (pattern_detector.go:323-349): growing/decaying
+    # classification of each key's final access velocity, confidence
+    # min(|v|/0.5, 1); keys inside the thresholds emit no pattern.
+    from nornicdb_spark.streaming import patterns
+
+    ev = Catalog(spark, sf_dir).events.filter(F.col("user_id") < 8)
+    return patterns.trend_patterns(ev)
+
+
+@register(
+    "temporal_peak_access",
+    oracle="""
+    WITH hc AS (SELECT user_id AS k, hour(ts) AS peak_hour,
+                       CAST(count(*) AS DOUBLE) AS c
+                FROM events GROUP BY 1, 2),
+    hh AS (SELECT k, peak_hour,
+                  c / (sum(c) OVER (PARTITION BY k)) AS fh,
+                  row_number() OVER (PARTITION BY k
+                                     ORDER BY c DESC, peak_hour) AS rn
+           FROM hc),
+    dc AS (SELECT user_id AS k, dayofweek(ts) AS peak_day,
+                  CAST(count(*) AS DOUBLE) AS c
+           FROM events GROUP BY 1, 2),
+    dd AS (SELECT k, peak_day,
+                  c / (sum(c) OVER (PARTITION BY k)) AS fd,
+                  row_number() OVER (PARTITION BY k
+                                     ORDER BY c DESC, peak_day) AS rn
+           FROM dc)
+    SELECT hh.k, CAST(peak_hour AS INT) AS peak_hour,
+           CAST(peak_day AS INT) AS peak_day,
+           round(least((fh * 24.0 / 10.0 + fd * 7.0 / 10.0) / 2.0, 1.0), 9)
+             AS confidence
+    FROM hh JOIN dd ON hh.k = dd.k WHERE hh.rn = 1 AND dd.rn = 1
+    """,
+)
+def temporal_peak_access(spark, sf_dir):
+    # GetPeakAccessTime (pattern_detector.go:352-395): per key the
+    # modal hour-of-day and day-of-week (0=Sunday) with the combined
+    # confidence, ties to the smallest bucket (Go map order leaves the
+    # reference's ties arbitrary).
+    from nornicdb_spark.streaming import patterns
+
+    ev = Catalog(spark, sf_dir).events
+    out = patterns.peak_access_time(ev)
+    return out.select(
+        "k",
+        F.col("peak_hour").cast("int").alias("peak_hour"),
+        F.col("peak_day").cast("int").alias("peak_day"),
+        "confidence",
+    )
+
+
 @register("kalman_velocity", oracle=_KALMAN_VELOCITY_ORACLE)
 def kalman_velocity(spark, sf_dir):
     # kalman.velocity.process 2-state filter (kalman_functions.go:599-655).
