@@ -128,6 +128,21 @@ class MaintainedBM25Index:
             self.tombstones_path, f"doc_id {id_type}, dl int, src_batch bigint"
         ).select("doc_id")
 
+    def _anti_tombstones(self, df: DataFrame, id_type: str) -> DataFrame:
+        """Drop tombstoned doc_ids from a probe slice. No-removals
+        indexes (no tombstone directory) skip the join entirely — the
+        common case keeps the all-broadcast probe plan; with removals
+        pending the tombstone side is broadcast-HINTED (bounded by
+        removals since the last compact — the reference keeps its
+        tombstones in RAM, hnsw_index.go — and compact() clears them)."""
+        import os as _os
+
+        if not _os.path.exists(self.tombstones_path):
+            return df
+        return df.join(
+            F.broadcast(self._tombstone_ids(id_type)), "doc_id", "left_anti"
+        )
+
     # -- ingest -------------------------------------------------------------
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """foreachBatch body: tokenize → postings append (idempotent via
@@ -412,7 +427,7 @@ class MaintainedBM25Index:
         is computed by the SAME xxhash64 the writer used."""
         tdf = self.spark.createDataFrame([(t,) for t in terms], "term string")
         tks = [r.tk for r in tdf.select(self._tk_col().alias("tk")).distinct().collect()]
-        return (
+        pruned = (
             self._read(
                 self.postings_path,
                 f"term string, doc_id {id_type}, dl int, tf bigint,"
@@ -420,11 +435,11 @@ class MaintainedBM25Index:
             )
             .filter(F.col("tk").isin(tks))
             .filter(F.col("term").isin(*terms))
-            # removed docs stop matching immediately (tombstone
-            # anti-join over the pruned slice; compaction drops them
-            # physically and empties this table)
-            .join(self._tombstone_ids(id_type), "doc_id", "left_anti")
         )
+        # removed docs stop matching immediately (compaction drops them
+        # physically and deletes the tombstone table, restoring the
+        # join-free probe)
+        return self._anti_tombstones(pruned, id_type)
 
     def search(
         self, query: str, k: int = 10, id_type: str | None = None

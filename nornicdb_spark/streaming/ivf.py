@@ -557,17 +557,25 @@ class MaintainedIVFIndex:
         (only the probed lists' directories are read)."""
         from nornicdb_spark.sources.layout import read_or_empty
 
+        import os as _os
+
         df = read_or_empty(
             self.spark,
             self.codes_path,
             f"vec_id {id_type}, codes array<int>, code_norm double,"
             " src_batch bigint, list_id int",
         )
-        # removed vectors stop matching immediately (tombstone anti-join
-        # over the pruned slice; compaction drops them physically) —
-        # both search and search_many inherit this
-        return df.filter(F.col("list_id").isin(list_ids)).join(
-            self._tombstone_ids(id_type), "vec_id", "left_anti"
+        pruned = df.filter(F.col("list_id").isin(list_ids))
+        # removed vectors stop matching immediately — both search and
+        # search_many inherit this. No-removals indexes (no tombstone
+        # directory, the common case) skip the join and keep the
+        # join-free probe plan; pending tombstones broadcast (bounded
+        # by removals since the last compact, which clears them — the
+        # reference keeps its tombstones in RAM, hnsw_index.go).
+        if not _os.path.exists(self.tombstones_path):
+            return pruned
+        return pruned.join(
+            F.broadcast(self._tombstone_ids(id_type)), "vec_id", "left_anti"
         )
 
     def search(
