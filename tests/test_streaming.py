@@ -1631,3 +1631,29 @@ def test_relationship_trends_directions(spark):
     assert got[(1, 2)] == ("strengthening", 8)
     assert got[(3, 4)] == ("weakening", 8)
     assert got[(5, 6)][0] == "unknown" and got[(5, 6)][1] == 2
+
+
+def test_maintained_remove_empty_batch_is_noop(spark, sf_dir, tmp_path):
+    # foreachBatch can deliver an EMPTY removal batch — it must be a
+    # recorded no-op (guard advances, stats unchanged, no crash on the
+    # empty dk-bucket literal)
+    from nornicdb_spark.catalog import Catalog
+    from nornicdb_spark.streaming.fulltext import MaintainedBM25Index
+    from nornicdb_spark.streaming.ivf import MaintainedIVFIndex
+
+    docs = Catalog(spark, sf_dir).documents
+    idx = MaintainedBM25Index(spark, str(tmp_path / "ftempty"))
+    idx.process_batch(docs, batch_id=0)
+    before = idx.corpus_stats()
+    idx.remove_batch(
+        spark.createDataFrame([], "doc_id long"), batch_id=1
+    )
+    assert idx.corpus_stats() == before
+    q = "spark join query"
+    assert idx.search(q, k=5).count() == 5
+
+    emb = Catalog(spark, sf_dir).embeddings.select("vec_id", "embedding")
+    ivf = MaintainedIVFIndex(spark, str(tmp_path / "ivfempty"))
+    ivf.bootstrap(emb, n_lists=4)
+    ivf.remove_batch(spark.createDataFrame([], "vec_id long"), batch_id=0)
+    assert ivf.tombstone_ratio() == 0.0
