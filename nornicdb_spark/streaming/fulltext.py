@@ -150,6 +150,8 @@ class MaintainedBM25Index:
         Out-of-order batch ids (reset checkpoint over an existing index —
         the dynamic overwrite would silently REPLACE the original
         batches' postings) are refused via the shared high-water guard."""
+        import os as _os
+
         from nornicdb_spark.streaming import guard
 
         guard.check_batch(self.path, batch_id)
@@ -157,6 +159,28 @@ class MaintainedBM25Index:
             F.col(self.id_col).alias("doc_id"),
             tokens_col(F.col(self.text_col)).alias("tokens"),
         )
+        # Re-using a REMOVED id before compaction would be silently
+        # eaten: the tombstone anti-join hides the new postings and the
+        # next compact() drops them physically. Refuse loudly — after a
+        # compaction the id is gone everywhere and may be re-used as a
+        # fresh document. (No tombstone directory → free.)
+        if _os.path.exists(self.tombstones_path):
+            id_type = self._doc_id_type()
+            clash = (
+                toks.select("doc_id")
+                .join(F.broadcast(self._tombstone_ids(id_type)), "doc_id",
+                      "left_semi")
+                .limit(1)
+                .count()
+            )
+            if clash:
+                raise ValueError(
+                    "ingest batch re-uses a REMOVED doc_id while its "
+                    "tombstone is still pending — the new document would "
+                    "be silently hidden and dropped at the next "
+                    "compaction. Run compact() first; a compacted id may "
+                    "be re-used as a fresh document."
+                )
         postings = (
             toks.select(
                 "doc_id",

@@ -174,9 +174,34 @@ class MaintainedIVFIndex:
         batch ids (reset checkpoint over an existing index — the dynamic
         overwrite would silently REPLACE the original batches' codes)
         are refused via the shared high-water guard."""
+        import os as _os
+
         from nornicdb_spark.streaming import guard
 
         guard.check_batch(self.path, batch_id)
+        # same pending-tombstone id-reuse refusal as the BM25 twin:
+        # the anti-join would hide the new codes and compact() would
+        # drop them — loud beats silent (free with no tombstone dir)
+        if _os.path.exists(self.tombstones_path):
+            from nornicdb_spark.sources.layout import stored_col_type
+
+            id_type = (
+                stored_col_type(self.spark, self.codes_path, "vec_id")
+                or "bigint"
+            )
+            clash = (
+                batch_df.select(F.col(self.id_col).alias("vec_id"))
+                .join(F.broadcast(self._tombstone_ids(id_type)), "vec_id",
+                      "left_semi")
+                .limit(1)
+                .count()
+            )
+            if clash:
+                raise ValueError(
+                    "ingest batch re-uses a REMOVED vec_id while its "
+                    "tombstone is still pending — run compact() first; "
+                    "a compacted id may be re-used as a fresh vector."
+                )
         (
             self._rows(batch_df, batch_id)
             .write.mode("overwrite")

@@ -1657,3 +1657,28 @@ def test_maintained_remove_empty_batch_is_noop(spark, sf_dir, tmp_path):
     ivf.bootstrap(emb, n_lists=4)
     ivf.remove_batch(spark.createDataFrame([], "vec_id long"), batch_id=0)
     assert ivf.tombstone_ratio() == 0.0
+
+
+def test_maintained_reingest_of_removed_id_refused_until_compact(
+    spark, sf_dir, tmp_path
+):
+    # re-using a removed id while its tombstone is pending would be
+    # silently hidden (anti-join) and then dropped (compaction fold) —
+    # the ingest path refuses loudly instead; after compact() the id is
+    # physically gone and may be re-used as a fresh document
+    from nornicdb_spark.catalog import Catalog
+    from nornicdb_spark.streaming.fulltext import MaintainedBM25Index
+
+    docs = Catalog(spark, sf_dir).documents
+    idx = MaintainedBM25Index(spark, str(tmp_path / "ftreuse"))
+    idx.process_batch(docs.filter(F.col("doc_id") < 100), batch_id=0)
+    idx.remove_batch(spark.createDataFrame([(7,)], "doc_id long"), batch_id=1)
+    reuse = docs.filter(F.col("doc_id") == 7)
+    with pytest.raises(ValueError, match="REMOVED doc_id"):
+        idx.process_batch(reuse, batch_id=2)
+    idx.compact()
+    idx.process_batch(reuse, batch_id=2)  # fresh document now
+    n, _ = idx.corpus_stats()
+    assert n == 100  # 100 ingested − 1 removed + 1 re-ingested
+    hits = idx.search("spark join query", k=100)
+    assert hits.filter(F.col("doc_id") == 7).count() <= 1
