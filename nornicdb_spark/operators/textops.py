@@ -720,3 +720,130 @@ def split_contamination(
         id_col=id_col,
         text_col=text_col,
     )
+
+
+def dup_spans(
+    docs: DataFrame,
+    min_len: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Span-level exact-substring dedup (the ExactSubstr method of Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models Better",
+    at word-token granularity): every maximal token span whose
+    ``min_len``-token windows each occur >= 2 times anywhere in the
+    corpus (other docs or repeats inside the same doc). Doc-level dedup
+    (exact/MinHash/SimHash) misses boilerplate embedded in otherwise
+    unique documents; this is the operator that finds it. Returns
+    (doc_id, span_start, span_len, n_windows) — span_start is the 0-based
+    token offset; duplicated windows whose starts are <= min_len apart
+    merge into one span.
+
+    Scale shape: the corpus-wide occurrence count groups on the 64-bit
+    window hash (partial-aggregating groupBy — the raw gram text never
+    shuffles), a semi-join marks duplicated positions, and the span merge
+    is one lag/sum window per doc partition (bounded by doc length). A
+    2^-64 hash collision could mark a unique window duplicated —
+    negligible at corpus scale, and the DuckDB oracle joins on raw grams,
+    so systematic divergence would be caught. Reference parity: NornicDB
+    ships doc-level dedup only (pkg/dedup); this covers the span-level
+    variant from the public paper.
+    """
+    from pyspark.sql import Window
+
+    L = min_len
+    g = F.expr(
+        f"transform(slice({_W_SQL}, 1, greatest(size({_W_SQL}) - {L - 1}, 0)), "
+        f"(x, i) -> array_join(slice({_W_SQL}, i + 1, {L}), ' '))"
+    )
+    pos = (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+        .select("doc_id", F.posexplode(g).alias("pos", "gram"))
+        .select("doc_id", "pos", F.xxhash64("gram").alias("gh"))
+    )
+    dup = (
+        pos.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("gh")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        pos.join(dup, "gh", "left_semi")
+        .withColumn(
+            "brk",
+            F.when(F.col("pos") - F.lag("pos").over(w) <= L, F.lit(0)).otherwise(
+                F.lit(1)
+            ),
+        )
+        .withColumn("grp", F.sum("brk").over(w))
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + L - F.min("pos")).cast("long").alias("span_len"),
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+        )
+        .select("doc_id", "span_start", "span_len", "n_windows")
+    )
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    lam: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean log-probability under an interpolated bigram LM
+    trained on the corpus itself — the CCNet-style LM-perplexity quality
+    proxy, one model order above :func:`unigram_logprob`:
+
+        p(w2 | w1) = lam * c(w1 w2)/c(w1) + (1 - lam) * c(w2)/total
+
+    Returns (doc_id, n_bigrams, mean_logprob); docs with < 2 tokens have
+    no bigram positions and drop. c(w1) counts every occurrence of w1
+    (including doc-final positions), the simplest interpolation
+    denominator — this is a ranking proxy, not a normalized LM.
+
+    Scale shape: bigram and unigram counts are combinable aggregates; the
+    score pass is two shuffle equi-joins on (w1, w2) and the word plus a
+    broadcast of the 1-row total — no Python, no cross join, partial
+    aggregation everywhere.
+    """
+    pairs = F.expr(
+        f"transform(slice({_W_SQL}, 1, greatest(size({_W_SQL}) - 1, 0)), "
+        f"(x, i) -> struct(x AS w1, element_at({_W_SQL}, i + 2) AS w2))"
+    )
+    pr = (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    uni = (
+        docs.select(F.explode(_words(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    big = pr.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("double").alias("c12"))
+    total = uni.agg(F.sum("c").alias("total"))
+    u1 = uni.select(F.col("word").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("word").alias("w2"), F.col("c").alias("c2"))
+    return (
+        pr.join(big, ["w1", "w2"])
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            # rounded: avg-of-logs is partition-order sensitive at the ULP
+            F.round(
+                F.avg(
+                    F.log(
+                        F.lit(lam) * F.col("c12") / F.col("c1")
+                        + F.lit(1.0 - lam) * F.col("c2") / F.col("total")
+                    )
+                ),
+                9,
+            ).alias("mean_logprob"),
+        )
+    )

@@ -1426,3 +1426,79 @@ def embedding_quantization_error(spark, sf_dir):
         F.round("mse", 9).alias("mse"),
         "bound_ok",
     )
+
+
+@register(
+    "dedup_substring_spans",
+    oracle="""
+    WITH ws AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> length(x) > 0) AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS gram
+      FROM ws, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS t(i)
+    ),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+    d AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       <= 8
+                  THEN 0 ELSE 1 END AS brk
+      FROM d
+    ),
+    grp AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM isl
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_len,
+           CAST(count(*) AS BIGINT) AS n_windows
+    FROM grp GROUP BY doc_id, grp
+    """,
+)
+def dedup_substring_spans(spark, sf_dir):
+    # span-level exact-substring dedup (Lee et al. 2022): maximal token
+    # spans whose 8-token windows repeat anywhere in the corpus — finds
+    # boilerplate inside otherwise-unique docs that doc-level dedup
+    # (exact/MinHash/SimHash rows above) cannot see.
+    docs = Catalog(spark, sf_dir).documents
+    return textops.dup_spans(docs, min_len=8)
+
+
+@register(
+    "text_bigram_logprob",
+    oracle="""
+    WITH ws AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> length(x) > 0) AS w
+      FROM documents
+    ),
+    pr AS (
+      SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+      FROM ws, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS t(i)
+    ),
+    toks AS (SELECT doc_id, unnest(w) AS word FROM ws),
+    uni AS (SELECT word, CAST(count(*) AS DOUBLE) AS c FROM toks GROUP BY word),
+    big AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c12
+            FROM pr GROUP BY w1, w2),
+    total AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM uni)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln(0.9 * c12 / u1.c + 0.1 * u2.c / total)), 9)
+             AS mean_logprob
+    FROM pr JOIN big USING (w1, w2)
+            JOIN uni u1 ON pr.w1 = u1.word
+            JOIN uni u2 ON pr.w2 = u2.word, total
+    GROUP BY doc_id
+    """,
+)
+def text_bigram_logprob(spark, sf_dir):
+    # interpolated bigram-LM mean log-probability per doc (CCNet-style
+    # perplexity quality proxy) — one model order above
+    # text_unigram_logprob, same corpus-self-trained posture.
+    docs = Catalog(spark, sf_dir).documents
+    return textops.bigram_logprob(docs)

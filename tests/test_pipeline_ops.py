@@ -209,3 +209,47 @@ def test_quantize_int8_roundtrip_bound(catalog):
     )
     bad = worst.filter(F.col("e") > F.col("mx") / 127.0 / 2 + 1e-12).count()
     assert bad == 0
+
+
+def test_dup_spans_merges_overlaps_and_splits_on_gaps(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),            # shares "c d e" with doc 2
+            (2, "q r c d e s"),
+            (3, "p q r p q r p q r"),      # self-repeating: one whole-doc span
+            (4, "c d e m n o x c d e"),    # gap 7 > min_len: two spans
+            (6, "c d e c d e"),            # gap 3 == min_len: merges
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.span_start): (r.span_len, r.n_windows)
+        for r in textops.dup_spans(docs, min_len=3).collect()
+    }
+    assert got == {
+        (1, 2): (3, 1),
+        (2, 2): (3, 1),
+        (3, 0): (9, 7),
+        (4, 0): (3, 1),
+        (4, 7): (3, 1),
+        (6, 0): (6, 2),
+    }
+
+
+def test_bigram_logprob_hand_case(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c"), (4, "z")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in textops.bigram_logprob(docs).collect()}
+    # doc 4 has a single token -> no bigram positions -> drops
+    assert set(rows) == {1, 2, 3}
+    # counts: a=3 b=2 c=1 z=1, total=7; c12(a,b)=2, c12(a,c)=1
+    p_b_a = 0.9 * 2 / 3 + 0.1 * 2 / 7
+    p_c_a = 0.9 * 1 / 3 + 0.1 * 1 / 7
+    assert rows[1].n_bigrams == 1
+    assert rows[1].mean_logprob == pytest.approx(round(math.log(p_b_a), 9))
+    assert rows[2].mean_logprob == rows[1].mean_logprob
+    assert rows[3].mean_logprob == pytest.approx(round(math.log(p_c_a), 9))

@@ -654,3 +654,29 @@ def test_batched_topk_windows_push_group_limits(spark, sf_dir):
         df = QUERIES[name](spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "WindowGroupLimit" in plan, (name, plan[:1500])
+
+
+def test_dup_spans_hashes_before_shuffle_no_python(spark, sf_dir):
+    # the span-dedup scale contract: the corpus-wide window-occurrence
+    # count shuffles the 64-bit xxhash64 of each window (never the raw
+    # gram text), the count partial-aggregates map-side, and the whole
+    # plan is codegen (no Python eval)
+    plan = plan_of(spark, "dedup_substring_spans", sf_dir)
+    assert "xxhash64" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert "CartesianProduct" not in plan
+    # the gram string must not survive past the hash projection into any
+    # exchange: every hashpartitioning key set mentions gh/doc_id, not gram
+    for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "gram" not in m.group(1), m.group(0)
+    # partial aggregation before the gh exchange (map-side combine)
+    assert "partial_count" in plan.lower() or "HashAggregate" in plan
+
+
+def test_bigram_logprob_broadcasts_total_no_python(spark, sf_dir):
+    # the LM-scoring contract: the 1-row corpus total broadcasts (never a
+    # shuffled cross join), counts partial-aggregate, scoring is codegen
+    plan = plan_of(spark, "text_bigram_logprob", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
