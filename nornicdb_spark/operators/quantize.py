@@ -91,3 +91,60 @@ def quantization_error(
         .cast("long")
         .alias("bound_ok"),
     )
+
+
+def rp_signs(in_dim: int, out_dim: int) -> list[list[float]]:
+    """Deterministic ±1 sign matrix for :func:`random_projection` —
+    sign(i, j) from the md5-derived 60-bit hash of ``"rp:i:j"`` (the
+    dedup family's h60 convention, dedup.py:50), so a DuckDB oracle can
+    regenerate the identical matrix with pure SQL and no literal
+    shipping. Driver cost: out_dim x in_dim md5 calls once per plan
+    build (a 16x768 matrix is 12k hashes, microseconds)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"rp:{i}:{j}".encode()).hexdigest()[:15], 16) % 2
+            == 0
+            else -1.0
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def random_projection(
+    embeddings: DataFrame,
+    in_dim: int,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction with a
+    deterministic hash-sign matrix: out[j] = sum_i v[i]*sign(i,j) /
+    sqrt(out_dim) (Achlioptas 2001 database-friendly ±1 projections).
+    The standard pre-reduction in front of ANN / clustering when the
+    full-width embedding column is too wide to shuffle: a 64→16 cut
+    shrinks every downstream exchange 4× while preserving pairwise
+    distances to ~1/sqrt(out_dim) relative distortion in expectation.
+    Returns (id, rp array<double> of out_dim).
+
+    Scale shape: the sign matrix lives in the PLAN as literals (the IVF
+    centroid-literal posture — nothing is broadcast or joined) and each
+    output component is a fixed left-to-right multiply-add chain inside
+    whole-stage codegen: zero shuffles, zero Python, embarrassingly
+    parallel over any partitioning. Deterministic — same hash rule on
+    the oracle side regenerates the identical matrix.
+    """
+    signs = rp_signs(in_dim, out_dim)
+    inv = 1.0 / float(out_dim) ** 0.5
+    v = _vec(vec_col)
+    comps = []
+    for j in range(out_dim):
+        acc = None
+        for i in range(in_dim):
+            term = v[i] if signs[j][i] > 0 else -v[i]
+            acc = term if acc is None else acc + term
+        comps.append((acc * F.lit(inv)).alias(f"rp_{j}"))
+    return embeddings.select(F.col(id_col).alias(id_col), F.array(*comps).alias("rp"))

@@ -1502,3 +1502,38 @@ def text_bigram_logprob(spark, sf_dir):
     # text_unigram_logprob, same corpus-self-trained posture.
     docs = Catalog(spark, sf_dir).documents
     return textops.bigram_logprob(docs)
+
+
+@register(
+    "embedding_random_projection",
+    oracle="""
+    WITH sg AS (
+      SELECT j, i,
+             CASE WHEN CAST(('0x' || substr(md5('rp:' || i || ':' || j), 1, 15))
+                       AS BIGINT) % 2 = 0
+                  THEN 1.0 ELSE -1.0 END AS s
+      FROM (SELECT unnest(range(16)) AS j), (SELECT unnest(range(64)) AS i)
+    ),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT vec_id, j AS dim, round(sum(v[i + 1] * s) / 4.0, 9) AS val
+    FROM v, sg
+    GROUP BY vec_id, j
+    """,
+)
+def embedding_random_projection(spark, sf_dir):
+    # Johnson-Lindenstrauss 64->16 reduction with the deterministic
+    # hash-sign matrix (Achlioptas +/-1) — the pre-reduction in front of
+    # ANN/clustering that shrinks every downstream shuffle 4x; signs live
+    # in the plan as literals, zero shuffles, zero Python. The oracle
+    # regenerates the identical matrix from the same md5 rule.
+    from nornicdb_spark.operators import quantize
+
+    emb = Catalog(spark, sf_dir).embeddings
+    rp = quantize.random_projection(emb, in_dim=64, out_dim=16)
+    return rp.select(
+        "vec_id", F.posexplode("rp").alias("dim", "val")
+    ).select(
+        "vec_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.round("val", 9).alias("val"),
+    )

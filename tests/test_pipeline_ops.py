@@ -253,3 +253,19 @@ def test_bigram_logprob_hand_case(spark):
     assert rows[1].mean_logprob == pytest.approx(round(math.log(p_b_a), 9))
     assert rows[2].mean_logprob == rows[1].mean_logprob
     assert rows[3].mean_logprob == pytest.approx(round(math.log(p_c_a), 9))
+
+
+def test_random_projection_matches_manual_dot(spark):
+    from nornicdb_spark.operators.quantize import random_projection, rp_signs
+
+    emb = spark.createDataFrame(
+        [(1, [3.0, 4.0, -2.0]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    signs = rp_signs(3, 2)
+    got = {r.vec_id: r.rp for r in random_projection(emb, 3, 2).collect()}
+    inv = 1.0 / 2 ** 0.5
+    for j in range(2):
+        want = sum(s * x for s, x in zip(signs[j], [3.0, 4.0, -2.0])) * inv
+        assert got[1][j] == pytest.approx(want, abs=1e-12)
+        assert got[2][j] == 0.0

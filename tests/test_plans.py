@@ -680,3 +680,13 @@ def test_bigram_logprob_broadcasts_total_no_python(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_random_projection_zero_shuffle_no_python(spark, sf_dir):
+    # the JL-projection contract: the sign matrix is plan literals, each
+    # output dim a codegen multiply-add chain — NO exchange of any kind,
+    # no join, no Python; embarrassingly parallel at any scale
+    plan = plan_of(spark, "embedding_random_projection", sf_dir)
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
