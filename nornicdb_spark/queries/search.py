@@ -1160,3 +1160,29 @@ def stream_ann_ivf_remove_gate(spark, sf_dir):
         want.join(got, cols, "left_anti")
     )
     return diff.agg((F.count(F.lit(1)) == 0).cast("long").alias("ok"))
+
+
+@register("ann_rp_refine")  # approximate — rows-only; recall-gated below
+def ann_rp_refine(spark, sf_dir):
+    # JL-projection coarse filter (16-dim codegen scan, sign matrix as
+    # plan literals) + exact full-width refine over the top-200
+    # candidates — the index-free ANN scale path: stage 1's bandwidth is
+    # the projection ratio (4x) cheaper than the brute scan and nothing
+    # is built or goes stale.
+    emb = Catalog(spark, sf_dir).embeddings
+    return vector.rp_refine_topk(
+        emb, _query_vec(spark, sf_dir), k=10, coarse=200
+    ).select("vec_id", F.round("score", 9).alias("score"))
+
+
+@register("ann_rp_refine_recall", oracle=_OK_ORACLE)
+def ann_rp_refine_recall(spark, sf_dir):
+    # recall@10 of the RP-coarse + exact-refine pipeline vs the exact
+    # cosine scan; gate at >= 0.5 (measured 0.7-1.0 over 5 query
+    # vectors at sf0.01 with coarse=200, 1.0 at sf1 — the kmeans gate's
+    # bar).
+    emb = Catalog(spark, sf_dir).embeddings
+    qv = _query_vec(spark, sf_dir)
+    exact = vector.cosine_topk(emb, qv, k=10).select("vec_id")
+    approx = vector.rp_refine_topk(emb, qv, k=10, coarse=200).select("vec_id")
+    return _gate(exact, approx, min_hits=5)

@@ -660,3 +660,48 @@ class Int8Index:
             "left_semi",
         )
         return cosine_topk(cand, query_vec, k, self.id_col, self.vec_col)
+
+
+def rp_refine_topk(
+    embeddings: DataFrame,
+    query_vec,
+    k: int = 10,
+    coarse: int = 100,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage top-k with the deterministic JL projection as the coarse
+    filter: stage 1 scores the ``out_dim``-wide projected corpus
+    (operators.quantize.random_projection — sign matrix baked into the
+    plan, pure codegen) and keeps the top ``coarse`` candidates via
+    TakeOrderedAndProject; stage 2 rescores ONLY those candidates
+    exactly at full width. Approximate overall — a true neighbor can
+    fall outside the coarse pool — so this is recall-gated like the
+    other ANN rows (ann_rp_refine_recall), not oracle-matched.
+
+    The 100 TB story: stage 1's exchange carries k doubles per row
+    instead of the full embedding (4x narrower at 64→16) and the
+    full-width column is touched only for ``coarse`` rows in stage 2 —
+    the brute-force scan's bandwidth bill drops by ~the projection
+    ratio while staying index-free (no build, no staleness).
+    Returns (vec_id, score) ordered desc, ties by id."""
+    from nornicdb_spark.operators.quantize import random_projection, rp_signs
+
+    in_dim = len(query_vec)
+    signs = rp_signs(in_dim, out_dim)
+    inv = 1.0 / float(out_dim) ** 0.5
+    qrp = [
+        sum(s * float(x) for s, x in zip(row, query_vec)) * inv for row in signs
+    ]
+    emb = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
+    cand = (
+        random_projection(emb, in_dim, out_dim)
+        .select("vec_id", cosine_sim(F.col("rp"), _lit_vec(qrp)).alias("cs"))
+        .orderBy(F.desc(F.round(F.col("cs"), 9)), F.asc("vec_id"))
+        .limit(int(coarse))
+        .select("vec_id")
+    )
+    return cosine_topk(emb.join(cand, "vec_id", "left_semi"), query_vec, k)

@@ -690,3 +690,13 @@ def test_random_projection_zero_shuffle_no_python(spark, sf_dir):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_rp_refine_coarse_stage_is_take_ordered(spark, sf_dir):
+    # the RP-refine contract: the coarse stage is a TakeOrderedAndProject
+    # over the 16-dim projected scores (never a global sort), and the
+    # whole two-stage plan stays codegen (no Python)
+    plan = plan_of(spark, "ann_rp_refine", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert "CartesianProduct" not in plan

@@ -323,3 +323,19 @@ def test_phrase_search_semantics(spark):
         (3, 1.0),
         (1, round(1.0 / 1.03, 9)),
     ]
+
+
+def test_rp_refine_recall_and_shape(catalog):
+    qv = _query_vec(catalog)
+    exact = {r.vec_id for r in vector.cosine_topk(catalog.embeddings, qv, 10).collect()}
+    got = vector.rp_refine_topk(catalog.embeddings, qv, k=10, coarse=200).collect()
+    recall = len(exact & {r.vec_id for r in got}) / len(exact)
+    assert recall >= 0.5, f"rp-refine recall {recall}"
+    # refined scores are the EXACT full-width cosines, ordered desc
+    scores = [r.score for r in got]
+    assert scores == sorted(scores, reverse=True)
+    # coarse >= corpus degenerates to the exact scan (pool covers all)
+    full = vector.rp_refine_topk(
+        catalog.embeddings, qv, k=10, coarse=10_000_000
+    ).collect()
+    assert {r.vec_id for r in full} == exact
