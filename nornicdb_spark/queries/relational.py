@@ -853,3 +853,45 @@ def set_ops_customer_supplier_nations(spark, sf_dir):
         F.lit("customer_only").alias("which"), "n"
     )
     return both.unionByName(only)
+
+
+@register(
+    "sketch_distinct_users_gate",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           CAST(1 AS BIGINT) AS ok
+    FROM events GROUP BY event_type
+    """,
+)
+def sketch_distinct_users_gate(spark, sf_dir):
+    # HLL++ distinct-users-per-event-type with the 4-sigma error bound
+    # checked IN the result (operators/sketches.py): the exact column is
+    # hash-matched against DuckDB, the ok flag goes 0 (red) if the
+    # sketch ever drifts past 4*rsd. Production callers keep only the
+    # sketch — O(1/rsd^2) bytes of mergeable state per group at any
+    # cardinality.
+    from nornicdb_spark.operators import sketches
+
+    ev = Catalog(spark, sf_dir).events
+    return sketches.approx_distinct_gate(ev, "event_type", "user_id")
+
+
+@register(
+    "sketch_quantile_value_gate",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 9) AS exact_q,
+           CAST(1 AS BIGINT) AS ok
+    FROM events GROUP BY event_type
+    """,
+)
+def sketch_quantile_value_gate(spark, sf_dir):
+    # Greenwald-Khanna median-per-event-type with the published
+    # n/accuracy rank bound verified in-result by re-ranking the
+    # sketch's answer; exact_q carries the DuckDB oracle. Production
+    # callers use the sketch alone — no per-group sort ever happens.
+    from nornicdb_spark.operators import sketches
+
+    ev = Catalog(spark, sf_dir).events
+    return sketches.approx_quantile_gate(ev, "event_type", "value")

@@ -269,3 +269,28 @@ def test_random_projection_matches_manual_dot(spark):
         want = sum(s * x for s, x in zip(signs[j], [3.0, 4.0, -2.0])) * inv
         assert got[1][j] == pytest.approx(want, abs=1e-12)
         assert got[2][j] == 0.0
+
+
+def test_approx_distinct_gate_exact_and_bound(spark):
+    from nornicdb_spark.operators import sketches
+
+    df = spark.createDataFrame(
+        [("a", i % 7) for i in range(100)] + [("b", i) for i in range(50)],
+        "g string, v long",
+    )
+    got = {r.g: (r.exact_distinct, r.ok) for r in
+           sketches.approx_distinct_gate(df, "g", "v").collect()}
+    assert got == {"a": (7, 1), "b": (50, 1)}
+
+
+def test_approx_quantile_gate_exact_and_bound(spark):
+    from nornicdb_spark.operators import sketches
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 102)],  # median = 51
+        "g string, v double",
+    )
+    got = sketches.approx_quantile_gate(df, "g", "v").collect()
+    assert len(got) == 1
+    assert got[0].exact_q == 51.0
+    assert got[0].ok == 1
