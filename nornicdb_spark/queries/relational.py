@@ -895,3 +895,56 @@ def sketch_quantile_value_gate(spark, sf_dir):
 
     ev = Catalog(spark, sf_dir).events
     return sketches.approx_quantile_gate(ev, "event_type", "value")
+
+
+@register(
+    "stream_sketch_distinct_gate",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           CAST(1 AS BIGINT) AS ok
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_sketch_distinct_gate(spark, sf_dir):
+    # the HLL distinct counter as a MAINTAINED index
+    # (streaming/sketches.py): events ingested in 3 deterministic
+    # batches as per-(group, batch) sketch rows, served by register
+    # union — the live "distinct users right now" counter whose state
+    # is O(2^lg_k) bytes per group at ANY cardinality. ok = the
+    # maintained estimate within 4*rsd of the exact count (lg_k=12 ->
+    # rsd ~ 1.6%, bound 6.5%); exact_distinct carries the oracle.
+    import shutil
+
+    from nornicdb_spark.streaming.sketches import MaintainedDistinctIndex
+
+    ev = Catalog(spark, sf_dir).events
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    path = f"/root/repo/.tmp/distidx_{tag}"
+    shutil.rmtree(path, ignore_errors=True)  # rebuild: deterministic run
+    idx = MaintainedDistinctIndex(spark, path, "event_type", "user_id")
+    for b in range(3):
+        idx.process_batch(ev.filter(F.col("event_id") % 3 == b), batch_id=b)
+    exact = ev.groupBy(F.col("event_type")).agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    # lg_k=12: rsd = 1.04/sqrt(2^12) ~ 0.0163; 4-sigma bound
+    bound = 4.0 * 1.04 / (2.0 ** 12) ** 0.5
+    return (
+        exact.join(
+            idx.counts().select(
+                F.col("grp").alias("event_type"), "approx_distinct"
+            ),
+            "event_type",
+        )
+        .select(
+            "event_type",
+            "exact_distinct",
+            (
+                F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+                <= F.lit(bound) * F.col("exact_distinct")
+            )
+            .cast("long")
+            .alias("ok"),
+        )
+    )

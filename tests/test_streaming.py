@@ -1682,3 +1682,84 @@ def test_maintained_reingest_of_removed_id_refused_until_compact(
     assert n == 100  # 100 ingested − 1 removed + 1 re-ingested
     hits = idx.search("spark join query", k=100)
     assert hits.filter(F.col("doc_id") == 7).count() <= 1
+
+
+# ---- maintained approximate-distinct index (streaming/sketches.py) -------
+
+
+def _mk_distinct_idx(spark, tmp_path):
+    from nornicdb_spark.streaming.sketches import MaintainedDistinctIndex
+
+    ev = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b", i % 37) for i in range(200)],
+        "event_id long, grp_col string, uid long",
+    )
+    idx = MaintainedDistinctIndex(
+        spark, str(tmp_path / "distidx"), "grp_col", "uid"
+    )
+    return ev, idx
+
+
+def test_maintained_distinct_union_matches_exact_small(spark, tmp_path):
+    ev, idx = _mk_distinct_idx(spark, tmp_path)
+    for b in range(3):
+        idx.process_batch(ev.filter(F.col("event_id") % 3 == b), batch_id=b)
+    got = {r.grp: r.approx_distinct for r in idx.counts().collect()}
+    want = {
+        r.grp_col: r.e
+        for r in ev.groupBy("grp_col")
+        .agg(F.countDistinct("uid").alias("e"))
+        .collect()
+    }
+    # at these cardinalities (<= 37 << 2^12 registers) HLL++ is exact
+    assert got == want
+
+
+def test_maintained_distinct_replay_and_compact_invariance(spark, tmp_path):
+    ev, idx = _mk_distinct_idx(spark, tmp_path)
+    for b in range(3):
+        idx.process_batch(ev.filter(F.col("event_id") % 3 == b), batch_id=b)
+    before = {r.grp: r.approx_distinct for r in idx.counts().collect()}
+    # replaying the LATEST batch is a recorded no-op (anti-join self-heal)
+    idx.process_batch(ev.filter(F.col("event_id") % 3 == 2), batch_id=2)
+    assert {r.grp: r.approx_distinct for r in idx.counts().collect()} == before
+    # a STALE batch is refused by the guard
+    with pytest.raises(Exception, match="batch|stale|replay"):
+        idx.process_batch(ev.filter(F.col("event_id") % 3 == 0), batch_id=0)
+    # compaction folds to one row per group without moving any estimate
+    idx.compact()
+    assert {r.grp: r.approx_distinct for r in idx.counts().collect()} == before
+    rows = spark.read.parquet(idx.sketches_path)
+    assert rows.groupBy("grp").count().agg(F.max("count")).collect()[0][0] == 1
+    # post-compaction ingest still works and the guard epoch advanced
+    # (the i%3==0 slice is all-"b" by construction: grp = "a" iff i%3)
+    idx.process_batch(
+        ev.filter(F.col("event_id") % 3 == 0).withColumn(
+            "uid", F.col("uid") + 1000
+        ),
+        batch_id=3,
+    )
+    after = {r.grp: r.approx_distinct for r in idx.counts().collect()}
+    assert after["b"] > before["b"] and after["a"] == before["a"]
+
+
+def test_maintained_distinct_counts_for_prunes_partitions(spark, tmp_path):
+    ev, idx = _mk_distinct_idx(spark, tmp_path)
+    idx.process_batch(ev, batch_id=0)
+    sub = idx.counts_for(["a"])
+    plan = sub._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    import re as _re
+
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m is not None and "gk" in m.group(1), plan[:2000]
+    assert {r.grp for r in sub.collect()} == {"a"}
+
+
+def test_maintained_distinct_remove_refuses(spark, tmp_path):
+    _, idx = _mk_distinct_idx(spark, tmp_path)
+    with pytest.raises(NotImplementedError, match="append-only"):
+        idx.remove()
