@@ -948,3 +948,56 @@ def stream_sketch_distinct_gate(spark, sf_dir):
             .alias("ok"),
         )
     )
+
+
+@register(
+    "skew_salted_distinct_parts",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_count
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def skew_salted_distinct_parts(spark, sf_dir):
+    # count(DISTINCT part) per returnflag — 3 groups each holding ~1/3
+    # of the table, the exact shape AQE cannot split and partial agg
+    # cannot shrink: the salted two-phase rewrite (operators/skew.py)
+    # shards each group's distinct set over 32 reducers and sums the
+    # disjoint shard counts. Result is EXACT (plain-SQL oracle).
+    from nornicdb_spark.operators import skew
+
+    li = Catalog(spark, sf_dir).lineitem
+    return skew.salted_distinct_count(li, "l_returnflag", "l_partkey")
+
+
+@register(
+    "skew_salted_join_revenue",
+    oracle="""
+    SELECT o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def skew_salted_join_revenue(spark, sf_dir):
+    # the salted fact-dim join (operators/skew.py): every lineitem row
+    # salted by l_linenumber, orders replicated across the 8 shards —
+    # row-identical to the plain join (exact oracle), hot order keys
+    # spread over 8 reducers. The demo aggregates to revenue per
+    # priority so the compared output is compact.
+    from nornicdb_spark.operators import skew
+
+    cat = Catalog(spark, sf_dir)
+    j = skew.salted_join(
+        cat.lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        cat.orders.select("o_orderkey", "o_orderpriority"),
+        on="o_orderkey", n_salt=8, salt_by="l_linenumber",
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )

@@ -294,3 +294,37 @@ def test_approx_quantile_gate_exact_and_bound(spark):
     assert len(got) == 1
     assert got[0].exact_q == 51.0
     assert got[0].ok == 1
+
+
+def test_salted_distinct_count_exact_on_hot_key(spark):
+    from nornicdb_spark.operators import skew
+
+    # one hot key holding 90% of rows, values with duplicates
+    df = spark.createDataFrame(
+        [("hot", i % 61) for i in range(900)]
+        + [("cold", i % 7) for i in range(100)],
+        "k string, v long",
+    )
+    got = {r.k: r.distinct_count for r in
+           skew.salted_distinct_count(df, "k", "v", n_salt=16).collect()}
+    assert got == {"hot": 61, "cold": 7}
+
+
+def test_salted_join_row_identical_to_plain_join(spark):
+    from nornicdb_spark.operators import skew
+
+    left = spark.createDataFrame(
+        [(i % 3, i, float(i)) for i in range(200)], "k long, rid long, x double"
+    )
+    right = spark.createDataFrame(
+        [(0, "a"), (0, "b"), (1, "c"), (5, "z")], "k long, tag string"
+    )
+    plain = {(r.k, r.rid, r.tag) for r in left.join(right, "k").collect()}
+    salted = {
+        (r.k, r.rid, r.tag)
+        for r in skew.salted_join(left, right, "k", n_salt=4, salt_by="rid").collect()
+    }
+    # k=0: 67 left rows x 2 tags; k=1: 67 x 1; k=2: 66 x 0 -> 201
+    assert salted == plain and len(salted) == 201
+    with pytest.raises(ValueError, match="salt_by"):
+        skew.salted_join(left, right, "k")

@@ -700,3 +700,41 @@ def test_rp_refine_coarse_stage_is_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_salted_distinct_shuffles_on_key_and_salt(spark, sf_dir):
+    # the skew-rewrite contract: phase-1 exchange partitions on
+    # (key, salt) — a hot key's distinct set spreads over n_salt
+    # reducers — and the whole rewrite stays codegen
+    plan = plan_of(spark, "skew_salted_distinct_parts", sf_dir)
+    # Catalyst inlines the _salt alias as _groupingexpression — either
+    # name proves the exchange keys carry the value-hash shard
+    assert re.search(
+        r"hashpartitioning\([^)]*(_salt|_groupingexpression)", plan
+    ), plan[:1500]
+    assert "pmod(xxhash64" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_salted_join_partitions_include_salt(spark, sf_dir):
+    # the join runs on (key, _salt): when the right side is too big to
+    # broadcast (forced here via shuffle_hash — at sf0.01 Spark would
+    # broadcast it and the salting would be moot), both exchanges carry
+    # the salt, so one hot key lands on n_salt reducers
+    from nornicdb_spark.catalog import Catalog
+    from nornicdb_spark.operators import skew
+
+    cat = Catalog(spark, sf_dir)
+    j = skew.salted_join(
+        cat.lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        cat.orders.select("o_orderkey", "o_orderpriority").hint("shuffle_hash"),
+        on="o_orderkey", n_salt=8, salt_by="l_linenumber",
+    )
+    plan = j._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert re.search(r"hashpartitioning\([^)]*_salt", plan), plan[:1500]
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
