@@ -1001,3 +1001,56 @@ def skew_salted_join_revenue(spark, sf_dir):
             ).alias("revenue")
         )
     )
+
+
+@register(
+    "stream_histogram_quantile",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, CAST(floor(value / 5.0) AS BIGINT) AS bucket
+      FROM events WHERE event_id % 10 <> 0
+    ),
+    net AS (
+      SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n
+      FROM base GROUP BY event_type, bucket
+    ),
+    tot AS (
+      SELECT event_type, CAST(sum(n) AS BIGINT) AS total
+      FROM net GROUP BY event_type
+    ),
+    cum AS (
+      SELECT event_type, bucket,
+             sum(n) OVER (PARTITION BY event_type ORDER BY bucket) AS cum
+      FROM net
+    )
+    SELECT event_type AS grp,
+           (min(bucket) + 0.5) * 5.0 AS q_est,
+           CAST(min(total) AS BIGINT) AS total
+    FROM cum JOIN tot USING (event_type)
+    WHERE cum >= 0.5 * total
+    GROUP BY event_type
+    """,
+)
+def stream_histogram_quantile(spark, sf_dir):
+    # the maintained fixed-width histogram (streaming/sketches.py
+    # MaintainedHistogramIndex): events ingested in 3 batches, then the
+    # event_id % 10 == 0 observations REMOVED via negative count rows —
+    # the subtract-capable contrast to the HLL index (registers cannot
+    # subtract; counts can, and serving stays a pure sum). The median
+    # estimate (first bucket reaching q*total, midpoint) is
+    # deterministic, so this row carries a FULL DuckDB oracle over the
+    # surviving observations — removal correctness is hash-checked, not
+    # gated.
+    import shutil
+
+    from nornicdb_spark.streaming.sketches import MaintainedHistogramIndex
+
+    ev = Catalog(spark, sf_dir).events
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    path = f"/root/repo/.tmp/histidx_{tag}"
+    shutil.rmtree(path, ignore_errors=True)  # rebuild: deterministic run
+    idx = MaintainedHistogramIndex(spark, path, "event_type", "value", width=5.0)
+    for b in range(3):
+        idx.process_batch(ev.filter(F.col("event_id") % 3 == b), batch_id=b)
+    idx.remove_batch(ev.filter(F.col("event_id") % 10 == 0), batch_id=3)
+    return idx.quantile(0.5)

@@ -212,3 +212,191 @@ class MaintainedDistinctIndex:
             .select("grp", "sketch", "src_batch", "gk"),
             "gk",
         )
+
+
+class MaintainedHistogramIndex:
+    """Live fixed-width histogram per group — the quantile twin of
+    :class:`MaintainedDistinctIndex`, and its structural contrast: bucket
+    COUNTS subtract, so this index SUPPORTS removal (negative count
+    rows, the fulltext stats-row convention — serving stays a pure sum
+    with no subtract-then-clear crash window), where HLL registers
+    cannot and :meth:`MaintainedDistinctIndex.remove` refuses.
+
+    Layout: ``<path>/hist`` — (grp string, bucket bigint, n bigint,
+    src_batch bigint, gk int), partitionBy(gk); ``bucket =
+    floor(value / width)``. State is O(value range / width) rows per
+    group — cardinality-independent like the HLL twin, and every
+    serve-time read is a sum, so batch order and interleaved removals
+    cannot change any answer.
+
+    Quantile contract: :meth:`quantile` returns the MIDPOINT of the
+    first bucket whose cumulative net count reaches q * total — a
+    deterministic estimate with error <= width/2 + (bucket population
+    spread), fully reproducible in SQL (the driver row carries a real
+    DuckDB oracle, not a gate). Removal is observation-level, not
+    identity-level: the caller asserts the removed values were
+    previously ingested (a histogram keeps no identities to check);
+    over-removal leaves negative net buckets, which :meth:`audit`
+    surfaces."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        group_col: str,
+        value_col: str,
+        width: float = 1.0,
+        n_pk: int = N_PK,
+    ):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.group_col = group_col
+        self.value_col = value_col
+        self.width = float(width)
+        self.n_pk = int(n_pk)
+
+    @property
+    def hist_path(self) -> str:
+        return f"{self.path}/hist"
+
+    _SCHEMA = "grp string, bucket bigint, n bigint, src_batch bigint, gk int"
+
+    def _gk(self):
+        return F.pmod(F.xxhash64("grp"), F.lit(self.n_pk)).cast("int")
+
+    def _stored(self) -> DataFrame:
+        return read_or_empty(self.spark, self.hist_path, self._SCHEMA)
+
+    def _rows(self, batch_df: DataFrame, sign: int) -> DataFrame:
+        return (
+            batch_df.select(
+                F.col(self.group_col).cast("string").alias("grp"),
+                F.floor(
+                    F.col(self.value_col).cast("double") / F.lit(self.width)
+                ).alias("bucket"),
+            )
+            .groupBy("grp", "bucket")
+            .agg((F.lit(sign) * F.count(F.lit(1))).cast("long").alias("n"))
+            .withColumn("gk", self._gk())
+        )
+
+    def _append(self, batch_df: DataFrame, batch_id: int, sign: int) -> None:
+        from nornicdb_spark.streaming import guard
+
+        guard.check_batch(self.path, batch_id)
+        rows = self._rows(batch_df, sign).localCheckpoint(eager=True)
+        gks = [r.gk for r in rows.select("gk").distinct().collect()]
+        if gks:
+            mine = (
+                self._stored()
+                .filter(
+                    F.col("gk").isin(gks)
+                    & (F.col("src_batch") == int(batch_id))
+                )
+                .select("grp", "bucket")
+            )
+            fresh = rows.join(mine, ["grp", "bucket"], "left_anti")
+            write_partitioned(
+                fresh.withColumn(
+                    "src_batch", F.lit(int(batch_id)).cast("bigint")
+                ).select("grp", "bucket", "n", "src_batch", "gk"),
+                self.hist_path,
+                "gk",
+                mode="append",
+            )
+        guard.record_batch(self.path, batch_id)
+        scope.escape_frame(rows)
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Append this batch's (grp, bucket) counts. A batch_id is
+        either an ingest or a removal, never both (the replay anti-join
+        heals on (grp, bucket, src_batch))."""
+        self._append(batch_df, batch_id, sign=1)
+
+    def remove_batch(self, values_df: DataFrame, batch_id: int) -> None:
+        """Subtract previously-ingested observations: appends NEGATIVE
+        count rows under this batch_id — serving remains a pure sum.
+        Observation-level semantics: the caller asserts these (group,
+        value) observations were ingested before; the index keeps no
+        identities to verify against (use the fulltext/IVF indexes'
+        tombstones when identity-level removal is needed)."""
+        self._append(values_df, batch_id, sign=-1)
+
+    def ingest(self, stream_df: DataFrame, query_name: str):
+        os.makedirs(self.path, exist_ok=True)
+        return (
+            stream_df.writeStream.outputMode("append")
+            .foreachBatch(self.process_batch)
+            .queryName(query_name)
+            .start()
+        )
+
+    def totals(self) -> DataFrame:
+        """(grp, bucket, n) net histogram — the serving primitive."""
+        return (
+            self._stored()
+            .groupBy("grp", "bucket")
+            .agg(F.sum("n").cast("long").alias("n"))
+            .filter(F.col("n") != 0)
+        )
+
+    def audit(self) -> DataFrame:
+        """Net-negative buckets (over-removal evidence) — empty on a
+        correctly operated index."""
+        return self.totals().filter(F.col("n") < 0)
+
+    def quantile(self, q: float) -> DataFrame:
+        """(grp, q_est, total): midpoint of the first bucket whose
+        cumulative net count reaches q * total. One tiny shuffle of
+        net bucket rows; deterministic, SQL-reproducible."""
+        from pyspark.sql import Window as W
+
+        net = self.totals()
+        w = (
+            W.partitionBy("grp")
+            .orderBy("bucket")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        cum = net.withColumn("cum", F.sum("n").over(w))
+        tot = net.groupBy("grp").agg(F.sum("n").cast("long").alias("total"))
+        return (
+            cum.join(tot, "grp")
+            .filter(F.col("cum") >= F.lit(float(q)) * F.col("total"))
+            .groupBy("grp")
+            .agg(
+                F.min("bucket").alias("_b"),
+                F.first("total", ignorenulls=True).alias("total"),
+            )
+            .select(
+                "grp",
+                ((F.col("_b") + F.lit(0.5)) * F.lit(self.width)).alias(
+                    "q_est"
+                ),
+                "total",
+            )
+        )
+
+    def compact(self) -> None:
+        """Fold per-batch rows to net (grp, bucket) rows (zero nets
+        dropped, src_batch=-2). Epoch fence BEFORE the fold — family
+        contract (a replayed batch after its rows folded would
+        re-append them; refused instead)."""
+        from nornicdb_spark.sources.layout import (
+            recover_interrupted_swap,
+            rewrite_partitioned,
+        )
+        from nornicdb_spark.streaming import guard
+
+        recover_interrupted_swap(self.hist_path)
+        guard.advance_epoch(self.path)
+        rewrite_partitioned(
+            self.spark,
+            self.hist_path,
+            self._SCHEMA,
+            lambda df: df.groupBy("grp", "bucket", "gk")
+            .agg(F.sum("n").cast("long").alias("n"))
+            .filter(F.col("n") != 0)
+            .withColumn("src_batch", F.lit(-2).cast("bigint"))
+            .select("grp", "bucket", "n", "src_batch", "gk"),
+            "gk",
+        )

@@ -1763,3 +1763,56 @@ def test_maintained_distinct_remove_refuses(spark, tmp_path):
     _, idx = _mk_distinct_idx(spark, tmp_path)
     with pytest.raises(NotImplementedError, match="append-only"):
         idx.remove()
+
+
+def test_maintained_histogram_removal_and_quantile(spark, tmp_path):
+    from nornicdb_spark.streaming.sketches import MaintainedHistogramIndex
+
+    ev = spark.createDataFrame(
+        [(i, "g", float(i % 100)) for i in range(400)],
+        "event_id long, grp_col string, v double",
+    )
+    idx = MaintainedHistogramIndex(
+        spark, str(tmp_path / "histidx"), "grp_col", "v", width=10.0
+    )
+    for b in range(2):
+        idx.process_batch(ev.filter(F.col("event_id") % 2 == b), batch_id=b)
+    # 0..99 uniform, width 10: cum at bucket 4 is exactly 200 = 0.5*400,
+    # so bucket 4 is the first to reach the target -> midpoint 45
+    got = idx.quantile(0.5).collect()[0]
+    assert (got.grp, got.q_est, got.total) == ("g", 45.0, 400)
+    # remove the upper half: median collapses into the 20s bucket
+    idx.remove_batch(ev.filter(F.col("v") >= 50.0), batch_id=2)
+    got = idx.quantile(0.5).collect()[0]
+    assert (got.q_est, got.total) == (25.0, 200)
+    assert idx.audit().count() == 0
+    # over-removal surfaces as a net-negative bucket
+    idx.remove_batch(
+        spark.createDataFrame([(1, "g", 99.0)], "event_id long, grp_col string, v double"),
+        batch_id=3,
+    )
+    assert idx.audit().count() == 1
+    # compaction folds and drops zero-net buckets without moving answers
+    before = {(r.grp, r.bucket): r.n for r in idx.totals().collect()}
+    idx.compact()
+    assert {(r.grp, r.bucket): r.n for r in idx.totals().collect()} == before
+    rows = spark.read.parquet(idx.hist_path)
+    assert rows.groupBy("grp", "bucket").count().agg(F.max("count")).collect()[0][0] == 1
+
+
+def test_maintained_histogram_replay_self_heals(spark, tmp_path):
+    from nornicdb_spark.streaming.sketches import MaintainedHistogramIndex
+
+    ev = spark.createDataFrame(
+        [(i, "g", float(i)) for i in range(50)],
+        "event_id long, grp_col string, v double",
+    )
+    idx = MaintainedHistogramIndex(
+        spark, str(tmp_path / "histidx2"), "grp_col", "v", width=10.0
+    )
+    idx.process_batch(ev, batch_id=0)
+    before = {(r.grp, r.bucket): r.n for r in idx.totals().collect()}
+    idx.process_batch(ev, batch_id=0)  # replay of the latest batch: no-op
+    assert {(r.grp, r.bucket): r.n for r in idx.totals().collect()} == before
+    with pytest.raises(ValueError, match="high-water"):
+        idx.process_batch(ev, batch_id=0 - 1)
