@@ -76,6 +76,11 @@ def salted_join(
             "a join key (e.g. the fact table's id) — salting by the key "
             "itself would put a hot key's rows back on one reducer"
         )
+    if "_salt" in left.columns or "_salt" in right.columns:
+        raise ValueError(
+            "salted_join reserves the column name '_salt'; rename or "
+            "drop the existing _salt column first"
+        )
     lft = left.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(salt_by)), F.lit(int(n_salt)))
     )

@@ -847,3 +847,59 @@ def bigram_logprob(
             ).alias("mean_logprob"),
         )
     )
+
+
+def mask_dup_spans(
+    docs: DataFrame,
+    min_len: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The action half of :func:`dup_spans` — rewrite each document with
+    its corpus-duplicated spans REMOVED (what the Lee et al. 2022
+    pipeline actually does to the training set after finding spans).
+    Returns (doc_id, clean_text, n_removed): clean_text is the
+    surviving token stream rejoined with single spaces (tokenization
+    normalizes whitespace/case — this is a training-corpus transform,
+    not a byte-faithful edit), n_removed the count of dropped tokens.
+    Docs with no duplicated span pass through with n_removed = 0.
+
+    Scale shape: dup_spans' shuffles plus one broadcast-friendly
+    left join of (doc_id, spans[]) back to the corpus — span lists are
+    tiny (only docs WITH duplicates have rows) — and the mask itself is
+    a per-row codegen filter over the token array with its index; no
+    Python, no extra shuffle beyond the span aggregation."""
+    spans = (
+        dup_spans(docs, min_len=min_len, id_col=id_col, text_col=text_col)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").alias("s"),
+                    (F.col("span_start") + F.col("span_len") - 1).alias("e"),
+                )
+            ).alias("_spans")
+        )
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")
+    ).join(spans, "doc_id", "left")
+    # position-tagged tokens; keep those outside every span
+    tagged = F.expr(
+        f"transform({_W_SQL}, (x, i) -> struct(x AS tok, i AS pos))"
+    )
+    filtered = F.filter(
+        tagged,
+        lambda p: ~F.exists(
+            F.col("_spans"), lambda s: (p.pos >= s.s) & (p.pos <= s.e)
+        ),
+    )
+    # span-free docs carry a NULL span list — pass their tokens through
+    kept = F.when(F.col("_spans").isNull(), tagged).otherwise(filtered)
+    return base.select(
+        "doc_id",
+        F.array_join(F.transform(kept, lambda p: p.tok), " ").alias(
+            "clean_text"
+        ),
+        (F.size(tagged) - F.size(kept)).cast("long").alias("n_removed"),
+    )

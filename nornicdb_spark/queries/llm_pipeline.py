@@ -1537,3 +1537,61 @@ def embedding_random_projection(spark, sf_dir):
         F.col("dim").cast("long").alias("dim"),
         F.round("val", 9).alias("val"),
     )
+
+
+@register(
+    "dedup_substring_mask",
+    oracle="""
+    WITH ws AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> length(x) > 0) AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS gram
+      FROM ws, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS t(i)
+    ),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+    d AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       <= 8
+                  THEN 0 ELSE 1 END AS brk
+      FROM d
+    ),
+    gg AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+      FROM gg GROUP BY doc_id, grp
+    ),
+    toks AS (
+      SELECT doc_id, i - 1 AS pos, w[i] AS tok
+      FROM ws, unnest(generate_series(1, len(w))) AS t(i)
+    ),
+    keep AS (
+      SELECT t.doc_id, t.pos, t.tok
+      FROM toks t
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.doc_id = t.doc_id AND t.pos BETWEEN s.s AND s.e
+      )
+    )
+    SELECT w0.doc_id,
+           coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS clean_text,
+           CAST(len(w0.w) - count(k.tok) AS BIGINT) AS n_removed
+    FROM ws w0 LEFT JOIN keep k ON w0.doc_id = k.doc_id
+    GROUP BY w0.doc_id, len(w0.w)
+    """,
+)
+def dedup_substring_mask(spark, sf_dir):
+    # the action half of dedup_substring_spans: documents rewritten with
+    # their corpus-duplicated 8-token spans removed (Lee et al. 2022's
+    # actual training-set transform); clean_text + removed-token count,
+    # span-free docs pass through untouched.
+    docs = Catalog(spark, sf_dir).documents
+    return textops.mask_dup_spans(docs, min_len=8)

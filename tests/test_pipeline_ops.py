@@ -328,3 +328,23 @@ def test_salted_join_row_identical_to_plain_join(spark):
     assert salted == plain and len(salted) == 201
     with pytest.raises(ValueError, match="salt_by"):
         skew.salted_join(left, right, "k")
+
+
+def test_mask_dup_spans_removes_exact_spans(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),       # span (2,3): "c d e" removed
+            (2, "q r c d e s"),
+            (3, "p q r p q r p q r"),  # fully duplicated: emptied
+            (7, "unique words only here"),  # untouched
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.clean_text, r.n_removed) for r in
+           textops.mask_dup_spans(docs, min_len=3).collect()}
+    assert got == {
+        1: ("a b f", 3),
+        2: ("q r s", 3),
+        3: ("", 9),
+        7: ("unique words only here", 0),
+    }
