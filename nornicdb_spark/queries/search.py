@@ -1186,3 +1186,56 @@ def ann_rp_refine_recall(spark, sf_dir):
     exact = vector.cosine_topk(emb, qv, k=10).select("vec_id")
     approx = vector.rp_refine_topk(emb, qv, k=10, coarse=200).select("vec_id")
     return _gate(exact, approx, min_hits=5)
+
+
+@register("ann_rp_refine_multi")  # approximate — rows-only; equality-gated below
+def ann_rp_refine_multi(spark, sf_dir):
+    # batched RP-refine serving: a 3-query table against ONE projected
+    # corpus scan (per-query window coarse top-200, full-width refine)
+    emb = Catalog(spark, sf_dir).embeddings
+    q = emb.filter(F.col("vec_id").isin(0, 7, 42)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return vector.rp_refine_topk_many(emb, q, k=10, coarse=200).select(
+        "query_id", "vec_id", F.round("score", 9).alias("score")
+    )
+
+
+@register("ann_rp_refine_multi_gate", oracle=_OK_ORACLE)
+def ann_rp_refine_multi_gate(spark, sf_dir):
+    # FULL per-query equality of the batched path vs the audited
+    # single-query rp_refine_topk (same coarse=200): identical
+    # (query_id, vec_id, rounded score) row sets — the serving-family
+    # bar (strictly stronger than a recall gate).
+    emb = Catalog(spark, sf_dir).embeddings
+    qids = [0, 7, 42]
+    q = emb.filter(F.col("vec_id").isin(*qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    batch = vector.rp_refine_topk_many(emb, q, k=10, coarse=200).select(
+        "query_id", "vec_id", F.round("score", 9).alias("s")
+    )
+    singles = None
+    for qid in qids:
+        qv = _query_vec(spark, sf_dir, vec_id=qid)
+        s = vector.rp_refine_topk(emb, qv, k=10, coarse=200).select(
+            F.lit(qid).cast("long").alias("query_id"),
+            "vec_id",
+            F.round("score", 9).alias("s"),
+        )
+        singles = s if singles is None else singles.unionByName(s)
+    joined = batch.join(singles, ["query_id", "vec_id", "s"])
+    return (
+        batch.agg(F.count(F.lit(1)).alias("nb"))
+        .crossJoin(singles.agg(F.count(F.lit(1)).alias("ns")))
+        .crossJoin(joined.agg(F.count(F.lit(1)).alias("nj")))
+        .select(
+            (
+                (F.col("nb") == F.col("ns"))
+                & (F.col("ns") == F.col("nj"))
+                & (F.col("nj") == F.lit(len(qids) * 10))
+            )
+            .cast("long")
+            .alias("ok")
+        )
+    )

@@ -705,3 +705,84 @@ def rp_refine_topk(
         .select("vec_id")
     )
     return cosine_topk(emb.join(cand, "vec_id", "left_semi"), query_vec, k)
+
+
+def rp_refine_topk_many(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    coarse: int = 100,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Batched serving twin of :func:`rp_refine_topk` — a whole query
+    table against ONE projected-corpus scan. Query projection happens
+    Spark-side with the same literal sign chain as the corpus (no
+    driver math beyond a 1-row dimension probe — the batch-prep bar the
+    BM25/IVF serving paths set), the coarse stage is a per-query window
+    over the 16-dim scores of corpus x broadcast-queries, and the
+    refine rescores only each query's ``coarse`` candidates at full
+    width. Per-query results equal :func:`rp_refine_topk` row-for-row:
+    both paths accumulate the projection and the cosine fold in the
+    same left-to-right order, so scores are bit-identical and the
+    rounded-score/vec_id tie-break selects identical sets (equality-
+    gated, not recall-gated). Returns (query_id, vec_id, score)."""
+    from pyspark.sql import Window as W
+
+    from nornicdb_spark.operators.quantize import random_projection, rp_signs
+
+    in_dim = queries.select(
+        F.size(F.col(qvec_col)).alias("d")
+    ).first()["d"]
+    signs = rp_signs(in_dim, out_dim)
+    inv = 1.0 / float(out_dim) ** 0.5
+    q = queries.select(
+        F.col(qid_col).alias("query_id"),
+        F.col(qvec_col).cast("array<double>").alias("_qv"),
+    )
+    comps = []
+    for j in range(out_dim):
+        acc = None
+        for i in range(in_dim):
+            term = F.col("_qv")[i] if signs[j][i] > 0 else -F.col("_qv")[i]
+            acc = term if acc is None else acc + term
+        comps.append(acc * F.lit(inv))
+    q = q.withColumn("_qrp", F.array(*comps))
+    emb = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
+    rp = random_projection(emb, in_dim, out_dim)
+    coarse_w = W.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("cs"), 9)), F.asc("vec_id")
+    )
+    cand = (
+        rp.crossJoin(F.broadcast(q.select("query_id", "_qrp")))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_sim(F.col("rp"), F.col("_qrp")).alias("cs"),
+        )
+        .withColumn("_rn", F.row_number().over(coarse_w))
+        .filter(F.col("_rn") <= int(coarse))
+        .select("query_id", "vec_id")
+    )
+    fine_w = W.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("score"), 9)), F.asc("vec_id")
+    )
+    return (
+        cand.join(emb, "vec_id")
+        .join(F.broadcast(q.select("query_id", "_qv")), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_sim(
+                F.col("embedding").cast("array<double>"), F.col("_qv")
+            ).alias("score"),
+        )
+        .withColumn("_rn", F.row_number().over(fine_w))
+        .filter(F.col("_rn") <= int(k))
+        .select("query_id", "vec_id", "score")
+    )

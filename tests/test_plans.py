@@ -738,3 +738,13 @@ def test_salted_join_partitions_include_salt(spark, sf_dir):
     assert re.search(r"hashpartitioning\([^)]*_salt", plan), plan[:1500]
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_rp_refine_many_broadcasts_queries_no_python(spark, sf_dir):
+    # batched RP serving: the query batch broadcasts (never a shuffled
+    # cross join), candidate selection is a per-query window, and the
+    # whole two-stage plan is codegen
+    plan = plan_of(spark, "ann_rp_refine_multi", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan

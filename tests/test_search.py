@@ -339,3 +339,22 @@ def test_rp_refine_recall_and_shape(catalog):
         catalog.embeddings, qv, k=10, coarse=10_000_000
     ).collect()
     assert {r.vec_id for r in full} == exact
+
+
+def test_rp_refine_many_equals_single_path(catalog):
+    from pyspark.sql import functions as F
+
+    emb = catalog.embeddings
+    q = emb.filter(F.col("vec_id").isin(3, 11)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    batch = {
+        (r.query_id, r.vec_id, round(r.score, 9))
+        for r in vector.rp_refine_topk_many(emb, q, k=5, coarse=120).collect()
+    }
+    single = set()
+    for qid in (3, 11):
+        qv = emb.filter(F.col("vec_id") == qid).select("embedding").collect()[0][0]
+        for r in vector.rp_refine_topk(emb, qv, k=5, coarse=120).collect():
+            single.add((qid, r.vec_id, round(r.score, 9)))
+    assert batch == single and len(batch) == 10
