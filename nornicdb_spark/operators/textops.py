@@ -903,3 +903,63 @@ def mask_dup_spans(
         ),
         (F.size(tagged) - F.size(kept)).cast("long").alias("n_removed"),
     )
+
+
+def tfidf_vectors(
+    docs: DataFrame,
+    k: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Feature-hashed TF-IDF document vectors (the hashing trick of
+    Weinberger et al. 2009): every word hashes to dim =
+    h60('tfidf:' + word) % k (the dedup family's md5 convention, so the
+    DuckDB oracle regenerates identical dims), contributing
+    tf * ln((N+1)/(df+1)) to that dim; collisions sum (unsigned variant
+    — bias is acceptable for similarity ranking and keeps the oracle a
+    pure sum). Gives every document a dense k-dim vector WITHOUT a
+    model — the bridge from the text family to the vector family
+    (cosine top-k, knn join, RP, IVF all apply downstream).
+    Returns (doc_id, vec array<double>), components rounded to 9
+    (collision sums are order-sensitive at the ULP).
+
+    Scale shape: tf and df are combinable groupBys (vocabulary-sized
+    after map-side combine), the corpus size N broadcasts as one row,
+    and densification is one groupBy(doc) building a k-entry map —
+    every stage linear in token count, nothing quadratic."""
+    from nornicdb_spark.operators.dedup import h60
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(_words(F.col(text_col))).alias("word")
+    )
+    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(
+        F.countDistinct(F.col(id_col)).alias("n_docs")
+    )
+    contrib = (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            (h60(F.concat(F.lit("tfidf:"), F.col("word"))) % F.lit(int(k))).alias(
+                "dim"
+            ),
+            (
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+            ).alias("val"),
+        )
+        .groupBy("doc_id", "dim")
+        .agg(F.round(F.sum("val"), 9).alias("val"))
+    )
+    dense = contrib.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("dim").cast("int"), F.col("val")))
+        ).alias("_m")
+    )
+    fill = F.transform(
+        F.sequence(F.lit(0), F.lit(int(k) - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("_m"), i), F.lit(0.0)),
+    )
+    return dense.select("doc_id", fill.alias("vec"))

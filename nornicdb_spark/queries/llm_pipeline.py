@@ -1595,3 +1595,51 @@ def dedup_substring_mask(spark, sf_dir):
     # span-free docs pass through untouched.
     docs = Catalog(spark, sf_dir).documents
     return textops.mask_dup_spans(docs, min_len=8)
+
+
+@register(
+    "text_tfidf_vectors",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> length(x) > 0)) AS word
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, word
+    ),
+    dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word),
+    n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs
+          FROM documents),
+    contrib AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('tfidf:' || word), 1, 15)) AS BIGINT)
+               % 64 AS dim,
+             tf * ln((n_docs + 1.0) / (df + 1.0)) AS val
+      FROM tf JOIN dfq USING (word), n
+    ),
+    agg AS (
+      SELECT doc_id, dim, round(sum(val), 9) AS val
+      FROM contrib GROUP BY doc_id, dim
+    ),
+    dims AS (SELECT unnest(range(64)) AS dim),
+    docs_t AS (SELECT DISTINCT doc_id FROM toks)
+    SELECT d.doc_id, CAST(dims.dim AS BIGINT) AS dim,
+           coalesce(agg.val, 0.0) AS val
+    FROM docs_t d CROSS JOIN dims
+    LEFT JOIN agg ON agg.doc_id = d.doc_id AND agg.dim = dims.dim
+    """,
+)
+def text_tfidf_vectors(spark, sf_dir):
+    # feature-hashed TF-IDF document vectors (hashing trick): a dense
+    # 64-dim vector per doc without any model — the bridge from the
+    # text family to the vector family (cosine/knn/RP/IVF downstream).
+    # The md5 dim hash is the dedup-family convention, so the oracle
+    # regenerates identical dims; emitted unnested (doc_id, dim, val).
+    docs = Catalog(spark, sf_dir).documents
+    vec = textops.tfidf_vectors(docs, k=64)
+    return vec.select(
+        "doc_id", F.posexplode("vec").alias("dim", "val")
+    ).select("doc_id", F.col("dim").cast("long").alias("dim"), "val")

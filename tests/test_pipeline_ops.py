@@ -348,3 +348,34 @@ def test_mask_dup_spans_removes_exact_spans(spark):
         3: ("", 9),
         7: ("unique words only here", 0),
     }
+
+
+def test_tfidf_vectors_hand_case(spark):
+    import math
+
+    from nornicdb_spark.operators.dedup import h60  # noqa: F401 (convention ref)
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry")],
+        "doc_id long, text string",
+    )
+    k = 8
+    got = {r.doc_id: r.vec for r in
+           textops.tfidf_vectors(docs, k=k).collect()}
+    assert set(got) == {1, 2} and all(len(v) == k for v in got.values())
+
+    def dim(word):
+        return int(hashlib.md5(f"tfidf:{word}".encode()).hexdigest()[:15], 16) % k
+
+    # N=2; df: apple 1, banana 2, cherry 1
+    idf = {"apple": math.log(3 / 2), "banana": math.log(3 / 3), "cherry": math.log(3 / 2)}
+    tf1 = {"apple": 2, "banana": 1}
+    exp1 = [0.0] * k
+    for w, t in tf1.items():
+        exp1[dim(w)] += t * idf[w]
+    for j in range(k):
+        assert got[1][j] == pytest.approx(round(exp1[j], 9), abs=1e-9)
+    # banana is in every doc -> idf 0 -> doc 2 has weight only on cherry
+    assert got[2][dim("cherry")] == pytest.approx(round(idf["cherry"], 9))
+    assert sum(1 for x in got[2] if x != 0.0) == (1 if dim("banana") != dim("cherry") else 1)
