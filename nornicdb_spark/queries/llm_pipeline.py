@@ -1643,3 +1643,81 @@ def text_tfidf_vectors(spark, sf_dir):
     return vec.select(
         "doc_id", F.posexplode("vec").alias("dim", "val")
     ).select("doc_id", F.col("dim").cast("long").alias("dim"), "val")
+
+
+_TFIDF_CTES = """
+    toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> length(x) > 0)) AS word
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, word
+    ),
+    dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word),
+    n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs
+          FROM documents),
+    contrib AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('tfidf:' || word), 1, 15)) AS BIGINT)
+               % 64 AS dim,
+             tf * ln((n_docs + 1.0) / (df + 1.0)) AS val
+      FROM tf JOIN dfq USING (word), n
+    ),
+    agg AS (
+      SELECT doc_id, dim, round(sum(val), 9) AS val
+      FROM contrib GROUP BY doc_id, dim
+    )
+"""
+
+
+@register(
+    "text_similar_docs_tfidf",
+    oracle="WITH "
+    + _TFIDF_CTES
+    + """,
+    q AS (SELECT dim, val FROM agg WHERE doc_id = 0),
+    dots AS (
+      SELECT a.doc_id, sum(a.val * q.val) AS dot
+      FROM agg a JOIN q USING (dim) GROUP BY a.doc_id
+    ),
+    norms AS (
+      SELECT doc_id, sqrt(sum(val * val)) AS nrm FROM agg GROUP BY doc_id
+    ),
+    qn AS (SELECT sqrt(sum(val * val)) AS qnrm FROM q)
+    SELECT d.doc_id,
+           round(d.dot / (nm.nrm * qn.qnrm), 9) AS score
+    FROM dots d JOIN norms nm USING (doc_id), qn
+    WHERE nm.nrm > 0 AND d.doc_id <> 0
+      AND round(d.dot / (nm.nrm * qn.qnrm), 9) > 0
+    ORDER BY round(d.dot / (nm.nrm * qn.qnrm), 9) DESC, d.doc_id
+    LIMIT 10
+    """,
+)
+def text_similar_docs_tfidf(spark, sf_dir):
+    # nearest documents to doc 0 by hashed-TFIDF cosine — the composed
+    # consumer of text_tfidf_vectors: a model-free similarity search
+    # over the corpus (rounded-score/doc_id tie-break, query doc and
+    # zero-norm docs excluded; docs sharing no dim with the query drop
+    # via the dot-product join on both engines).
+    from nornicdb_spark.search.vector import cosine_sim, _lit_vec
+
+    docs = Catalog(spark, sf_dir).documents
+    v = textops.tfidf_vectors(docs, k=64)
+    qv = v.filter(F.col("doc_id") == 0).select("vec").collect()[0][0]
+    scored = (
+        v.filter(F.col("doc_id") != 0)
+        .select(
+            "doc_id",
+            cosine_sim(F.col("vec"), _lit_vec(qv)).alias("_s"),
+        )
+        .filter(F.col("_s").isNotNull())
+    )
+    return (
+        scored.select("doc_id", F.round("_s", 9).alias("score"))
+        .filter(F.col("score") > 0.0)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
