@@ -1721,3 +1721,79 @@ def text_similar_docs_tfidf(spark, sf_dir):
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+@register(
+    "corpus_source_report",
+    oracle=rf"""
+    WITH base AS (
+      SELECT doc_id, source,
+             CAST(length(text) AS DOUBLE) AS n,
+             CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+                  AS DOUBLE) AS alpha,
+             CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))
+                  AS DOUBLE) AS punct,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> length(x) > 0) AS w,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id, source, len(w) AS n_tokens, fp,
+             0.5 * (alpha / n) + 0.3 * (1 - punct / n)
+               + 0.2 * least((CASE WHEN len(w) > 0
+                   THEN CAST(len(list_filter(w, x -> x IN
+                        ('the','and','of','to','is','in','that','it','for','on')))
+                        AS DOUBLE) / len(w) ELSE 0.0 END) * 5, 1.0) AS quality,
+             CASE WHEN {_lang_score_sql('en')} =
+                       greatest({_lang_score_sql('de')}, {_lang_score_sql('en')},
+                                {_lang_score_sql('es')})
+                   AND NOT {_lang_score_sql('de')} =
+                       greatest({_lang_score_sql('de')}, {_lang_score_sql('en')},
+                                {_lang_score_sql('es')})
+                  THEN 1 ELSE 0 END AS is_en
+      FROM base
+    ),
+    dup AS (SELECT fp FROM per_doc GROUP BY fp HAVING count(*) > 1)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(quality), 9) AS avg_quality,
+           CAST(sum(CASE WHEN fp IN (SELECT fp FROM dup) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup,
+           CAST(sum(is_en) AS BIGINT) AS n_en
+    FROM per_doc GROUP BY source
+    """,
+)
+def corpus_source_report(spark, sf_dir):
+    # the dataset-card table: per-source doc/token counts, mean quality,
+    # corpus-wide exact-duplicate membership, and en-predicted counts —
+    # one composed pass over the existing text operators (quality,
+    # fingerprints, language-ID), every column oracle-replicated.
+    docs = Catalog(spark, sf_dir).documents
+    q = textops.quality_scores(docs).select("doc_id", "quality")
+    li = textops.language_id(docs).select("doc_id", "lang_pred")
+    fp = textops.fingerprints(docs)
+    dup = fp.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("_c")).filter(
+        F.col("_c") > 1
+    ).select("fingerprint")
+    per_doc = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.size(textops._words(F.col("text"))).alias("n_tokens"),
+        )
+        .join(q, "doc_id")
+        .join(li, "doc_id")
+        .join(fp, "doc_id")
+        .join(
+            dup.withColumn("_dup", F.lit(1)), "fingerprint", "left"
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg("quality"), 9).alias("avg_quality"),
+        F.sum(F.coalesce(F.col("_dup"), F.lit(0))).cast("long").alias("n_dup"),
+        F.sum((F.col("lang_pred") == "en").cast("int")).cast("long").alias("n_en"),
+    )
