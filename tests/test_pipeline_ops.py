@@ -379,3 +379,54 @@ def test_tfidf_vectors_hand_case(spark):
     # banana is in every doc -> idf 0 -> doc 2 has weight only on cherry
     assert got[2][dim("cherry")] == pytest.approx(round(idf["cherry"], 9))
     assert sum(1 for x in got[2] if x != 0.0) == (1 if dim("banana") != dim("cherry") else 1)
+
+
+def test_dup_spans_matches_python_bruteforce_on_random_corpora(spark):
+    # cross-check the whole pipeline (window hash -> count -> semi-join
+    # -> island merge) against an independent pure-Python reference on
+    # seeded random corpora with heavy phrase reuse
+    import random
+
+    L = 4
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(12)]  # tiny vocab -> many dups
+        docs_py = {
+            d: [rng.choice(vocab) for _ in range(rng.randint(0, 30))]
+            for d in range(12)
+        }
+        # brute force: count every L-window across the corpus
+        from collections import Counter
+
+        wins = Counter()
+        for toks in docs_py.values():
+            for i in range(len(toks) - L + 1):
+                wins[tuple(toks[i : i + L])] += 1
+        expect = set()
+        for d, toks in docs_py.items():
+            pos = [
+                i
+                for i in range(len(toks) - L + 1)
+                if wins[tuple(toks[i : i + L])] >= 2
+            ]
+            # island merge with gap <= L
+            while pos:
+                start = pos[0]
+                end = start
+                n = 1
+                rest = pos[1:]
+                while rest and rest[0] - end <= L:
+                    end = rest[0]
+                    n += 1
+                    rest = rest[1:]
+                expect.add((d, start, end + L - start, n))
+                pos = rest
+        docs = spark.createDataFrame(
+            [(d, " ".join(t)) for d, t in docs_py.items()],
+            "doc_id long, text string",
+        )
+        got = {
+            (r.doc_id, r.span_start, r.span_len, r.n_windows)
+            for r in textops.dup_spans(docs, min_len=L).collect()
+        }
+        assert got == expect, f"seed {seed}: {got ^ expect}"
