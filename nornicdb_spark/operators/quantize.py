@@ -139,12 +139,22 @@ def random_projection(
     """
     signs = rp_signs(in_dim, out_dim)
     inv = 1.0 / float(out_dim) ** 0.5
-    v = _vec(vec_col)
-    comps = []
-    for j in range(out_dim):
-        acc = None
-        for i in range(in_dim):
-            term = v[i] if signs[j][i] > 0 else -v[i]
-            acc = term if acc is None else acc + term
-        comps.append((acc * F.lit(inv)).alias(f"rp_{j}"))
+    comps = rp_project_cols(_vec(vec_col), signs, inv)
     return embeddings.select(F.col(id_col).alias(id_col), F.array(*comps).alias("rp"))
+
+
+def rp_project_cols(vec_col: F.Column, signs, inv: float) -> list[F.Column]:
+    """The order-sensitive multiply-add chain shared by
+    :func:`random_projection` (corpus side) and the Spark-side query
+    projection in ``search.vector.rp_refine_topk_many`` — ONE
+    implementation so both paths stay bit-identical (the batched
+    serving equality gate depends on the left-to-right fold order
+    never diverging between them)."""
+    comps = []
+    for row in signs:
+        acc = None
+        for i, s in enumerate(row):
+            term = vec_col[i] if s > 0 else -vec_col[i]
+            acc = term if acc is None else acc + term
+        comps.append(acc * F.lit(inv))
+    return comps

@@ -76,7 +76,9 @@ def approx_quantile_gate(
     ap = df.groupBy(group_col).agg(
         F.expr(f"approx_percentile({value_col}, {q}, {accuracy})").alias("_ap"),
         F.expr(f"percentile({value_col}, {q})").alias("_exact"),
-        F.count(F.lit(1)).alias("_n"),
+        # count NON-NULL values: percentile/approx_percentile and the
+        # rank sums below all ignore NULLs, so the rank target must too
+        F.count(F.col(value_col)).alias("_n"),
     )
     ranks = (
         df.join(F.broadcast(ap.select(group_col, "_ap")), group_col)

@@ -1597,54 +1597,6 @@ def dedup_substring_mask(spark, sf_dir):
     return textops.mask_dup_spans(docs, min_len=8)
 
 
-@register(
-    "text_tfidf_vectors",
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id,
-             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
-                                x -> length(x) > 0)) AS word
-      FROM documents
-    ),
-    tf AS (
-      SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
-      FROM toks GROUP BY doc_id, word
-    ),
-    dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word),
-    n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs
-          FROM documents),
-    contrib AS (
-      SELECT doc_id,
-             CAST(('0x' || substr(md5('tfidf:' || word), 1, 15)) AS BIGINT)
-               % 64 AS dim,
-             tf * ln((n_docs + 1.0) / (df + 1.0)) AS val
-      FROM tf JOIN dfq USING (word), n
-    ),
-    agg AS (
-      SELECT doc_id, dim, round(sum(val), 9) AS val
-      FROM contrib GROUP BY doc_id, dim
-    ),
-    dims AS (SELECT unnest(range(64)) AS dim),
-    docs_t AS (SELECT DISTINCT doc_id FROM toks)
-    SELECT d.doc_id, CAST(dims.dim AS BIGINT) AS dim,
-           coalesce(agg.val, 0.0) AS val
-    FROM docs_t d CROSS JOIN dims
-    LEFT JOIN agg ON agg.doc_id = d.doc_id AND agg.dim = dims.dim
-    """,
-)
-def text_tfidf_vectors(spark, sf_dir):
-    # feature-hashed TF-IDF document vectors (hashing trick): a dense
-    # 64-dim vector per doc without any model — the bridge from the
-    # text family to the vector family (cosine/knn/RP/IVF downstream).
-    # The md5 dim hash is the dedup-family convention, so the oracle
-    # regenerates identical dims; emitted unnested (doc_id, dim, val).
-    docs = Catalog(spark, sf_dir).documents
-    vec = textops.tfidf_vectors(docs, k=64)
-    return vec.select(
-        "doc_id", F.posexplode("vec").alias("dim", "val")
-    ).select("doc_id", F.col("dim").cast("long").alias("dim"), "val")
-
-
 _TFIDF_CTES = """
     toks AS (
       SELECT doc_id,
@@ -1671,6 +1623,32 @@ _TFIDF_CTES = """
       FROM contrib GROUP BY doc_id, dim
     )
 """
+
+
+@register(
+    "text_tfidf_vectors",
+    oracle="WITH "
+    + _TFIDF_CTES
+    + """,
+    dims AS (SELECT unnest(range(64)) AS dim),
+    docs_t AS (SELECT DISTINCT doc_id FROM toks)
+    SELECT d.doc_id, CAST(dims.dim AS BIGINT) AS dim,
+           coalesce(agg.val, 0.0) AS val
+    FROM docs_t d CROSS JOIN dims
+    LEFT JOIN agg ON agg.doc_id = d.doc_id AND agg.dim = dims.dim
+    """,
+)
+def text_tfidf_vectors(spark, sf_dir):
+    # feature-hashed TF-IDF document vectors (hashing trick): a dense
+    # 64-dim vector per doc without any model — the bridge from the
+    # text family to the vector family (cosine/knn/RP/IVF downstream).
+    # The md5 dim hash is the dedup-family convention, so the oracle
+    # regenerates identical dims; emitted unnested (doc_id, dim, val).
+    docs = Catalog(spark, sf_dir).documents
+    vec = textops.tfidf_vectors(docs, k=64)
+    return vec.select(
+        "doc_id", F.posexplode("vec").alias("dim", "val")
+    ).select("doc_id", F.col("dim").cast("long").alias("dim"), "val")
 
 
 @register(
@@ -1702,22 +1680,44 @@ def text_similar_docs_tfidf(spark, sf_dir):
     # over the corpus (rounded-score/doc_id tie-break, query doc and
     # zero-norm docs excluded; docs sharing no dim with the query drop
     # via the dot-product join on both engines).
-    from nornicdb_spark.search.vector import cosine_sim, _lit_vec
+    from nornicdb_spark.search.vector import _lit_vec, dot, norm
 
     docs = Catalog(spark, sf_dir).documents
     v = textops.tfidf_vectors(docs, k=64)
-    qv = v.filter(F.col("doc_id") == 0).select("vec").collect()[0][0]
+    qrow = v.filter(F.col("doc_id") == 0).select("vec").collect()
+    if not qrow:
+        raise ValueError(
+            "text_similar_docs_tfidf: query doc_id 0 has no tokens in "
+            "this corpus (tfidf_vectors emits only token-bearing docs)"
+        )
+    qv = qrow[0][0]
+    qn = sum(float(x) * float(x) for x in qv) ** 0.5
+    if qn == 0.0:
+        raise ValueError(
+            "text_similar_docs_tfidf: query doc 0 has a zero-norm "
+            "vector (every word appears in every doc) — no direction "
+            "to rank by"
+        )
+    # norm filter BEFORE the division: under ANSI mode a zero-norm doc
+    # (all its words corpus-universal -> idf 0) would raise
+    # DIVIDE_BY_ZERO, not yield NULL — the oracle's WHERE nrm > 0 twin
     scored = (
         v.filter(F.col("doc_id") != 0)
         .select(
             "doc_id",
-            cosine_sim(F.col("vec"), _lit_vec(qv)).alias("_s"),
+            dot(F.col("vec"), _lit_vec(qv)).alias("_d"),
+            norm(F.col("vec")).alias("_n"),
         )
-        .filter(F.col("_s").isNotNull())
+        .filter(F.col("_n") > 0)
+        .select(
+            "doc_id",
+            F.round(F.col("_d") / (F.col("_n") * F.lit(qn)), 9).alias(
+                "score"
+            ),
+        )
     )
     return (
-        scored.select("doc_id", F.round("_s", 9).alias("score"))
-        .filter(F.col("score") > 0.0)
+        scored.filter(F.col("score") > 0.0)
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(10)
     )

@@ -732,43 +732,45 @@ def rp_refine_topk_many(
     gated, not recall-gated). Returns (query_id, vec_id, score)."""
     from pyspark.sql import Window as W
 
-    from nornicdb_spark.operators.quantize import random_projection, rp_signs
+    from nornicdb_spark.operators.quantize import (
+        random_projection,
+        rp_project_cols,
+        rp_signs,
+    )
 
-    in_dim = queries.select(
-        F.size(F.col(qvec_col)).alias("d")
-    ).first()["d"]
+    probe = queries.select(F.size(F.col(qvec_col)).alias("d")).first()
+    if probe is None:
+        # empty serving batch: empty result, matching the output schema
+        qt = queries.schema[qid_col].dataType.simpleString()
+        it = embeddings.schema[id_col].dataType.simpleString()
+        return embeddings.sparkSession.createDataFrame(
+            [], f"query_id {qt}, vec_id {it}, score double"
+        )
+    in_dim = probe["d"]
     signs = rp_signs(in_dim, out_dim)
     inv = 1.0 / float(out_dim) ** 0.5
     q = queries.select(
         F.col(qid_col).alias("query_id"),
         F.col(qvec_col).cast("array<double>").alias("_qv"),
     )
-    comps = []
-    for j in range(out_dim):
-        acc = None
-        for i in range(in_dim):
-            term = F.col("_qv")[i] if signs[j][i] > 0 else -F.col("_qv")[i]
-            acc = term if acc is None else acc + term
-        comps.append(acc * F.lit(inv))
-    q = q.withColumn("_qrp", F.array(*comps))
+    # SHARED sign-chain builder (quantize.rp_project_cols): the equality
+    # gate vs the single-query path depends on both projections folding
+    # in the identical left-to-right order
+    q = q.withColumn(
+        "_qrp", F.array(*rp_project_cols(F.col("_qv"), signs, inv))
+    )
     emb = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
     )
     rp = random_projection(emb, in_dim, out_dim)
-    coarse_w = W.partitionBy("query_id").orderBy(
-        F.desc(F.round(F.col("cs"), 9)), F.asc("vec_id")
-    )
-    cand = (
-        rp.crossJoin(F.broadcast(q.select("query_id", "_qrp")))
-        .select(
-            "query_id",
-            "vec_id",
-            cosine_sim(F.col("rp"), F.col("_qrp")).alias("cs"),
-        )
-        .withColumn("_rn", F.row_number().over(coarse_w))
-        .filter(F.col("_rn") <= int(coarse))
-        .select("query_id", "vec_id")
-    )
+    # the coarse stage IS batched exact cosine over the projected table
+    cand = cosine_topk_many(
+        rp,
+        q.select("query_id", "_qrp"),
+        k=int(coarse),
+        vec_col="rp",
+        qvec_col="_qrp",
+    ).select("query_id", "vec_id")
     fine_w = W.partitionBy("query_id").orderBy(
         F.desc(F.round(F.col("score"), 9)), F.asc("vec_id")
     )

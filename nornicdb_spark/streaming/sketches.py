@@ -284,6 +284,30 @@ class MaintainedHistogramIndex:
         from nornicdb_spark.streaming import guard
 
         guard.check_batch(self.path, batch_id)
+        # a batch_id is EITHER ingest or removal: the replay anti-join
+        # keys on (grp, bucket, src_batch), so a removal reusing an
+        # ingest's id would be silently eaten as a "replay" and the
+        # histogram would over-count forever. Record each id's kind and
+        # refuse a mismatch loudly (driver-local marker, the guard's
+        # filesystem discipline; rewriting the same kind is the normal
+        # replay path and stays allowed).
+        op = "ingest" if sign > 0 else "remove"
+        os.makedirs(self.path, exist_ok=True)
+        marker = os.path.join(self.path, f"_op_{int(batch_id)}")
+        if os.path.exists(marker):
+            with open(marker) as f:
+                prev = f.read().strip()
+            if prev != op:
+                raise ValueError(
+                    f"batch_id {batch_id} was already used for a '{prev}' "
+                    f"batch on this index and cannot be reused for "
+                    f"'{op}': ingest and removal streams must not share "
+                    "batch ids (the replay anti-join would silently drop "
+                    "this batch's rows). Use a fresh batch id."
+                )
+        else:
+            with open(marker, "w") as f:
+                f.write(op)
         rows = self._rows(batch_df, sign).localCheckpoint(eager=True)
         gks = [r.gk for r in rows.select("gk").distinct().collect()]
         if gks:

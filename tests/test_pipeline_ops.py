@@ -430,3 +430,17 @@ def test_dup_spans_matches_python_bruteforce_on_random_corpora(spark):
             for r in textops.dup_spans(docs, min_len=L).collect()
         }
         assert got == expect, f"seed {seed}: {got ^ expect}"
+
+
+def test_approx_quantile_gate_ignores_nulls(spark):
+    # NULL rows must not shift the rank target (the sketch and the rank
+    # sums both ignore them) — regression for the review finding
+    from nornicdb_spark.operators import sketches
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 101)]
+        + [("a", None)] * 100,
+        "g string, v double",
+    )
+    got = sketches.approx_quantile_gate(df, "g", "v").collect()[0]
+    assert got.exact_q == 50.5 and got.ok == 1

@@ -358,3 +358,15 @@ def test_rp_refine_many_equals_single_path(catalog):
         for r in vector.rp_refine_topk(emb, qv, k=5, coarse=120).collect():
             single.add((qid, r.vec_id, round(r.score, 9)))
     assert batch == single and len(batch) == 10
+
+
+def test_rp_refine_many_empty_query_batch(catalog):
+    from pyspark.sql import functions as F
+
+    emb = catalog.embeddings
+    q = emb.filter(F.col("vec_id") < 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    out = vector.rp_refine_topk_many(emb, q, k=5, coarse=50)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["query_id", "vec_id", "score"]

@@ -1816,3 +1816,24 @@ def test_maintained_histogram_replay_self_heals(spark, tmp_path):
     assert {(r.grp, r.bucket): r.n for r in idx.totals().collect()} == before
     with pytest.raises(ValueError, match="high-water"):
         idx.process_batch(ev, batch_id=0 - 1)
+
+
+def test_maintained_histogram_refuses_batch_kind_collision(spark, tmp_path):
+    # a removal reusing an ingest's batch_id would be eaten by the
+    # replay anti-join as a "replay" — must raise, not silently no-op
+    from nornicdb_spark.streaming.sketches import MaintainedHistogramIndex
+
+    ev = spark.createDataFrame(
+        [(i, "g", float(i)) for i in range(10)],
+        "event_id long, grp_col string, v double",
+    )
+    idx = MaintainedHistogramIndex(
+        spark, str(tmp_path / "histidx3"), "grp_col", "v", width=10.0
+    )
+    idx.process_batch(ev, batch_id=0)
+    with pytest.raises(ValueError, match="already used for a 'ingest'"):
+        idx.remove_batch(ev, batch_id=0)
+    # totals untouched and a fresh id still removes
+    assert idx.totals().agg(F.sum("n")).collect()[0][0] == 10
+    idx.remove_batch(ev.limit(3), batch_id=1)
+    assert idx.totals().agg(F.sum("n")).collect()[0][0] == 7
