@@ -59,6 +59,17 @@ from nornicdb_spark.queries import graph  # noqa: E402,F401
 # than r8, and only round-11's own vocab_bpe_merges remains unstamped
 # (queued r12). Exactly 50 entries — tests/test_registry.py pins the
 # window size so the r7 slip cannot recur.
+#
+# r12 rotation queue (registered post-r11-window, all swept green at
+# sf0.01 + sf1, most at sf10 — see SWEEP_r11_late_additions_*.json):
+# vocab_bpe_merges, dedup_substring_spans, dedup_substring_mask,
+# text_bigram_logprob, text_tfidf_vectors, text_similar_docs_tfidf,
+# corpus_source_report, embedding_random_projection, ann_rp_refine
+# (+_recall, _multi, _multi_gate), sketch_distinct_users_gate,
+# sketch_quantile_value_gate, stream_sketch_distinct_gate,
+# stream_histogram_quantile, skew_salted_distinct_parts,
+# skew_salted_join_revenue. Lead the r12 _PRIORITY with these, then
+# the oldest remaining stamp cohort.
 _PRIORITY = (
     # never-stamped (registered post-r10-window): batched serving + BPE
     "bm25_multi_query", "stream_bm25_multi_query",
