@@ -963,3 +963,45 @@ def tfidf_vectors(
         lambda i: F.coalesce(F.element_at(F.col("_m"), i), F.lit(0.0)),
     )
     return dense.select("doc_id", fill.alias("vec"))
+
+
+def weighted_sample(
+    docs: DataFrame,
+    n: int,
+    weight_col,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (the A-Res
+    scheme of Efraimidis & Spirakis 2006): each row draws key =
+    u^(1/w) with u a hash-derived uniform in (0, 1], and the n largest
+    keys win — inclusion probability proportional to weight, no
+    replacement, and (unlike rand()-based sampling) reproducible
+    across runs, retries, and repartitionings. ``weight_col`` may be a
+    column name or Column expression; rows with weight <= 0 are
+    excluded. Returns (doc_id, weight, key) for the n winners, key
+    rounded to 9 (selection uses the rounded key + id tie-break so the
+    DuckDB oracle's libm cannot flip a boundary membership).
+
+    Scale shape: one narrow projection then a TakeOrderedAndProject —
+    every executor keeps n candidates, the driver merges; no shuffle
+    of the corpus, no per-group state. The standard way to cut a
+    quality- or length-weighted training subset from 10^10 docs in
+    one pass."""
+    from nornicdb_spark.operators.dedup import h60
+
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    # h60 is uniform on [0, 2^60): (h60 + 1) / 2^60 is uniform on (0, 1]
+    u = (
+        h60(F.concat(F.lit("ws:"), F.col(id_col).cast("string"))) + 1.0
+    ) / float(1 << 60)
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"), w.cast("double").alias("weight")
+        )
+        .filter(F.col("weight") > 0)
+        .withColumn(
+            "key", F.round(F.pow(u, 1.0 / F.col("weight")), 9)
+        )
+        .orderBy(F.desc("key"), F.asc("doc_id"))
+        .limit(int(n))
+    )

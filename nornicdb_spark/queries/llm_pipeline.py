@@ -1797,3 +1797,34 @@ def corpus_source_report(spark, sf_dir):
         F.sum(F.coalesce(F.col("_dup"), F.lit(0))).cast("long").alias("n_dup"),
         F.sum((F.col("lang_pred") == "en").cast("int")).cast("long").alias("n_en"),
     )
+
+
+@register(
+    "corpus_weighted_sample",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> length(x) > 0)) AS DOUBLE) AS weight,
+             (CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)),
+                                   1, 15)) AS BIGINT) + 1.0)
+               / 1152921504606846976.0 AS u
+      FROM documents
+    )
+    SELECT doc_id, weight, round(pow(u, 1.0 / weight), 9) AS key
+    FROM base WHERE weight > 0
+    ORDER BY round(pow(u, 1.0 / weight), 9) DESC, doc_id
+    LIMIT 50
+    """,
+)
+def corpus_weighted_sample(spark, sf_dir):
+    # deterministic length-weighted sample of 50 docs (Efraimidis-
+    # Spirakis A-Res, hash-derived uniforms): inclusion probability
+    # proportional to token count, no replacement, reproducible across
+    # runs/retries/partitionings — the one-pass way to cut a weighted
+    # training subset; TakeOrderedAndProject, no corpus shuffle.
+    docs = Catalog(spark, sf_dir).documents
+    w = F.size(textops._words(F.col("text")))
+    return textops.weighted_sample(
+        docs.select("doc_id", w.alias("_w"), "text"), n=50, weight_col="_w"
+    )

@@ -444,3 +444,31 @@ def test_approx_quantile_gate_ignores_nulls(spark):
     )
     got = sketches.approx_quantile_gate(df, "g", "v").collect()[0]
     assert got.exact_q == 50.5 and got.ok == 1
+
+
+def test_weighted_sample_matches_python_reference(spark):
+    import hashlib
+
+    rows = [(i, float(1 + i % 5)) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, w double")
+
+    def key(i, w):
+        u = (int(hashlib.md5(f"ws:{i}".encode()).hexdigest()[:15], 16) + 1.0) / (
+            1 << 60
+        )
+        return round(u ** (1.0 / w), 9)
+
+    expect = sorted(
+        ((key(i, w), i) for i, w in rows), key=lambda t: (-t[0], t[1])
+    )[:10]
+    got = [
+        (r.key, r.doc_id)
+        for r in textops.weighted_sample(docs, n=10, weight_col="w").collect()
+    ]
+    assert got == [(k, i) for k, i in expect]
+    # zero/negative weights are excluded, not errors
+    docs2 = spark.createDataFrame(
+        [(1, 0.0), (2, -3.0), (3, 2.0)], "doc_id long, w double"
+    )
+    out = textops.weighted_sample(docs2, n=10, weight_col="w").collect()
+    assert [r.doc_id for r in out] == [3]
