@@ -1005,3 +1005,39 @@ def weighted_sample(
         .orderBy(F.desc("key"), F.asc("doc_id"))
         .limit(int(n))
     )
+
+
+def weighted_sample_per_group(
+    docs: DataFrame,
+    n_per_group: int,
+    weight_col,
+    group_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Stratified form of :func:`weighted_sample`: the A-Res key ranks
+    WITHIN each group (one window, no global TakeOrdered), so every
+    group keeps its own ``n_per_group`` weighted winners — the
+    per-source quota cut of a training-data pipeline (sample k docs
+    per domain, weight by quality/length) in one pass. Same
+    determinism contract; returns (group, doc_id, weight, key)."""
+    from pyspark.sql import Window as W
+
+    from nornicdb_spark.operators.dedup import h60
+
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = (
+        h60(F.concat(F.lit("ws:"), F.col(id_col).cast("string"))) + 1.0
+    ) / float(1 << 60)
+    win = W.partitionBy(group_col).orderBy(F.desc("key"), F.asc("doc_id"))
+    return (
+        docs.select(
+            F.col(group_col).alias(group_col),
+            F.col(id_col).alias("doc_id"),
+            w.cast("double").alias("weight"),
+        )
+        .filter(F.col("weight") > 0)
+        .withColumn("key", F.round(F.pow(u, 1.0 / F.col("weight")), 9))
+        .withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") <= int(n_per_group))
+        .select(group_col, "doc_id", "weight", "key")
+    )

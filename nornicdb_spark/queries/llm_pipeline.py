@@ -1828,3 +1828,43 @@ def corpus_weighted_sample(spark, sf_dir):
     return textops.weighted_sample(
         docs.select("doc_id", w.alias("_w"), "text"), n=50, weight_col="_w"
     )
+
+
+@register(
+    "corpus_weighted_sample_per_source",
+    oracle="""
+    WITH base AS (
+      SELECT source, doc_id,
+             CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> length(x) > 0)) AS DOUBLE) AS weight,
+             (CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)),
+                                   1, 15)) AS BIGINT) + 1.0)
+               / 1152921504606846976.0 AS u
+      FROM documents
+    ),
+    keyed AS (
+      SELECT source, doc_id, weight,
+             round(pow(u, 1.0 / weight), 9) AS key
+      FROM base WHERE weight > 0
+    ),
+    ranked AS (
+      SELECT source, doc_id, weight, key,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY key DESC, doc_id) AS rn
+      FROM keyed
+    )
+    SELECT source, doc_id, weight, key FROM ranked WHERE rn <= 10
+    """,
+)
+def corpus_weighted_sample_per_source(spark, sf_dir):
+    # stratified weighted sampling: 10 length-weighted winners PER
+    # source via one window over the A-Res keys — the per-domain quota
+    # cut of a mixture pipeline, deterministic like the global sampler.
+    docs = Catalog(spark, sf_dir).documents
+    w = F.size(textops._words(F.col("text")))
+    return textops.weighted_sample_per_group(
+        docs.select("doc_id", "source", w.alias("_w"), "text"),
+        n_per_group=10,
+        weight_col="_w",
+        group_col="source",
+    )

@@ -472,3 +472,22 @@ def test_weighted_sample_matches_python_reference(spark):
     )
     out = textops.weighted_sample(docs2, n=10, weight_col="w").collect()
     assert [r.doc_id for r in out] == [3]
+
+
+def test_weighted_sample_per_group_quota_and_determinism(spark):
+    docs = spark.createDataFrame(
+        [(i, "s%d" % (i % 3), float(1 + i % 4)) for i in range(60)],
+        "doc_id long, src string, w double",
+    )
+    out = textops.weighted_sample_per_group(
+        docs, n_per_group=5, weight_col="w", group_col="src"
+    ).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.src, []).append(r.doc_id)
+    assert set(by) == {"s0", "s1", "s2"} and all(len(v) == 5 for v in by.values())
+    # deterministic: a second run returns the identical selection
+    again = textops.weighted_sample_per_group(
+        docs, n_per_group=5, weight_col="w", group_col="src"
+    ).collect()
+    assert {(r.src, r.doc_id) for r in again} == {(r.src, r.doc_id) for r in out}
