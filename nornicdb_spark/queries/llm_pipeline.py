@@ -1799,9 +1799,7 @@ def corpus_source_report(spark, sf_dir):
     )
 
 
-@register(
-    "corpus_weighted_sample",
-    oracle="""
+_WEIGHTED_SAMPLE_ORACLE = """
     WITH base AS (
       SELECT doc_id,
              CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
@@ -1815,8 +1813,10 @@ def corpus_source_report(spark, sf_dir):
     FROM base WHERE weight > 0
     ORDER BY round(pow(u, 1.0 / weight), 9) DESC, doc_id
     LIMIT 50
-    """,
-)
+    """
+
+
+@register("corpus_weighted_sample", oracle=_WEIGHTED_SAMPLE_ORACLE)
 def corpus_weighted_sample(spark, sf_dir):
     # deterministic length-weighted sample of 50 docs (Efraimidis-
     # Spirakis A-Res, hash-derived uniforms): inclusion probability
@@ -1868,3 +1868,31 @@ def corpus_weighted_sample_per_source(spark, sf_dir):
         weight_col="_w",
         group_col="source",
     )
+
+
+# shared verbatim by stream_weighted_sample: per-batch A-Res top-n
+# candidate sets are mergeable, so the maintained reservoir's sample()
+# is byte-identical to the batch weighted_sample over the same corpus —
+# one oracle checks both (the stream_dedup_exact posture).
+@register("stream_weighted_sample", oracle=_WEIGHTED_SAMPLE_ORACLE)
+def stream_weighted_sample(spark, sf_dir):
+    # the weighted reservoir as a MAINTAINED index
+    # (streaming/sketches.py MaintainedSampleIndex): documents ingested
+    # in 3 deterministic batches, each contributing its local A-Res
+    # top-50, served by a global re-rank of the tiny candidate log.
+    import shutil
+
+    from nornicdb_spark.streaming.sketches import MaintainedSampleIndex
+
+    docs = Catalog(spark, sf_dir).documents
+    w = F.size(textops._words(F.col("text")))
+    prepped = docs.select("doc_id", w.cast("double").alias("weight"))
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    path = f"/root/repo/.tmp/sampleidx_{tag}"
+    shutil.rmtree(path, ignore_errors=True)  # rebuild: deterministic run
+    idx = MaintainedSampleIndex(spark, path, n=50)
+    for b in range(3):
+        idx.process_batch(
+            prepped.filter(F.col("doc_id") % 3 == b), batch_id=b
+        )
+    return idx.sample()

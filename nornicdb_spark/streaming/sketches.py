@@ -424,3 +424,125 @@ class MaintainedHistogramIndex:
             .select("grp", "bucket", "n", "src_batch", "gk"),
             "gk",
         )
+
+
+class MaintainedSampleIndex:
+    """Live weighted reservoir WITHOUT replacement over an append-only
+    stream — the streaming form of ``operators/textops.weighted_sample``
+    and the family's third sketch member. Because the A-Res key
+    (u^(1/w), u hash-derived from the doc id) is a pure per-row
+    function, per-batch top-n candidate sets are MERGEABLE: any global
+    winner present in a batch survives that batch's local top-n, so
+    the global top-n over the union of per-batch top-ns is EXACTLY the
+    batch operator's answer over the whole ingested corpus —
+    :meth:`sample` is byte-identical to ``weighted_sample`` on the
+    same rows (the driver row shares the batch oracle verbatim, the
+    stream_dedup_exact posture).
+
+    Layout: ``<path>/cands`` — (doc_id bigint, weight double,
+    key double, src_batch bigint) per retained candidate, <= n rows per
+    batch; serving re-ranks candidates only (n x batches tiny rows),
+    compaction folds to the global top-n. Replay-idempotent via the
+    guard + (doc_id, src_batch) anti-join, and semantically via key
+    determinism (a duplicate candidate row cannot change a top-n that
+    de-duplicates by doc_id). Removal is refused loudly: evicting a
+    winner cannot restore the candidate that its batch's local top-n
+    dropped — rebuild from the surviving corpus instead."""
+
+    def __init__(self, spark: SparkSession, path: str, n: int):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.n = int(n)
+
+    @property
+    def cands_path(self) -> str:
+        return f"{self.path}/cands"
+
+    _SCHEMA = "doc_id bigint, weight double, key double, src_batch bigint"
+
+    def _stored(self) -> DataFrame:
+        return read_or_empty(self.spark, self.cands_path, self._SCHEMA)
+
+    def process_batch(
+        self,
+        batch_df: DataFrame,
+        batch_id: int,
+        weight_col: str = "weight",
+        id_col: str = "doc_id",
+    ) -> None:
+        from nornicdb_spark.operators.textops import weighted_sample
+        from nornicdb_spark.streaming import guard
+
+        guard.check_batch(self.path, batch_id)
+        rows = weighted_sample(
+            batch_df, n=self.n, weight_col=weight_col, id_col=id_col
+        ).localCheckpoint(eager=True)
+        mine = (
+            self._stored()
+            .filter(F.col("src_batch") == int(batch_id))
+            .select("doc_id")
+        )
+        fresh = rows.join(mine, "doc_id", "left_anti").withColumn(
+            "src_batch", F.lit(int(batch_id)).cast("bigint")
+        )
+        os.makedirs(self.cands_path, exist_ok=True)
+        fresh.select("doc_id", "weight", "key", "src_batch").write.mode(
+            "append"
+        ).parquet(self.cands_path)
+        guard.record_batch(self.path, batch_id)
+        scope.escape_frame(rows)
+
+    def ingest(self, stream_df: DataFrame, query_name: str):
+        os.makedirs(self.path, exist_ok=True)
+        return (
+            stream_df.writeStream.outputMode("append")
+            .foreachBatch(self.process_batch)
+            .queryName(query_name)
+            .start()
+        )
+
+    def sample(self) -> DataFrame:
+        """(doc_id, weight, key): the n winners over everything ingested
+        — identical to the batch weighted_sample over the same corpus.
+        Candidates de-duplicate by doc_id first (replay hygiene), then
+        the rounded-key/id tie-break ranks."""
+        return (
+            self._stored()
+            .groupBy("doc_id")
+            .agg(F.first("weight").alias("weight"), F.max("key").alias("key"))
+            .orderBy(F.desc("key"), F.asc("doc_id"))
+            .limit(self.n)
+        )
+
+    def remove(self, *_args, **_kwargs) -> None:
+        """Removal cannot be honored: a batch's local top-n already
+        dropped the candidates that would back-fill an evicted winner.
+        Rebuild the index over the surviving corpus instead."""
+        raise NotImplementedError(
+            "MaintainedSampleIndex is append-only: evicting a sampled "
+            "winner cannot restore candidates its batch's local top-n "
+            "discarded. Rebuild from the surviving corpus."
+        )
+
+    def compact(self) -> None:
+        """Fold all candidate rows to the current global top-n
+        (src_batch=-2). Epoch fence BEFORE the fold (family contract)."""
+        from nornicdb_spark.sources.layout import recover_interrupted_swap
+        from nornicdb_spark.streaming import guard
+
+        recover_interrupted_swap(self.cands_path)
+        guard.advance_epoch(self.path)
+        import shutil
+
+        top = (
+            self.sample()
+            .withColumn("src_batch", F.lit(-2).cast("bigint"))
+            .select("doc_id", "weight", "key", "src_batch")
+        )
+        stage = f"{self.cands_path}.stage"
+        top.coalesce(1).write.mode("overwrite").parquet(stage)
+        old = f"{self.cands_path}.old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(self.cands_path, old)
+        os.rename(stage, self.cands_path)
+        shutil.rmtree(old, ignore_errors=True)

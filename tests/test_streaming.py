@@ -1837,3 +1837,34 @@ def test_maintained_histogram_refuses_batch_kind_collision(spark, tmp_path):
     assert idx.totals().agg(F.sum("n")).collect()[0][0] == 10
     idx.remove_batch(ev.limit(3), batch_id=1)
     assert idx.totals().agg(F.sum("n")).collect()[0][0] == 7
+
+
+def test_maintained_sample_equals_batch_and_survives_replay(spark, tmp_path):
+    from nornicdb_spark.operators.textops import weighted_sample
+    from nornicdb_spark.streaming.sketches import MaintainedSampleIndex
+
+    docs = spark.createDataFrame(
+        [(i, float(1 + i % 7)) for i in range(300)], "doc_id long, weight double"
+    )
+    idx = MaintainedSampleIndex(spark, str(tmp_path / "sampleidx"), n=20)
+    for b in range(3):
+        idx.process_batch(docs.filter(F.col("doc_id") % 3 == b), batch_id=b)
+    batch = [(r.doc_id, r.key) for r in weighted_sample(docs, 20, "weight").collect()]
+    got = [(r.doc_id, r.key) for r in idx.sample().collect()]
+    assert got == batch  # byte-identical to the batch operator
+    # replay of the latest batch is a no-op
+    idx.process_batch(docs.filter(F.col("doc_id") % 3 == 2), batch_id=2)
+    assert [(r.doc_id, r.key) for r in idx.sample().collect()] == batch
+    # compaction folds to n rows without moving the sample
+    idx.compact()
+    assert [(r.doc_id, r.key) for r in idx.sample().collect()] == batch
+    assert spark.read.parquet(idx.cands_path).count() == 20
+    # post-compaction ingest still merges correctly
+    heavy = spark.createDataFrame(
+        [(1000 + i, 1000.0) for i in range(5)], "doc_id long, weight double"
+    )
+    idx.process_batch(heavy, batch_id=3)
+    after = {r.doc_id for r in idx.sample().collect()}
+    assert {1000 + i for i in range(5)} <= after
+    with pytest.raises(NotImplementedError, match="append-only"):
+        idx.remove()
