@@ -68,7 +68,8 @@ from nornicdb_spark.queries import graph  # noqa: E402,F401
 # (+_recall, _multi, _multi_gate), sketch_distinct_users_gate,
 # sketch_quantile_value_gate, stream_sketch_distinct_gate,
 # stream_histogram_quantile, skew_salted_distinct_parts,
-# skew_salted_join_revenue, corpus_weighted_sample (+_per_source).
+# skew_salted_join_revenue, corpus_weighted_sample (+_per_source),
+# stream_weighted_sample (shares the batch sampler's oracle).
 # Lead the r12 _PRIORITY with these, then
 # the oldest remaining stamp cohort.
 _PRIORITY = (
