@@ -138,9 +138,21 @@ class PropertyGraph:
     """
 
     def __init__(self, nodes: DataFrame, edges: DataFrame, catalog: Catalog | None = None,
-                 type_endpoints: dict | None = None):
+                 type_endpoints: dict | None = None,
+                 nodes_full: DataFrame | None = None,
+                 edges_full: DataFrame | None = None):
         self.nodes = nodes
         self.edges = edges
+        # Full-width twins carrying precomputed long-encoded join keys
+        # (``id_enc`` / ``src_enc`` / ``dst_enc`` = encode_id of the string
+        # id, built as pure ARITHMETIC from the numeric base-table keys at
+        # projection time). The public ``nodes``/``edges`` schemas stay
+        # unchanged (whole-row consumers — RETURN n structs, exports —
+        # must not see synthetic columns); pattern operators join on the
+        # enc columns so the per-row string concat of the id is pruned
+        # away whenever a query never reads the string form.
+        self._nodes_full = nodes_full
+        self._edges_full = edges_full
         self.catalog = catalog
         # type → list of (src_label, dst_label) pairs the type connects.
         # Node ids are always '<Label>:<numeric key>' (node_id()), so when
@@ -242,18 +254,33 @@ class PropertyGraph:
             lab = F.when(idx == i, F.lit(l)).otherwise(lab)
         return F.concat(lab, F.lit(":"), key.cast("string"))
 
+    def nodes_encoded(self) -> DataFrame:
+        """``(id long)`` node set in encoded form — the precomputed
+        ``id_enc`` column when the graph carries it (no string splits),
+        else :meth:`encode_id` over the public frame."""
+        if self._nodes_full is not None:
+            return self._nodes_full.select(F.col("id_enc").alias("id"))
+        return self.nodes.select(self.encode_id(F.col("id")).alias("id"))
+
     def adj_pairs_encoded(self) -> DataFrame:
         """Long-encoded twin of :meth:`adj_pairs` — the edge set iterative
-        algorithms actually shuffle. Memoized per graph instance."""
+        algorithms actually shuffle. Memoized per graph instance. Built
+        from the precomputed enc columns when the graph carries them (a
+        pruned scan of two long columns — no string splits), else by
+        encoding the string ids."""
         if getattr(self, "_adj_pairs_enc", None) is None:
-            base = self._adj if self._adj is not None else self.edges
-            self._adj_pairs_enc = (
-                base.select(
+            if self._edges_full is not None:
+                pairs = self._edges_full.select(
+                    F.col("src_enc").alias("src"), F.col("dst_enc").alias("dst")
+                )
+            else:
+                base = self._adj if self._adj is not None else self.edges
+                pairs = base.select(
                     self.encode_id(F.col("src")).alias("src"),
                     self.encode_id(F.col("dst")).alias("dst"),
                 )
-                .repartition("src")
-                .localCheckpoint(eager=True)
+            self._adj_pairs_enc = (
+                pairs.repartition("src").localCheckpoint(eager=True)
             )
         return self._adj_pairs_enc
 
@@ -306,6 +333,16 @@ class PropertyGraph:
         return cache[key]
 
     @classmethod
+    def _enc_of(cls, label: str, key_col) -> F.Column:
+        """encode_id of '<label>:<key>' as pure arithmetic on the numeric
+        key — value-identical to :meth:`encode_id` (tested), without the
+        split/concat round trip."""
+        idx = [l for l, _, _ in NODE_SPECS].index(label)
+        return (
+            F.lit(idx * (1 << cls._ENC_SHIFT)) + F.col(key_col).cast("long")
+        ).cast("long")
+
+    @classmethod
     def from_star_schema(cls, cat: Catalog) -> "PropertyGraph":
         parts = []
         for label, table, key in NODE_SPECS:
@@ -314,11 +351,13 @@ class PropertyGraph:
                     node_id(label, key).alias("id"),
                     F.lit(label).alias("label"),
                     F.col(key).cast("long").alias("key"),
+                    cls._enc_of(label, key).alias("id_enc"),
                 )
             )
-        nodes = parts[0]
+        nodes_full = parts[0]
         for p in parts[1:]:
-            nodes = nodes.unionByName(p)
+            nodes_full = nodes_full.unionByName(p)
+        nodes = nodes_full.drop("id_enc")
 
         orders, lineitem = cat.table("orders"), cat.table("lineitem")
         customer, supplier, nation = (
@@ -342,6 +381,8 @@ class PropertyGraph:
                     F.lit(etype),
                     (F.col(disc) if disc else F.lit(0)).cast("long"),
                 ).alias("edge_id"),
+                cls._enc_of(src_label, src_key).alias("src_enc"),
+                cls._enc_of(dst_label, dst_key).alias("dst_enc"),
             ]
             cols += [F.col(c).alias(c) for c in props]
             return df.select(*cols)
@@ -376,10 +417,16 @@ class PropertyGraph:
             missing = [c for c in prop_cols if c not in f.columns]
             for c in missing:
                 f = f.withColumn(c, F.lit(None).cast("double"))
-            padded.append(f.select("src", "dst", "type", "edge_id", *prop_cols))
-        edges = padded[0]
+            padded.append(
+                f.select(
+                    "src", "dst", "type", "edge_id", "src_enc", "dst_enc",
+                    *prop_cols,
+                )
+            )
+        edges_full = padded[0]
         for f in padded[1:]:
-            edges = edges.unionByName(f)
+            edges_full = edges_full.unionByName(f)
+        edges = edges_full.drop("src_enc", "dst_enc")
 
         endpoints = {
             "PLACED": [("Customer", "Order")],
@@ -388,7 +435,10 @@ class PropertyGraph:
             "FROM": [("Customer", "Nation"), ("Supplier", "Nation")],
             "IN": [("Nation", "Region")],
         }
-        return cls(nodes=nodes, edges=edges, catalog=cat, type_endpoints=endpoints)
+        return cls(
+            nodes=nodes, edges=edges, catalog=cat, type_endpoints=endpoints,
+            nodes_full=nodes_full, edges_full=edges_full,
+        )
 
     # ---- reference Engine surface (types.go:369-376), DataFrame-style ----
 
@@ -401,6 +451,24 @@ class PropertyGraph:
         if len(types) == 1:
             return self.edges.filter(F.col("type") == types[0])
         return self.edges.filter(F.col("type").isin(list(types)))
+
+    # ---- enc-carrying twins for the pattern operators -------------------
+
+    def nodes_full_by_label(self, label: str | None) -> DataFrame:
+        """Node scan carrying ``id_enc`` when the graph has it (falls back
+        to the public frame otherwise) — pattern frames built from this
+        join on 8-byte longs instead of concat'd strings."""
+        base = self._nodes_full if self._nodes_full is not None else self.nodes
+        return base.filter(F.col("label") == label) if label else base
+
+    def edges_full_by_type(self, *types: str) -> DataFrame:
+        """Edge scan carrying ``src_enc``/``dst_enc`` when available."""
+        base = self._edges_full if self._edges_full is not None else self.edges
+        if len(types) == 1:
+            return base.filter(F.col("type") == types[0])
+        if types:
+            return base.filter(F.col("type").isin(list(types)))
+        return base
 
     def out_edges(self, node_ids: DataFrame) -> DataFrame:
         """GetOutgoingEdges for a set of ids (column named ``id``)."""

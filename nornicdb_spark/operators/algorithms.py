@@ -49,14 +49,19 @@ def _typed_pair_edges(graph, rel_types: tuple[str, ...], encoded: bool) -> DataF
         return graph.adj_pairs_encoded() if encoded else graph.adj_pairs()
 
     def build():
-        e = graph.edges_by_type(*rel_types)
         if encoded:
-            e = e.select(
-                graph.encode_id(F.col("src")).alias("src"),
-                graph.encode_id(F.col("dst")).alias("dst"),
-            )
+            e = graph.edges_full_by_type(*rel_types)
+            if "src_enc" in e.columns:
+                e = e.select(
+                    F.col("src_enc").alias("src"), F.col("dst_enc").alias("dst")
+                )
+            else:
+                e = e.select(
+                    graph.encode_id(F.col("src")).alias("src"),
+                    graph.encode_id(F.col("dst")).alias("dst"),
+                )
         else:
-            e = e.select("src", "dst")
+            e = graph.edges_by_type(*rel_types).select("src", "dst")
         return e.localCheckpoint(eager=True)
 
     return graph.memo(("typed_pairs", tuple(rel_types), encoded), build)
@@ -139,7 +144,7 @@ def pagerank(
     encoded = graph.numeric_keys
     edges = _typed_pair_edges(graph, rel_types, encoded)
     if encoded:
-        nodes = graph.nodes.select(graph.encode_id(F.col("id")).alias("id"))
+        nodes = graph.nodes_encoded()
     else:
         nodes = graph.nodes.select("id")
 
@@ -173,23 +178,33 @@ def pagerank(
             F.coalesce(contrib_col, F.lit(0.0)) + (F.lit(1.0) - s_col) / n
         )
 
-    def mass(contribs: DataFrame):
-        return F.broadcast(
-            contribs.agg(F.coalesce(F.sum("contrib"), F.lit(0.0)).alias("s"))
-        )
+    def roll_with_mass(old: DataFrame | None, plan: DataFrame):
+        """Checkpoint the new contribs lazily and compute Σ contrib with
+        the SAME action that materializes the checkpoint — one job where
+        an eager checkpoint plus a per-iteration broadcast of the 1-row
+        mass aggregate was two (plus a BroadcastExchange stage inside the
+        next iteration's plan). The collected scalar is a bounded 1-row
+        driver artifact (the same convention as the loops' convergence
+        counts); its value is bit-identical to what the old broadcast
+        crossJoin computed — it is the same physical aggregation."""
+        new = scope.ckpt(plan, eager=False)
+        s = new.agg(F.coalesce(F.sum("contrib"), F.lit(0.0))).collect()[0][0]
+        if old is not None:
+            scope.release(old)
+        return new, float(s)
 
     contribs: DataFrame | None = None
+    s_val = 0.0
     for _ in range(iterations):
         if contribs is None:  # first iteration: uniform ranks, no join
             ranks = emitters.withColumn("rank", F.lit(1.0 / n))
         else:
             ranks = (
                 emitters.join(maybe_bcast(contribs), "id", "left_outer")
-                .crossJoin(mass(contribs))
-                .withColumn("rank", rank_expr(F.col("contrib"), F.col("s")))
+                .withColumn("rank", rank_expr(F.col("contrib"), F.lit(s_val)))
                 .select("id", "out_degree", "rank")
             )
-        contribs = scope.roll(
+        contribs, s_val = roll_with_mass(
             contribs,
             maybe_bcast(
                 ranks.select(
@@ -205,9 +220,8 @@ def pagerank(
         out = nodes.withColumn("pagerank", F.lit(1.0 / n))
     else:
         out = (
-            base.join(contribs, "id", "left_outer")
-            .crossJoin(mass(contribs))
-            .withColumn("pagerank", rank_expr(F.col("contrib"), F.col("s")))
+            base.join(maybe_bcast(contribs), "id", "left_outer")
+            .withColumn("pagerank", rank_expr(F.col("contrib"), F.lit(s_val)))
             .select("id", "pagerank")
         )
     if encoded:
@@ -241,7 +255,7 @@ def personalized_pagerank(
     nodes = graph.nodes.select("id")
     src = sources.select("id").distinct()
     if encoded:
-        nodes = nodes.select(graph.encode_id(F.col("id")).alias("id"))
+        nodes = graph.nodes_encoded()
         src = src.select(graph.encode_id(F.col("id")).alias("id"))
     # Validate sources against the node set BEFORE sizing the teleport
     # distribution: an unknown source id would make sum(p) < 1 and leak
@@ -289,23 +303,27 @@ def personalized_pagerank(
             F.coalesce(contrib_col, F.lit(0.0)) + (F.lit(1.0) - s_col) * F.col("p")
         )
 
-    def mass(contribs: DataFrame):
-        return F.broadcast(
-            contribs.agg(F.coalesce(F.sum("contrib"), F.lit(0.0)).alias("s"))
-        )
+    def roll_with_mass(old: DataFrame | None, plan: DataFrame):
+        # one job materializes the lazy checkpoint AND returns Σ contrib
+        # (see pagerank.roll_with_mass)
+        new = scope.ckpt(plan, eager=False)
+        s = new.agg(F.coalesce(F.sum("contrib"), F.lit(0.0))).collect()[0][0]
+        if old is not None:
+            scope.release(old)
+        return new, float(s)
 
     contribs: DataFrame | None = None
+    s_val = 0.0
     for _ in range(iterations):
         if contribs is None:  # first iteration: rank = p, no join
             ranks = emitters.withColumn("rank", F.col("p"))
         else:
             ranks = (
                 emitters.join(maybe_bcast(contribs), "id", "left_outer")
-                .crossJoin(mass(contribs))
-                .withColumn("rank", rank_expr(F.col("contrib"), F.col("s")))
+                .withColumn("rank", rank_expr(F.col("contrib"), F.lit(s_val)))
                 .select("id", "out_degree", "rank")
             )
-        contribs = scope.roll(
+        contribs, s_val = roll_with_mass(
             contribs,
             maybe_bcast(
                 ranks.select(
@@ -321,9 +339,8 @@ def personalized_pagerank(
         out = base.select("id", F.col("p").alias("pagerank"))
     else:
         out = (
-            base.join(contribs, "id", "left_outer")
-            .crossJoin(mass(contribs))
-            .withColumn("pagerank", rank_expr(F.col("contrib"), F.col("s")))
+            base.join(maybe_bcast(contribs), "id", "left_outer")
+            .withColumn("pagerank", rank_expr(F.col("contrib"), F.lit(s_val)))
             .select("id", "pagerank")
         )
     if encoded:
@@ -809,9 +826,13 @@ def _weighted_oriented_edges(graph, rel_types, direction, weight_col,
 def _build_weighted_oriented_edges(graph, rel_types, direction, weight_col,
                                    encode: bool = False):
     if encode:
-        base = graph.edges_by_type(*rel_types) if rel_types else graph.edges
-        src = graph.encode_id(F.col("src")).alias("src")
-        dst = graph.encode_id(F.col("dst")).alias("dst")
+        base = graph.edges_full_by_type(*rel_types)
+        if "src_enc" in base.columns:
+            src = F.col("src_enc").alias("src")
+            dst = F.col("dst_enc").alias("dst")
+        else:
+            src = graph.encode_id(F.col("src")).alias("src")
+            dst = graph.encode_id(F.col("dst")).alias("dst")
     else:
         base = (
             graph.adj_by_type(*rel_types)

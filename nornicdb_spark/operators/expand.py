@@ -33,9 +33,19 @@ def _prefixed(df: DataFrame, prefix: str) -> DataFrame:
 
 
 def match_nodes(graph, var: str, label: str | None = None) -> DataFrame:
-    """MATCH (var) / MATCH (var:Label) — node scan as a pattern frame."""
-    df = graph.nodes_by_label(label) if label else graph.nodes
-    return _prefixed(df, var)
+    """MATCH (var) / MATCH (var:Label) — node scan as a pattern frame.
+
+    Star-schema graphs carry a precomputed long ``{var}_id_enc`` column;
+    downstream expands join on it, so the per-row string concat that
+    builds ``{var}_id`` is pruned away whenever the query never reads
+    the string id itself.
+    """
+    return _prefixed(graph.nodes_full_by_label(label), var)
+
+
+# flip map for re-orienting an edge frame (undirected / incoming expand):
+# the enc twins must swap together with the string endpoints
+_FLIP = {"src": "dst", "dst": "src", "src_enc": "dst_enc", "dst_enc": "src_enc"}
 
 
 def expand(
@@ -56,25 +66,41 @@ def expand(
     oriented joins (undirected ``-[r]-`` semantics: each distinct edge
     contributes once per orientation that matches, same as the
     reference's undirected scan, traversal.go:61-142).
+
+    Joins run on the precomputed ``_enc`` long keys whenever both sides
+    carry them (equi-join on an 8-byte long instead of a runtime-concat'd
+    string; the enc ↔ id mapping is 1:1, so the matched row set is
+    identical) and fall back to the string ids otherwise.
     """
-    edges = graph.edges_by_type(*rel_types) if rel_types else graph.edges
+    edges = graph.edges_full_by_type(*rel_types)
 
     def oriented(e: DataFrame, flip: bool) -> DataFrame:
         if flip:
             e = e.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst"), "type",
-                *[c for c in e.columns if c not in ("src", "dst", "type")],
+                *[F.col(c).alias(_FLIP.get(c, c)) for c in e.columns]
             )
         re = _prefixed(e, rel_var)
+        enc = f"{src_var}_id_enc" in frame.columns and f"{rel_var}_src_enc" in re.columns
         out = frame.join(
-            re, frame[f"{src_var}_id"] == re[f"{rel_var}_src"], "inner"
+            re,
+            frame[f"{src_var}_id_enc"] == re[f"{rel_var}_src_enc"]
+            if enc
+            else frame[f"{src_var}_id"] == re[f"{rel_var}_src"],
+            "inner",
         )
         if f"{dst_var}_id" in frame.columns:
+            if enc and f"{dst_var}_id_enc" in frame.columns:
+                return out.filter(
+                    F.col(f"{dst_var}_id_enc") == F.col(f"{rel_var}_dst_enc")
+                )
             return out.filter(F.col(f"{dst_var}_id") == F.col(f"{rel_var}_dst"))
-        dst_nodes = (
-            graph.nodes_by_label(dst_label) if dst_label else graph.nodes
-        )
-        dn = _prefixed(dst_nodes, dst_var)
+        dn = _prefixed(graph.nodes_full_by_label(dst_label), dst_var)
+        if enc and f"{dst_var}_id_enc" in dn.columns:
+            return out.join(
+                dn,
+                out[f"{rel_var}_dst_enc"] == dn[f"{dst_var}_id_enc"],
+                "inner",
+            )
         return out.join(dn, out[f"{rel_var}_dst"] == dn[f"{dst_var}_id"], "inner")
 
     if direction == OUT:
@@ -118,12 +144,18 @@ def exists_pattern(
     negate: bool = False,
 ) -> DataFrame:
     """WHERE EXISTS { (src)-[:T]->() } / NOT EXISTS — semi/anti join
-    (reference executor_mutations.go:1256-1313)."""
-    edges = graph.edges_by_type(*rel_types) if rel_types else graph.edges
-    key = "src" if direction == OUT else "dst"
-    probe = edges.select(F.col(key).alias(f"{src_var}_id")).distinct()
+    (reference executor_mutations.go:1256-1313). Probes on the long enc
+    key when both sides carry it (1:1 with the string id — identical
+    membership)."""
+    edges = graph.edges_full_by_type(*rel_types)
+    enc = f"{src_var}_id_enc" in frame.columns and "src_enc" in edges.columns
+    key = ("src_enc" if enc else "src") if direction == OUT else (
+        "dst_enc" if enc else "dst"
+    )
+    probe_col = f"{src_var}_id_enc" if enc else f"{src_var}_id"
+    probe = edges.select(F.col(key).alias(probe_col)).distinct()
     how = "left_anti" if negate else "left_semi"
-    return frame.join(probe, on=f"{src_var}_id", how=how)
+    return frame.join(probe, on=probe_col, how=how)
 
 
 def cartesian(frame_a: DataFrame, frame_b: DataFrame) -> DataFrame:
