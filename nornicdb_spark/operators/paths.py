@@ -63,6 +63,50 @@ def _oriented_ckpt(graph, rel_types: tuple[str, ...], direction: str,
     )
 
 
+def _oriented_ckpt_enc(graph, rel_types: tuple[str, ...], direction: str,
+                       with_edge_id: bool) -> DataFrame:
+    """Long-encoded twin of :func:`_oriented_ckpt` for frontier loops on
+    star-schema graphs: endpoints come from the precomputed enc columns
+    (pure arithmetic over the numeric base keys — no concat, no splits),
+    so every per-round join builds/probes 8-byte long keys and each
+    round's broadcast/shuffle carries ~40% of the string bytes. Memoized
+    per (graph, types, direction, cols) like the string twin."""
+    cols = ("src", "dst", "edge_id") if with_edge_id else ("src", "dst")
+    if not rel_types and direction == OUT and not with_edge_id:
+        return graph.adj_pairs_encoded()  # shared lean encoded checkpoint
+
+    def build():
+        e = graph.edges_full_by_type(*rel_types)
+        base_cols = [
+            F.col("src_enc").alias("src"), F.col("dst_enc").alias("dst")
+        ] + ([F.col("edge_id")] if with_edge_id else [])
+        out = e.select(*base_cols)
+        if direction != OUT:
+            flipped = e.select(
+                F.col("dst_enc").alias("src"), F.col("src_enc").alias("dst"),
+                *([F.col("edge_id")] if with_edge_id else []),
+            )
+            out = flipped if direction == IN else out.unionByName(flipped)
+        return out.localCheckpoint(eager=True)
+
+    return graph.memo(
+        ("oriented_edges_enc", tuple(rel_types), direction, cols), build
+    )
+
+
+def _loop_edges(graph, rel_types, direction, with_edge_id: bool):
+    """(edges, encoded?) for a frontier loop: encoded when the graph
+    carries precomputed enc keys, the string form otherwise."""
+    if getattr(graph, "_edges_full", None) is not None:
+        return _oriented_ckpt_enc(graph, rel_types, direction, with_edge_id), True
+    cols = ("src", "dst", "type", "edge_id") if with_edge_id else ("src", "dst")
+    return _oriented_ckpt(graph, rel_types, direction, cols), False
+
+
+def _enc_start(graph, start: DataFrame) -> DataFrame:
+    return start.select(graph.encode_id(F.col("id")).alias("id"))
+
+
 def var_length_paths(
     graph,
     start: DataFrame,
@@ -91,11 +135,15 @@ def var_length_paths(
     # the static edge set is reused every iteration — materialized once
     # per (graph, types, direction) and memoized (GraphX caches edges for
     # exactly this reason; without it each round re-derives the
-    # union-of-parquet-scans edge projection).
+    # union-of-parquet-scans edge projection). Star-schema graphs run the
+    # whole loop on encoded longs (joins, frontier checkpoints and the
+    # path arrays all carry 8-byte keys); only the final projection
+    # decodes back to string ids — path COUNTS and membership are
+    # invariant under the 1:1 re-keying.
     scope = CkptScope()
-    edges = _oriented_ckpt(
-        graph, rel_types, direction, ("src", "dst", "type", "edge_id")
-    )
+    edges, encoded = _loop_edges(graph, rel_types, direction, with_edge_id=True)
+    if encoded:
+        start = _enc_start(graph, start)
 
     state = [
         F.col("id").alias("start_id"),
@@ -143,13 +191,23 @@ def var_length_paths(
             break
 
     if not out:
-        return scope.finish(
-            frontier.withColumn("depth", F.lit(0)).limit(0),
-            keep=tuple(scope.tracked()),
-        )
-    res = out[0]
-    for df in out[1:]:
-        res = res.unionByName(df)
+        res = frontier.withColumn("depth", F.lit(0)).limit(0)
+    else:
+        res = out[0]
+        for df in out[1:]:
+            res = res.unionByName(df)
+    if encoded:
+        dec = [
+            graph.decode_id(F.col("start_id")).alias("start_id"),
+            graph.decode_id(F.col("end_id")).alias("end_id"),
+        ]
+        if with_node_path:
+            dec.append(
+                F.transform(
+                    F.col("node_path"), lambda x: graph.decode_id(x)
+                ).alias("node_path")
+            )
+        res = res.select(*dec, "edge_path", "depth")
     # the per-depth frontiers ARE the result's support — they escape to
     # the bounded session registry rather than pinning blocks forever
     return scope.finish(res, keep=tuple(scope.tracked()))
@@ -171,9 +229,16 @@ def all_simple_paths(
     guard is on *nodes* (simple paths) rather than relationships, and only
     rows whose endpoint is in ``target`` are emitted. Returns
     ``(start_id, end_id, depth, node_path)``.
+
+    Star-schema graphs enumerate on encoded longs (node-uniqueness and
+    target membership are set semantics — invariant under 1:1
+    re-keying); the final projection decodes ids and path arrays.
     """
     scope = CkptScope()
-    edges = _oriented_ckpt(graph, rel_types, direction, ("src", "dst"))
+    edges, encoded = _loop_edges(graph, rel_types, direction, with_edge_id=False)
+    if encoded:
+        start = _enc_start(graph, start)
+        target = _enc_start(graph, target)
     targets = target.select(F.col("id").alias("end_id")).distinct()
 
     frontier = start.select(
@@ -207,7 +272,17 @@ def all_simple_paths(
     res = hits[0]
     for df in hits[1:]:
         res = res.unionByName(df)
-    res = res.select("start_id", "end_id", "depth", "node_path")
+    if encoded:
+        res = res.select(
+            graph.decode_id(F.col("start_id")).alias("start_id"),
+            graph.decode_id(F.col("end_id")).alias("end_id"),
+            "depth",
+            F.transform(
+                F.col("node_path"), lambda x: graph.decode_id(x)
+            ).alias("node_path"),
+        )
+    else:
+        res = res.select("start_id", "end_id", "depth", "node_path")
     return scope.finish(res, keep=tuple(scope.tracked()))
 
 
@@ -225,10 +300,13 @@ def subgraph_nodes(
 
     Unlike the path enumerators this is a *set* BFS: the frontier is
     deduplicated against everything seen, so work is bounded by the
-    subgraph size, not the path count.
+    subgraph size, not the path count. Star-schema graphs run it on
+    encoded longs (set semantics); the final projection decodes.
     """
     scope = CkptScope()
-    edges = _oriented_ckpt(graph, rel_types, direction, ("src", "dst"))
+    edges, encoded = _loop_edges(graph, rel_types, direction, with_edge_id=False)
+    if encoded:
+        start = _enc_start(graph, start)
 
     seen = start.select("id").distinct().withColumn("level", F.lit(0))
     seen = scope.ckpt(seen)
@@ -247,7 +325,10 @@ def subgraph_nodes(
         seen = scope.roll(seen, seen.unionByName(nxt.withColumn("level", F.lit(level))))
         scope.release(frontier)  # folded into seen (no-op on round 1)
         frontier = nxt
-    return scope.finish(seen, keep=(seen,))
+    res = seen
+    if encoded:
+        res = seen.select(graph.decode_id(F.col("id")).alias("id"), "level")
+    return scope.finish(res, keep=(seen,))
 
 
 def spanning_tree(
@@ -319,9 +400,16 @@ def shortest_paths(
 
     Frontier BFS from all starts at once; ``visited`` keeps the first
     (= minimal) depth each node was reached from each start.
+
+    Star-schema graphs run the BFS on encoded longs (min-depth-per-pair
+    is pure set semantics — invariant under 1:1 re-keying); the final
+    projection decodes.
     """
     scope = CkptScope()
-    edges = _oriented_ckpt(graph, rel_types, direction, ("src", "dst"))
+    edges, encoded = _loop_edges(graph, rel_types, direction, with_edge_id=False)
+    if encoded:
+        start = _enc_start(graph, start)
+        target = _enc_start(graph, target)
     targets = target.select(F.col("id").alias("end_id")).distinct()
 
     visited = start.select(
@@ -352,7 +440,14 @@ def shortest_paths(
     res = results[0]
     for df in results[1:]:
         res = res.unionByName(df)
-    res = res.select("start_id", "end_id", "distance")
+    if encoded:
+        res = res.select(
+            graph.decode_id(F.col("start_id")).alias("start_id"),
+            graph.decode_id(F.col("end_id")).alias("end_id"),
+            "distance",
+        )
+    else:
+        res = res.select("start_id", "end_id", "distance")
     return scope.finish(res, keep=tuple(scope.tracked()))
 
 
@@ -371,9 +466,16 @@ def all_shortest_paths(
 
     BFS that carries node paths but prunes to first-reached depth per
     (start, end): all parents at min depth survive, deeper re-visits drop.
+
+    Star-schema graphs run the BFS on encoded longs (first-reached-depth
+    and the distinct-path set are invariant under 1:1 re-keying); the
+    final projection decodes ids and path arrays.
     """
     scope = CkptScope()
-    edges = _oriented_ckpt(graph, rel_types, direction, ("src", "dst"))
+    edges, encoded = _loop_edges(graph, rel_types, direction, with_edge_id=False)
+    if encoded:
+        start = _enc_start(graph, start)
+        target = _enc_start(graph, target)
     targets = target.select(F.col("id").alias("end_id")).distinct()
 
     frontier = start.select(
@@ -422,5 +524,15 @@ def all_shortest_paths(
     res = hits[0]
     for df in hits[1:]:
         res = res.unionByName(df)
-    res = res.select("start_id", "end_id", "distance", "node_path")
+    if encoded:
+        res = res.select(
+            graph.decode_id(F.col("start_id")).alias("start_id"),
+            graph.decode_id(F.col("end_id")).alias("end_id"),
+            "distance",
+            F.transform(
+                F.col("node_path"), lambda x: graph.decode_id(x)
+            ).alias("node_path"),
+        )
+    else:
+        res = res.select("start_id", "end_id", "distance", "node_path")
     return scope.finish(res, keep=tuple(scope.tracked()))
