@@ -493,14 +493,18 @@ def common_neighbors(
 
     deg = e.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
 
-    # Attach degree to the edge list BEFORE the neighbor-list groupBy and
-    # carry (node, deg) structs through the pair stream: one join on the
-    # ~|E| edge table replaces two joins on the ~|E|·d/2 pair table, and
-    # the post-agg plan is join-free. array_sort on structs orders by the
-    # leading field (node), so pair orientation is unchanged.
+    # The C(d,2) pair stream is the operator's dominant shuffle (measured
+    # at sf0.1: 156 MB of the query's 167 MB total), so its rows carry
+    # ONLY the bare (a, b) keys — degrees are attached AFTER the
+    # min_common filter, on the aggregated pair table, which is always ≤
+    # (and typically d× smaller than) the pre-agg stream. Earlier
+    # revisions rode (node, deg) structs through the stream to keep the
+    # post-agg plan join-free; that doubled every shuffled row to save
+    # two joins on the far smaller result. array_sort on the bare keys
+    # preserves the ascending (a < b) orientation the struct sort had.
     sc = e.sparkSession.sparkContext
-    nbrs = e.join(deg, "node").groupBy("nbr").agg(
-        F.array_sort(F.collect_set(F.struct("node", "deg"))).alias("ns")
+    nbrs = e.groupBy("nbr").agg(
+        F.array_sort(F.collect_set("node")).alias("ns")
     ).select(F.size("ns").alias("d"), "ns")
     # The C(d,2) explosion below multiplies row count ~100×; without this
     # AQE sizes the stage from the tiny pre-explode aggregate and runs
@@ -548,18 +552,25 @@ def common_neighbors(
         )
         .filter(F.col("common") >= min_common)
     )
+    # degree attach on the aggregated (post-filter) pair table — two
+    # equi-joins against the O(|V|) degree table (AQE broadcasts it when
+    # it fits; at sf0.1 it is 3 orders of magnitude smaller than the
+    # pair stream these columns used to ride through)
     scored = (
-        pairs.withColumn(
+        pairs.join(
+            deg.select(F.col("node").alias("a"), F.col("deg").alias("_da")), "a"
+        )
+        .join(
+            deg.select(F.col("node").alias("b"), F.col("deg").alias("_db")), "b"
+        )
+        .withColumn(
             "jaccard",
-            F.col("common")
-            / (F.col("a.deg") + F.col("b.deg") - F.col("common")),
+            F.col("common") / (F.col("_da") + F.col("_db") - F.col("common")),
         )
         .withColumn(
             "preferential_attachment",
-            (F.col("a.deg") * F.col("b.deg")).cast("long"),
+            (F.col("_da") * F.col("_db")).cast("long"),
         )
-        .withColumn("a", F.col("a.node"))
-        .withColumn("b", F.col("b.node"))
     )
     if keyed:
         # restore string ids + lexicographic (a, b) orientation (numeric
@@ -644,26 +655,32 @@ def weighted_shortest_paths(
     support = best  # the checkpointed frame the current `best` plan reads
     frontier = best
 
-    def min_agg(df: DataFrame) -> DataFrame:
-        if with_paths:
-            return (
-                df.groupBy("start_id", "end_id")
-                .agg(F.min(F.struct("cost", "node_path")).alias("m"))
-                .select("start_id", "end_id", "m.cost", "m.node_path")
-            )
-        return df.groupBy("start_id", "end_id").agg(F.min("cost").alias("cost"))
-
     carry = ["start_id", "end_id", "cost"] + (["node_path"] if with_paths else [])
 
-    # Per round ONE shuffle round + ONE checkpoint: candidates and the
-    # settled table are combined with a single full-outer join on the
-    # pair key; the checkpointed merged frame then yields both the
-    # improved frontier (a filter) and the updated best (a projection
-    # taking the per-key min) without further shuffles — both sides of
-    # the join are already unique per (start, end).
-    old_cols = ["start_id", "end_id", F.col("cost").alias("old_cost")]
-    if with_paths:
-        old_cols.append(F.col("node_path").alias("old_path"))
+    # Per round ONE exchange + ONE checkpoint/action: raw relaxation
+    # candidates (tagged new) are UNIONed with the settled table (tagged
+    # old) and hash-aggregated per pair key — min-of-new and min-of-old
+    # in one pass. This replaces the earlier min_agg + full-outer-join
+    # shape, whose pre-aggregated candidates were shuffled AGAIN into a
+    # sort-merge join against the (unpartitioned checkpoint) settled
+    # side: 3 exchanges + 2 sorts per round collapse into 1 exchange +
+    # 0 sorts, and the shuffled bytes drop by the aggregated-candidate
+    # table. The checkpointed agg output yields the improved frontier (a
+    # filter) and the updated best (a projection) without further
+    # shuffles, exactly as before.
+    def tag(df: DataFrame, old: bool) -> DataFrame:
+        cols = ["start_id", "end_id"]
+        if with_paths:
+            cols.append(
+                F.struct("cost", "node_path").alias("m")
+            )
+        else:
+            cols.append(F.col("cost").alias("m"))
+        return df.select(*cols, F.lit(old).alias("_old"))
+
+    new_min = F.min(F.when(~F.col("_old"), F.col("m"))).alias("new_m")
+    old_min = F.min(F.when(F.col("_old"), F.col("m"))).alias("old_m")
+    cost_of = (lambda m: m.getField("cost")) if with_paths else (lambda m: m)
 
     for _ in range(max_iterations):
         relax = [
@@ -675,38 +692,34 @@ def weighted_shortest_paths(
             relax.append(
                 F.array_append(F.col("node_path"), F.col("dst")).alias("node_path")
             )
-        cand = min_agg(frontier.join(e, frontier.end_id == e.src).select(*relax))
+        cand = frontier.join(e, frontier.end_id == e.src).select(*relax)
         # lazy checkpoint + count = ONE job per round: the improved-count
         # action both materializes the checkpoint and decides termination
         # (an eager checkpoint followed by isEmpty would be two)
         merged = scope.ckpt(
-            cand.join(
-                best.select(*old_cols), ["start_id", "end_id"], "full_outer"
-            ),
+            tag(cand, old=False)
+            .unionByName(tag(best, old=True))
+            .groupBy("start_id", "end_id")
+            .agg(new_min, old_min),
             eager=False,
         )
-        is_better = F.col("old_cost").isNull() | (
-            F.col("cost") < F.col("old_cost")
+        # strict <: a cost tie keeps the settled entry (same rule the
+        # full-outer-join shape applied)
+        is_better = F.col("new_m").isNotNull() & (
+            F.col("old_m").isNull()
+            | (cost_of(F.col("new_m")) < cost_of(F.col("old_m")))
         )
-        improved = merged.filter(
-            F.col("cost").isNotNull() & is_better
-        ).select(*carry)
+        win = F.when(is_better, F.col("new_m")).otherwise(F.col("old_m"))
+        if with_paths:
+            unpack = [win.getField("cost").alias("cost"),
+                      win.getField("node_path").alias("node_path")]
+        else:
+            unpack = [win.alias("cost")]
+        improved = merged.filter(is_better).select("start_id", "end_id", *unpack)
         if improved.count() == 0:
             scope.release(merged)  # best never adopted this round's merge
             break
-        keep_new = F.col("cost").isNotNull() & is_better
-        settle = [
-            "start_id",
-            "end_id",
-            F.when(keep_new, F.col("cost")).otherwise(F.col("old_cost")).alias("cost"),
-        ]
-        if with_paths:
-            settle.append(
-                F.when(keep_new, F.col("node_path"))
-                .otherwise(F.col("old_path"))
-                .alias("node_path")
-            )
-        best = merged.select(*settle)  # lazy over the checkpoint — no 2nd job
+        best = merged.select("start_id", "end_id", *unpack)  # lazy — no 2nd job
         scope.release(support)  # superseded: best now reads this round's merge
         support = merged
         frontier = improved

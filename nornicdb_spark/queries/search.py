@@ -21,9 +21,20 @@ BM25_QUERY = "spark join query performance"
 FUSE_QUERY = "window merge batch"
 
 
+_QUERY_VEC_MEMO = scope.SessionMemo()
+
+
 def _query_vec(spark, sf_dir, vec_id: int = 0):
+    # memoized per (session, dir, vec_id): the collected 1-row query
+    # vector is a deterministic driver-resident artifact, and re-reading
+    # it cost every vector-leg query a full embeddings scan + one job
+    # per invocation (measured: 11.7 MB scanned for one row at sf0.1)
+    hit = _QUERY_VEC_MEMO.get(spark, (sf_dir, vec_id))
+    if hit is not None:
+        return hit[0]
     emb = Catalog(spark, sf_dir).embeddings
-    return emb.filter(F.col("vec_id") == vec_id).select("embedding").collect()[0][0]
+    vec = emb.filter(F.col("vec_id") == vec_id).select("embedding").collect()[0][0]
+    return _QUERY_VEC_MEMO.put(spark, (sf_dir, vec_id), (vec,))[0]
 
 
 @register("bm25_topk", oracle=bm25_mod.bm25_oracle_sql(BM25_QUERY, k=10))
