@@ -807,7 +807,13 @@ def bigram_logprob(
     Scale shape: bigram and unigram counts are combinable aggregates; the
     score pass is two shuffle equi-joins on (w1, w2) and the word plus a
     broadcast of the 1-row total — no Python, no cross join, partial
-    aggregation everywhere.
+    aggregation everywhere. Positions collapse to per-document DISTINCT
+    bigrams before any join (identical (w1, w2) positions in one doc
+    contribute the same log p, so the mean over positions equals the
+    count-weighted mean over distinct bigrams): every join and the global
+    bigram count then run over the ~Zipf-smaller (doc, w1, w2) table
+    instead of the raw position stream, which the old shape shuffled
+    three times on three different keys.
     """
     pairs = F.expr(
         f"transform(slice({_W_SQL}, 1, greatest(size({_W_SQL}) - 1, 0)), "
@@ -818,32 +824,39 @@ def bigram_logprob(
         .select("doc_id", F.explode(pairs).alias("p"))
         .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
+    # per-doc distinct bigrams with their position counts — the ONLY
+    # aggregation that reads the raw position stream
+    prdoc = pr.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12d")
+    )
     uni = (
         docs.select(F.explode(_words(F.col(text_col))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("double").alias("c"))
     )
-    big = pr.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("double").alias("c12"))
+    # global bigram counts fold out of the per-doc table — no second
+    # pass over positions
+    big = prdoc.groupBy("w1", "w2").agg(
+        F.sum("c12d").cast("double").alias("c12")
+    )
     total = uni.agg(F.sum("c").alias("total"))
     u1 = uni.select(F.col("word").alias("w1"), F.col("c").alias("c1"))
     u2 = uni.select(F.col("word").alias("w2"), F.col("c").alias("c2"))
+    logp = F.log(
+        F.lit(lam) * F.col("c12") / F.col("c1")
+        + F.lit(1.0 - lam) * F.col("c2") / F.col("total")
+    )
     return (
-        pr.join(big, ["w1", "w2"])
+        prdoc.join(big, ["w1", "w2"])
         .join(u1, "w1")
         .join(u2, "w2")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-            # rounded: avg-of-logs is partition-order sensitive at the ULP
+            F.sum("c12d").cast("long").alias("n_bigrams"),
+            # rounded: log sums are partition-order sensitive at the ULP
             F.round(
-                F.avg(
-                    F.log(
-                        F.lit(lam) * F.col("c12") / F.col("c1")
-                        + F.lit(1.0 - lam) * F.col("c2") / F.col("total")
-                    )
-                ),
-                9,
+                (F.sum(F.col("c12d") * logp) / F.sum("c12d")), 9
             ).alias("mean_logprob"),
         )
     )
@@ -933,7 +946,13 @@ def tfidf_vectors(
         F.col(id_col).alias("doc_id"), F.explode(_words(F.col(text_col))).alias("word")
     )
     tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    # dim is a function of the WORD alone — hash once per vocabulary
+    # entry here instead of one md5 per (doc, word) row in the contrib
+    # projection (|tf| / |vocab| hashes saved; the md5 inside h60 is the
+    # single most expensive scalar in this pipeline)
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df")).withColumn(
+        "dim", h60(F.concat(F.lit("tfidf:"), F.col("word"))) % F.lit(int(k))
+    )
     n_docs = docs.select(
         F.countDistinct(F.col(id_col)).alias("n_docs")
     )
@@ -942,9 +961,7 @@ def tfidf_vectors(
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
-            (h60(F.concat(F.lit("tfidf:"), F.col("word"))) % F.lit(int(k))).alias(
-                "dim"
-            ),
+            "dim",
             (
                 F.col("tf")
                 * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))

@@ -23,7 +23,12 @@ from pyspark.sql import functions as F
 
 
 def _lit_vec(vec) -> F.Column:
-    return F.array(*[F.lit(float(x)) for x in vec])
+    # one array Literal node, NOT array(lit, lit, …): an unrolled
+    # 128-plane × 64-dim LSH signature built the per-element way carries
+    # ~8k expression nodes through analysis/optimization (measured ≥10 s
+    # of driver time per plan build at n_bits=128 — guide §7.3); a list
+    # literal is a single node with identical value and codegen
+    return F.lit([float(x) for x in vec])
 
 
 def dot(a: F.Column, b: F.Column) -> F.Column:
@@ -263,7 +268,15 @@ class RandomHyperplaneLSH:
 
     def signature_col(self) -> F.Column:
         """Bit signature as array<int> of band bucket hashes (JVM exprs:
-        one dot product per plane, bits packed per band)."""
+        one dot product per plane, bits packed per band).
+
+        Deliberately UNROLLED per plane: a fully higher-order variant
+        (one nested planes literal walked by transform/aggregate) was
+        built and measured bit-identical but 4× slower at execution —
+        HOF lambdas evaluate interpreted while the unrolled whens ride
+        whole-stage codegen. The plan-size cost of unrolling is carried
+        by `_lit_vec` emitting one array Literal per plane (not one node
+        per element), which keeps analysis time flat."""
         bits = []
         for row in self.planes:
             bits.append(

@@ -122,15 +122,22 @@ def test_rrf_rank_window_has_partition_spec(spark, sf_dir):
         assert spec.count(",") >= 2, f"unpartitioned window: {spec}"
 
 
-def test_link_prediction_no_cartesian_and_no_post_agg_joins(spark, sf_dir):
-    # round-3 shape: degree rides the pair stream as structs — after the
-    # pair aggregation there are no joins left, and nothing is cartesian
+def test_link_prediction_bare_key_pair_stream(spark, sf_dir):
+    # r11 shape: the C(d,2) pair stream (the operator's dominant shuffle —
+    # 156 of 167 MB at sf0.1 under the old struct-carry design) shuffles
+    # BARE long keys; degrees are attached post-aggregation by non-
+    # cartesian joins on the far smaller pair table.
     plan = plan_of(spark, "graph_link_prediction_suppliers", sf_dir)
     assert "CartesianProduct" not in plan
-    agg_pos = plan.rfind("HashAggregate")
-    assert agg_pos != -1
-    assert "SortMergeJoin" not in plan[agg_pos:]
-    assert "BroadcastHashJoin" not in plan[agg_pos:]
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the pair aggregation's exchange partitions on two plain long keys,
+    # not structs (struct keys would appear as named_struct/struct fields)
+    pair_ex = re.search(
+        r"hashpartitioning\((_groupingexpression#\d+L), (_groupingexpression#\d+L), \d+\)",
+        plan,
+    )
+    assert pair_ex, "pair-stream exchange no longer keyed on two bare longs"
+    assert "named_struct" not in plan
 
 
 def test_encoded_adjacency_is_longs(spark, sf_dir):
@@ -748,3 +755,72 @@ def test_rp_refine_many_broadcasts_queries_no_python(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_pattern_expand_joins_on_enc_longs_no_concat(spark, sf_dir):
+    # r11: expands over star-schema graphs join on the precomputed
+    # long-encoded keys — the per-row string concat that used to build
+    # every join key must be gone from the whole plan, and the base-table
+    # scans must still prune to the bare numeric keys
+    plan = plan_of(spark, "graph_customer_parts_2hop", sf_dir)
+    assert "concat" not in plan, "string ids leaked back into the join path"
+    assert re.search(r"Left keys \[1\]: \[\w+_id_enc#\d+L\]", plan), plan[:1500]
+    for s in lineitem_read_schemas(plan):
+        assert s == "struct<l_orderkey:bigint,l_partkey:bigint>", s
+
+
+def test_enc_columns_equal_encode_id(spark, sf_dir):
+    # the arithmetic enc columns must stay value-identical to encode_id
+    # over the full node and edge sets (the 1:1 re-keying every enc join
+    # relies on)
+    from pyspark.sql import functions as F
+
+    from nornicdb_spark.catalog import shared_catalog
+
+    g = shared_catalog(spark, sf_dir).graph
+    assert g._nodes_full is not None and g._edges_full is not None
+    bad_n = g._nodes_full.filter(
+        g.encode_id(F.col("id")) != F.col("id_enc")
+    ).count()
+    bad_e = g._edges_full.filter(
+        (g.encode_id(F.col("src")) != F.col("src_enc"))
+        | (g.encode_id(F.col("dst")) != F.col("dst_enc"))
+    ).count()
+    assert bad_n == 0 and bad_e == 0
+    # public schemas stay free of synthetic columns (RETURN n contract)
+    assert "id_enc" not in g.nodes.columns
+    assert "src_enc" not in g.edges.columns
+
+
+def test_var_length_loop_runs_encoded(spark, sf_dir):
+    # the frontier loop's memoized edge set is long-encoded; only the
+    # final projection decodes back to string ids
+    from nornicdb_spark.catalog import shared_catalog
+    from nornicdb_spark.operators.paths import _loop_edges
+
+    g = shared_catalog(spark, sf_dir).graph
+    edges, encoded = _loop_edges(g, (), "out", with_edge_id=True)
+    assert encoded
+    assert [f.dataType.simpleString() for f in edges.schema.fields] == [
+        "bigint", "bigint", "bigint"
+    ]
+
+
+def test_dijkstra_round_is_single_exchange_no_sort(spark, sf_dir):
+    # r11: each relaxation round is one tagged-union hash aggregate —
+    # the settled/candidate merge must not plan a sort-merge join
+    from pyspark.sql import functions as F
+
+    from nornicdb_spark.catalog import shared_catalog
+    from nornicdb_spark.operators import algorithms
+
+    g = shared_catalog(spark, sf_dir).graph
+    starts = g.nodes_by_label("Customer").select("id").limit(50)
+    out = algorithms.weighted_shortest_paths(g, starts, weight_col="l_quantity")
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "SortMergeJoin" not in plan
+    assert "FullOuter" not in plan
