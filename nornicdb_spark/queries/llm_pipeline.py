@@ -1205,10 +1205,17 @@ def inference_transitive_edges(spark, sf_dir):
     # (reference inference.go:740-772), aggregated to best-path
     # confidence + path count per pair.
     from nornicdb_spark.operators import inference
+    from nornicdb_spark.operators.scope import CkptScope
 
     emb = Catalog(spark, sf_dir).embeddings
-    sim = inference.similarity_edges(emb, threshold=0.55, top_k=5)
-    return inference.transitive_edges(sim, min_confidence=0.09)
+    # checkpoint the similarity edges: transitive_edges self-joins its
+    # input, and without the cut the whole grid pair-generation pipeline
+    # (the expensive half) executes once per join branch
+    scope = CkptScope()
+    sim = scope.ckpt(inference.similarity_edges(emb, threshold=0.55, top_k=5))
+    return scope.finish(
+        inference.transitive_edges(sim, min_confidence=0.09), keep=(sim,)
+    )
 
 
 @register(
@@ -1680,10 +1687,15 @@ def text_similar_docs_tfidf(spark, sf_dir):
     # over the corpus (rounded-score/doc_id tie-break, query doc and
     # zero-norm docs excluded; docs sharing no dim with the query drop
     # via the dot-product join on both engines).
+    from nornicdb_spark.operators.scope import CkptScope
     from nornicdb_spark.search.vector import _lit_vec, dot, norm
 
     docs = Catalog(spark, sf_dir).documents
-    v = textops.tfidf_vectors(docs, k=64)
+    # checkpoint the vectors ONCE: the query-row collect below otherwise
+    # materializes the full tfidf pipeline (explode + 3 shuffles) a first
+    # time and the scoring pass recomputes it end-to-end a second time
+    scope = CkptScope()
+    v = scope.ckpt(textops.tfidf_vectors(docs, k=64))
     qrow = v.filter(F.col("doc_id") == 0).select("vec").collect()
     if not qrow:
         raise ValueError(
@@ -1716,11 +1728,12 @@ def text_similar_docs_tfidf(spark, sf_dir):
             ),
         )
     )
-    return (
+    out = (
         scored.filter(F.col("score") > 0.0)
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(10)
     )
+    return scope.finish(out, keep=(v,))
 
 
 @register(
