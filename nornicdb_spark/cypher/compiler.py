@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from nornicdb_spark.catalog import NODE_SPECS, Catalog, node_id
 from nornicdb_spark.cypher import ast as A
 from nornicdb_spark.cypher.parser import parse
+from nornicdb_spark.cypher.store import lit1_df
 from nornicdb_spark.operators.expand import cartesian
 
 LABEL_TABLES = {label: (table, key) for label, table, key in NODE_SPECS}
@@ -396,7 +397,7 @@ class Compiler:
 
     def _stats_frame(self) -> DataFrame:
         s = self.stats
-        return self.cat.spark.createDataFrame(
+        return lit1_df(self.cat.spark, 
             [(s.nodes_created, s.relationships_created, s.properties_set,
               s.nodes_deleted, s.relationships_deleted)],
             "nodes_created long, relationships_created long, properties_set long, "
@@ -417,7 +418,7 @@ class Compiler:
             if self.store is not None and self.store.has_dynamic(label):
                 _t, key, df = self.store.table_for(label)
             else:
-                return self.cat.spark.createDataFrame(
+                return lit1_df(self.cat.spark, 
                     [], f"{var}_id string"
                 )
         else:
@@ -915,7 +916,7 @@ class Compiler:
         sources = config.get("sourceNodes")
         g = self._pgraph()
         if sources:
-            src = self.cat.spark.createDataFrame(
+            src = lit1_df(self.cat.spark, 
                 [(str(s),) for s in sources], "id string"
             )
             pr = algorithms.personalized_pagerank(
@@ -957,7 +958,7 @@ class Compiler:
         vals = [self._py_value(a) for a in args]
         start_id, end_id = vals[0], vals[1]
         weight = vals[2] if len(vals) > 2 else None
-        starts = self.cat.spark.createDataFrame([(start_id,)], "id string")
+        starts = lit1_df(self.cat.spark, [(start_id,)], "id string")
         res = weighted_shortest_paths(self._pgraph(), starts, weight_col=weight)
         return res.filter(F.col("end_id") == F.lit(end_id)).select(
             F.col("start_id").alias("start"),
@@ -972,7 +973,7 @@ class Compiler:
 
         vals = [self._py_value(a) for a in args]
         start_id, hops = vals[0], int(vals[1])
-        starts = self.cat.spark.createDataFrame([(start_id,)], "id string")
+        starts = lit1_df(self.cat.spark, [(start_id,)], "id string")
         return k_hop_neighborhood(self._pgraph(), starts, hops).select(
             F.col("end_id").alias("node"), F.col("first_depth").alias("depth")
         )
@@ -985,7 +986,7 @@ class Compiler:
 
         vals = [self._py_value(a) for a in args]
         start_id, hops = vals[0], int(vals[1])
-        starts = self.cat.spark.createDataFrame([(start_id,)], "id string")
+        starts = lit1_df(self.cat.spark, [(start_id,)], "id string")
         reach = k_hop_neighborhood(self._pgraph(), starts, hops)
         return (
             reach.groupBy(F.col("first_depth").alias("depth"))
@@ -1007,8 +1008,8 @@ class Compiler:
         rel_type = vals[2] if len(vals) > 2 and vals[2] else None
         weight = vals[3] if len(vals) > 3 and vals[3] else None
         g = self._pgraph()
-        starts = self.cat.spark.createDataFrame([(start_id,)], "id string")
-        targets = self.cat.spark.createDataFrame([(end_id,)], "id string")
+        starts = lit1_df(self.cat.spark, [(start_id,)], "id string")
+        targets = lit1_df(self.cat.spark, [(end_id,)], "id string")
         h = g.nodes.select("id", F.lit(0.0).alias("h"))
         res = astar_shortest_path(
             g, starts, targets, h, weight_col=weight,
@@ -1032,8 +1033,8 @@ class Compiler:
         max_depth = (
             int(vals[3]) if len(vals) > 3 and vals[3] is not None else 10
         )
-        starts = self.cat.spark.createDataFrame([(start_id,)], "id string")
-        targets = self.cat.spark.createDataFrame([(end_id,)], "id string")
+        starts = lit1_df(self.cat.spark, [(start_id,)], "id string")
+        targets = lit1_df(self.cat.spark, [(end_id,)], "id string")
         paths = all_simple_paths(
             self._pgraph(), starts, targets, max_hops=max_depth,
             rel_types=(rel_type,) if rel_type else (),
@@ -1121,7 +1122,7 @@ class Compiler:
         from nornicdb_spark.operators.paths import subgraph_nodes
 
         start_id, max_level, rel_types = self._path_config(args)
-        starts = self.cat.spark.createDataFrame([(start_id,)], "id string")
+        starts = lit1_df(self.cat.spark, [(start_id,)], "id string")
         res = subgraph_nodes(
             self._pgraph(), starts, max_level=max_level, rel_types=rel_types
         )
@@ -1134,7 +1135,7 @@ class Compiler:
         from nornicdb_spark.operators.paths import spanning_tree
 
         start_id, max_level, rel_types = self._path_config(args)
-        starts = self.cat.spark.createDataFrame([(start_id,)], "id string")
+        starts = lit1_df(self.cat.spark, [(start_id,)], "id string")
         res = spanning_tree(
             self._pgraph(), starts, max_level=max_level, rel_types=rel_types
         )
@@ -1162,7 +1163,7 @@ class Compiler:
             t.strip().lstrip("<>").rstrip("<>")
             for t in rel_filter.split("|")
         ) if rel_filter else ()
-        starts = self.cat.spark.createDataFrame([(start_id,)], "id string")
+        starts = lit1_df(self.cat.spark, [(start_id,)], "id string")
         paths = var_length_paths(
             self._pgraph(), starts, min_hops=max(min_level, 1),
             max_hops=max_level, rel_types=rel_types, with_node_path=True,
@@ -1381,13 +1382,13 @@ class Compiler:
         if proj is None:
             raise ValueError(f"cypher: graph {name!r} does not exist")
         n = proj.nodes.count()
-        return self.cat.spark.createDataFrame(
+        return lit1_df(self.cat.spark, 
             [(n, dim)], "nodeCount long, embeddingDimension long"
         )
 
     def _proc_gds_version(self) -> DataFrame:
         """CALL gds.version() (reference fastrp.go:83-90)."""
-        return self.cat.spark.createDataFrame(
+        return lit1_df(self.cat.spark, 
             [("2.6.0-nornicdb",)], "version string"
         )
 
@@ -1415,7 +1416,7 @@ class Compiler:
             else g.edges
         )
         info = DEFAULT_CATALOG.project(name, nodes, edges)
-        return self.cat.spark.createDataFrame(
+        return lit1_df(self.cat.spark, 
             [(info.name, info.node_count, info.relationship_count)],
             "graphName string, nodeCount long, relationshipCount long",
         )
@@ -1427,7 +1428,7 @@ class Compiler:
             (i.name, i.node_count, i.relationship_count)
             for i in DEFAULT_CATALOG.list()
         ]
-        return self.cat.spark.createDataFrame(
+        return lit1_df(self.cat.spark, 
             rows, "graphName string, nodeCount long, relationshipCount long"
         )
 
@@ -1436,7 +1437,7 @@ class Compiler:
 
         name = self._py_value(args[0])
         DEFAULT_CATALOG.drop(name)
-        return self.cat.spark.createDataFrame(
+        return lit1_df(self.cat.spark, 
             [(name,)], "graphName string"
         )
 
@@ -1514,7 +1515,7 @@ class Compiler:
         elif rels:
             # no registered rel index and no default — empty result, same
             # shape (reference returns no rows for an unknown rel index)
-            return self.cat.spark.createDataFrame(
+            return lit1_df(self.cat.spark, 
                 [], f"{out_col} string, score double"
             )
         else:
@@ -1547,7 +1548,7 @@ class Compiler:
                 e = self._pgraph().edges
                 avail = [p for p in props if p in e.columns]
                 if not avail:
-                    return self.cat.spark.createDataFrame(
+                    return lit1_df(self.cat.spark, 
                         [], f"{out_col} string, score double"
                     )
                 props = avail
@@ -1592,7 +1593,7 @@ class Compiler:
             index_catalog(self.cat).create(
                 name, kind, labels[0], props, **opts
             )
-        return self.cat.spark.createDataFrame(
+        return lit1_df(self.cat.spark, 
             [(name, kind, "ONLINE")], "name string, type string, state string"
         )
 
@@ -1601,7 +1602,7 @@ class Compiler:
 
         name = self._py_value(args[0])
         index_catalog(self.cat).drop(name)
-        return self.cat.spark.createDataFrame(
+        return lit1_df(self.cat.spark, 
             [(name, "DROPPED")], "name string, state string"
         )
 
@@ -1892,7 +1893,7 @@ class Compiler:
         df = self._sink_ckpt(inner._compile_single(parse(stmt)), eager=False)
         n = df.count()
         (export_json if fmt == "json" else export_csv)(df, path)
-        return self.cat.spark.createDataFrame(
+        return lit1_df(self.cat.spark, 
             [(path, n, "")], "file string, rows long, data string"
         )
 
@@ -1929,7 +1930,7 @@ class Compiler:
         n_nodes = int(counts.get("node", 0))
         n_edges = int(counts.get("relationship", 0))
         (export_json if fmt == "json" else export_csv)(dump, path)
-        return self.cat.spark.createDataFrame(
+        return lit1_df(self.cat.spark, 
             [(path, n_nodes, n_edges, 0)],
             "file string, nodes long, relationships long, properties long",
         )
@@ -1962,7 +1963,7 @@ class Compiler:
         }
         n_nodes, p_nodes = counts.get("node", (0, 0))
         n_edges, p_edges = counts.get("relationship", (0, 0))
-        return self.cat.spark.createDataFrame(
+        return lit1_df(self.cat.spark, 
             [(path, n_nodes, n_edges, p_nodes + p_edges)],
             "file string, nodes long, relationships long, properties long",
         )
@@ -2017,7 +2018,7 @@ class Compiler:
             )
             self._wrote = self._wrote or inner._wrote
             out.append((i, f'{{"rowCount": {n}}}'))
-        return self.cat.spark.createDataFrame(out, "row long, result string")
+        return lit1_df(self.cat.spark, out, "row long, result string")
 
     def _proc_apoc_periodic_iterate(self, args) -> DataFrame:
         """CALL apoc.periodic.iterate(iterate, action, config) (reference
@@ -2076,7 +2077,7 @@ class Compiler:
                     failed += len(chunk)
                     failed_batches += 1
         committed = total - failed
-        return self.cat.spark.createDataFrame(
+        return lit1_df(self.cat.spark, 
             [(batches, total, 0, committed, failed, failed_batches, 0, "")],
             "batches long, total long, timeTaken long, committedOperations long, "
             "failedOperations long, failedBatches long, retries long, "
@@ -2119,7 +2120,7 @@ class Compiler:
             total += updates
             if updates == 0:
                 break
-        return self.cat.spark.createDataFrame(
+        return lit1_df(self.cat.spark, 
             [(total, executions, 0, executions)],
             "updates long, executions long, runtime long, batches long",
         )
@@ -2210,7 +2211,7 @@ class Compiler:
 
     def _target_ids(self, var: str) -> DataFrame:
         if var in self._created:
-            return self.cat.spark.createDataFrame(
+            return lit1_df(self.cat.spark, 
                 [(self._created[var],)], "_target_id string"
             )
         if self.frame is None or f"{var}_id" not in self.frame.columns:
@@ -2346,7 +2347,7 @@ class Compiler:
                 "src", F.lit(self._created[a])
             ).select("src", "dst")
         if a in self._created and b in self._created:
-            return spark.createDataFrame(
+            return lit1_df(spark, 
                 [(self._created[a], self._created[b])], "src string, dst string"
             )
         raise ValueError("cypher: CREATE relationship endpoints must be bound")
@@ -2473,7 +2474,7 @@ class Compiler:
         ):
             return var, self.frame.select(F.col(f"{var}_id").alias("id")).distinct()
         if var in self._created and self._created[var] is not None:
-            return var, self.cat.spark.createDataFrame(
+            return var, lit1_df(self.cat.spark, 
                 [(self._created[var],)], "id string"
             )
         if pat.label is None or not pat.props:
@@ -2646,7 +2647,7 @@ class Compiler:
             if isinstance(v, list) and v and all(
                 isinstance(x, dict) for x in v
             ):
-                rows = self.cat.spark.createDataFrame(
+                rows = lit1_df(self.cat.spark, 
                     v, schema=_dicts_schema(v)
                 )
                 packed = rows.select(

@@ -21,6 +21,28 @@ from nornicdb_spark.operators.scope import unpersist_frame
 LABEL_TABLES = {label: (table, key) for label, table, key in NODE_SPECS}
 
 
+def lit1_df(spark, data, schema=None, **kw) -> DataFrame:
+    """Literal frame on the JVM-native path (operators/localframe.py):
+    a ``VALUES`` LocalRelation executes with ZERO Python tasks, where a
+    ``createDataFrame`` literal is a Python-RDD scan whose every action
+    pays a Python-worker handshake (measured 5.1 s vs 0.22 s per count
+    of a 1-row frame — a 3-node MERGE chain stacked those handshakes
+    into 553 s of wall).
+
+    The fallback keeps ``createDataFrame`` for rows outside the
+    literal-SQL subset (datetimes, maps, mixed columns), single-
+    partitioned: its defaultParallelism near-empty slices otherwise
+    multiply through the write path — every dynamic table union adds
+    +cores partitions per created node, and a bound 1-row × 1-row MERGE
+    endpoint crossJoin becomes a left×right-task CartesianProduct
+    (measured: 2048 tasks inside one MERGE statement). coalesce(1)
+    concatenates slices in order, so row order (and any downstream
+    monotonically_increasing_id ordering) is preserved."""
+    from nornicdb_spark.operators.localframe import literal_df
+
+    return literal_df(spark, data, schema, **kw)
+
+
 @dataclass
 class WriteStats:
     nodes_created: int = 0
@@ -117,7 +139,7 @@ class GraphStore:
             # empty dynamic table: surrogate key only; property columns
             # appear as nodes are created (schema-free, like the
             # reference's map-per-entity storage types.go:185-211)
-            self.tables[table] = self.catalog.spark.createDataFrame(
+            self.tables[table] = lit1_df(self.catalog.spark, 
                 [], "_key long"
             )
         return table, "_key", self.tables[table]
@@ -130,13 +152,13 @@ class GraphStore:
             props = dict(props)
             props[key] = self._dyn_counter
             self._dyn_counter += 1
-            new = self.catalog.spark.createDataFrame([props])
+            new = lit1_df(self.catalog.spark, [props])
             self.tables[table] = df.unionByName(new, allowMissingColumns=True)
             return f"{label}:{props[key]}"
         if key not in props:
             raise ValueError(f"CREATE (:{label}) needs the key property {key}")
         row = {c: props.get(c) for c in df.columns}
-        new = self.catalog.spark.createDataFrame(
+        new = lit1_df(self.catalog.spark, 
             [tuple(row[c] for c in df.columns)], df.schema
         )
         self.tables[table] = df.unionByName(new)

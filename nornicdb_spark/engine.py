@@ -12,6 +12,7 @@ from nornicdb_spark.catalog import Catalog
 from nornicdb_spark.cypher.compiler import compile_cypher
 from nornicdb_spark.cypher.parser import parse
 from nornicdb_spark.operators import scope
+from nornicdb_spark.operators.localframe import literal_df
 
 # Parse-tree memo (reference QueryPlanCache(500) + analyzer AST cache,
 # executor.go:188-199): the AST is immutable once built — the compiler
@@ -143,7 +144,7 @@ class Engine:
             # Neo4j EXPLAIN: plan only, nothing executes (reference
             # explain.go:37-63) — one row with the formatted Spark plan
             body = stripped.split(None, 1)[1]
-            return self.spark.createDataFrame(
+            return literal_df(self.spark, 
                 [(self.explain(body),)], "plan string"
             )
         if head == "PROFILE":

@@ -47,38 +47,59 @@ def _parse(state: Column) -> Column:
     return F.from_json(state, STATE_SCHEMA)
 
 
+def _let(value: Column, fn) -> Column:
+    """Bind ``value`` ONCE and evaluate ``fn`` over the binding — a
+    single-element ``transform`` whose lambda variable is a leaf node.
+
+    Column arithmetic has no local bindings: every ``st["x"]`` reference
+    pastes a full copy of ``st``'s subtree into the output expression,
+    so a filter step that reads ~15 state fields embeds ~15 copies of
+    its INPUT state — and chained steps (``process(z2, r1.state)``)
+    grow geometrically (~15^depth nodes). Two chained adaptive steps
+    measured ~2 min of pure driver-side analysis. With the lambda
+    binding the input subtree appears exactly once per step and chains
+    grow linearly. Same arithmetic per row (from_json additionally
+    evaluates once instead of per-reference), so values are identical.
+    """
+    return F.transform(F.array(value), fn)[0]
+
+
 def kalman_process(measurement: Column, state: Column, target: Column | None = None) -> Column:
     """kalman.process(z, state[, target]) → struct(value, state) — one
     filter step (kalman_functions.go:360-408, incl. the velocity
     projection and setpoint error boost)."""
-    st = _parse(state)
-    velocity = st["x"] - st["lx"]
-    x1 = st["x"] + velocity
-    lx1 = x1
-    if target is None:
-        e1 = F.lit(1.0)
-    else:
-        e1 = F.when(
-            (target != F.lit(0.0)) & (lx1 != F.lit(0.0)),
-            F.abs(F.lit(1.0) - target / lx1),
-        ).otherwise(F.lit(1.0))
-    p1 = st["p"] + st["q"] * e1
-    k1 = p1 / (p1 + st["r"])
-    x2 = x1 + k1 * (measurement.cast("double") - x1)
-    p2 = (F.lit(1.0) - k1) * p1
-    new_state = F.to_json(F.struct(
-        x2.alias("x"), lx1.alias("lx"), p2.alias("p"), k1.alias("k"),
-        e1.alias("e"), st["q"].alias("q"), st["r"].alias("r"),
-        st["vs"].alias("vs"), (st["n"] + 1).alias("n"),
-    ))
-    return F.struct(x2.alias("value"), new_state.alias("state"))
+    def step(st: Column) -> Column:
+        velocity = st["x"] - st["lx"]
+        x1 = st["x"] + velocity
+        lx1 = x1
+        if target is None:
+            e1 = F.lit(1.0)
+        else:
+            e1 = F.when(
+                (target != F.lit(0.0)) & (lx1 != F.lit(0.0)),
+                F.abs(F.lit(1.0) - target / lx1),
+            ).otherwise(F.lit(1.0))
+        p1 = st["p"] + st["q"] * e1
+        k1 = p1 / (p1 + st["r"])
+        x2 = x1 + k1 * (measurement.cast("double") - x1)
+        p2 = (F.lit(1.0) - k1) * p1
+        new_state = F.to_json(F.struct(
+            x2.alias("x"), lx1.alias("lx"), p2.alias("p"), k1.alias("k"),
+            e1.alias("e"), st["q"].alias("q"), st["r"].alias("r"),
+            st["vs"].alias("vs"), (st["n"] + 1).alias("n"),
+        ))
+        return F.struct(x2.alias("value"), new_state.alias("state"))
+
+    return _let(_parse(state), step)
 
 
 def kalman_predict(state: Column, steps: Column) -> Column:
     """kalman.predict(state, n) — project n steps by current velocity
     without updating state (kalman_functions.go:440-448)."""
-    st = _parse(state)
-    return st["x"] + steps.cast("double") * (st["x"] - st["lx"])
+    return _let(
+        _parse(state),
+        lambda st: st["x"] + steps.cast("double") * (st["x"] - st["lx"]),
+    )
 
 
 def kalman_state_value(state: Column) -> Column:
@@ -161,24 +182,33 @@ def _vel_step(z: Column, st: Column) -> Column:
 
 def kalman_velocity_process(measurement: Column, state: Column) -> Column:
     """kalman.velocity.process(z, state) → struct(value, velocity, state)."""
-    st = _parse_vel(state)
-    u = _vel_step(measurement, st)
-    new_state = F.to_json(F.struct(
-        u["pos"].alias("pos"), u["vel"].alias("vel"), u["p"].alias("p"),
-        st["qp"].alias("qp"), st["qv"].alias("qv"), st["r"].alias("r"),
-        st["dt"].alias("dt"), u["n"].alias("n"),
-    ))
-    return F.struct(
-        u["pos"].alias("value"), u["vel"].alias("velocity"),
-        new_state.alias("state"),
-    )
+
+    def step(st: Column) -> Column:
+        def emit(u: Column) -> Column:
+            new_state = F.to_json(F.struct(
+                u["pos"].alias("pos"), u["vel"].alias("vel"), u["p"].alias("p"),
+                st["qp"].alias("qp"), st["qv"].alias("qv"), st["r"].alias("r"),
+                st["dt"].alias("dt"), u["n"].alias("n"),
+            ))
+            return F.struct(
+                u["pos"].alias("value"), u["vel"].alias("velocity"),
+                new_state.alias("state"),
+            )
+
+        # u is read 5× — bind the step result too, not just the input
+        return _let(_vel_step(measurement, st), emit)
+
+    return _let(_parse_vel(state), step)
 
 
 def kalman_velocity_predict(state: Column, steps: Column) -> Column:
     """kalman.velocity.predict(state, n) — explicit-velocity projection."""
-    st = _parse_vel(state)
-    dt = F.when(st["dt"] > 0, st["dt"]).otherwise(F.lit(1.0))
-    return st["pos"] + st["vel"] * steps.cast("double") * dt
+
+    def proj(st: Column) -> Column:
+        dt = F.when(st["dt"] > 0, st["dt"]).otherwise(F.lit(1.0))
+        return st["pos"] + st["vel"] * steps.cast("double") * dt
+
+    return _let(_parse_vel(state), proj)
 
 
 # ---- adaptive (auto-switching) filter ------------------------------------
@@ -213,12 +243,23 @@ def kalman_adaptive_init(config: dict | None = None) -> Column:
 
 def kalman_adaptive_process(measurement: Column, state: Column) -> Column:
     """kalman.adaptive.process(z, state) → struct(value, mode, state)."""
-    st = F.from_json(state, ADAPTIVE_STATE_SCHEMA)
+    return _let(
+        F.from_json(state, ADAPTIVE_STATE_SCHEMA),
+        lambda st: _let(
+            # the velocity-branch result is read ~10× below — bind it
+            _vel_step(measurement, st["velocity"]),
+            lambda vu: _adaptive_emit(measurement, st, vu),
+        ),
+    )
+
+
+def _adaptive_emit(measurement: Column, st: Column, vu: Column) -> Column:
+    """Mode selection + state re-marshal over the BOUND parsed state
+    ``st`` and velocity-step result ``vu`` (kalman_adaptive_process)."""
     is_vel = st["mode"] == F.lit("velocity")
 
     # run BOTH branches as expressions; select by mode (codegen'd — the
     # unused branch costs arithmetic, not a Python call)
-    vu = _vel_step(measurement, st["velocity"])
     # basic step (same math as kalman_process, target-less)
     b = st["basic"]
     velocity_b = b["x"] - b["lx"]

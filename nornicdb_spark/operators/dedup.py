@@ -28,6 +28,7 @@ import random
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from nornicdb_spark.operators.localframe import literal_df
 
 from nornicdb_spark.operators.scope import CkptScope
 
@@ -426,7 +427,8 @@ def ngram_jaccard_pairs(
 
 
 def grid_blocks(
-    n: int, parallelism: int, cell_budget_mb: int = 256
+    n: int, parallelism: int, cell_budget_mb: int = 256,
+    min_cell_rows: int = 2048,
 ) -> int:
     """Default block count for the exact GEMM grid — the max of two
     constraints, both of which are REQUIRED at scale:
@@ -440,11 +442,23 @@ def grid_blocks(
       local sf10 probe. With the budget bound, B grows ~linearly in n,
       per-cell memory stays flat, and shuffle volume O(n·B) = O(n²/√budget)
       — still no pairwise rows on the wire.
+
+    The parallelism bound is additionally capped by the work available
+    (``min_cell_rows``): a corpus with n ≤ a few thousand rows sliced
+    into B(B+1)/2 cells is pure replication + scheduling overhead — each
+    row is shipped to B+1 cells so that every task can run a sub-ms
+    matmul. Cells are therefore never sized below ~``min_cell_rows``
+    rows (B stops growing once n/B drops under it), which leaves tiny
+    corpora in one-or-few cells and is exactly the r11 guide §2.5
+    "don't over-partition small inputs" rule. The emitted pair set is
+    B-invariant (every (a, b) pair lands in exactly one cell for any B),
+    so this changes cost, not results.
     """
     par_b = max(8, int((math.isqrt(16 * parallelism + 1) - 1) // 2 + 1))
+    work_b = -(-int(n) // max(1, int(min_cell_rows)))  # ceil
     max_rows_per_cell = max(1024, math.isqrt(cell_budget_mb * 1024 * 1024 // 8))
     mem_b = -(-int(n) // max_rows_per_cell)  # ceil
-    return max(par_b, mem_b)
+    return max(min(par_b, work_b), mem_b, 1)
 
 
 def embedding_near_duplicates(
@@ -498,7 +512,7 @@ def embedding_near_duplicates(
             n_blocks = grid_blocks(
                 n=e.count(), parallelism=spark.sparkContext.defaultParallelism
             )
-        grid = spark.createDataFrame(
+        grid = literal_df(spark, 
             [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
             "bi int, bj int",
         )

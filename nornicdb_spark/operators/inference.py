@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from nornicdb_spark.operators.localframe import literal_df
 
 
 def score_to_confidence(score: F.Column) -> F.Column:
@@ -110,7 +111,7 @@ def accumulate_evidence(signals: DataFrame, now_col) -> DataFrame:
     (src, dst, label, n_signals, score_avg, n_sessions, first_ts,
     last_ts, materialize)."""
     spark = signals.sparkSession
-    th = spark.createDataFrame(
+    th = literal_df(spark, 
         [(k, *v) for k, v in EVIDENCE_THRESHOLDS.items()],
         "label string, min_count int, min_score double, "
         "min_sessions int, max_age_hours int",

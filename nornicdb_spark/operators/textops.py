@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from nornicdb_spark.operators.localframe import literal_df
 
 # tiny per-language stopword profiles for the n-gram/stopword-overlap
 # language heuristic (deliberately small — it's a cheap first-pass filter)
@@ -389,7 +390,7 @@ def bpe_merges(
                 "wfreq", F.replace(F.col("w"), F.lit(pat), F.lit(rep)).alias("w")
             ),
         )
-    out = docs.sparkSession.createDataFrame(
+    out = literal_df(docs.sparkSession, 
         merges, "merge_round int, lhs string, rhs string, freq long"
     )
     return sc.finish(out)

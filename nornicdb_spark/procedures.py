@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from nornicdb_spark.catalog import NODE_SPECS, Catalog
+from nornicdb_spark.operators.localframe import literal_df
 
 
 def db_labels(graph) -> DataFrame:
@@ -35,7 +36,7 @@ def db_property_keys(cat: Catalog) -> DataFrame:
     for label, table, _key in NODE_SPECS:
         for field in cat.table(table).schema.fields:
             rows.append((label, field.name, field.dataType.simpleString()))
-    return cat.spark.createDataFrame(rows, "label string, key string, type string")
+    return literal_df(cat.spark, rows, "label string, key string, type string")
 
 
 def db_schema_visualization(graph) -> DataFrame:
@@ -55,12 +56,12 @@ def db_schema_visualization(graph) -> DataFrame:
 def db_info(cat: Catalog) -> DataFrame:
     """CALL db.info / dbms.components — engine identity + table stats."""
     rows = [("nornicdb_spark", "0.1", t) for t in ("batch",)]
-    return cat.spark.createDataFrame(rows, "name string, version string, mode string")
+    return literal_df(cat.spark, rows, "name string, version string, mode string")
 
 
 def db_ping(cat: Catalog) -> DataFrame:
     """CALL db.ping (reference call.go:676)."""
-    return cat.spark.createDataFrame([("ok",)], "status string")
+    return literal_df(cat.spark, [("ok",)], "status string")
 
 
 def db_indexes(cat: Catalog) -> DataFrame:
@@ -72,7 +73,7 @@ def db_indexes(cat: Catalog) -> DataFrame:
         (d["name"], d["kind"], d["label"], d["properties"], "ONLINE")
         for d in index_catalog(cat).defs()
     ]
-    return cat.spark.createDataFrame(
+    return literal_df(cat.spark, 
         rows,
         "name string, type string, labelsOrTypes string, properties array<string>, "
         "state string",
@@ -87,7 +88,7 @@ def db_constraints(cat: Catalog) -> DataFrame:
         (f"unique_{label.lower()}_{key}", "UNIQUENESS", label, [key])
         for label, _table, key in NODE_SPECS
     ]
-    return cat.spark.createDataFrame(
+    return literal_df(cat.spark, 
         rows, "name string, type string, label string, properties array<string>"
     )
 
@@ -96,7 +97,7 @@ def dbms_components(cat: Catalog) -> DataFrame:
     """CALL dbms.components (reference call.go:750s)."""
     import pyspark
 
-    return cat.spark.createDataFrame(
+    return literal_df(cat.spark, 
         [("nornicdb-spark", [pyspark.__version__], "community")],
         "name string, versions array<string>, edition string",
     )
@@ -162,7 +163,7 @@ def fulltext_analyzers(cat: Catalog) -> DataFrame:
              "fulltext_index.go tokenizer)"),
             ("whitespace", "whitespace split, no stopword removal"),
             ("keyword", "no tokenization — exact value")]
-    return cat.spark.createDataFrame(rows, "analyzer string, description string")
+    return literal_df(cat.spark, rows, "analyzer string, description string")
 
 
 # ---- introspection tail (reference call.go:610-784, executor_show.go) ----
@@ -174,7 +175,7 @@ def db_schema_node_type_properties(cat: Catalog) -> DataFrame:
     for label, table, _key in NODE_SPECS:
         for f in cat.table(table).schema.fields:
             rows.append((f":`{label}`", label, f.name, f.dataType.simpleString(), True))
-    return cat.spark.createDataFrame(
+    return literal_df(cat.spark, 
         rows,
         "nodeType string, nodeLabels string, propertyName string, "
         "propertyTypes string, mandatory boolean",
@@ -194,7 +195,7 @@ def db_schema_rel_type_properties(cat: Catalog) -> DataFrame:
     for t in sorted(types):
         for f in prop_cols:
             rows.append((f":`{t}`", t, f.name, f.dataType.simpleString(), False))
-    return cat.spark.createDataFrame(
+    return literal_df(cat.spark, 
         rows,
         "relType string, relationshipType string, propertyName string, "
         "propertyTypes string, mandatory boolean",
@@ -213,12 +214,12 @@ def dbms_list_config(cat: Catalog) -> DataFrame:
         "spark.sql.session.timeZone", "spark.sql.autoBroadcastJoinThreshold",
     ]
     rows = [(k, cat.spark.conf.get(k, None)) for k in keys]
-    return cat.spark.createDataFrame(rows, "name string, value string")
+    return literal_df(cat.spark, rows, "name string, value string")
 
 
 def dbms_procedures(cat: Catalog, procedures: list[str]) -> DataFrame:
     """CALL dbms.procedures — every CALL target this engine routes."""
-    return cat.spark.createDataFrame(
+    return literal_df(cat.spark, 
         [(p,) for p in sorted(procedures)], "name string"
     )
 
@@ -227,7 +228,7 @@ def db_await_index(cat: Catalog, name: str | None = None) -> DataFrame:
     """db.awaitIndex(es)/resampleIndex/clearQueryCaches — synchronous
     no-ops in a batch engine (indexes are built on first use); returns an
     ok row so scripts that call them keep working."""
-    return cat.spark.createDataFrame(
+    return literal_df(cat.spark, 
         [(name or "*", "ONLINE")], "name string, state string"
     )
 
@@ -239,7 +240,7 @@ def db_index_stats(cat: Catalog) -> DataFrame:
         table = {"Embedding": "embeddings", "Document": "documents"}.get(d["label"])
         n = cat.table(table).count() if table else 0
         rows.append((d["name"], d["kind"], n))
-    return cat.spark.createDataFrame(
+    return literal_df(cat.spark, 
         rows, "name string, type string, entries long"
     )
 
@@ -293,7 +294,7 @@ def show_functions(cat: Catalog) -> DataFrame:
         for category, names in FUNCTION_SURFACE.items()
         for name in names
     ]
-    return cat.spark.createDataFrame(
+    return literal_df(cat.spark, 
         sorted(rows), "name string, category string"
     )
 
@@ -301,7 +302,7 @@ def show_functions(cat: Catalog) -> DataFrame:
 def show_databases(cat: Catalog) -> DataFrame:
     """SHOW DATABASE(S) (executor_show.go:171-237): single default
     database in the batch engine; namespacing lives in multidb.py."""
-    return cat.spark.createDataFrame(
+    return literal_df(cat.spark, 
         [("nornicdb", "standard", "online", True)],
         "name string, type string, currentStatus string, default boolean",
     )
@@ -309,12 +310,12 @@ def show_databases(cat: Catalog) -> DataFrame:
 
 def show_aliases(cat: Catalog) -> DataFrame:
     """SHOW ALIASES (executor_show.go:718-760) — none in batch."""
-    return cat.spark.createDataFrame([], "alias string, database string")
+    return literal_df(cat.spark, [], "alias string, database string")
 
 
 def show_limits(cat: Catalog) -> DataFrame:
     """SHOW LIMITS (executor_show.go:1036-1060) — unlimited batch engine."""
-    return cat.spark.createDataFrame(
+    return literal_df(cat.spark, 
         [("node_count", -1), ("relationship_count", -1)],
         "name string, value long",
     )
@@ -329,13 +330,13 @@ def db_stats_retrieve(cat: Catalog, section: str = "GRAPH COUNTS") -> DataFrame:
         (section, "nodes", g.nodes.count()),
         (section, "relationships", g.edges.count()),
     ]
-    return cat.spark.createDataFrame(rows, "section string, name string, value long")
+    return literal_df(cat.spark, rows, "section string, name string, value long")
 
 
 def db_stats_collect(cat: Catalog, section: str = "QUERIES") -> DataFrame:
     """CALL db.stats.collect/stop/clear — stats collection is always-on
     in a batch engine (plans are one-shot); report success."""
-    return cat.spark.createDataFrame(
+    return literal_df(cat.spark, 
         [(section, True, "batch engine: stats are computed per query")],
         "section string, success boolean, message string",
     )
@@ -349,13 +350,13 @@ def dbms_functions(cat: Catalog) -> DataFrame:
 def dbms_client_config(cat: Catalog) -> DataFrame:
     """CALL dbms.clientConfig — reference returns the subset of config
     relevant to drivers; we surface none (no wire protocol)."""
-    return cat.spark.createDataFrame([], "name string, value string")
+    return literal_df(cat.spark, [], "name string, value string")
 
 
 def dbms_list_connections(cat: Catalog) -> DataFrame:
     """CALL dbms.listConnections — a batch engine has no long-lived
     client connections; empty result with the reference's shape."""
-    return cat.spark.createDataFrame(
+    return literal_df(cat.spark, 
         [],
         "connectionId string, connectTime string, connector string, "
         "username string, userAgent string, serverAddress string, "
@@ -367,4 +368,4 @@ def tx_set_meta_data(cat: Catalog) -> DataFrame:
     """CALL tx.setMetaData(map) — transaction metadata is meaningless for
     one-shot batch plans; accept and acknowledge (parser-level
     compatibility, reference call.go tx.setMetaData)."""
-    return cat.spark.createDataFrame([(True,)], "success boolean")
+    return literal_df(cat.spark, [(True,)], "success boolean")

@@ -11,6 +11,7 @@ and hash-compared against DuckDB.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from nornicdb_spark.operators.localframe import literal_df
 
 from nornicdb_spark.catalog import Catalog
 from nornicdb_spark.operators import dedup, multimodal, textops
@@ -1013,7 +1014,7 @@ def vocab_bpe_merges(spark, sf_dir):
     # scanned once, every round is vocabulary-sized. Returns the ordered
     # merge table, the artifact a tokenizer trainer ships.
     rows = _trained_bpe_merges(spark, sf_dir, 6)
-    return spark.createDataFrame(
+    return literal_df(spark, 
         [(r.merge_round, r.lhs, r.rhs, r.freq) for r in rows],
         "merge_round int, lhs string, rhs string, freq long",
     )

@@ -6,6 +6,7 @@ DuckDB oracle can restate the rewrite in plain SQL.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from nornicdb_spark.operators.localframe import literal_df
 
 from nornicdb_spark.catalog import Catalog
 from nornicdb_spark.operators import mutations as mut
@@ -30,7 +31,7 @@ def mutation_create_regions(spark, sf_dir):
     # CREATE (reference create.go:15-): append rows; properties absent in
     # the CREATE clause (r_name here) materialize as NULL.
     region = _cat(spark, sf_dir).region
-    new_rows = spark.createDataFrame([(90,), (91,)], "r_regionkey long")
+    new_rows = literal_df(spark, [(90,), (91,)], "r_regionkey long")
     res = mut.create_rows(region, new_rows, with_stats=False)
     return res.df.select(F.col("r_regionkey").alias("r_key"), "r_name")
 
@@ -58,7 +59,7 @@ def mutation_merge_order_counts(spark, sf_dir):
         cat.orders.groupBy(F.col("o_custkey").alias("c_custkey"))
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .unionByName(
-            spark.createDataFrame(
+            literal_df(spark, 
                 [(-1, 0), (-2, 0), (-3, 0)], "c_custkey long, n_orders long"
             )
         )

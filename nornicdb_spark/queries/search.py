@@ -10,6 +10,7 @@ recall against the exact index).
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from nornicdb_spark.operators.localframe import literal_df
 
 from nornicdb_spark.catalog import Catalog
 from nornicdb_spark.operators import scope
@@ -118,7 +119,7 @@ def bm25_multi_query(spark, sf_dir):
     # single-query path's (tested in test_search.py).
     docs = Catalog(spark, sf_dir).documents
     idx = bm25_mod.shared_index(docs, sf_dir)
-    qdf = spark.createDataFrame(BM25_BATCH, "query_id long, query_text string")
+    qdf = literal_df(spark, BM25_BATCH, "query_id long, query_text string")
     # raw score on both sides (bm25_topk's pattern — the harness rounds)
     return idx.search_many(qdf, k=5).select("query_id", "doc_id", "score")
 
@@ -132,7 +133,7 @@ def stream_bm25_multi_query(spark, sf_dir):
     # covers the whole query batch's terms; shares bm25_multi_query's
     # oracle verbatim (maintained == static on the same corpus).
     idx = _maintained_ft_index(spark, sf_dir)
-    qdf = spark.createDataFrame(BM25_BATCH, "query_id long, query_text string")
+    qdf = literal_df(spark, BM25_BATCH, "query_id long, query_text string")
     return idx.search_many(qdf, k=5).select("query_id", "doc_id", "score")
 
 
@@ -384,7 +385,7 @@ def hybrid_rrf_many(spark, sf_dir):
     # single-query hybrid_rrf composition (tested).
     cat = Catalog(spark, sf_dir)
     idx = bm25_mod.shared_index(cat.documents, sf_dir)
-    qtext = spark.createDataFrame(
+    qtext = literal_df(spark, 
         [(q, t) for q, t, _ in HYBRID_BATCH],
         "query_id long, query_text string",
     )
@@ -892,7 +893,7 @@ def stream_ann_ivf_multi(spark, sf_dir):
     # the candidate set seed-dependent → no row-set oracle; the
     # equality gate twin below is the driver check.
     idx, emb = _maintained_ivf_index(spark, sf_dir)
-    qdf = spark.createDataFrame(
+    qdf = literal_df(spark, 
         _ivf_query_batch(spark, sf_dir, emb),
         "query_id bigint, qvec array<double>",
     )
@@ -910,7 +911,7 @@ def stream_ann_ivf_multi_gate(spark, sf_dir):
     # recall bar: ok=1 iff the symmetric difference is empty.
     idx, emb = _maintained_ivf_index(spark, sf_dir)
     batch = _ivf_query_batch(spark, sf_dir, emb)
-    qdf = spark.createDataFrame(batch, "query_id bigint, qvec array<double>")
+    qdf = literal_df(spark, batch, "query_id bigint, qvec array<double>")
     cols = ["query_id", "vec_id", "s"]
     batched = idx.search_many(qdf, refine_src=emb, k=10, n_probe=3).select(
         "query_id", "vec_id", F.round("score", 9).alias("s")
@@ -973,10 +974,10 @@ def stream_hybrid_rrf_many(spark, sf_dir):
     ft = _maintained_ft_index(spark, sf_dir)
     ivf, emb = _maintained_ivf_index(spark, sf_dir)
     batch = _hybrid_serve_batch(spark, sf_dir, emb)
-    qtext = spark.createDataFrame(
+    qtext = literal_df(spark, 
         [(q, t) for q, t, _ in batch], "query_id long, query_text string"
     )
-    qvec = spark.createDataFrame(
+    qvec = literal_df(spark, 
         [(q, v) for q, _, v in batch], "query_id bigint, qvec array<double>"
     )
     bm = hybrid.rank_by(
@@ -1099,7 +1100,7 @@ def _maintained_ft_index_with_removals(spark, sf_dir):
     for b in range(3):
         idx.process_batch(docs.filter(F.col("doc_id") % 3 == b), batch_id=b)
     idx.remove_batch(
-        spark.createDataFrame(
+        literal_df(spark, 
             [(i,) for i in REMOVED_DOC_IDS], "doc_id long"
         ),
         batch_id=3,
@@ -1148,7 +1149,7 @@ def stream_ann_ivf_remove_gate(spark, sf_dir):
     idx.bootstrap(seed, n_lists=8)
     idx.process_batch(emb.filter(F.col("vec_id") % 2 == 1), batch_id=0)
     idx.remove_batch(
-        spark.createDataFrame([(i,) for i in removed], "vec_id long"),
+        literal_df(spark, [(i,) for i in removed], "vec_id long"),
         batch_id=1,
     )
     ref = MaintainedIVFIndex(spark, f"/root/repo/.tmp/ivfrmref_{tag}")

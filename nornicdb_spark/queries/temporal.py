@@ -6,6 +6,7 @@ property access, Kalman smoothing.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from nornicdb_spark.operators.localframe import literal_df
 
 from nornicdb_spark.catalog import Catalog
 from nornicdb_spark.streaming import decay, kalman, sessions
@@ -1392,4 +1393,4 @@ def stream_vec_dedup_int8_gate(spark, sf_dir):
         and n_got == n_agree  # precision exact: no pair the fp32 path lacks
         and n_agree >= math.ceil(n_want * 0.9999)
     )
-    return spark.createDataFrame([(ok,)], "ok bigint")
+    return literal_df(spark, [(ok,)], "ok bigint")

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from nornicdb_spark.operators.localframe import literal_df
 
 K1 = 1.2
 B = 0.75
@@ -165,11 +166,11 @@ class BM25Index:
         """
         terms = tokenize_query(query)
         if not terms:
-            return self.postings.sparkSession.createDataFrame(
+            return literal_df(self.postings.sparkSession, 
                 [], "doc_id long, score double"
             )
         spark = self.postings.sparkSession
-        qdf = spark.createDataFrame([(t,) for t in terms], "qterm string")
+        qdf = literal_df(spark, [(t,) for t in terms], "qterm string")
 
         # Candidate pre-filter: only postings whose term can match the
         # query contribute — df (per matched indexed term) and the score

@@ -14,6 +14,7 @@ all of them.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from nornicdb_spark.operators.localframe import literal_df
 
 # Default hash-partition bucket count for the maintained indexes'
 # pruned tables (near-dup bands/payload, graph nodes/merges, BM25 term
@@ -90,7 +91,7 @@ def read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
                 "Re-run the compaction (it restores the original "
                 "directory first) or rename the .old directory back."
             )
-        return spark.createDataFrame([], schema)
+        return literal_df(spark, [], schema)
 
 
 def stored_col_type(spark: SparkSession, path: str, col: str) -> str | None:

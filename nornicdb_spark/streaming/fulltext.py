@@ -51,6 +51,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from nornicdb_spark.operators.localframe import literal_df
 
 from nornicdb_spark.search.bm25 import (
     query_terms_table,
@@ -449,7 +450,7 @@ class MaintainedBM25Index:
         the query terms' hash buckets are read) + the exact term filter.
         The tk values come from a 1-row-per-term Spark job so the hash
         is computed by the SAME xxhash64 the writer used."""
-        tdf = self.spark.createDataFrame([(t,) for t in terms], "term string")
+        tdf = literal_df(self.spark, [(t,) for t in terms], "term string")
         tks = [r.tk for r in tdf.select(self._tk_col().alias("tk")).distinct().collect()]
         pruned = (
             self._read(
@@ -482,10 +483,10 @@ class MaintainedBM25Index:
             )
         terms = tokenize_query(query)
         if not terms:
-            return self.spark.createDataFrame([], f"doc_id {id_type}, score double")
+            return literal_df(self.spark, [], f"doc_id {id_type}, score double")
         n_docs, avgdl = self.corpus_stats()
         if n_docs == 0 or avgdl == 0.0:
-            return self.spark.createDataFrame([], f"doc_id {id_type}, score double")
+            return literal_df(self.spark, [], f"doc_id {id_type}, score double")
         cand = self._postings_pruned(terms, id_type)
         return score_exact_candidates(cand, terms, n_docs, avgdl, k)
 
@@ -519,9 +520,9 @@ class MaintainedBM25Index:
         qterms = query_terms_table(queries, qid_col, qtext_col)
         terms = [r.term for r in qterms.select("term").distinct().collect()]
         if not terms:
-            return self.spark.createDataFrame([], empty)
+            return literal_df(self.spark, [], empty)
         n_docs, avgdl = self.corpus_stats()
         if n_docs == 0 or avgdl == 0.0:
-            return self.spark.createDataFrame([], empty)
+            return literal_df(self.spark, [], empty)
         cand = self._postings_pruned(terms, id_type)
         return score_many_candidates(cand, qterms, n_docs, avgdl, k)

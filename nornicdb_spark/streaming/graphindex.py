@@ -209,18 +209,30 @@ class MaintainedGraphIndex:
         with originals) may follow any of them — all chains end at the
         same current root — so the step takes min(new) per node for
         determinism."""
+        # Job budget: ONE job per chase step. The per-step driver stats —
+        # the frontier labels' distinct mk buckets (pruning literals for
+        # the NEXT step's pointer scan) and whether anything moved
+        # (termination) — come from a single groupBy-collect that also
+        # materializes the step's lazy checkpoint. The previous shape
+        # (eager checkpoint + mk collect + moved count = 3 jobs/step)
+        # tripled the driver round trips for identical results.
         lab = frontier.select("node", F.col("node").alias("lbl")).localCheckpoint(
-            eager=True
+            eager=False
         )
+
+        def _stats(frame: DataFrame) -> tuple[list[int], bool]:
+            rows = (
+                frame.groupBy(self._mk("lbl").alias("mk"))
+                .agg(F.max("_moved").alias("mv"))
+                .collect()
+            )
+            return [r.mk for r in rows], any(r.mv for r in rows)
+
+        lab = lab.withColumn("_moved", F.lit(False))
+        mks, _ = _stats(lab)  # materializes the seed checkpoint too
         self.last_resolve_depth = 0
         try:
             for _ in range(self.max_depth):
-                mks = [
-                    r.mk
-                    for r in lab.select(self._mk("lbl").alias("mk"))
-                    .distinct()
-                    .collect()
-                ]
                 if not mks:
                     break
                 ptrs = (
@@ -234,11 +246,11 @@ class MaintainedGraphIndex:
                     F.coalesce(F.col("_next"), F.col("lbl")).alias("lbl"),
                     F.col("_next").isNotNull().alias("_moved"),
                 )
-                nxt = stepped.localCheckpoint(eager=True)
-                moved = nxt.filter("_moved").count()
+                nxt = stepped.localCheckpoint(eager=False)
+                mks, moved = _stats(nxt)  # one job: materialize + stats
                 scope.unpersist_frame(lab)
                 lab = nxt
-                if moved == 0:
+                if not moved:
                     break
                 self.last_resolve_depth += 1
             else:
@@ -258,15 +270,18 @@ class MaintainedGraphIndex:
         """Min-label propagation over the CONTRACTED merge graph (≤ n_b
         edges — tiny relative to the corpus). Returns (old, new) rows
         for roots whose component minimum is a different root."""
+        # lazy checkpoints: the per-round changed-count action (and the
+        # first round's join) materialize them — one job per round
+        # instead of eager-materialize + count
         und = edges.select(
             F.col("ra").alias("s"), F.col("rb").alias("d")
         ).unionByName(edges.select(F.col("rb").alias("s"), F.col("ra").alias("d")))
-        und = und.distinct().localCheckpoint(eager=True)
+        und = und.distinct().localCheckpoint(eager=False)
         lab = (
             und.select(F.col("s").alias("id"))
             .distinct()
             .select("id", F.col("id").alias("comp"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         try:
             while True:
@@ -284,7 +299,7 @@ class MaintainedGraphIndex:
                         "_chg"
                     ),
                 )
-                nxt = upd.localCheckpoint(eager=True)
+                nxt = upd.localCheckpoint(eager=False)
                 changed = nxt.filter("_chg").count()
                 scope.unpersist_frame(lab)
                 lab = nxt
@@ -305,18 +320,24 @@ class MaintainedGraphIndex:
         rather than silently corrupting the merge log."""
         self._check_batch(batch_id)
         it = self._id_type(batch_df, self.src_col)
+        # lazy checkpoints throughout the batch body: each frame is
+        # materialized by the FIRST action that needs it (resolution's
+        # first stats job pins edges+endpoints, the mini-WCC's first
+        # round pins roots, the mk collect pins merges) — the eager
+        # variants added one materialization-only job per frame for
+        # byte-identical results
         edges = batch_df.select(
             F.col(self.src_col).alias("src"), F.col(self.dst_col).alias("dst")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         endpoints = (
             edges.select(F.col("src").alias("node"))
             .unionByName(edges.select(F.col("dst").alias("node")))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         roots = self._resolve(
             endpoints, it, exclude_batch=int(batch_id)
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         self._record_depth(self.last_resolve_depth)
         contracted = (
             edges.join(roots.withColumnRenamed("node", "src"), "src")
@@ -332,7 +353,7 @@ class MaintainedGraphIndex:
             self._mini_wcc(contracted)
             .withColumn("src_batch", F.lit(int(batch_id)).cast("bigint"))
             .withColumn("mk", self._mk())
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # replay idempotency: merges this batch already wrote are
         # recomputed byte-identically (resolution excluded them) and
@@ -426,11 +447,13 @@ class MaintainedGraphIndex:
         the forest flattened by pointer doubling: each round replaces
         every pointer by its target's pointer, so depth halves per
         round (O(log depth) self-joins of the LOG, never the corpus)."""
+        # lazy checkpoints — the per-round moved-count materializes them
+        # (one job per pointer-doubling round instead of two)
         r = (
             self._merges(it)
             .groupBy("old")
             .agg(F.min("new").alias("root"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         try:
             for _ in range(self.max_depth):
@@ -442,7 +465,7 @@ class MaintainedGraphIndex:
                     F.coalesce(F.col("_r"), F.col("root")).alias("root"),
                     F.col("_r").isNotNull().alias("_moved"),
                 )
-                nxt = jumped.localCheckpoint(eager=True)
+                nxt = jumped.localCheckpoint(eager=False)
                 moved = nxt.filter("_moved").count()
                 scope.unpersist_frame(r)
                 r = nxt

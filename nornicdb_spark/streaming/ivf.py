@@ -37,6 +37,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from nornicdb_spark.operators.localframe import literal_df
 
 __all__ = ["MaintainedIVFIndex"]
 
@@ -156,7 +157,7 @@ class MaintainedIVFIndex:
             "_features", array_to_vector(F.col(self.vec_col).cast("array<double>"))
         )
         model = KMeans(k=n_lists, seed=seed, featuresCol="_features").fit(feat)
-        self.spark.createDataFrame(
+        literal_df(self.spark, 
             [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
             "list_id int, center array<double>",
         ).coalesce(1).write.mode("overwrite").parquet(self.centroids_path)
@@ -452,7 +453,7 @@ class MaintainedIVFIndex:
             r.list_id for r in pair_df.select("list_id").distinct().collect()
         )
         if not lists:
-            return self.spark.createDataFrame([], out_schema)
+            return literal_df(self.spark, [], out_schema)
         code_dot = F.aggregate(
             F.zip_with(
                 F.col("codes"), F.col("qv"), lambda c, qx: c.cast("double") * qx
@@ -630,7 +631,7 @@ class MaintainedIVFIndex:
             # a zero-norm query has no direction: same contract as
             # search_many (which drops such queries) — an empty result,
             # not a divide-by-zero's null scores
-            return self.spark.createDataFrame(
+            return literal_df(self.spark, 
                 [], f"vec_id {id_type}, score double"
             )
         centers = self.centers()

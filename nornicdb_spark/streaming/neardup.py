@@ -65,6 +65,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from nornicdb_spark.operators.localframe import literal_df
 
 from nornicdb_spark.operators import scope
 from nornicdb_spark.sources.layout import write_partitioned
@@ -288,7 +289,7 @@ class _MaintainedIndexBase:
         Candidate PAIRS are pinned slim (ids only — the payload never
         rides the checkpoint)."""
         pks = [r.pk for r in rows.select("pk").distinct().collect()]
-        empty = self.spark.createDataFrame(
+        empty = literal_df(self.spark, 
             [], f"stream_doc {it}, corpus_doc {it}, {self.score_col} double"
         )
         if not pks:
@@ -744,7 +745,7 @@ class MaintainedHashIndex:
     ) -> DataFrame:
         hks = [r.hk for r in rows.select("hk").distinct().collect()]
         if not hks:
-            return self.spark.createDataFrame(
+            return literal_df(self.spark, 
                 [], f"stream_doc {it}, corpus_doc {it}"
             )
         seen = self._seen(it).filter(F.col("hk").isin(hks))

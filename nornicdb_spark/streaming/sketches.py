@@ -23,6 +23,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from nornicdb_spark.operators.localframe import literal_df
 
 from nornicdb_spark.operators import scope
 from nornicdb_spark.sources.layout import (
@@ -148,13 +149,13 @@ class MaintainedDistinctIndex:
         """Bounded probe: estimates for the given groups only, reading
         only their gk partitions (literal isin -> PartitionFilters)."""
         if not groups:
-            return self.spark.createDataFrame(
+            return literal_df(self.spark, 
                 [], "grp string, approx_distinct long"
             )
         gks = sorted(
             {
                 r.gk
-                for r in self.spark.createDataFrame(
+                for r in literal_df(self.spark, 
                     [(g,) for g in groups], "grp string"
                 )
                 .select(self._gk().alias("gk"))
