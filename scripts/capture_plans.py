@@ -49,7 +49,7 @@ def main():
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
     names = sys.argv[3:] or HEADLINE
-    out_dir = ROOT / "plans" / "r11"
+    out_dir = ROOT / "plans" / os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r12")
     out_dir.mkdir(parents=True, exist_ok=True)
 
     spark = get_spark(app_name="plan-capture")
