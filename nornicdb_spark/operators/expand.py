@@ -39,6 +39,16 @@ def match_nodes(graph, var: str, label: str | None = None) -> DataFrame:
     downstream expands join on it, so the per-row string concat that
     builds ``{var}_id`` is pruned away whenever the query never reads
     the string id itself.
+
+    PATTERN-FRAME CONTRACT: frames returned by :func:`match_nodes` /
+    :func:`expand` are internal to the pattern pipeline and may carry
+    synthetic join columns (``{var}_id_enc``, ``{rel_var}_src_enc`` /
+    ``_dst_enc``) alongside the public ``{var}_*`` properties. Consumers
+    must project the named columns they return (as every current caller
+    does) — a whole-frame projection/export would leak the synthetic
+    columns. Anything surfaced to users (RETURN n, graph.nodes/edges)
+    must strip ``*_enc`` first; test_plans.py pins that the public
+    graph schemas stay free of them.
     """
     return _prefixed(graph.nodes_full_by_label(label), var)
 

@@ -792,6 +792,22 @@ def test_enc_columns_equal_encode_id(spark, sf_dir):
     assert "src_enc" not in g.edges.columns
 
 
+def test_node_keys_within_encoding_bounds(spark, sf_dir):
+    # encode_id/_enc_of pack the numeric key into the low 48 bits: a
+    # negative key or one >= 2^48 would silently collide across labels.
+    # Pin the latent assumption per node table (one tiny agg per table —
+    # a dataset violating it must fail loudly here, not corrupt joins).
+    from pyspark.sql import functions as F
+
+    from nornicdb_spark.catalog import NODE_SPECS, shared_catalog
+
+    cat = shared_catalog(spark, sf_dir)
+    for label, table, key in NODE_SPECS:
+        lo, hi = cat.table(table).agg(F.min(key), F.max(key)).collect()[0]
+        assert lo is not None and lo >= 0, f"{label}: negative key {lo}"
+        assert hi < (1 << 48), f"{label}: key {hi} >= 2^48"
+
+
 def test_var_length_loop_runs_encoded(spark, sf_dir):
     # the frontier loop's memoized edge set is long-encoded; only the
     # final projection decodes back to string ids
