@@ -589,7 +589,17 @@ def embedding_near_duplicates(
             dim, n_bits=n_bits, n_bands=n_bands, seed=seed,
             id_col="id", vec_col="v",
         )
-        buckets = lsh.bucketize(e)
+        # The 128-plane signature project is a ~200 kB expression tree;
+        # self-joining it below would both EVALUATE it twice (once per
+        # join side) and let the optimizer clone it into every pushed
+        # filter (~8 copies, ~13 s of driver analysis at sf0.001). A
+        # lazy localCheckpoint on the narrow (vec_id, band, bucket)
+        # table computes signatures once and cuts the plan at the
+        # materialized band index — the same build-the-index-once
+        # posture the maintained near-dup store uses. Values are
+        # unchanged: the planes are seed-fixed and the signature is
+        # deterministic, so checkpoint vs recompute is row-identical.
+        buckets = lsh.bucketize(e).localCheckpoint(eager=False)
         cand = (
             buckets.select(F.col("vec_id").alias("a"), "band", "bucket")
             .join(

@@ -275,22 +275,39 @@ class RandomHyperplaneLSH:
         (one nested planes literal walked by transform/aggregate) was
         built and measured bit-identical but 4× slower at execution —
         HOF lambdas evaluate interpreted while the unrolled whens ride
-        whole-stage codegen. The plan-size cost of unrolling is carried
-        by `_lit_vec` emitting one array Literal per plane (not one node
-        per element), which keeps analysis time flat."""
+        whole-stage codegen.
+
+        Built as ONE ``F.expr`` over a generated SQL string (the
+        ``quantize.rp_project_array`` pattern): the Column-API form of
+        the 128-plane chain issues thousands of py4j round-trips and
+        costs ~6 s of pure driver construction time per call; the SQL
+        string parses JVM-side in one call. The parsed tree is the same
+        expression the Column chain built — same aggregate/zip_with
+        lambdas, same CASE WHEN bits, same left-associative
+        ``acc * 2 + bit`` band fold — except the per-plane constant
+        arrives as ``array(CAST('<repr>' AS DOUBLE), …)``, which
+        constant-folds to the identical double-array Literal (repr
+        round-trips IEEE bits exactly; a bare SQL numeric would parse
+        as DECIMAL and re-round)."""
+        vec = f"CAST(`{self.vec_col}` AS ARRAY<DOUBLE>)"
         bits = []
         for row in self.planes:
-            bits.append(
-                F.when(dot(F.col(self.vec_col).cast("array<double>"), _lit_vec(row)) >= 0, 1).otherwise(0)
+            arr = "array(" + ", ".join(
+                f"CAST('{float(x)!r}' AS DOUBLE)" for x in row
+            ) + ")"
+            d = (
+                f"aggregate(zip_with({vec}, {arr}, (x, y) -> x * y), "
+                f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
             )
+            bits.append(f"(CASE WHEN {d} >= 0 THEN 1 ELSE 0 END)")
         per_band = len(bits) // self.n_bands
         bands = []
         for b in range(self.n_bands):
-            acc = F.lit(0)
+            acc = "0"
             for j in range(per_band):
-                acc = acc * 2 + bits[b * per_band + j]
+                acc = f"({acc} * 2 + {bits[b * per_band + j]})"
             bands.append(acc)
-        return F.array(*bands)
+        return F.expr("array(" + ", ".join(bands) + ")")
 
     def bucketize(self, embeddings: DataFrame) -> DataFrame:
         """(id, band, bucket) — join key table for candidate generation."""

@@ -840,3 +840,77 @@ def test_dijkstra_round_is_single_exchange_no_sort(spark, sf_dir):
     )
     assert "SortMergeJoin" not in plan
     assert "FullOuter" not in plan
+
+
+def test_lsh_signature_sql_equals_column_chain(spark, sf_dir):
+    # r12: RandomHyperplaneLSH.signature_col is built as one generated
+    # F.expr (quantize.rp_project_array pattern) instead of a py4j
+    # Column chain. The parsed tree must stay value-identical to the
+    # chain form — pin bit-level equality over the corpus for both the
+    # 128/8 near-dup config and the 24/8 ann config.
+    from pyspark.sql import functions as F
+
+    from nornicdb_spark.search.vector import (
+        RandomHyperplaneLSH,
+        _lit_vec,
+        dot,
+    )
+
+    def chain_signature(lsh):
+        bits = []
+        for row in lsh.planes:
+            bits.append(
+                F.when(
+                    dot(
+                        F.col(lsh.vec_col).cast("array<double>"),
+                        _lit_vec(row),
+                    )
+                    >= 0,
+                    1,
+                ).otherwise(0)
+            )
+        per_band = len(bits) // lsh.n_bands
+        bands = []
+        for b in range(lsh.n_bands):
+            acc = F.lit(0)
+            for j in range(per_band):
+                acc = acc * 2 + bits[b * per_band + j]
+            bands.append(acc)
+        return F.array(*bands)
+
+    from nornicdb_spark.catalog import shared_catalog
+
+    e = (
+        shared_catalog(spark, sf_dir)
+        .embeddings.select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+    )
+    dim = len(e.select("v").head()[0])
+    for n_bits in (128, 24):
+        lsh = RandomHyperplaneLSH.build(
+            dim, n_bits=n_bits, n_bands=8, seed=42, id_col="id", vec_col="v"
+        )
+        mism = (
+            e.select(
+                lsh.signature_col().alias("sql_sig"),
+                chain_signature(lsh).alias("chain_sig"),
+            )
+            .filter(F.col("sql_sig") != F.col("chain_sig"))
+            .count()
+        )
+        assert mism == 0, f"n_bits={n_bits}: {mism} signature mismatches"
+
+
+def test_embedding_lsh_plan_cut_at_band_index(spark, sf_dir):
+    # r12: embedding_near_duplicates(exact=False) localCheckpoints the
+    # (vec_id, band, bucket) table before the self-join, so the final
+    # plan must scan the materialized band index (ExistingRDD) and the
+    # 128-plane signature expression must not be cloned into the
+    # candidate join (only the verify-leg cosine keeps HOF dot
+    # products: 3 per emitted pair side)
+    plan = plan_of(spark, "dedup_embedding_lsh", sf_dir)
+    assert "Scan ExistingRDD" in plan, "band index no longer checkpointed"
+    n_hof = plan.count("zip_with")
+    assert n_hof <= 8, f"signature HOFs leaked past the checkpoint: {n_hof}"
